@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.model.{Q, Tables}
+
+/** Core relational surface: the reference's windowed-count flagship
+  * (reference nifi_spark_kafka_product_view_platform_v2.py:62-69)
+  * re-expressed Spark-first in batch form, plus the join / agg / set-op
+  * surface the reference implies (SURVEY.md §2.3, §2.7).
+  *
+  * Determinism notes for the DuckDB oracle hash-compare:
+  *  - money sums go through `decimal` so they are exact and
+  *    association-order independent (double sums are not);
+  *  - raw event timestamps are nanosecond parquet; oracles CAST to
+  *    microsecond TIMESTAMP to match Spark's TimestampType;
+  *  - every top-k has a total tie-break order.
+  */
+object Relational {
+
+  private def dec(c: String, p: Int = 18, s: Int = 2) =
+    col(c).cast(DecimalType(p, s))
+
+  /** Flagship (reference v2:62-69): events per platform source per
+    * 5-minute tumbling window, descending. Exercises P4 P6 A1 W2 O1. */
+  val windowCount = Q(
+    "q_window_count",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("source_number"))
+        .select(
+          col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type").as("source"),
+          col("source_number"))
+        .orderBy(desc("source_number"), asc("source"), asc("window_start"))
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,
+             event_type AS source,
+             count(*) AS source_number
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY source_number DESC, source, window_start
+    """))
+
+  /** A2 realized: exact distinct users per source per window (the
+    * reference imported approx_count_distinct but shipped count()). */
+  val windowDistinctUsers = Q(
+    "q_window_distinct_users",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), window(col("ts"), "5 minutes"))
+        .agg(countDistinct(col("user_id")).as("distinct_users"),
+             count(lit(1)).as("source_number"))
+        .select(
+          col("window.start").as("window_start"),
+          col("event_type").as("source"),
+          col("distinct_users"),
+          col("source_number"))
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type AS source,
+             count(DISTINCT user_id) AS distinct_users,
+             count(*) AS source_number
+      FROM events
+      GROUP BY 1, 2
+    """))
+
+  /** TPC-H Q1-shaped pricing summary: filter + multi-agg with exact
+    * decimal arithmetic; partial aggregation map-side, 2-col scan. */
+  val pricingSummary = Q(
+    "q_pricing_summary",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** Filter + projection — predicate pushdown and column pruning reach
+    * the parquet scan (PushedFilters in explain). */
+  val filterPushdown = Q(
+    "q_filter_pushdown",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+    },
+    Some("""
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'purchase' AND value > 100.0
+    """))
+
+  /** Star-schema join (TPC-H Q5 family): revenue per region/nation.
+    * nation+region are tiny -> Catalyst broadcasts them; the
+    * lineitem⋈orders⋈customer chain shuffles on the join keys once. */
+  val joinStar = Q(
+    "q_join_star",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val o  = Tables.orders(spark, dir)
+      val c  = Tables.customer(spark, dir)
+      val n  = Tables.nation(spark, dir)
+      val r  = Tables.region(spark, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    """))
+
+  /** Explicit broadcast join: part is small at every SF -> broadcast
+    * hash join, no shuffle of the big fact side. */
+  val broadcastBrand = Q(
+    "q_broadcast_brand",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val p  = Tables.part(spark, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT p_brand,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    """))
+
+  /** Left-semi join = EXISTS. */
+  val semiJoin = Q(
+    "q_semi_join",
+    (spark, dir) => {
+      val p  = Tables.part(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") >= 49.0).select(col("l_partkey"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+    },
+    Some("""
+      SELECT p_partkey, p_brand FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_partkey = p_partkey AND l_quantity >= 49.0)
+    """))
+
+  /** Left-anti join = NOT EXISTS: customers with no big-ticket order. */
+  val antiJoin = Q(
+    "q_anti_join",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """))
+
+  /** Left outer join + histogram of lineitems per order (0-count kept). */
+  val outerJoinHistogram = Q(
+    "q_outer_join_histogram",
+    (spark, dir) => {
+      val o  = Tables.orders(spark, dir).select(col("o_orderkey"))
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .groupBy(col("n_items"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT n_items, count(*) AS n_orders FROM (
+        SELECT o_orderkey, count(l_orderkey) AS n_items
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey)
+      GROUP BY n_items
+    """))
+
+  /** Set operations: purchasers vs error-raisers (intersect / except /
+    * union all), tagged into one result set. */
+  val setOps = Q(
+    "q_set_ops",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val erroring = ev.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      purchasers.intersect(erroring).withColumn("tag", lit("both"))
+        .unionByName(purchasers.except(erroring).withColumn("tag", lit("purchase_only")))
+        .unionByName(erroring.except(purchasers).withColumn("tag", lit("error_only")))
+        .select(col("tag"), col("user_id"))
+    },
+    Some("""
+      WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+      UNION ALL
+      SELECT 'purchase_only' AS tag, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+      UNION ALL
+      SELECT 'error_only' AS tag, user_id FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+    """))
+
+  /** distinct + per-type distinct-user counts. */
+  val distinctUsers = Q(
+    "q_distinct_users",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS distinct_users
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY event_type
+    """))
+
+  /** approx_count_distinct (A2 as imported in the reference) — HLL++
+    * differs from DuckDB's sketch, so no SQL oracle (rows-only check);
+    * accuracy asserted in ScalaTest against the exact count. */
+  val approxDistinct = Q(
+    "q_approx_distinct_users",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"))
+    },
+    None)
+
+  /** Global top-k with total tie-break order. */
+  val topkOrders = Q(
+    "q_topk_orders",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+                dec("o_totalprice").as("total_price"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10
+    """))
+
+  /** JSON extraction from the events.props column (reference P2
+    * from_json surface in scalar form). */
+  val jsonExtract = Q(
+    "q_json_extract",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+             count(col("k")).as("n_k"),
+             max(col("k")).as("max_k"))
+    },
+    Some("""
+      SELECT event_type,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+    """))
+
+  /** Date bucketing: orders per month. */
+  val ordersByMonth = Q(
+    "q_orders_by_month",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec("o_totalprice")).as("sum_price"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM orders
+      GROUP BY 1
+    """))
+
+  /** String functions over part. */
+  val stringOps = Q(
+    "q_string_ops",
+    (spark, dir) => {
+      Tables.part(spark, dir)
+        .select(col("p_brand"),
+                lower(col("p_type")).as("lt"),
+                length(col("p_name")).as("name_len"),
+                size(split(col("p_type"), " ")).as("type_words"))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("lt")).as("distinct_types"),
+             max(col("name_len")).as("max_name_len"),
+             sum(col("type_words")).as("sum_type_words"))
+    },
+    Some("""
+      SELECT p_brand,
+             count(DISTINCT lower(p_type)) AS distinct_types,
+             max(length(p_name)) AS max_name_len,
+             sum(len(string_split(p_type, ' '))) AS sum_type_words
+      FROM part
+      GROUP BY p_brand
+    """))
+
+  /** Conditional aggregation (CASE WHEN buckets). */
+  val caseWhen = Q(
+    "q_case_when",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_totalprice") > 200000.0, 1)).as("high"),
+          count(when(col("o_totalprice").between(50000.0, 200000.0), 1)).as("mid"),
+          count(when(col("o_totalprice") < 50000.0, 1)).as("low"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS high,
+             count(CASE WHEN o_totalprice BETWEEN 50000.0 AND 200000.0 THEN 1 END) AS mid,
+             count(CASE WHEN o_totalprice < 50000.0 THEN 1 END) AS low
+      FROM orders
+      GROUP BY o_orderpriority
+    """))
+
+  /** Scalar subquery: orders above the global mean price, by status. */
+  val aboveAvg = Q(
+    "q_above_avg",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val avgPrice = o.agg(avg(col("o_totalprice")).as("a"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("a"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderstatus
+    """))
+
+  /** String timestamp round-trip (reference P5/P10: NiFi stamps a
+    * string, Spark parses it back): format to 'yyyy-MM-dd HH:mm:ss',
+    * re-parse, bucket per minute. */
+  val timestampParse = Q(
+    "q_timestamp_parse",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(to_timestamp(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parsed"))
+        .groupBy(date_trunc("minute", col("parsed")).as("minute"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT date_trunc('minute',
+               strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%d %H:%M:%S')) AS minute,
+             count(*) AS n
+      FROM events
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(
+    windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
+    joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
+    setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
+    ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse)
+}
