@@ -11,7 +11,8 @@ import graft.model.Q
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+    graft.queries.Analytics.all
 
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

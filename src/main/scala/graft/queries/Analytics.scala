@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.model.{Q, Tables}
+
+/** Analytic window functions, multi-dimensional aggregation
+  * (rollup/cube/grouping sets) and ordered-frame computations — the
+  * capability surface the reference signalled but never realized
+  * (pyspark.sql.Window imported unused, reference v1:1/v2:2;
+  * SURVEY.md §2.7).
+  *
+  * Every ordered window uses a total order (unique tie-break column)
+  * so results are deterministic and oracle-comparable; running/moving
+  * aggregates use DECIMAL so partial-order association cannot change
+  * the result.
+  */
+object Analytics {
+
+  /** Top-3 orders per customer by price: row_number + filter,
+    * partition-local sort only (no global shuffle beyond the
+    * hash-partition by o_custkey). */
+  val topPerCustomer = Q(
+    "q_top_per_customer",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+    """))
+
+  /** rank / dense_rank / row_number over customers per nation. */
+  val rankFunctions = Q(
+    "q_rank_functions",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey, rnk, drnk, rn FROM (
+        SELECT c_nationkey, c_custkey,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               row_number() OVER w AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+      WHERE rn <= 5
+    """))
+
+  /** Per-user running total of event value (cumulative frame), exact
+    * via DECIMAL. */
+  val runningSum = Q(
+    "q_running_sum",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).as("running_value"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             sum(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      FROM events
+    """))
+
+  /** lag/lead: inter-event gap seconds and next event type per user. */
+  val lagLead = Q(
+    "q_lag_lead",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+            .as("gap_s"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               - CAST(epoch(date_trunc('second',
+                   lag(CAST(ts AS TIMESTAMP), 1) OVER w)) AS BIGINT) AS gap_s,
+             lead(event_type, 1) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """))
+
+  /** Moving 3-row sum (sliding frame), exact via DECIMAL. */
+  val movingSum = Q(
+    "q_moving_sum",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).as("moving_sum3"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             sum(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum3
+      FROM events
+    """))
+
+  /** first/last order per customer over an unbounded frame. */
+  val firstLast = Q(
+    "q_first_last",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .distinct()
+    },
+    Some("""
+      SELECT DISTINCT o_custkey,
+             first_value(o_orderkey) OVER w AS first_order,
+             last_value(o_orderkey)  OVER w AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """))
+
+  /** ntile quartiles of order price -> orders + price range per tile. */
+  val ntileQuartiles = Q(
+    "q_ntile_quartiles",
+    (spark, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .select(ntile(4).over(w).as("quartile"),
+                col("o_totalprice"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_price"),
+             max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_price"))
+    },
+    Some("""
+      SELECT quartile, count(*) AS n_orders,
+             min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+             max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+      FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+                   o_totalprice
+            FROM orders)
+      GROUP BY quartile
+    """))
+
+  /** ROLLUP region -> nation: customer counts + exact balance sums
+    * with grouping-level markers. */
+  val rollupRegionNation = Q(
+    "q_rollup_region_nation",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val n = Tables.nation(spark, dir)
+      val r = Tables.region(spark, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"),
+             grouping_id().as("gid"))
+    },
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             GROUPING(r_name, n_name) AS gid
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+    """))
+
+  /** CUBE over returnflag x linestatus. */
+  val cubeFlagStatus = Q(
+    "q_cube_flag_status",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+             grouping_id().as("gid"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """))
+
+  /** GROUPING SETS through the SQL entry point (distinct dimension
+    * combinations in one pass). */
+  val groupingSets = Q(
+    "q_grouping_sets",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .createOrReplaceTempView("graft_events_gs")
+      spark.sql("""
+        SELECT event_type, user_id, count(*) AS n
+        FROM graft_events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id))
+      """)
+    },
+    Some("""
+      SELECT event_type, user_id, count(*) AS n
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id))
+    """))
+
+  def all: Seq[Q] = Seq(
+    topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
+    firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
+    groupingSets)
+}

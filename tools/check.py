@@ -13,6 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp -> datetime
+        v = v.to_pydatetime()
+    import datetime as _dt
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v
 
 def main():
@@ -41,10 +46,10 @@ def main():
         if s_cols != d_cols:
             print(f"[FAIL] {name}: schema mismatch spark={s_cols} duck={d_cols}")
             n_fail += 1; continue
-        s_rows = sorted(tuple(norm(v) for v in r) for r in
-                        zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))
-        d_rows = sorted(tuple(norm(v) for v in r) for r in
-                        zip(*[duck_tbl.column(c).to_pylist() for c in d_cols]))
+        s_rows = sorted((tuple(norm(v) for v in r) for r in
+                        zip(*[spark_tbl.column(c).to_pylist() for c in s_cols])), key=repr)
+        d_rows = sorted((tuple(norm(v) for v in r) for r in
+                        zip(*[duck_tbl.column(c).to_pylist() for c in d_cols])), key=repr)
         if s_rows == d_rows:
             print(f"[PASS] {name}: {len(s_rows)} rows"); n_pass += 1
         else:
