@@ -12,7 +12,10 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     graft.queries.Relational.all ++
-    graft.queries.Analytics.all
+    graft.queries.Analytics.all ++
+    graft.queries.TextOps.all ++
+    graft.queries.Dedup.all ++
+    graft.queries.Similarity.all
 
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+import TextOps.{h60, h60Sql}
+
+/** Deduplication operators over `documents` (north star): exact
+  * content-hash dedup, n-gram Jaccard near-dup with inverted-index
+  * candidate generation, MinHash signatures, MinHash-LSH banding, and
+  * SimHash.
+  *
+  * Scale design: nothing here is all-pairs on the full corpus. The
+  * Jaccard query generates candidates through an inverted shingle
+  * index (pairs sharing >=1 shingle; a doc-frequency cap on hot
+  * shingles is the standard knob when a shingle's posting list
+  * explodes), MinHash-LSH generates candidates through band-bucket
+  * equality, SimHash pairs through small-radius hamming. All hashes
+  * are md5-derived so DuckDB oracles compute the identical values.
+  */
+object Dedup {
+
+  /** tokens -> distinct 3-token shingles (+ shingle count). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .withColumn("n_sh", size(col("shingles")))
+
+  /** DuckDB CTE mirroring [[withShingles]]. */
+  private val shingleCte = """
+      t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      s AS (SELECT doc_id,
+                   list_distinct([array_to_string(tk[i:i+2], ' ')
+                                  for i in range(1, len(tk) - 1)]) AS sh
+            FROM t WHERE len(tk) >= 3),
+      e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s)"""
+
+  /** Exact dedup via content hash: per-language doc vs distinct-doc
+    * counts (hash-groupBy; at scale this is one shuffle on the hash). */
+  val exact = Q(
+    "q_dedup_exact",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(md5(col("text").cast("binary"))).as("distinct_docs"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS distinct_docs
+      FROM documents
+      GROUP BY lang
+    """))
+
+  /** n-gram Jaccard near-dup pairs (j >= 0.5): inverted shingle index
+    * -> shared-shingle counts per pair -> exact Jaccard. The join
+    * shuffles on the shingle, never materializing the n^2 pair space. */
+  val ngramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => {
+      val e = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      val a = e.alias("a")
+      val b = e.alias("b")
+      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                 col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p
+      WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    """))
+
+  private def mh(i: Int): Column =
+    min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")
+  private def mhSql(i: Int): String =
+    s"min(${h60Sql(s"'$i:' || sh1")}) AS mh$i"
+
+  /** MinHash signatures (k=8) per document — shingle -> k keyed
+    * hashes -> per-doc min; one shuffle on doc_id. */
+  val minhashSignatures = Q(
+    "q_minhash_signatures",
+    (spark, dir) => {
+      withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(mh(0), (1 until 8).map(mh): _*)
+    },
+    Some(s"""
+      WITH $shingleCte
+      SELECT doc_id, ${(0 until 8).map(mhSql).mkString(", ")}
+      FROM e
+      GROUP BY doc_id
+    """))
+
+  /** MinHash-LSH near-dup detection: k=16 signature, 8 bands of r=2;
+    * candidate pairs collide on a band bucket, then exact Jaccard
+    * verification (j >= 0.5). Probabilistic recall (P[miss] =
+    * (1-j^2)^8, ~1e-6 at j=0.9) -> no SQL oracle; DedupSpec asserts
+    * it finds exactly the pairs the exact query finds. */
+  val minhashLsh = Q(
+    "q_dedup_minhash_lsh",
+    (spark, dir) => {
+      val s = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("shingles"), col("n_sh"))
+      val sig = s.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(mh(0), (1 until 16).map(mh): _*)
+      val bandCols = (0 until 8).map(i =>
+        struct(lit(i).as("band"),
+               concat_ws("_", col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")).as("key")))
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      val cand = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+                       col("n_sh").as("na")), "doc_a")
+        .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+                       col("n_sh").as("nb")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    None)
+
+  private def simhashBits(bits: Int): Column = {
+    // bit i of the simhash = sign of sum over tokens of (+-1 per token-hash bit)
+    val value = (0 until bits).map { i =>
+      when(sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)) > 0, math.pow(2, i).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    value.as("simhash")
+  }
+
+  /** SimHash (16-bit) per document over distinct-token hashes. */
+  val simhash = Q(
+    "q_dedup_simhash",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", h60(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(simhashBits(16))
+    },
+    Some(s"""
+      SELECT doc_id,
+             ${(0 until 16).map(i =>
+               s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)")
+               .mkString(" + ")} AS simhash
+      FROM (SELECT doc_id, ${h60Sql("tok")} AS h
+            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                  FROM documents))
+      GROUP BY doc_id
+    """))
+
+  /** SimHash near-dup pairs: hamming distance <= 3 on the 16-bit
+    * sketch. (At scale: band the sketch bytes to avoid n^2; here the
+    * sketch table is tiny after the per-doc reduction.) */
+  val simhashPairs = Q(
+    "q_dedup_simhash_pairs",
+    (spark, dir) => {
+      val s = simhash.fn(spark, dir)
+      val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id,
+               ${(0 until 16).map(i =>
+                 s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)")
+                 .mkString(" + ")} AS simhash
+        FROM (SELECT doc_id, ${h60Sql("tok")} AS h
+              FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents))
+        GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """))
+
+  def all: Seq[Q] = Seq(
+    exact, ngramJaccard, minhashSignatures, minhashLsh, simhash, simhashPairs)
+}

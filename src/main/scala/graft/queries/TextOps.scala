@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (north star): token statistics,
+  * quality scoring, heuristic language-ID, term frequency and
+  * content fingerprinting.
+  *
+  * Cross-engine determinism: content hashes use md5 (identical bytes
+  * in Spark and DuckDB; the first 15 hex chars give a 60-bit positive
+  * long), ratios are single IEEE-double divisions rounded late, and
+  * token splitting is plain single-space (no regex divergence).
+  */
+object TextOps {
+
+  /** 60-bit content hash both engines compute identically. */
+  def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** DuckDB rendering of [[h60]]. */
+  def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Per-language token statistics (token counting). */
+  val tokenStats = Q(
+    "q_token_stats",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"),
+                col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             max(col("n_tokens")).as("max_tokens"),
+             min(col("n_tokens")).as("min_tokens"),
+             sum(col("n_chars")).as("sum_chars"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS sum_tokens,
+             max(len(string_split(text, ' '))) AS max_tokens,
+             min(len(string_split(text, ' '))) AS min_tokens,
+             sum(n_chars) AS sum_chars
+      FROM documents
+      GROUP BY lang
+    """))
+
+  /** Quality scoring: length, stopword ratio, punctuation count and a
+    * combined score per document. */
+  val qualityScore = Q(
+    "q_quality_score",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_cnt", expr(
+          "size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))"))
+        .withColumn("punct_cnt",
+          length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .select(col("doc_id"), col("n_tokens"), col("stop_cnt"), col("punct_cnt"),
+          round((lit(1.0) - col("stop_cnt") / col("n_tokens")) *
+                log(lit(1.0) + col("n_tokens")), 6).as("quality"))
+    },
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop_cnt,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct_cnt,
+             round((1.0 - len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
+                         / len(string_split(text, ' ')))
+                   * ln(1.0 + len(string_split(text, ' '))), 6) AS quality
+      FROM documents
+    """))
+
+  /** Heuristic language-ID (stopword-marker n-gram profile; real
+    * profiles plug into the same shape) + confusion matrix against
+    * the labelled lang column. */
+  val langIdConfusion = Q(
+    "q_lang_id_confusion",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(toks, t -> t IN ('the', 'a', 'is', 'and')))"))
+        .withColumn("s_es", expr("size(filter(toks, t -> t IN ('el', 'la', 'es', 'y')))"))
+        .withColumn("s_de", expr("size(filter(toks, t -> t IN ('der', 'die', 'das', 'und')))"))
+        .withColumn("s_fr", expr("size(filter(toks, t -> t IN ('le', 'les', 'et', 'est')))"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")) &&
+               col("s_en") > 0, "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")) && col("s_es") > 0, "es")
+          .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("unk"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text,' '), t -> t IN ('the','a','is','and'))) AS s_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','es','y')))   AS s_es,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS s_de,
+               len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est'))) AS s_fr
+        FROM documents)
+      SELECT lang,
+             CASE WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+                  WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+                  WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'unk' END AS pred_lang,
+             count(*) AS n_docs
+      FROM scored
+      GROUP BY 1, 2
+    """))
+
+  /** Term frequency: top-20 tokens corpus-wide (explode -> count). */
+  val termFreq = Q(
+    "q_term_freq",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(20)
+    },
+    Some("""
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY freq DESC, token
+      LIMIT 20
+    """))
+
+  /** Document fingerprinting: md5 content fingerprint + 60-bit short
+    * hash + polynomial rolling hash over character codes. */
+  val fingerprint = Q(
+    "q_fingerprint",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("fp_md5"),
+          h60(col("text")).as("fp60"),
+          expr("""aggregate(transform(filter(split(text, ''), c -> c <> ''),
+                                      c -> cast(ascii(c) AS BIGINT)),
+                            cast(0 AS BIGINT),
+                            (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp_roll"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             md5(text) AS fp_md5,
+             ${h60Sql("text")} AS fp60,
+             list_reduce(list_transform(range(1, length(text) + 1),
+                                        i -> CAST(ascii(text[i]) AS BIGINT)),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+      FROM documents
+    """))
+
+  def all: Seq[Q] = Seq(
+    tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, Similarity, TextOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("minhash-LSH finds the same near-dup pairs as exact ngram jaccard") {
+    val exact = Dedup.ngramJaccard.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
+  }
+
+  test("simhash of near-dup docs is closer than random docs on average") {
+    val pairs = Dedup.ngramJaccard.fn(spark, sf).select("doc_a", "doc_b")
+    val sh = Dedup.simhash.fn(spark, sf)
+    val withSh = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sh_b"), "doc_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    val nearAvg = withSh.agg(avg("hamming")).head.getDouble(0)
+    assert(nearAvg < 4.0, s"near-dup avg hamming $nearAvg should be small (16-bit sketch)")
+  }
+
+  test("SRP-LSH ANN recall vs exact knn is reasonable") {
+    val exact = Similarity.cosineKnn.fn(spark, sf)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ann = Similarity.annSrp.fn(spark, sf)
+      .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exact.count { case (q, nn) => ann.get(q).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    info(s"SRP-LSH top-1 recall: $recall (${hits}/${exact.size})")
+    assert(recall >= 0.3, s"recall $recall collapsed — LSH bucketing broken")
+  }
+
+  test("cosine similarity of a vector with itself is 1") {
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(vd, vd, (x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("nrm2", expr(
+        "aggregate(transform(vd, x -> x * x), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    val bad = e.filter(abs(col("dot") / col("nrm2") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprints are stable and distinct for distinct texts") {
+    val fp = TextOps.fingerprint.fn(spark, sf).cache()
+    val n = fp.count()
+    assert(fp.select("fp_md5").distinct().count() == n)
+    assert(fp.select("fp_roll").distinct().count() >= n - 2) // rolling-hash collisions possible but rare
+    fp.unpersist()
+  }
+}
