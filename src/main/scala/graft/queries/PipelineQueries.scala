@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+import graft.streaming.{ProductViewPipeline, Simulator}
+
+/** Batch-parity entries for the streaming pipeline: the exact
+  * transform the streaming queries run (JSON wire records -> parse ->
+  * windowed count), executed over the events table in batch mode so
+  * the DuckDB oracle can hash-check it (SURVEY.md §5.2 — streaming
+  * *semantics* are covered by StreamingSpec instead).
+  */
+object PipelineQueries {
+
+  /** Full v2 pipeline in batch: simulate wire JSON (with the
+    * `.SSS+0000` suffix), parse with the explicit pattern, window,
+    * count, rename. Matching the oracle proves the JSON round-trip
+    * and timestamp parse are lossless at window granularity. */
+  val productViewPipeline = Q(
+    "q_product_view_pipeline",
+    (spark, dir) => {
+      val wire = Simulator.productViewJson(Tables.events(spark, dir))
+      ProductViewPipeline.windowedCounts(ProductViewPipeline.parse(wire))
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS start,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS "end",
+             event_type AS source,
+             count(*) AS source_number
+      FROM events
+      GROUP BY 1, 2, 3
+    """))
+
+  /** Parse-layer check: every simulated record parses (no permissive
+    * nulls), and the full §1.2 record reaches the engine. */
+  val productViewParse = Q(
+    "q_product_view_parse",
+    (spark, dir) => {
+      val wire = Simulator.productViewJson(Tables.events(spark, dir))
+      ProductViewPipeline.parse(wire)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+             count(col("timestamp")).as("n_parsed_ts"),
+             countDistinct(col("userid")).as("n_users"),
+             countDistinct(col("productid")).as("n_products"))
+    },
+    Some("""
+      SELECT event_type AS source, count(*) AS n,
+             count(ts) AS n_parsed_ts,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT event_id % 100) AS n_products
+      FROM events
+      GROUP BY 1
+    """))
+
+  /** NiFi-array path: JSON array payload -> split -> parse -> count
+    * (P9/W10 semantics as Spark expressions). */
+  val jsonArraySplit = Q(
+    "q_json_array_split",
+    (spark, dir) => {
+      val arr = Simulator.asJsonArray(Tables.events(spark, dir))
+      ProductViewPipeline.parse(Simulator.splitJsonArray(arr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"))
+    },
+    Some("""
+      SELECT event_type AS source, count(*) AS n_records
+      FROM events
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(productViewPipeline, productViewParse, jsonArraySplit)
+}

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** The reference's flagship streaming pipeline re-expressed Spark-first
+  * (reference nifi_spark_kafka_product_view_platform.py and _v2.py):
+  * JSON click-events -> schema-projected parse -> event-time windowed
+  * count per platform source -> console / foreachBatch / parquet sinks.
+  *
+  * Design differences from the reference (SURVEY.md §2.9):
+  *  - the timestamp pattern parses the actual wire format
+  *    `yyyy-MM-dd HH:mm:ss[.SSS][+0000]` explicitly instead of relying
+  *    on the LEGACY lenient parser (reference v1:37-40);
+  *  - every query gets its own checkpoint dir (reference reuses one
+  *    and omits it for the foreachBatch query, v2:77-81);
+  *  - the transform is source-agnostic (Kafka, file, rate, MemoryStream
+  *    or a batch DataFrame), so the same code is oracle-checked in
+  *    batch and semantics-checked in streaming.
+  */
+object ProductViewPipeline {
+
+  /** Wire-record schema (reference v1:15-20 projects only
+    * context.source + timestamp; we parse the full §1.2 record so
+    * userid/productid reach the engine — the reference's stated but
+    * unrealized intent, v1:14,46). */
+  val productViewSchema: StructType = StructType(Seq(
+    StructField("event", StringType),
+    StructField("messageid", StringType),
+    StructField("userid", StringType),
+    StructField("properties", StructType(Seq(
+      StructField("productid", StringType)))),
+    StructField("context", StructType(Seq(
+      StructField("source", StringType)))),
+    StructField("timestamp", StringType)))
+
+  /** Kafka `value`-bytes (or any `value: string/binary` column) ->
+    * typed click-event rows (reference v1:29-40). */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), productViewSchema).as("value"))
+      .select(
+        col("value.event").as("event"),
+        col("value.messageid").as("messageid"),
+        col("value.userid").as("userid"),
+        col("value.properties.productid").as("productid"),
+        col("value.context.source").as("source"),
+        to_timestamp(col("value.timestamp"),
+          "yyyy-MM-dd HH:mm:ss[.SSS][XX]").as("timestamp"))
+
+  /** Windowed count per source (reference v1:45-55): watermark ->
+    * tumbling window -> count -> flat rename. Watermark applies only
+    * on streaming input (batch parity path skips it). */
+  def windowedCounts(
+      parsed: DataFrame,
+      windowLength: String = "5 minutes",
+      watermarkDelay: String = "5 minutes"): DataFrame = {
+    val withWm =
+      if (parsed.isStreaming) parsed.withWatermark("timestamp", watermarkDelay)
+      else parsed
+    withWm
+      .groupBy(col("source"), window(col("timestamp"), windowLength))
+      .count()
+      .select(
+        col("window.start").as("start"),
+        col("window.end").as("end"),
+        col("source"),
+        col("count").as("source_number"))
+  }
+
+  /** Distinct users per source+window — the reference's *intended*
+    * second aggregate (approx_count_distinct imported unused, v1:2). */
+  def windowedDistinctUsers(
+      parsed: DataFrame,
+      windowLength: String = "5 minutes",
+      watermarkDelay: String = "5 minutes"): DataFrame = {
+    val withWm =
+      if (parsed.isStreaming) parsed.withWatermark("timestamp", watermarkDelay)
+      else parsed
+    withWm
+      .groupBy(col("source"), window(col("timestamp"), windowLength))
+      .agg(approx_count_distinct(col("userid")).as("approx_users"),
+           count(lit(1)).as("source_number"))
+      .select(col("window.start").as("start"), col("window.end").as("end"),
+              col("source"), col("approx_users"), col("source_number"))
+  }
+
+  /** Streaming dedup on message id bounded by the watermark
+    * (exactly-once semantics over an at-least-once transport). */
+  def dedupedByMessageId(parsed: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame =
+    parsed
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("messageid")
+
+  /** v1 sink: console, update mode (reference v1:60-65). */
+  def consoleQuery(
+      counts: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .format("console")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** v2 foreachBatch sink: per-epoch global sort descending then emit
+    * (reference v2:8-14,77-81); `emit` defaults to console. */
+  def sortedBatchQuery(
+      counts: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"))(
+      emit: (DataFrame, Long) => Unit = (df, _) => df.show(20, truncate = false))
+      : StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        emit(df.sort(desc("source_number")), epochId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** v2 parquet sink: append mode — only watermark-finalized windows
+    * land; (source, source_number) projection matches the reference's
+    * Hive DDL `commerce(source STRING, source_number BIGINT)`
+    * (reference v2:74,84-89; dag_file.py:72-79). */
+  def parquetQuery(
+      counts: DataFrame,
+      outputDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    counts
+      .drop("start", "end")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Kafka source (reference v2:35-41); identical options, topic
+    * parameterized (the reference hardcodes `platform` while its NiFi
+    * flow publishes `active` — SURVEY.md §2.9.1). */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String = "platform",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+    maxOffsetsPerTrigger.fold(base)(n =>
+      base.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
+
+  /** File-drop source (NiFi GetFile equivalent, S3 row in SURVEY §2.1):
+    * each file holds one raw JSON record per line — the same bytes a
+    * Kafka `value` would carry. */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** Batch export layer (reference dag_file.py): register the parquet
+    * output as an external table (K5) ... */
+  def registerExternalTable(spark: SparkSession, table: String, parquetDir: String): Unit =
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table (source STRING, source_number BIGINT) " +
+      s"USING PARQUET LOCATION '$parquetDir'")
+
+  /** ... and (K6) export over JDBC — replaces the reference's Sqoop
+    * hop (dag_file.py:84-90). Unexercised in tests: no JDBC endpoint
+    * in the zero-egress environment. */
+  def exportJdbc(df: DataFrame, url: String, table: String,
+                 properties: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("append").jdbc(url, table, properties)
+}

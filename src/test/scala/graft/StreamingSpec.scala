@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{ProductViewPipeline => P, Simulator}
+
+/** Streaming semantics (SURVEY.md §5.2): watermark late-drop,
+  * update-mode re-emission, append-mode finalize-once, checkpoint
+  * recovery, streaming dedup. These behaviors cannot be DuckDB-oracled
+  * — MemoryStream with controlled event-time advancement is the test
+  * surface.
+  */
+object StreamingSpec {
+  /** (window start, source) -> latest state count seen via foreachBatch. */
+  val recovered = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var n = 0
+  private def tmp(): String = { n += 1; Files.createTempDirectory(s"graft$n").toString }
+
+  private def rec(ts: String, source: String, msgId: String = java.util.UUID.randomUUID().toString): String =
+    s"""{"event":"ProductView","messageid":"$msgId","userid":"user-1",""" +
+    s""""properties":{"productid":"product-1"},"context":{"source":"$source"},""" +
+    s""""timestamp":"$ts"}"""
+
+  private def startMemoryQuery(counts: DataFrame, name: String, mode: String) =
+    counts.writeStream.outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+
+  test("update mode re-emits a window with growing counts across batches") {
+    val in = MemoryStream[String]
+    val counts = P.windowedCounts(P.parse(in.toDF().withColumnRenamed("value", "value")))
+    val q = startMemoryQuery(counts, "upd", "update")
+    try {
+      in.addData(rec("2021-03-07 19:01:00", "desktop"), rec("2021-03-07 19:02:00", "desktop"))
+      q.processAllAvailable()
+      in.addData(rec("2021-03-07 19:03:00", "desktop"))
+      q.processAllAvailable()
+      val rows = spark.table("upd")
+        .filter(col("source") === "desktop")
+        .select("source_number").as[Long].collect().sorted
+      // same window emitted twice: first count 2, then updated count 3
+      assert(rows.toSeq == Seq(2L, 3L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("late events behind the watermark are dropped") {
+    val in = MemoryStream[String]
+    val counts = P.windowedCounts(P.parse(in.toDF()))
+    val q = startMemoryQuery(counts, "late", "update")
+    try {
+      in.addData(rec("2021-03-07 19:01:00", "desktop"))
+      q.processAllAvailable()
+      // advance max event time to 19:30 -> watermark 19:25 after next batch
+      in.addData(rec("2021-03-07 19:30:00", "desktop"))
+      q.processAllAvailable()
+      in.addData(rec("2021-03-07 19:02:00", "desktop")) // 23 min late, window closed
+      q.processAllAvailable()
+      val w1900 = spark.table("late")
+        .filter(col("start") === lit("2021-03-07 19:00:00").cast("timestamp"))
+        .select("source_number").as[Long].collect()
+      assert(w1900.max == 1L, s"late event should be dropped, got counts ${w1900.toSeq}")
+    } finally q.stop()
+  }
+
+  test("append-mode parquet sink emits only watermark-finalized windows, as (source, source_number)") {
+    val srcDir = tmp(); val chk = tmp(); val out = tmp()
+    def writeRecs(recs: String*): Unit =
+      Files.writeString(Files.createTempFile(java.nio.file.Paths.get(srcDir), "drop", ".txt"),
+        recs.mkString("\n"))
+    writeRecs(rec("2021-03-07 19:01:00", "desktop"), rec("2021-03-07 19:02:00", "mobile-app"))
+    def run(): Unit = {
+      val counts = P.windowedCounts(P.parse(P.fileSource(spark, srcDir)))
+      val q = P.parquetQuery(counts, out, chk, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    run()
+    // nothing finalized yet (watermark has not passed 19:05)
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 0, s"windows emitted before watermark passed: $afterFirst")
+    writeRecs(rec("2021-03-07 19:30:00", "desktop")) // pushes watermark past 19:05
+    run()
+    val finalized = spark.read.parquet(out)
+    assert(finalized.columns.toSeq == Seq("source", "source_number"))
+    val rows = finalized.as[(String, Long)].collect().toSet
+    assert(rows == Set(("desktop", 1L), ("mobile-app", 1L)), s"got $rows")
+  }
+
+  test("checkpoint recovery: restart resumes without double-counting") {
+    val srcDir = tmp(); val chk = tmp()
+    val ev1 = graft.model.Tables.events(spark, sf).filter(col("event_id") < 500)
+    val ev2 = graft.model.Tables.events(spark, sf).filter(col("event_id") >= 500)
+    Simulator.writeFileDrops(ev1, srcDir)
+    def run(): Unit = {
+      val counts = P.windowedCounts(P.parse(P.fileSource(spark, srcDir, maxFilesPerTrigger = 2)))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            StreamingSpec.recovered.put(
+              (r.getAs[java.sql.Timestamp]("start"), r.getAs[String]("source")),
+              r.getAs[Long]("source_number"))
+          }
+        }
+        .option("checkpointLocation", chk).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    Simulator.writeFileDrops(ev2, srcDir)
+    run()
+    // update-mode rows carry the full state count per key; the last
+    // value per key must sum to every event counted exactly once
+    val total = StreamingSpec.recovered.values().toArray.map(_.asInstanceOf[Long]).sum
+    val expected = graft.model.Tables.events(spark, sf).count()
+    assert(total == expected, s"checkpoint recovery double/under-counted: $total vs $expected")
+  }
+
+  test("dropDuplicatesWithinWatermark removes redelivered message ids") {
+    val in = MemoryStream[String]
+    val deduped = P.dedupedByMessageId(P.parse(in.toDF()))
+    val q = startMemoryQuery(deduped.select("messageid", "source"), "dedup", "append")
+    try {
+      in.addData(rec("2021-03-07 19:01:00", "desktop", "m1"),
+                 rec("2021-03-07 19:01:30", "desktop", "m1"), // redelivery
+                 rec("2021-03-07 19:02:00", "mobile-web", "m2"))
+      q.processAllAvailable()
+      in.addData(rec("2021-03-07 19:03:00", "desktop", "m1")) // still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("messageid").as[String].collect().toSeq
+      assert(ids.sorted == Seq("m1", "m2"), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("foreachBatch emits each micro-batch globally sorted descending (v2 parity)") {
+    val in = MemoryStream[String]
+    val counts = P.windowedCounts(P.parse(in.toDF()))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = P.sortedBatchQuery(counts, tmp(), Trigger.ProcessingTime(0)) { (df, _) =>
+      val batch = df.select("source_number").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+      if (batch.nonEmpty) seen.synchronized { seen += batch }
+    }
+    try {
+      in.addData(
+        rec("2021-03-07 19:01:00", "desktop"), rec("2021-03-07 19:02:00", "desktop"),
+        rec("2021-03-07 19:01:10", "mobile-app"), rec("2021-03-07 19:01:20", "mobile-web"),
+        rec("2021-03-07 19:01:30", "mobile-web"), rec("2021-03-07 19:01:40", "mobile-web"))
+      q.processAllAvailable()
+      val batches = seen.synchronized(seen.toList)
+      assert(batches.nonEmpty)
+      batches.foreach(b => assert(b == b.sorted.reverse, s"batch not sorted desc: $b"))
+      assert(batches.last.toSet == Set(3L, 2L, 1L))
+    } finally q.stop()
+  }
+
+  test("timestamp pattern parses both bare and .SSS+0000 wire formats") {
+    val df = Seq(
+      rec("2021-03-07 19:01:23", "desktop"),
+      rec("2021-03-07 19:01:23.456+0000", "desktop")).toDF("value")
+    val parsed = P.parse(df).select("timestamp").collect()
+    assert(parsed.forall(_.get(0) != null), "explicit pattern must parse both wire formats")
+  }
+
+  test("external table registration over the streaming parquet output (K5)") {
+    val dir = tmp()
+    Seq(("desktop", 3L), ("mobile-app", 2L)).toDF("source", "source_number")
+      .write.mode("overwrite").parquet(dir)
+    P.registerExternalTable(spark, "commerce_test", dir)
+    try {
+      val rows = spark.sql("SELECT source, source_number FROM commerce_test ORDER BY source_number DESC")
+        .as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("desktop", 3L), ("mobile-app", 2L)))
+    } finally spark.sql("DROP TABLE IF EXISTS commerce_test")
+  }
+}
