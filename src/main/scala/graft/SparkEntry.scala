@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.TextOps.all ++
     graft.queries.Dedup.all ++
     graft.queries.Similarity.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.multimodal.Multimodal.all
 
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

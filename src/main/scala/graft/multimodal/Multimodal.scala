@@ -1,0 +1,159 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+
+/** Multimodal-column plumbing (north star): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, decoded/featurized
+  * in batched partition-local passes.
+  *
+  * The container has no image/audio libraries, so `decodeOne` is a
+  * clearly-marked DETERMINISTIC FAKE (chunk-mean "pixels" over the
+  * payload bytes). Everything around it — schema, Dataset encoders,
+  * batch shape, partition balancing — is the real plumbing a decoder
+  * drops into: swap `decodeOne`'s body for an actual
+  * `javax.imageio`/ffmpeg call and nothing else changes.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
+
+  /** Extracted features: fixed-width vector per record. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** Batch size for the partition-local decode loop. A real decoder
+    * amortizes library/context init over each batch; the value is a
+    * latency/memory trade-off, not a correctness knob. */
+  val decodeBatchSize = 64
+
+  /** documents -> media table: payload = raw text bytes standing in
+    * for encoded media; metadata derived deterministically. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (lit(16) + pmod(col("doc_id"), lit(16)).cast("int")).as("width"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(16)).cast("int")).as("height"),
+        element_at(array(lit("png"), lit("jpg"), lit("webp")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))
+      .as[MediaRecord]
+  }
+
+  /** STUB DECODER — deterministic fake. Features = mean byte value of
+    * the 4 payload quarters (chunk j spans [j*n/4, (j+1)*n/4) with
+    * integer floor division, so the SQL oracle can mirror it exactly).
+    * A real implementation decodes `payload` per `fmt` here. */
+  private def decodeOne(m: MediaRecord): MediaFeatures = {
+    val b = m.payload
+    val n = b.length
+    def chunkMean(j: Int): Double = {
+      val start = j * n / 4
+      val end = (j + 1) * n / 4
+      if (end <= start) 0.0
+      else {
+        var s = 0L
+        var i = start
+        while (i < end) { s += (b(i) & 0xff); i += 1 }
+        s.toDouble / (end - start)
+      }
+    }
+    MediaFeatures(m.doc_id, n, chunkMean(0), chunkMean(1), chunkMean(2), chunkMean(3))
+  }
+
+  /** Batched partition-local decode: the distributed shape is
+    * `mapPartitions` over grouped iterators — no per-row library
+    * setup, no driver collect, partition-parallel. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // real decoders init codec context once per batch here
+        batch.map(decodeOne)
+      }
+    }
+  }
+
+  /** "Video" frame sampling: split the payload into `nFrames` equal
+    * byte ranges and emit one row per sampled frame (every `stride`-th
+    * frame) — the explode-style fan-out a frame extractor needs. */
+  def sampleFrames(media: Dataset[MediaRecord], nFrames: Int = 8, stride: Int = 2)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.toDF()
+      .withColumn("n_bytes", length(col("payload")))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_id"))
+      .filter(pmod(col("frame_id"), lit(stride)) === 0)
+      .withColumn("frame_start", (col("frame_id") * col("n_bytes") / nFrames).cast("long"))
+      .withColumn("frame_len",
+        (((col("frame_id") + 1) * col("n_bytes") / nFrames).cast("long") - col("frame_start")))
+      .select(col("doc_id"), col("frame_id"), col("frame_start"), col("frame_len"))
+  }
+
+  /** Q: full decode path — media table -> balanced partitions ->
+    * batched decode -> per-format feature aggregate. The oracle
+    * recomputes the fake decoder's chunk means in SQL, cross-checking
+    * the typed plumbing end-to-end. */
+  val featuresQuery = Q(
+    "q_multimodal_features",
+    (spark, dir) => {
+      val media = mediaTable(spark, dir)
+      decodeFeatures(media).toDF()
+        .join(media.toDF().select(col("doc_id"), col("fmt")), "doc_id")
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+             sum(col("n_bytes")).as("sum_bytes"),
+             // per-doc double sum is order-fixed (f0+f1+f2+f3 left to
+             // right on both engines); decimal cast before the group
+             // sum keeps the aggregate association-order independent
+             sum((col("f0") + col("f1") + col("f2") + col("f3"))
+               .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sum_f"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+               length(text) AS n,
+               [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)] AS codes
+        FROM documents),
+      f AS (
+        SELECT doc_id, fmt, n,
+               list_sum(codes[(0 * n) // 4 + 1 : (1 * n) // 4])::DOUBLE / greatest((1 * n) // 4 - (0 * n) // 4, 1)
+             + list_sum(codes[(1 * n) // 4 + 1 : (2 * n) // 4])::DOUBLE / greatest((2 * n) // 4 - (1 * n) // 4, 1)
+             + list_sum(codes[(2 * n) // 4 + 1 : (3 * n) // 4])::DOUBLE / greatest((3 * n) // 4 - (2 * n) // 4, 1)
+             + list_sum(codes[(3 * n) // 4 + 1 : (4 * n) // 4])::DOUBLE / greatest((4 * n) // 4 - (3 * n) // 4, 1) AS sum_f
+        FROM m)
+      SELECT fmt, count(*) AS n_media, sum(n) AS sum_bytes,
+             sum(CAST(sum_f AS DECIMAL(18,6))) AS sum_f
+      FROM f
+      GROUP BY fmt
+    """))
+
+  /** Q: frame-sampling fan-out totals per frame id. */
+  val framesQuery = Q(
+    "q_multimodal_frames",
+    (spark, dir) => {
+      sampleFrames(mediaTable(spark, dir))
+        .groupBy(col("frame_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             sum(col("frame_len")).as("sum_len"))
+    },
+    Some("""
+      SELECT frame_id, count(*) AS n_frames, sum(frame_len) AS sum_len
+      FROM (
+        SELECT doc_id, frame_id,
+               ((frame_id + 1) * length(text)) // 8 - (frame_id * length(text)) // 8 AS frame_len
+        FROM documents, (SELECT unnest(range(0, 8)) AS frame_id)
+        WHERE frame_id % 2 = 0)
+      GROUP BY frame_id
+    """))
+
+  def all: Seq[Q] = Seq(featuresQuery, framesQuery)
+}
