@@ -37,6 +37,15 @@ object Dedup {
             FROM t WHERE len(tk) >= 3),
       e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s)"""
 
+  /** Universal-hash family over a 30-bit prime field: ONE md5 per
+    * shingle, then k affine transforms `(a_i*h + b_i) mod P`. Replaces
+    * k independent md5s (the md5 was ~90% of minhash cost). P < 2^30
+    * keeps `a_i*h` < 2^60, safe under ANSI long arithmetic; both
+    * engines evaluate the identical integer expressions. */
+  private val P = 1073741789L // largest prime below 2^30
+  private def aCoef(i: Int): Long = (2654435761L * (2 * i + 3)) % P
+  private def bCoef(i: Int): Long = (2246822519L * (i + 11) + 3266489917L * i * i) % P
+
   /** Exact dedup via content hash: per-language doc vs distinct-doc
     * counts (hash-groupBy; at scale this is one shuffle on the hash). */
   val exact = Q(
@@ -55,15 +64,19 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs (j >= 0.5): inverted shingle index
     * -> shared-shingle counts per pair -> exact Jaccard. The join
-    * shuffles on the shingle, never materializing the n^2 pair space. */
+    * shuffles on the shingle, never materializing the n^2 pair space.
+    * The join key is the 60-bit shingle hash, not the shingle string —
+    * an 8-byte shuffle key instead of a ~20-byte UTF8 one, and a long
+    * equality in the sort-merge instead of a byte-wise compare. */
   val ngramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
       val e = withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+        .withColumn("hk", h60(col("sh"))).drop("sh")
       val a = e.alias("a")
       val b = e.alias("b")
-      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                  col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
         .agg(count(lit(1)).as("shared"))
@@ -74,9 +87,10 @@ object Dedup {
     },
     Some(s"""
       WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-            FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4)
       SELECT doc_a, doc_b,
              round(shared / (na + nb - shared), 6) AS jaccard
@@ -85,24 +99,31 @@ object Dedup {
     """))
 
   private def mh(i: Int): Column =
-    min(h60(concat(lit(s"$i:"), col("sh")))).as(s"mh$i")
+    min((col("hh") * aCoef(i) + bCoef(i)) % P).as(s"mh$i")
   private def mhSql(i: Int): String =
-    s"min(${h60Sql(s"'$i:' || sh1")}) AS mh$i"
+    s"min((hh * ${aCoef(i)} + ${bCoef(i)}) % $P) AS mh$i"
+  /** per-shingle base hash folded into the 30-bit field. */
+  private def withHh(df: DataFrame): DataFrame =
+    df.withColumn("hh", h60(col("sh")) % P)
+  private val hhCte =
+    s"eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} % $P AS hh FROM e)"
 
-  /** MinHash signatures (k=8) per document — shingle -> k keyed
-    * hashes -> per-doc min; one shuffle on doc_id. */
+  /** MinHash signatures (k=8) per document — shingle -> one base md5
+    * hash -> k affine universal hashes -> per-doc min; one shuffle on
+    * doc_id with partial min pushed map-side. */
   val minhashSignatures = Q(
     "q_minhash_signatures",
     (spark, dir) => {
-      withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      withHh(withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(col("shingles")).as("sh")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 8).map(mh): _*)
     },
     Some(s"""
-      WITH $shingleCte
+      WITH $shingleCte,
+      $hhCte
       SELECT doc_id, ${(0 until 8).map(mhSql).mkString(", ")}
-      FROM e
+      FROM eh
       GROUP BY doc_id
     """))
 
@@ -116,7 +137,7 @@ object Dedup {
     (spark, dir) => {
       val s = withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("shingles"), col("n_sh"))
-      val sig = s.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sig = withHh(s.select(col("doc_id"), explode(col("shingles")).as("sh")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 16).map(mh): _*)
       val bandCols = (0 until 8).map(i =>

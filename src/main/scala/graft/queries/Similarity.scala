@@ -130,29 +130,35 @@ object Similarity {
   val annSrp = Q(
     "q_ann_srp",
     (spark, dir) => {
-      val spark2 = spark
-      import spark2.implicits._
       val nTables = 8
       val nBits = 4
-      // deterministic hyperplanes: component j of plane (t, p) is an
-      // md5-derived uniform in [-1, 1)
-      val planes = spark.range(nTables * nBits * 64)
-        .select(
-          (col("id") / 256).cast("int").as("t"),
-          ((col("id") / 64) % lit(nBits)).cast("int").as("p"),
-          (col("id") % 64).cast("int").as("j"))
-        .withColumn("v",
-          TextOps.h60(concat_ws("_", col("t"), col("p"), col("j")))
-            / lit(math.pow(2, 59)) - lit(1.0))
-        .groupBy(col("t"), col("p"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, v))), s -> s.v)").as("plane"))
-
+      // Deterministic hyperplanes: component j of plane (t, p) is an
+      // md5-derived uniform in [-1, 1). The 8x4x64 plane tensor is a
+      // few KB, so it is computed driver-side and inlined as literals:
+      // each vector gets all 32 sign bits in ONE projection — no
+      // crossJoin against a plane table, no 32x row blow-up, no
+      // groupBy shuffle to reassemble buckets (was 9s of the bench).
+      def h60Scala(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val planes = Array.tabulate(nTables, nBits, 64) { (t, p, j) =>
+        h60Scala(s"${t}_${p}_${j}") / math.pow(2, 59) - 1.0
+      }
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      // 32 plane rows broadcast against every vector -> sign bits -> buckets
-      val buckets = e.crossJoin(broadcast(planes))
-        .withColumn("bit", when(dot("vd", "plane") >= 0, 1).otherwise(0))
-        .groupBy(col("vec_id"), col("t"))
-        .agg(sum(expr("bit << p")).as("bucket"))
+      val bucketCols = (0 until nTables).map { t =>
+        val bucket = (0 until nBits).map { p =>
+          val planeDot = aggregate(
+            zip_with(col("vd"), typedLit(planes(t)(p).toSeq), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(planeDot >= 0, lit((1L << p))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), bucket.as("bucket"))
+      }
+      val buckets = e
+        .select(col("vec_id"), explode(array(bucketCols: _*)).as("b"))
+        .select(col("vec_id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
 
       val cand = buckets.alias("x")
         .join(buckets.alias("y"),
