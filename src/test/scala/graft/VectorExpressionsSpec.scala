@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.model.Tables
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("codegen'd dot_product matches the HOF aggregate/zip_with formulation bit-for-bit") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+    val both = e.select(
+      VectorFunctions.dotp(col("vd"), col("vd")).as("native"),
+      expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("dot_product is null on null input and callable from SQL after registration") {
+    VectorFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+                dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n""").head()
+    assert(row.getDouble(0) === 32.0)
+    assert(row.isNullAt(1))
+  }
+
+  test("dot_product stays inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .select(VectorFunctions.dotp(col("vd"), col("vd")).as("d"))
+    // the `*(n)` prefix marks a WholeStageCodegen span in the plan string
+    val planLine = e.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("dot_product")).getOrElse("")
+    assert(planLine.trim.startsWith("*("), s"dot_product not in a codegen span: $planLine")
+  }
+}
