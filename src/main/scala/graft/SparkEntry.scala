@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     graft.queries.Relational.all ++
     graft.queries.Analytics.all ++
+    graft.queries.TemporalOps.all ++
     graft.queries.TextOps.all ++
     graft.queries.Dedup.all ++
     graft.queries.Similarity.all ++

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+import graft.operators.AsOfJoin
+
+/** Temporal operators beyond the reference's tumbling window
+  * (SURVEY.md §2.4/§2.7 gap list): as-of join, session windows and
+  * sliding windows — batch entries with DuckDB oracles; the streaming
+  * variants of the same transforms are covered by StreamingSpec.
+  */
+object TemporalOps {
+
+  /** As-of join: for every order, the customer's previous order and
+    * the gap in days (strict backward as-of; DuckDB oracles it with a
+    * native ASOF JOIN). The right side is deduped to one row per
+    * (custkey, date) so the match is unique and deterministic. */
+  val asofPrevOrder = Q(
+    "q_asof_prev_order",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val right = o.groupBy(col("o_custkey").as("custkey"),
+                            col("o_orderdate").as("prev_date"))
+        .agg(max(col("o_orderkey")).as("prev_orderkey"))
+      AsOfJoin.backward(
+          o.select("o_orderkey", "o_custkey", "o_orderdate"), right,
+          leftKey = "o_custkey", leftTime = "o_orderdate",
+          rightKey = "custkey", rightTime = "prev_date",
+          rightCols = Seq("prev_date", "prev_orderkey"),
+          joinType = "inner", strict = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("prev_orderkey"),
+                datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+    },
+    Some("""
+      WITH d AS (SELECT o_custkey AS custkey, o_orderdate AS prev_date,
+                        max(o_orderkey) AS prev_orderkey
+                 FROM orders GROUP BY 1, 2)
+      SELECT o.o_orderkey, o.o_custkey, d.prev_orderkey,
+             date_diff('day', d.prev_date, o.o_orderdate) AS gap_days
+      FROM orders o ASOF JOIN d
+        ON o.o_custkey = d.custkey AND o.o_orderdate > d.prev_date
+    """))
+
+  /** Session windows: per-user sessions with a 30-minute inactivity
+    * gap (Spark `session_window`; DuckDB mirrors with gaps-and-islands
+    * over lag + cumulative sum). */
+  val sessionWindows = Q(
+    "q_session_windows",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("session_window.start").as("start"),
+                col("session_window.end").as("end"),
+                col("n_events"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id, min(ts) AS start,
+             max(ts) + INTERVAL '30 minutes' AS "end",
+             count(*) AS n_events
+      FROM s
+      GROUP BY user_id, sid
+    """))
+
+  /** Sliding windows: 10-minute windows every 5 minutes per event
+    * type (each event lands in exactly two windows; DuckDB mirrors by
+    * unnesting the two candidate window starts). */
+  val slidingWindows = Q(
+    "q_sliding_windows",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type").as("source"),
+                 window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("start"), col("window.end").as("end"),
+                col("source"), col("n"))
+    },
+    Some("""
+      SELECT s AS start, s + INTERVAL '10 minutes' AS "end",
+             event_type AS source, count(*) AS n
+      FROM (SELECT event_type,
+                   unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                             - INTERVAL '5 minutes']) AS s
+            FROM events)
+      GROUP BY 1, 2, 3
+    """))
+
+  def all: Seq[Q] = Seq(asofPrevOrder, sessionWindows, slidingWindows)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:03:00"), 50.0)
+    ).toDF("sym", "qt", "px")
+  }
+
+  private lazy val trades = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", ts("2024-01-01 10:04:59"), 1L), // between A quotes -> 100.0
+      ("A", ts("2024-01-01 10:05:00"), 2L), // exactly on quote 2
+      ("B", ts("2024-01-01 10:02:00"), 3L), // before any B quote
+      ("C", ts("2024-01-01 10:00:00"), 4L)  // no C quotes at all
+    ).toDF("sym", "tt", "trade_id")
+  }
+
+  test("backward as-of picks the latest quote at or before the trade (non-strict)") {
+    val out = AsOfJoin.backward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"))
+      .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 100.0, 2L -> 101.0)) // trade 3: no prior quote; trade 4: no key
+  }
+
+  test("strict mode excludes the same-timestamp quote") {
+    val out = AsOfJoin.backward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), strict = true)
+      .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 100.0, 2L -> 100.0))
+  }
+
+  test("left join keeps unmatched trades with null quote") {
+    val out = AsOfJoin.backward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), joinType = "left")
+    assert(out.count() === 4)
+    assert(out.filter(col("px").isNull).select("trade_id")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+  }
+
+  test("plan shuffles once on the key — no nested-loop join") {
+    val plan = AsOfJoin.backward(trades, quotes,
+      "sym", "tt", "sym", "qt", Seq("px")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"))
+  }
+}
