@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact global ranking without a single-partition sort.
+  *
+  * `Window.orderBy(...)` with no partition key moves the whole input
+  * to ONE partition (Spark even warns) — the classic plan that works
+  * at test scale and dies at cluster scale. This operator computes the
+  * identical ranks distributed:
+  *
+  *   1. range-repartition on the sort key + sort within partitions
+  *      (the same machinery as a global ORDER BY — data stays spread);
+  *   2. `RDD.zipWithIndex`: a count job over the sorted partitions,
+  *      then per-partition index + cumulative offset.
+  *
+  * zipWithIndex is used deliberately instead of a DataFrame-side
+  * count-then-offset: its two internal jobs run over the SAME RDD, so
+  * the second job reuses the first's shuffle files and the partition
+  * layout is consistent by construction. Two separate DataFrame
+  * actions do NOT guarantee that (AQE / sampling can re-plan the
+  * exchange between actions — observed as misaligned offsets at
+  * sf0.01). The row-level hop costs codegen for this one operator but
+  * buys determinism; everything downstream is DataFrame again.
+  *
+  * Sort keys must include a unique tie-break column for well-defined
+  * ranks.
+  */
+object GlobalRank {
+
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
+                     rankCol: String = "global_rank",
+                     numPartitions: Option[Int] = None): DataFrame =
+    rankedWithTotal(df, sortCols, rankCol, numPartitions)._1
+
+  /** Same, also returning the total row count (already computed by
+    * zipWithIndex's count job — callers needing N avoid a re-scan). */
+  def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
+                      rankCol: String = "global_rank",
+                      numPartitions: Option[Int] = None): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sortedRdd = sorted.rdd // ONE RDD: both jobs below reuse its shuffle
+    val counts = spark.sparkContext.runJob(sortedRdd,
+      (it: Iterator[Row]) => { var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c })
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
+    }
+    val out = spark.createDataFrame(
+      ranked, sorted.schema.add(rankCol, LongType, nullable = false))
+    (out, offsets.last)
+  }
+
+  /** Exact `ntile(tiles)` over a global order, derived from the global
+    * rank (same tile-size rule as SQL ntile: the first `N mod tiles`
+    * tiles get one extra row). */
+  def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
+                 tileCol: String = "tile"): DataFrame = {
+    val (ranked, total) = rankedWithTotal(df, sortCols, "__grank")
+    val base = total / tiles
+    val rem = total % tiles
+    val r = col("__grank")
+    val tileExpr =
+      if (base == 0) r // fewer rows than tiles: tile i = row i
+      else when(r <= rem * (base + 1),
+             ((r - 1) / (base + 1) + 1))
+           .otherwise(lit(rem) + ((r - 1 - rem * (base + 1)) / base + 1))
+    ranked.withColumn(tileCol, tileExpr.cast("int")).drop("__grank")
+  }
+}

@@ -144,14 +144,17 @@ object Analytics {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """))
 
-  /** ntile quartiles of order price -> orders + price range per tile. */
+  /** ntile quartiles of order price -> orders + price range per tile.
+    * Uses the distributed GlobalRank/ntileExact operator instead of
+    * `ntile().over(Window.orderBy(...))` — the unpartitioned window
+    * would move the whole table to one partition (fine at sf0.1,
+    * fatal at 100 TB); results are identical to SQL ntile. */
   val ntileQuartiles = Q(
     "q_ntile_quartiles",
     (spark, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(spark, dir)
-        .select(ntile(4).over(w).as("quartile"),
-                col("o_totalprice"))
+      graft.operators.GlobalRank.ntileExact(
+          Tables.orders(spark, dir).select(col("o_totalprice"), col("o_orderkey")),
+          4, Seq(col("o_totalprice"), col("o_orderkey")), tileCol = "quartile")
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_orders"),
              min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_price"),

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+import graft.model.Tables
+
+class GlobalRankSpec extends SparkSpec {
+
+  test("distributed global rank equals the single-partition window rank") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val sortCols = Seq(col("o_totalprice"), col("o_orderkey"))
+    val dist = GlobalRank.withGlobalRank(o, sortCols, "r")
+    val single = o.withColumn("r2",
+      row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    val joined = dist.join(single, Seq("o_orderkey", "o_totalprice"))
+    assert(joined.filter(col("r") =!= col("r2")).count() === 0)
+    assert(joined.count() === o.count())
+  }
+
+  test("ntileExact matches SQL ntile, including uneven tile sizes") {
+    val s = spark
+    import s.implicits._
+    // 10 rows, 4 tiles -> sizes 3,3,2,2
+    val df = (1 to 10).map(i => (i.toLong, i * 10)).toDF("id", "v")
+    val got = GlobalRank.ntileExact(df, 4, Seq(col("v"), col("id")))
+      .select("id", "tile").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = df.select(col("id"),
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+  }
+
+  test("no single-partition window operator in the distributed plan") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plan = GlobalRank.withGlobalRank(
+      o, Seq(col("o_totalprice"), col("o_orderkey"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no WindowExec:\n$plan")
+  }
+
+  test("ranks at sf0.01 are a permutation of 1..N with equal ntile splits") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select("o_orderkey", "o_totalprice")
+    val tiles = GlobalRank.ntileExact(o, 4, Seq(col("o_totalprice"), col("o_orderkey")))
+      .groupBy("tile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = o.count()
+    assert(tiles.keySet === Set(1, 2, 3, 4))
+    assert(tiles.values.sum === n)
+    assert(tiles.values.max - tiles.values.min <= 1) // 15000/4 -> 3750 each
+  }
+}
