@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state beyond windowed aggregation (SURVEY.md §2.7
+  * gap list): user sessionization with `flatMapGroupsWithState` and
+  * watermarked stream-stream joins. The reference never realizes
+  * either; a real clickstream deployment of this pipeline needs both.
+  */
+object Stateful {
+
+  case class Click(userid: String, source: String, timestamp: Timestamp)
+  case class SessionState(start: Timestamp, lastTs: Timestamp, nEvents: Long)
+  case class UserSession(userid: String, start: Timestamp, end: Timestamp,
+                         nEvents: Long, durationS: Long)
+
+  implicit private val clickEnc: Encoder[Click] = Encoders.product[Click]
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val outEnc: Encoder[UserSession] = Encoders.product[UserSession]
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** Event-time sessionization: one session per user while gaps stay
+    * under `gapMs`; a session closes (and emits) when the event-time
+    * watermark passes lastTs + gap. State per user is O(1) — start,
+    * last timestamp, count — and is dropped on emit, so total state is
+    * bounded by active users within the watermark horizon, not by
+    * history. Input: output of [[ProductViewPipeline.parse]]. */
+  def userSessions(parsed: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                   watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    val clicks = parsed
+      .select(col("userid"), col("source"), col("timestamp"))
+      .as[Click](clickEnc)
+      .withWatermark("timestamp", watermarkDelay)
+
+    def fin(userid: String, s: SessionState): UserSession =
+      UserSession(userid, s.start, s.lastTs, s.nEvents,
+        (s.lastTs.getTime - s.start.getTime) / 1000L)
+
+    clicks
+      .groupByKey(_.userid)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userid: String, events: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val done = fin(userid, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[UserSession]
+            var cur = state.getOption
+            for (e <- events.toSeq.sortBy(_.timestamp.getTime)) {
+              cur match {
+                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs =>
+                  cur = Some(s.copy(lastTs = e.timestamp, nEvents = s.nEvents + 1))
+                case Some(s) => // in-batch gap: close the old session now
+                  out += fin(userid, s)
+                  cur = Some(SessionState(e.timestamp, e.timestamp, 1L))
+                case None =>
+                  cur = Some(SessionState(e.timestamp, e.timestamp, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Watermarked stream-stream inner join: views joined to purchases
+    * of the same user within `maxDelay` after the view. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * sides, so Spark can evict join state (unbounded otherwise). */
+  def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame,
+                         watermark: String = "10 minutes",
+                         maxDelay: String = "30 minutes"): DataFrame = {
+    val v = views
+      .select(col("userid").as("v_user"), col("source"),
+              col("timestamp").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("userid").as("p_user"), col("productid"),
+              col("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("v_user") === col("p_user") &&
+      col("purchase_ts") >= col("view_ts") &&
+      col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+  }
+}

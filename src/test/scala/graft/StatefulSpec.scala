@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{ProductViewPipeline => P, Stateful}
+
+/** flatMapGroupsWithState sessionization + stream-stream join
+  * semantics over MemoryStream with controlled event-time. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var n = 0
+  private def tmp(): String = { n += 1; Files.createTempDirectory(s"graftst$n").toString }
+
+  private def rec(user: String, ts: String, source: String = "desktop"): String =
+    s"""{"event":"ProductView","messageid":"${java.util.UUID.randomUUID()}","userid":"$user",""" +
+    s""""properties":{"productid":"product-1"},"context":{"source":"$source"},""" +
+    s""""timestamp":"$ts"}"""
+
+  test("sessionization closes a session after the event-time gap and keeps O(1) state") {
+    val in = MemoryStream[String]
+    val sessions = Stateful.userSessions(P.parse(in.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess").option("checkpointLocation", tmp()).start()
+    try {
+      // user-1: two events 2 min apart (one session), then nothing
+      in.addData(rec("user-1", "2021-03-07 19:00:00"), rec("user-1", "2021-03-07 19:02:00"))
+      q.processAllAvailable()
+      // advance watermark far past the session gap via another user
+      in.addData(rec("user-2", "2021-03-07 20:00:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-2", "2021-03-07 21:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("userid") === "user-1")
+        .select("nEvents", "durationS").as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((2L, 120L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("in-batch gap splits into two sessions without waiting for the watermark") {
+    val in = MemoryStream[String]
+    val sessions = Stateful.userSessions(P.parse(in.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess2").option("checkpointLocation", tmp()).start()
+    try {
+      // 19:00 and 19:30 in ONE batch: 30 min > 5 min gap -> first session
+      // closes immediately, second stays open
+      in.addData(rec("user-3", "2021-03-07 19:00:00"), rec("user-3", "2021-03-07 19:30:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess2").filter(col("userid") === "user-3")
+        .select("nEvents").as[Long].collect()
+      assert(rows.toSeq === Seq(1L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches purchases within the delay bound only") {
+    val views = MemoryStream[String]
+    val purchases = MemoryStream[String]
+    val joined = Stateful.viewToPurchaseJoin(
+      P.parse(views.toDF()), P.parse(purchases.toDF()),
+      watermark = "1 minute", maxDelay = "30 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj").option("checkpointLocation", tmp()).start()
+    try {
+      views.addData(rec("user-1", "2021-03-07 19:00:00"))
+      purchases.addData(
+        rec("user-1", "2021-03-07 19:10:00"), // within 30 min -> match
+        rec("user-1", "2021-03-07 19:45:00"), // beyond 30 min -> no match
+        rec("user-2", "2021-03-07 19:05:00")) // different user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("v_user", "purchase_ts")
+        .as[(String, java.sql.Timestamp)].collect()
+      assert(rows.toSeq === Seq(("user-1",
+        java.sql.Timestamp.valueOf("2021-03-07 19:10:00"))), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming session_window aggregation emits finalized sessions") {
+    val in = MemoryStream[String]
+    val agg = P.parse(in.toDF())
+      .withWatermark("timestamp", "1 minute")
+      .groupBy(col("userid"), session_window(col("timestamp"), "5 minutes"))
+      .count()
+      .select(col("userid"), col("session_window.start").as("start"),
+              col("session_window.end").as("end"), col("count"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("swagg").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(rec("user-1", "2021-03-07 19:00:00"), rec("user-1", "2021-03-07 19:02:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-9", "2021-03-07 20:00:00")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("swagg").filter(col("userid") === "user-1")
+        .select("count").as[Long].collect()
+      assert(rows.toSeq === Seq(2L), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
