@@ -232,8 +232,31 @@ object Analytics {
       GROUP BY GROUPING SETS ((event_type), (user_id), (event_type, user_id))
     """))
 
+  /** Exact interpolated percentiles of order price per status (both
+    * engines define the quantile as linear interpolation on the sorted
+    * values; rounded to 4dp to absorb last-ulp differences). */
+  val percentiles = Q(
+    "q_percentiles",
+    (spark, dir) => {
+      val p = Tables.orders(spark, dir)
+      p.groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+             round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+             round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders
+      GROUP BY o_orderstatus
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
-    groupingSets)
+    groupingSets, percentiles)
 }

@@ -412,9 +412,33 @@ object Relational {
       GROUP BY 1
     """))
 
+  /** Skew-mitigating salted join (graft.operators.SaltedJoin):
+    * revenue per supplier nation with the lineitem side salted 8 ways.
+    * The oracle is the PLAIN join — salting must not change results. */
+  val saltedJoin = Q(
+    "q_salted_join",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+      val s = Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SaltedJoin.inner(li, s, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("rev")).as("revenue"))
+    },
+    Some("""
+      SELECT s_nationkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
-    ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse)
+    ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
+    saltedJoin)
 }

@@ -159,6 +159,34 @@ object TextOps {
       FROM documents
     """))
 
+  /** BPE-style pre-tokenization (GPT-2-family pre-tokenizer shape:
+    * letter runs | digit runs | single punctuation), counted per
+    * language — the regex-class token counting a training pipeline
+    * runs before byte-pair merging. */
+  val regexTokens = Q(
+    "q_regex_tokens",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      def cnt(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      d.select(col("lang"),
+          cnt("[a-z]+|[0-9]+|[^a-z0-9 ]").as("t"),
+          cnt("[a-z]+").as("w"), cnt("[0-9]+").as("d0"),
+          cnt("[^a-z0-9 ]").as("p"))
+        .groupBy(col("lang"))
+        .agg(sum(col("t")).as("n_tokens"), sum(col("w")).as("n_word"),
+             sum(col("d0")).as("n_digit"), sum(col("p")).as("n_punct"))
+    },
+    Some("""
+      SELECT lang,
+             sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_tokens,
+             sum(len(regexp_extract_all(text, '[a-z]+'))) AS n_word,
+             sum(len(regexp_extract_all(text, '[0-9]+'))) AS n_digit,
+             sum(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS n_punct
+      FROM documents
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
-    tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint)
+    tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
+    regexTokens)
 }
