@@ -1,0 +1,92 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** tokens -> DISTINCT 60-bit hashes of the n-token shingles, in one
+  * compiled pass.
+  *
+  * Replaces the interpreted HOF chain
+  * `array_distinct(transform(sequence(...), i -> conv(substr(md5(
+  * concat_ws(' ', slice(toks, i, n))), 1, 15), 16, 10)))` that
+  * dominated every shingle-based dedup query: higher-order lambdas are
+  * CodegenFallback and the md5 path allocates a hex string + base
+  * conversion per shingle. Here the md5 is fed token bytes directly
+  * (no shingle string is ever built) and the first 60 bits of the
+  * digest are taken numerically.
+  *
+  * Value equivalence with the SQL formulation (and the DuckDB oracle
+  * `CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)`) is exact:
+  * md5("t1 t2 t3") over UTF-8 bytes, first 15 hex chars = first 60
+  * bits = (first-8-bytes-big-endian >>> 4). Covered by a spec
+  * comparing against the HOF expression on real documents.
+  */
+case class ShingleHash(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHash.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+}
+
+object ShingleHash {
+
+  private val SPACE = Array[Byte](' ')
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Called from generated code — must stay public + static-friendly. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val m = total - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(SPACE)
+        val tok = tokens.getUTF8String(i + j)
+        md.update(if (tok == null) Array.emptyByteArray else tok.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars == top 60 bits == big-endian first 8 bytes >>> 4
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = h >>> 4
+      i += 1
+    }
+    // distinct (order irrelevant downstream: consumers min/explode/set)
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Column helper: distinct n-token shingle hashes of a token array. */
+  def shingleHashes(tokens: Column, n: Int = 3): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n))
+}

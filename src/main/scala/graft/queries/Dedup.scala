@@ -20,13 +20,16 @@ import TextOps.{h60, h60Sql}
   */
 object Dedup {
 
-  /** tokens -> distinct 3-token shingles (+ shingle count). */
+  /** tokens -> distinct 60-bit 3-token shingle hashes (+ count) via
+    * the codegen'd [[graft.functions.ShingleHash]] — one compiled
+    * md5-per-shingle loop, no interpreted HOF lambdas, no intermediate
+    * shingle strings. Hash values equal the oracle's
+    * `CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)`. */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
-      .withColumn("n_sh", size(col("shingles")))
+      .withColumn("shs", graft.functions.ShingleHash.shingleHashes(col("toks"), 3))
+      .withColumn("n_sh", size(col("shs")))
 
   /** DuckDB CTE mirroring [[withShingles]]. */
   private val shingleCte = """
@@ -72,8 +75,7 @@ object Dedup {
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
       val e = withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-        .withColumn("hk", h60(col("sh"))).drop("sh")
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
       val a = e.alias("a")
       val b = e.alias("b")
       a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
@@ -104,7 +106,7 @@ object Dedup {
     s"min((hh * ${aCoef(i)} + ${bCoef(i)}) % $P) AS mh$i"
   /** per-shingle base hash folded into the 30-bit field. */
   private def withHh(df: DataFrame): DataFrame =
-    df.withColumn("hh", h60(col("sh")) % P)
+    df.withColumn("hh", col("hk") % P)
   private val hhCte =
     s"eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} % $P AS hh FROM e)"
 
@@ -115,7 +117,7 @@ object Dedup {
     "q_minhash_signatures",
     (spark, dir) => {
       withHh(withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), explode(col("shingles")).as("sh")))
+        .select(col("doc_id"), explode(col("shs")).as("hk")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 8).map(mh): _*)
     },
@@ -136,8 +138,8 @@ object Dedup {
     "q_dedup_minhash_lsh",
     (spark, dir) => {
       val s = withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("shingles"), col("n_sh"))
-      val sig = withHh(s.select(col("doc_id"), explode(col("shingles")).as("sh")))
+        .select(col("doc_id"), col("shs"), col("n_sh"))
+      val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 16).map(mh): _*)
       val bandCols = (0 until 8).map(i =>
@@ -153,9 +155,9 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(s.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        .join(s.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"),
                        col("n_sh").as("na")), "doc_a")
-        .join(s.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        .join(s.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
                        col("n_sh").as("nb")), "doc_b")
         .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",

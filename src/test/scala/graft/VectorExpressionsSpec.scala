@@ -26,6 +26,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(1))
   }
 
+  test("shingle_hash equals the HOF md5/conv formulation on real documents") {
+    val d = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    val both = d.select(
+      array_sort(graft.functions.ShingleHash.shingleHashes(col("toks"), 3)).as("native"),
+      array_sort(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+           i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 3)) AS binary)), 1, 15), 16, 10) AS bigint)))"""))
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
