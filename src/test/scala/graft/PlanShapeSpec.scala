@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.Relational
+
+/** Locks in the scale-critical physical plan shapes. Correctness at
+  * sf0.01 says nothing about 100 TB; these assertions do: filters and
+  * column pruning must reach the parquet scan, small dimensions must
+  * broadcast, aggregates must have a map-side partial phase, global
+  * top-k must be TakeOrderedAndProject (never a full sort). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection reach the parquet scan (pushdown, pruning)") {
+    val plan = executedPlan(Relational.filterPushdown.fn(spark, sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("IsNotNull(event_type)") || plan.contains("EqualTo(event_type"),
+      s"event_type filter not pushed:\n$plan")
+    // pruned read schema: only the 4 referenced columns, not props/ts
+    assert(!plan.contains("props"), s"props not pruned from scan:\n$plan")
+  }
+
+  test("small dimension joins broadcast; star join has no cartesian product") {
+    val plan = executedPlan(Relational.joinStar.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop/cartesian in star join:\n$plan")
+  }
+
+  test("aggregation runs partial (map-side) before the exchange") {
+    val plan = executedPlan(Relational.pricingSummary.fn(spark, sf))
+    // partial + final HashAggregate pair around an exchange
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final HashAggregate:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no hash exchange:\n$plan")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(Relational.topkOrders.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+
+  test("salted join partitions on (key, salt) — hot keys spread across tasks") {
+    val plan = executedPlan(Relational.saltedJoin.fn(spark, sf))
+    assert(plan.contains("__salt"), s"salt column absent from exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
