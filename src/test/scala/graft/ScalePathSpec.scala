@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{ProductViewPipeline => P}
+
+/** The two mechanisms that carry this engine from local[32] to a
+  * 1000-executor cluster: bucketed co-located joins (shuffle
+  * elimination for repeated fact-fact joins) and the RocksDB state
+  * store (streaming state larger than executor heap). */
+class ScalePathSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val wh = Files.createTempDirectory("graftwh").toString
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    val o = graft.model.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o_b").mode("overwrite").saveAsTable("o_b")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === li.join(o,
+        col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("windowed aggregation runs on the RocksDB state store") {
+    val in = MemoryStream[String]
+    val counts = P.windowedCounts(P.parse(in.toDF()))
+    val chk = Files.createTempDirectory("graftrocks").toString
+    val q = counts.writeStream.outputMode("update").format("memory")
+      .queryName("rocks")
+      .option("checkpointLocation", chk)
+      .start()
+    // provider is a per-query conf resolved at start; set via session
+    // conf BEFORE start would race other tests — instead verify the
+    // default run, then re-run the same pipeline with RocksDB in an
+    // isolated conf scope below.
+    try {
+      in.addData(
+        s"""{"event":"ProductView","messageid":"m1","userid":"u1","properties":{"productid":"p"},"context":{"source":"desktop"},"timestamp":"2021-03-07 19:01:00"}""")
+      q.processAllAvailable()
+      assert(spark.table("rocks").count() >= 1)
+    } finally q.stop()
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in2 = MemoryStream[String]
+    val counts2 = P.windowedCounts(P.parse(in2.toDF()))
+    val q2 = counts2.writeStream.outputMode("update").format("memory")
+      .queryName("rocks2")
+      .option("checkpointLocation", Files.createTempDirectory("graftrocks2").toString)
+      .start()
+    try {
+      in2.addData(
+        s"""{"event":"ProductView","messageid":"m2","userid":"u1","properties":{"productid":"p"},"context":{"source":"desktop"},"timestamp":"2021-03-07 19:01:00"}""",
+        s"""{"event":"ProductView","messageid":"m3","userid":"u2","properties":{"productid":"p"},"context":{"source":"mobile-app"},"timestamp":"2021-03-07 19:02:00"}""")
+      q2.processAllAvailable()
+      val rows = spark.table("rocks2")
+        .select("source", "source_number").as[(String, Long)].collect().toMap
+      assert(rows === Map("desktop" -> 1L, "mobile-app" -> 1L), s"got $rows")
+      assert(q2.lastProgress.stateOperators.head.customMetrics
+        .containsKey("rocksdbFilesCopied"),
+        "state operator is not RocksDB-backed")
+    } finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
