@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.ProductViewPipeline
+
+/** Property-based invariants (SURVEY.md §5.2): window-count mass
+  * conservation, epoch-aligned bucket assignment, and distinct-count
+  * orderings, over generated event sets. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded forAll over scalacheck Gen (no scalatestplus bridge in
+    * the offline dep set): 20 deterministic samples per property. */
+  private def forAll[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private val eventGen: Gen[(String, Long)] = for {
+    src <- Gen.oneOf("desktop", "mobile-web", "mobile-app")
+    // timestamps across ~3 hours with second resolution
+    off <- Gen.choose(0L, 3L * 3600)
+  } yield (src, 1615000000L + off)
+
+  private val eventsGen = Gen.nonEmptyListOf(eventGen)
+
+  test("sum of per-window counts equals the number of events (mass conservation)") {
+    forAll(eventsGen) { evs =>
+      val df = evs.map { case (s, sec) => (s, new Timestamp(sec * 1000)) }
+        .toDF("source", "timestamp")
+      val counts = ProductViewPipeline.windowedCounts(df)
+      val total = counts.agg(sum("source_number")).head().getLong(0)
+      assert(total === evs.size.toLong)
+    }
+  }
+
+  test("window assignment is floor(epoch / 300) * 300, start-inclusive end-exclusive") {
+    forAll(eventsGen) { evs =>
+      val df = evs.map { case (s, sec) => (s, new Timestamp(sec * 1000)) }
+        .toDF("source", "timestamp")
+      val withW = df.select(col("timestamp"),
+        window(col("timestamp"), "5 minutes").as("w"))
+      val bad = withW.filter(
+        col("w.start").cast("long") =!= (col("timestamp").cast("long") / 300).cast("long") * 300 ||
+        col("timestamp") < col("w.start") || col("timestamp") >= col("w.end"))
+      assert(bad.count() === 0)
+    }
+  }
+
+  test("count >= exact distinct users; approx distinct is within 3*rsd of exact") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 500))) { userIds =>
+      val df = userIds.map(u => ("desktop", s"user-$u")).toDF("source", "userid")
+      val row = df.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("userid")).as("exact"),
+        approx_count_distinct(col("userid"), 0.05).as("approx")).head()
+      val (n, exact, approx) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(n >= exact)
+      assert(math.abs(approx - exact).toDouble <= math.max(3 * 0.05 * exact, 3.0),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("dropDuplicates is idempotent and bounded by distinct key count") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 50))) { ids =>
+      val df = ids.map(i => (i, s"payload-$i")).toDF("id", "payload")
+      val once = df.dropDuplicates("id")
+      val twice = once.dropDuplicates("id")
+      assert(once.count() === ids.distinct.size.toLong)
+      assert(twice.count() === once.count())
+    }
+  }
+}
