@@ -255,8 +255,65 @@ object Analytics {
       GROUP BY o_orderstatus
     """))
 
+  /** Pivot: order counts per month wide by status (fixed value list
+    * for deterministic columns; oracle = conditional aggregation). */
+  val pivotStatus = Q(
+    "q_pivot_status",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+                col("o_orderstatus"))
+        .groupBy(col("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) FILTER (o_orderstatus = 'F') AS "F",
+             count(*) FILTER (o_orderstatus = 'O') AS "O",
+             count(*) FILTER (o_orderstatus = 'P') AS "P"
+      FROM orders
+      GROUP BY 1
+    """))
+
+  /** Unpivot (melt): wide per-status counts back to long form. */
+  val unpivotStatus = Q(
+    "q_unpivot_status",
+    (spark, dir) => {
+      pivotStatus.fn(spark, dir)
+        .unpivot(Array(col("month")), Array(col("F"), col("O"), col("P")),
+                 "status", "n_orders")
+        .filter(col("n_orders") > 0)
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderstatus AS status, count(*) AS n_orders
+      FROM orders
+      GROUP BY 1, 2
+    """))
+
+  /** percent_rank / cume_dist over customer balance per nation. */
+  val percentRank = Q(
+    "q_percent_rank",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    },
+    Some("""
+      SELECT c_nationkey, c_custkey,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist()    OVER w, 6) AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
-    groupingSets, percentiles)
+    groupingSets, percentiles, pivotStatus, unpivotStatus, percentRank)
 }
