@@ -435,10 +435,32 @@ object Relational {
       GROUP BY 1
     """))
 
+  /** Typed-Aggregator UDAF (graft.functions.Aggregators): discounted
+    * revenue per return flag through `functions.udaf`, oracled against
+    * the equivalent built-in decimal aggregation. */
+  val udafRevenue = Q(
+    "q_udaf_revenue",
+    (spark, dir) => {
+      val rev = udaf(graft.functions.Aggregators.DiscountedRevenue)
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(rev(col("l_extendedprice"), col("l_discount")).as("r"))
+        .select(col("l_returnflag"),
+                col("r.revenue").cast(DecimalType(18, 4)).as("revenue"),
+                col("r.n_items").as("n_items"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
-    saltedJoin)
+    saltedJoin, udafRevenue)
 }
