@@ -457,10 +457,78 @@ object Relational {
       GROUP BY l_returnflag
     """))
 
+  /** Full outer join: all customers x all big-order buckets, nulls on
+    * both sides preserved. */
+  val fullOuterJoin = Q(
+    "q_full_outer_join",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_custkey"), col("n_big"))
+    },
+    Some("""
+      SELECT c_custkey, o_custkey, n_big
+      FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0) c
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big
+                       FROM orders WHERE o_totalprice > 400000.0
+                       GROUP BY 1) o
+        ON c.c_custkey = o.o_custkey
+    """))
+
+  /** Bag-semantics set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    * keep duplicate multiplicity (the distinct variants are q_set_ops). */
+  val setOpsAll = Q(
+    "q_set_ops_all",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val purch = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val err = e.filter(col("event_type") === "error").select(col("user_id"))
+      purch.unionAll(err).groupBy(col("user_id")).agg(count(lit(1)).as("n_union"))
+        .join(purch.intersectAll(err).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intersect")), Seq("user_id"), "left")
+        .join(purch.exceptAll(err).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_except")), Seq("user_id"), "left")
+    },
+    Some("""
+      WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+           e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+           u AS (SELECT user_id, count(*) AS n_union
+                 FROM (SELECT * FROM p UNION ALL SELECT * FROM e) GROUP BY 1),
+           i AS (SELECT user_id, count(*) AS n_intersect
+                 FROM (SELECT * FROM p INTERSECT ALL SELECT * FROM e) GROUP BY 1),
+           x AS (SELECT user_id, count(*) AS n_except
+                 FROM (SELECT * FROM p EXCEPT ALL SELECT * FROM e) GROUP BY 1)
+      SELECT u.user_id, n_union, n_intersect, n_except
+      FROM u LEFT JOIN i USING (user_id) LEFT JOIN x USING (user_id)
+    """))
+
+  /** Deterministic array aggregation: sorted distinct event types per
+    * user (sort_array makes collect_set order-stable). */
+  val arrayAgg = Q(
+    "q_array_agg",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+             count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT user_id,
+             list_sort(list_distinct(list(event_type))) AS types,
+             count(*) AS n
+      FROM events
+      GROUP BY user_id
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
-    saltedJoin, udafRevenue)
+    saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg)
 }

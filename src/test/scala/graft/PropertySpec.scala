@@ -64,6 +64,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AsOfJoin equals the naive greatest-match theta join on random data") {
+    import graft.operators.AsOfJoin
+    val pairGen = for {
+      k <- Gen.choose(1, 5)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, t)
+    val casesGen = for {
+      lefts <- Gen.nonEmptyListOf(pairGen)
+      rights <- Gen.nonEmptyListOf(pairGen)
+    } yield (lefts, rights.distinct) // right unique per (key,time)
+    forAll(casesGen, n = 10) { case (lefts, rights) =>
+      val l = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000)) }
+        .toDF("lid", "k", "lt")
+      val r = rights.map { case (k, t) => (k, new Timestamp(t * 1000), s"v$k-$t") }
+        .toDF("rk", "rt", "payload")
+      val got = AsOfJoin.backward(l, r, "k", "lt", "rk", "rt", Seq("rt", "payload"))
+        .select("lid", "payload").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      // naive: for each left row, right row with max rt <= lt on same key
+      val want = lefts.zipWithIndex.flatMap { case ((k, t), i) =>
+        val matches = rights.filter { case (rk, rt) => rk == k && rt <= t }
+        if (matches.isEmpty) None
+        else {
+          val (mk, mt) = matches.maxBy(_._2)
+          Some(i.toLong -> s"v$mk-$mt")
+        }
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("dropDuplicates is idempotent and bounded by distinct key count") {
     forAll(Gen.nonEmptyListOf(Gen.choose(1, 50))) { ids =>
       val df = ids.map(i => (i, s"payload-$i")).toDF("id", "payload")
