@@ -73,6 +73,44 @@ object Stateful {
       }
   }
 
+  case class UserProfile(userid: String, lifetime_views: Long)
+  implicit private val profileEnc: Encoder[UserProfile] = Encoders.product[UserProfile]
+
+  /** Spark 4 `transformWithState` path: per-user lifetime view count
+    * held in a `ValueState[Long]`. The modern arbitrary-state API —
+    * typed state handles, timers, TTL — and the successor to
+    * flatMapGroupsWithState; requires the RocksDB state store
+    * provider (its only implementation). */
+  private class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Click, UserProfile] {
+    @transient private var views: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      views = getHandle.getValueState[Long](
+        "views", Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userid: String, rows: Iterator[Click],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserProfile] = {
+      val prev = if (views.exists()) views.get() else 0L
+      val n = prev + rows.size
+      views.update(n)
+      Iterator.single(UserProfile(userid, n))
+    }
+  }
+
+  /** Per-user lifetime view counts over the parsed click stream. */
+  def userProfiles(parsed: DataFrame): Dataset[UserProfile] =
+    parsed
+      .select(col("userid"), col("source"), col("timestamp"))
+      .as[Click](clickEnc)
+      .groupByKey(_.userid)
+      .transformWithState(
+        new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+
   /** Watermarked stream-stream inner join: views joined to purchases
     * of the same user within `maxDelay` after the view. Both sides
     * carry watermarks and the join condition bounds event time on both

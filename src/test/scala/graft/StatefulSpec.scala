@@ -79,6 +79,27 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user lifetime counts across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val profiles = Stateful.userProfiles(P.parse(in.toDF()))
+      val q = profiles.writeStream.outputMode("update").format("memory")
+        .queryName("profiles").option("checkpointLocation", tmp()).start()
+      try {
+        in.addData(rec("user-1", "2021-03-07 19:00:00"), rec("user-1", "2021-03-07 19:01:00"))
+        q.processAllAvailable()
+        in.addData(rec("user-1", "2021-03-07 19:02:00"), rec("user-2", "2021-03-07 19:02:00"))
+        q.processAllAvailable()
+        val latest = spark.table("profiles")
+          .groupBy(col("userid")).agg(max(col("lifetime_views")).as("v"))
+          .as[(String, Long)].collect().toMap
+        assert(latest === Map("user-1" -> 3L, "user-2" -> 1L), s"got $latest")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming session_window aggregation emits finalized sessions") {
     val in = MemoryStream[String]
     val agg = P.parse(in.toDF())
