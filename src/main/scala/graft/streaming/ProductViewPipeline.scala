@@ -38,7 +38,11 @@ object ProductViewPipeline {
     StructField("timestamp", StringType)))
 
   /** Kafka `value`-bytes (or any `value: string/binary` column) ->
-    * typed click-event rows (reference v1:29-40). */
+    * typed click-event rows (reference v1:29-40). The timestamp goes
+    * through the codegen'd [[graft.functions.WireTimestamp]] — same
+    * accepted grammar and UTC semantics as
+    * `to_timestamp(c, "yyyy-MM-dd HH:mm:ss[.SSS][XX]")` (spec-asserted)
+    * without the per-row optional-section formatter cost. */
   def parse(raw: DataFrame): DataFrame =
     raw
       .select(from_json(col("value").cast("string"), productViewSchema).as("value"))
@@ -48,8 +52,8 @@ object ProductViewPipeline {
         col("value.userid").as("userid"),
         col("value.properties.productid").as("productid"),
         col("value.context.source").as("source"),
-        to_timestamp(col("value.timestamp"),
-          "yyyy-MM-dd HH:mm:ss[.SSS][XX]").as("timestamp"))
+        graft.functions.WireTimestamp.wireTimestamp(col("value.timestamp"))
+          .as("timestamp"))
 
   /** Windowed count per source (reference v1:45-55): watermark ->
     * tumbling window -> count -> flat rename. Watermark applies only
