@@ -45,4 +45,17 @@ object Simulator {
     * micro-batch granularity under `maxFilesPerTrigger`. */
   def writeFileDrops(events: DataFrame, dir: String, numFiles: Int = 4): Unit =
     productViewJson(events).repartition(numFiles).write.mode("append").text(dir)
+
+  /** Kafka producer sink (NiFi PublishKafka equivalent, K4 in
+    * SURVEY §2.6): one message per record on `topic`. Exactly-once on
+    * the consumer side comes from [[ProductViewPipeline.dedupedByMessageId]];
+    * the producer relies on Kafka's idempotent writes. Unexercised in
+    * tests — no broker in the zero-egress environment. */
+  def writeKafka(events: DataFrame, bootstrapServers: String, topic: String): Unit =
+    productViewJson(events)
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
 }
