@@ -77,7 +77,10 @@ object Dedup {
       val e = withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
       val a = e.alias("a")
-      val b = e.alias("b")
+      // shuffle-hash join: posting lists are short (df cap'd corpus,
+      // max df 25 at sf0.1) so the build side fits per-partition;
+      // avoids sort-merge's sort of the full exploded index
+      val b = e.alias("b").hint("shuffle_hash")
       a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                  col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
