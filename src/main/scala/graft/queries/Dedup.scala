@@ -152,7 +152,7 @@ object Dedup {
         explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
       val cand = bands.alias("x")
-        .join(bands.alias("y"),
+        .join(bands.alias("y").hint("shuffle_hash"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

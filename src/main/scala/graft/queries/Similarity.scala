@@ -165,7 +165,7 @@ object Similarity {
         .select(col("vec_id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
 
       val cand = buckets.alias("x")
-        .join(buckets.alias("y"),
+        .join(buckets.alias("y").hint("shuffle_hash"),
           col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
