@@ -73,13 +73,17 @@ object Similarity {
       val e = emb(spark, dir)
       val queries = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("vec_id"))
+      // top-1 via max_by (single-pass hash agg with map-side partials)
+      // instead of a per-group window sort; tie-break = smallest vec_id
+      // encoded as max of (sim, -vec_id), identical to the oracle's
+      // row_number ordering
       e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id").as("nn_id"), col("sim"))
+        .groupBy(col("q_id"))
+        .agg(max_by(struct(col("vec_id").as("nn_id"), col("sim")),
+                    struct(col("sim"), -col("vec_id"))).as("m"))
+        .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.sim").as("sim"))
     },
     Some(s"""
       SELECT q_id, nn_id, sim FROM (
@@ -171,16 +175,16 @@ object Similarity {
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
         .distinct()
 
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("c_id"))
       cand
         .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
                        col("nrm").as("qnrm")), "q_id")
         .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
                        col("nrm").as("cnrm")), "c_id")
         .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("c_id").as("nn_id"), col("sim"))
+        .groupBy(col("q_id"))
+        .agg(max_by(struct(col("c_id").as("nn_id"), col("sim")),
+                    struct(col("sim"), -col("c_id"))).as("m"))
+        .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.sim").as("sim"))
     },
     None)
 
