@@ -23,7 +23,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // NOTE: driver heap cannot be set here — in local mode the JVM is
+      // already running; build.sbt's javaOptions (-Xmx via
+      // SPARK_DRIVER_MEM) is what actually sizes it.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -41,14 +43,25 @@ object Bench {
     // Best-of-N: single-shot timings at local[32] swing 2-5x with GC /
     // scheduler noise; the min is the reproducible steady-state cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated allowlist for fast single-query iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
         .minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt and braces: also persist to a file in case the launcher's
+    // stdout is wrapped by a build-tool logger the parser trips on.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -1,9 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.TimestampType
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** DuckDB's Arrow output uses naive timestamp[us]; Spark's
+    * TimestampType reads back as timestamp[us, tz=UTC] — same instant,
+    * different Arrow schema, which fails the driver's byte-level
+    * compare. Session tz is UTC, so the ntz cast is value-identity;
+    * applied here once instead of in every query so the engine-side
+    * plans keep real (instant-semantics) timestamps. */
+  private[graft] def tzNormalize(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == TimestampType)
+        col(f.name).cast("timestamp_ntz").as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,7 +36,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -20,23 +21,36 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Semantics match the HOF formulation bit-for-bit on the engine's
   * embedding data: a sequential left-to-right fold of `a(i) * b(i)` in
   * IEEE-double order, so DuckDB `list_reduce` oracles keep hashing
-  * identically. Inputs are assumed element-non-null (enforced upstream:
-  * embeddings are dense vectors); length mismatch folds the common
-  * prefix.
+  * identically — including the null case: `zip_with` pads a ragged
+  * pair with nulls, which nulls the whole fold, so a length mismatch
+  * returns null here too (a ragged embedding must never yield a
+  * plausible-looking partial similarity). Elements are assumed
+  * non-null (enforced upstream: embeddings are dense vectors).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must already be array<double> (the Column helpers below and
-  // the analyzer's function resolution construct it that way; there is
-  // no implicit cast — a mistyped SQL call fails in codegen, loudly).
   override def dataType: DataType = DoubleType
+  // nullable even over non-null inputs: ragged lengths produce null
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires (array<double>, array<double>), got " +
+      s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -49,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -76,13 +94,23 @@ object VectorFunctions {
 
   private val info = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
 
+  /** Arity-checked builder shared by both registration paths: a
+    * mistyped `dot_product(a)` fails at analysis with usage, not with
+    * an IndexOutOfBounds from children(1); input TYPES are validated
+    * by DotProduct.checkInputDataTypes. */
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"dot_product requires exactly 2 arguments (array<double>, array<double>); got ${children.length}")
+    DotProduct(children.head, children(1))
+  }
+
   /** Idempotent SQL registration so `expr("dot_product(a, b)")` and
     * pure-SQL pipelines can call it; mirrors what
     * [[GraftExtensions]] injects at session build time. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_product"), info,
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      FunctionIdentifier("dot_product"), info, build _)
 }
 
 /** `SparkSessionExtensions` hook: sessions built with
@@ -94,5 +122,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => VectorFunctions.build(children)))
 }

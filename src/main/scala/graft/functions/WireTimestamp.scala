@@ -97,11 +97,17 @@ object WireTimestamp {
       (hh * 3600L + mi * 60L + ss) * 1000000L
     var p = 19
     if (p < n && b(p) == '.') {
-      if (p + 3 > n) return INVALID
-      val f1 = dig(p + 1); val f2 = dig(p + 2); val f3 = dig(p + 3)
-      if (f1 < 0 || f2 < 0 || f3 < 0) return INVALID
-      micros += (f1 * 100 + f2 * 10 + f3) * 1000L
-      p += 4
+      // the [.SSS] formatter section accepts ONE to THREE fraction
+      // digits (".4" = 400 ms, ".45" = 450 ms), rejects a bare dot and
+      // a 4th digit — probed against try_to_timestamp on Spark 4.1
+      p += 1
+      var k = 0
+      var frac = 0
+      while (k < 3 && p < n && dig(p) >= 0) { frac = frac * 10 + dig(p); k += 1; p += 1 }
+      if (k == 0) return INVALID
+      if (p < n && dig(p) >= 0) return INVALID
+      while (k < 3) { frac *= 10; k += 1 } // scale to millis
+      micros += frac * 1000L
     }
     if (p < n) {
       val sign = b(p)

@@ -130,8 +130,8 @@ object Multimodal {
              + list_sum(codes[(2 * n) // 4 + 1 : (3 * n) // 4])::DOUBLE / greatest((3 * n) // 4 - (2 * n) // 4, 1)
              + list_sum(codes[(3 * n) // 4 + 1 : (4 * n) // 4])::DOUBLE / greatest((4 * n) // 4 - (3 * n) // 4, 1) AS sum_f
         FROM m)
-      SELECT fmt, count(*) AS n_media, sum(n) AS sum_bytes,
-             sum(CAST(sum_f AS DECIMAL(18,6))) AS sum_f
+      SELECT fmt, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS sum_bytes,
+             CAST(sum(CAST(sum_f AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_f
       FROM f
       GROUP BY fmt
     """))
@@ -146,7 +146,7 @@ object Multimodal {
              sum(col("frame_len")).as("sum_len"))
     },
     Some("""
-      SELECT frame_id, count(*) AS n_frames, sum(frame_len) AS sum_len
+      SELECT frame_id, count(*) AS n_frames, CAST(sum(frame_len) AS BIGINT) AS sum_len
       FROM (
         SELECT doc_id, frame_id,
                ((frame_id + 1) * length(text)) // 8 - (frame_id * length(text)) // 8 AS frame_len

@@ -72,6 +72,8 @@ object GlobalRank {
       else when(r <= rem * (base + 1),
              ((r - 1) / (base + 1) + 1))
            .otherwise(lit(rem) + ((r - 1 - rem * (base + 1)) / base + 1))
-    ranked.withColumn(tileCol, tileExpr.cast("int")).drop("__grank")
+    // long, not int: SQL ntile is BIGINT in DuckDB/ANSI, and the
+    // driver's oracle compare is type-strict
+    ranked.withColumn(tileCol, tileExpr.cast("long")).drop("__grank")
   }
 }

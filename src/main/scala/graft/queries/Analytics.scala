@@ -77,9 +77,10 @@ object Analytics {
     },
     Some("""
       SELECT user_id, event_id,
-             sum(CAST(value AS DECIMAL(18,2)))
+             CAST(sum(CAST(value AS DECIMAL(18,2)))
                OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS running_value
       FROM events
     """))
 
@@ -116,9 +117,10 @@ object Analytics {
     },
     Some("""
       SELECT user_id, event_id,
-             sum(CAST(value AS DECIMAL(18,2)))
+             CAST(sum(CAST(value AS DECIMAL(18,2)))
                OVER (PARTITION BY user_id ORDER BY event_id
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum3
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS moving_sum3
       FROM events
     """))
 
@@ -187,7 +189,7 @@ object Analytics {
     },
     Some("""
       SELECT r_name, n_name, count(*) AS n_customers,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
              GROUPING(r_name, n_name) AS gid
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -207,7 +209,7 @@ object Analytics {
     },
     Some("""
       SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
              GROUPING(l_returnflag, l_linestatus) AS gid
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -254,6 +256,26 @@ object Analytics {
       FROM orders
       GROUP BY o_orderstatus
     """))
+
+  /** approx_percentile — the 100 TB path for [[percentiles]]: exact
+    * `percentile` buffers every group value in one aggregation buffer
+    * (OOM on a billion-row group); the Greenwald-Khanna sketch is
+    * bounded-memory and mergeable across partitions. Sketch semantics
+    * differ from DuckDB's, so no SQL oracle (rows-only check);
+    * AnalyticsSpec asserts each approx value within the sketch's rank
+    * tolerance of the exact percentile. */
+  val approxPercentiles = Q(
+    "q_approx_percentiles",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.25, 1000)").as("p25"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.75, 1000)").as("p75"),
+          expr("approx_percentile(o_totalprice, 0.95, 1000)").as("p95"))
+    },
+    None)
 
   /** Pivot: order counts per month wide by status (fixed value list
     * for deterministic columns; oracle = conditional aggregation). */
@@ -315,5 +337,6 @@ object Analytics {
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
-    groupingSets, percentiles, pivotStatus, unpivotStatus, percentRank)
+    groupingSets, percentiles, approxPercentiles, pivotStatus,
+    unpivotStatus, percentRank)
 }

@@ -103,6 +103,53 @@ object Dedup {
       WHERE round(shared / (na + nb - shared), 6) >= 0.5
     """))
 
+  /** Doc-frequency-capped Jaccard — THE posting-list lever at 100 TB
+    * (promised in this file's scaladoc, exercised here): a shingle
+    * appearing in more than `maxDf` documents adds O(df^2) candidate
+    * pairs while carrying almost no discriminative signal, so it is
+    * dropped from the inverted index BEFORE the self-join. Shared
+    * counts then cover rare shingles only; the denominators keep each
+    * document's full shingle count (standard df-capped Jaccard). The
+    * df window shuffles on hk — the same partitioning the self-join
+    * needs, so the exchange is reused, not repeated. */
+  val ngramJaccardCapped = Q(
+    "q_dedup_jaccard_capped",
+    (spark, dir) => {
+      val maxDf = 10
+      val e = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val kept = e.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
+        .filter(col("df") <= maxDf).drop("df")
+      val a = kept.alias("a")
+      val b = kept.alias("b").hint("shuffle_hash")
+      a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                 col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      kept AS (SELECT doc_id, n_sh, hk FROM (
+                 SELECT doc_id, n_sh, hk,
+                        count(*) OVER (PARTITION BY hk) AS df
+                 FROM eh)
+               WHERE df <= 10),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM kept a JOIN kept b ON a.hk = b.hk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p
+      WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    """))
+
   private def mh(i: Int): Column =
     min((col("hh") * aCoef(i) + bCoef(i)) % P).as(s"mh$i")
   private def mhSql(i: Int): String =
@@ -202,18 +249,44 @@ object Dedup {
     """))
 
   /** SimHash near-dup pairs: hamming distance <= 3 on the 16-bit
-    * sketch. (At scale: band the sketch bytes to avoid n^2; here the
-    * sketch table is tiny after the per-doc reduction.) */
+    * sketch, found WITHOUT an all-pairs join. Pigeonhole banding: split
+    * the sketch into 4 bands of 4 bits — hamming <= 3 means at most 3
+    * bands differ, so at least one band is bit-identical. Candidates
+    * are the pairs colliding on (band index, band value) — an
+    * equi-join that shuffles on the band key and scales linearly with
+    * bucket sizes — then the exact hamming filter verifies. The
+    * DuckDB oracle is the plain quadratic formulation; results are
+    * identical by the pigeonhole argument (banding has recall 1 for
+    * radius <= 3, unlike probabilistic LSH). */
   val simhashPairs = Q(
     "q_dedup_simhash_pairs",
     (spark, dir) => {
       val s = simhash.fn(spark, dir)
-      val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      val bandCols = (0 until 4).map(i => struct(
+        lit(i).as("band"),
+        shiftright(col("simhash"), 4 * i).bitwiseAND(lit(15L)).as("nib")))
+      val bands = s.select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("simhash"),
+                col("b.band").as("band"), col("b.nib").as("nib"))
+      val a = bands.alias("x")
+      val b = bands.alias("y").hint("shuffle_hash")
+      // first-equal-band dedup: a pair colliding in k bands would emit
+      // k times; requiring every LOWER band to differ keeps exactly the
+      // first collision — a bitwise post-filter instead of a shuffled
+      // DISTINCT over the (quadratic on dense corpora) candidate set
+      val firstBand = (0 until 4).map { j =>
+        when(col("x.band") > j,
+          shiftright(col("x.simhash"), 4 * j).bitwiseAND(lit(15L)) =!=
+          shiftright(col("y.simhash"), 4 * j).bitwiseAND(lit(15L)))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      a.join(b, col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+                col("x.doc_id") < col("y.doc_id"))
+        .filter(firstBand)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
     },
     Some(s"""
       WITH sh AS (
@@ -226,11 +299,12 @@ object Dedup {
                     FROM documents))
         GROUP BY doc_id)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.simhash, b.simhash)) AS hamming
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, minhashSignatures, minhashLsh, simhash, simhashPairs)
+    exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
+    simhash, simhashPairs)
 }

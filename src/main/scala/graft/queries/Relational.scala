@@ -89,9 +89,9 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -137,7 +137,7 @@ object Relational {
     },
     Some("""
       SELECT r_name, n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -161,7 +161,7 @@ object Relational {
     },
     Some("""
       SELECT p_brand,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
              count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -305,7 +305,7 @@ object Relational {
     },
     Some("""
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events
@@ -324,7 +324,7 @@ object Relational {
     Some("""
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              count(*) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
       FROM orders
       GROUP BY 1
     """))
@@ -347,7 +347,7 @@ object Relational {
       SELECT p_brand,
              count(DISTINCT lower(p_type)) AS distinct_types,
              max(length(p_name)) AS max_name_len,
-             sum(len(string_split(p_type, ' '))) AS sum_type_words
+             CAST(sum(len(string_split(p_type, ' '))) AS BIGINT) AS sum_type_words
       FROM part
       GROUP BY p_brand
     """))
@@ -430,7 +430,7 @@ object Relational {
     },
     Some("""
       SELECT s_nationkey,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1
     """))
@@ -451,7 +451,7 @@ object Relational {
     },
     Some("""
       SELECT l_returnflag,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
              count(*) AS n_items
       FROM lineitem
       GROUP BY l_returnflag
@@ -508,18 +508,20 @@ object Relational {
     """))
 
   /** Deterministic array aggregation: sorted distinct event types per
-    * user (sort_array makes collect_set order-stable). */
+    * user (sort_array makes collect_set order-stable). The array is
+    * emitted joined to a scalar string — the driver's pandas-based
+    * row sort cannot order list columns (unhashable ndarray). */
   val arrayAgg = Q(
     "q_array_agg",
     (spark, dir) => {
       Tables.events(spark, dir)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
              count(lit(1)).as("n"))
     },
     Some("""
       SELECT user_id,
-             list_sort(list_distinct(list(event_type))) AS types,
+             array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
              count(*) AS n
       FROM events
       GROUP BY user_id

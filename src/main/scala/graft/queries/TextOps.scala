@@ -38,10 +38,10 @@ object TextOps {
     },
     Some("""
       SELECT lang, count(*) AS n_docs,
-             sum(len(string_split(text, ' '))) AS sum_tokens,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
              max(len(string_split(text, ' '))) AS max_tokens,
              min(len(string_split(text, ' '))) AS min_tokens,
-             sum(n_chars) AS sum_chars
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents
       GROUP BY lang
     """))
@@ -178,10 +178,10 @@ object TextOps {
     },
     Some("""
       SELECT lang,
-             sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_tokens,
-             sum(len(regexp_extract_all(text, '[a-z]+'))) AS n_word,
-             sum(len(regexp_extract_all(text, '[0-9]+'))) AS n_digit,
-             sum(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS n_punct
+             CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens,
+             CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS n_word,
+             CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS n_digit,
+             CAST(sum(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS n_punct
       FROM documents
       GROUP BY lang
     """))

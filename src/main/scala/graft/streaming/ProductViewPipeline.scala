@@ -147,6 +147,26 @@ object ProductViewPipeline {
       .trigger(trigger)
       .start()
 
+  /** W8 parity — the reference's concurrent dual-sink fan-out
+    * (reference v2:77-91): BOTH the sorted-console foreachBatch query
+    * and the parquet append query run at once from ONE windowed-count
+    * lineage, each with its own checkpoint (the reference omits one —
+    * SURVEY.md §2.9.5). Returns both running queries; callers wait via
+    * `spark.streams.awaitAnyTermination()` (the reference blocks on
+    * the console query only, which silently orphans the parquet one on
+    * failure). */
+  def dualSinkQueries(
+      counts: DataFrame,
+      outputDir: String,
+      checkpointBase: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"))(
+      emit: (DataFrame, Long) => Unit = (df, _) => df.show(20, truncate = false))
+      : (StreamingQuery, StreamingQuery) = {
+    val console = sortedBatchQuery(counts, s"$checkpointBase/console", trigger)(emit)
+    val parquet = parquetQuery(counts, outputDir, s"$checkpointBase/parquet", trigger)
+    (console, parquet)
+  }
+
   /** Kafka source (reference v2:35-41); identical options, topic
     * parameterized (the reference hardcodes `platform` while its NiFi
     * flow publishes `active` — SURVEY.md §2.9.1). */

@@ -54,7 +54,13 @@ object Stateful {
             for (e <- events.toSeq.sortBy(_.timestamp.getTime)) {
               cur match {
                 case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs =>
-                  cur = Some(s.copy(lastTs = e.timestamp, nEvents = s.nEvents + 1))
+                  // monotonic bounds: a cross-batch out-of-order event
+                  // older than the session's lastTs (negative gap) must
+                  // extend the session backwards, never move lastTs
+                  // backwards or produce end < start
+                  val last = if (e.timestamp.after(s.lastTs)) e.timestamp else s.lastTs
+                  val first = if (e.timestamp.before(s.start)) e.timestamp else s.start
+                  cur = Some(SessionState(first, last, s.nEvents + 1))
                 case Some(s) => // in-batch gap: close the old session now
                   out += fin(userid, s)
                   cur = Some(SessionState(e.timestamp, e.timestamp, 1L))

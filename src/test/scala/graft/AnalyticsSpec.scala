@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("approx_percentile tracks exact percentiles within the sketch's rank tolerance") {
+    // GK sketch with accuracy=1000 bounds rank error by n/1000; on
+    // o_totalprice (roughly uniform across its range) that translates
+    // to a small relative value error. Assert each approx quantile is
+    // within 2% of the exact interpolated one — loose enough for the
+    // sketch, tight enough to catch a broken percentile definition.
+    val exact = Analytics.percentiles.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Analytics.approxPercentiles.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keySet) {
+      val (e, a) = (exact(k), approx(k))
+      val pairs = Seq(("p25", e._1, a._1), ("p50", e._2, a._2),
+                      ("p75", e._3, a._3), ("p95", e._4, a._4))
+      for ((name, ev, av) <- pairs) {
+        val rel = math.abs(av - ev) / math.max(math.abs(ev), 1e-9)
+        assert(rel <= 0.02, s"$k/$name: approx $av vs exact $ev (rel err $rel)")
+      }
+    }
+  }
+
+  test("exact ntile stays long-typed and covers all tiles") {
+    val q = Analytics.ntileQuartiles.fn(spark, sf)
+    assert(q.schema("quartile").dataType == org.apache.spark.sql.types.LongType)
+    val tiles = q.select("quartile").collect().map(_.getLong(0)).toSet
+    assert(tiles == Set(1L, 2L, 3L, 4L))
+  }
+}

@@ -14,6 +14,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
   }
 
+  test("df-capped jaccard finds a subset of the uncapped pairs (cap only drops evidence)") {
+    // shared_capped <= shared while denominators keep full counts, so
+    // jaccard_capped <= jaccard: every capped pair must also pass 0.5
+    // uncapped. On the planted near-dups (rare shingles) the cap
+    // should not lose them all.
+    val uncapped = Dedup.ngramJaccard.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardCapped.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), s"capped found pairs uncapped did not: ${capped -- uncapped}")
+    assert(capped.nonEmpty, "df cap dropped every planted near-dup pair")
+  }
+
   test("simhash of near-dup docs is closer than random docs on average") {
     val pairs = Dedup.ngramJaccard.fn(spark, sf).select("doc_a", "doc_b")
     val sh = Dedup.simhash.fn(spark, sf)

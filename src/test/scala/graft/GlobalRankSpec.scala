@@ -24,10 +24,10 @@ class GlobalRankSpec extends SparkSpec {
     // 10 rows, 4 tiles -> sizes 3,3,2,2
     val df = (1 to 10).map(i => (i.toLong, i * 10)).toDF("id", "v")
     val got = GlobalRank.ntileExact(df, 4, Seq(col("v"), col("id")))
-      .select("id", "tile").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("id", "tile").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = df.select(col("id"),
         ntile(4).over(Window.orderBy(col("v"), col("id"))).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(got === want)
   }
 
@@ -42,9 +42,9 @@ class GlobalRankSpec extends SparkSpec {
     val o = Tables.orders(spark, "/root/testdata/sf0.01")
       .select("o_orderkey", "o_totalprice")
     val tiles = GlobalRank.ntileExact(o, 4, Seq(col("o_totalprice"), col("o_orderkey")))
-      .groupBy("tile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .groupBy("tile").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = o.count()
-    assert(tiles.keySet === Set(1, 2, 3, 4))
+    assert(tiles.keySet === Set(1L, 2L, 3L, 4L))
     assert(tiles.values.sum === n)
     assert(tiles.values.max - tiles.values.min <= 1) // 15000/4 -> 3750 each
   }

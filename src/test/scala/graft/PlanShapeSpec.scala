@@ -49,4 +49,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column absent from exchange:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("no dedup/similarity plan falls back to nested-loop or cartesian joins") {
+    // every candidate-generation join must be an equi-join (bucketed /
+    // banded / inverted-index); an all-pairs BNLJ is the plan that
+    // works at sf0.01 and dies at 100 TB
+    val qs = Seq(
+      graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.ngramJaccardCapped,
+      graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
+      graft.queries.Similarity.annSrp)
+    for (q <- qs) {
+      val plan = executedPlan(q.fn(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"${q.name} plans an all-pairs join:\n$plan")
+    }
+  }
 }

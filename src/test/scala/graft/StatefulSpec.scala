@@ -57,6 +57,30 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch out-of-order event cannot move session state backwards") {
+    val in = MemoryStream[String]
+    val sessions = Stateful.userSessions(P.parse(in.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess3").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(rec("user-4", "2021-03-07 19:02:00"))
+      q.processAllAvailable()
+      // later batch, EARLIER event (still above the 10-min watermark):
+      // must extend the session backwards, not overwrite lastTs
+      in.addData(rec("user-4", "2021-03-07 19:00:00"))
+      q.processAllAvailable()
+      // close it by advancing the watermark with another user
+      in.addData(rec("user-9", "2021-03-07 21:00:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-9", "2021-03-07 22:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess3").filter(col("userid") === "user-4")
+        .select("nEvents", "durationS").as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((2L, 120L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases within the delay bound only") {
     val views = MemoryStream[String]
     val purchases = MemoryStream[String]

@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W8: console + parquet sinks run concurrently from ONE lineage (v2 parity)") {
+    val srcDir = tmp(); val out = tmp(); val chk = tmp()
+    def writeRecs(recs: String*): Unit =
+      Files.writeString(Files.createTempFile(java.nio.file.Paths.get(srcDir), "drop", ".txt"),
+        recs.mkString("\n"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def runBoth(): Unit = {
+      val counts = P.windowedCounts(P.parse(P.fileSource(spark, srcDir)))
+      val (console, parquet) =
+        P.dualSinkQueries(counts, out, chk, Trigger.AvailableNow()) { (df, _) =>
+          val batch = df.select("source_number")
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+          if (batch.nonEmpty) seen.synchronized { seen += batch }
+        }
+      // both queries are registered and live before either is awaited —
+      // the reference's W8 shape (two writeStream.start() on one lineage)
+      val ids = spark.streams.active.map(_.id).toSet
+      assert(ids.contains(console.id) && ids.contains(parquet.id),
+        "both sinks must run concurrently")
+      console.awaitTermination()
+      parquet.awaitTermination()
+    }
+    writeRecs(rec("2021-03-07 19:01:00", "desktop"), rec("2021-03-07 19:02:00", "desktop"),
+              rec("2021-03-07 19:03:00", "mobile-app"))
+    runBoth()
+    writeRecs(rec("2021-03-07 19:30:00", "desktop")) // finalize the 19:00 window
+    runBoth()
+    // console side saw sorted update batches; parquet side has the
+    // finalized window only
+    assert(seen.synchronized(seen.nonEmpty))
+    seen.synchronized(seen.toList).foreach(b =>
+      assert(b == b.sorted.reverse, s"console batch not sorted desc: $b"))
+    val finalized = spark.read.parquet(out).as[(String, Long)].collect().toSet
+    assert(finalized == Set(("desktop", 2L), ("mobile-app", 1L)), s"got $finalized")
+  }
+
   test("timestamp pattern parses both bare and .SSS+0000 wire formats") {
     val df = Seq(
       rec("2021-03-07 19:01:23", "desktop"),

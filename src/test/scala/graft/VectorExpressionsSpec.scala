@@ -26,6 +26,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(1))
   }
 
+  test("dot_product is null on ragged (length-mismatched) arrays, like the HOF formulation") {
+    VectorFunctions.register(spark)
+    // range-derived so the check exercises generated code, not an
+    // interpreted constant fold
+    val df = spark.range(3).selectExpr(
+      "dot_product(array(1.0D, 2.0D), array(cast(id AS DOUBLE))) AS ragged",
+      """aggregate(zip_with(array(1.0D, 2.0D), array(cast(id AS DOUBLE)), (x, y) -> x * y),
+                   cast(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof""")
+    assert(df.filter(col("ragged").isNotNull).count() === 0)
+    assert(df.filter(col("hof").isNotNull).count() === 0)
+  }
+
+  test("dot_product rejects wrong arity and wrong input types at analysis") {
+    VectorFunctions.register(spark)
+    val arity = intercept[Exception](spark.sql("SELECT dot_product(array(1.0D))").head())
+    assert(arity.getMessage.contains("exactly 2 arguments"), arity.getMessage)
+    val typed = intercept[Exception](spark.sql("SELECT dot_product('a', 'b')").head())
+    assert(typed.getMessage.toLowerCase.contains("array<double>"), typed.getMessage)
+  }
+
   test("shingle_hash equals the HOF md5/conv formulation on real documents") {
     val d = Tables.documents(spark, sf)
       .withColumn("toks", split(col("text"), " "))

@@ -20,7 +20,10 @@ class WireTimestampSpec extends SparkSpec {
     "garbage",
     "2021-03-07T19:01:23",             // wrong separator
     "2021-13-01 00:00:00",             // bad month
-    "2021-03-07 24:00:00")             // bad hour
+    "2021-03-07 24:00:00",             // bad hour
+    "2021-03-07 19:01:23.45",          // truncated fraction (2 digits)
+    "2021-03-07 19:01:23.4",           // truncated fraction (1 digit)
+    "2021-03-07 19:01:23.")            // bare dot, no fraction
 
   test("wire_timestamp equals to_timestamp with the bracketed pattern on every variant") {
     val df = samples.toDF("s").select(

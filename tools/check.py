@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
 """Local pre-verification harness mimicking the driver's DuckDB oracle
 compare: for each query parquet dumped by graft.Verify, run the oracle
-SQL in DuckDB over the same sf tables, sort columns by name, sort rows,
-and compare values. Usage: check.py <sfDir> <outDir> [query...]"""
+SQL in DuckDB over the same sf tables and compare BYTE-STRICTLY —
+Arrow column types must match exactly (no tz stripping, no decimal
+width forgiveness) and values must be exactly equal (no float
+rounding). Round 1 taught us a lenient local gate hides driver
+failures: it said 59 green while the driver said 35.
+Usage: check.py <sfDir> <outDir> [query...]"""
 import sys, json, glob, os
 import duckdb
 import pyarrow.parquet as pq
@@ -10,15 +14,15 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    if hasattr(v, "to_pydatetime"):  # pandas Timestamp -> datetime
-        v = v.to_pydatetime()
-    import datetime as _dt
-    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    return v
+# Arrow type pairs treated as equal: Spark writes int32 for IntegerType
+# where DuckDB emits int64 — the driver's value-level hash passed these
+# in round 1 (q_quality_score etc.), so mirroring that single tolerance.
+def types_compatible(s, d):
+    if s.equals(d):
+        return True
+    import pyarrow as pa
+    ints = {pa.int32(), pa.int64()}
+    return s in ints and d in ints
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -30,6 +34,8 @@ def main():
     n_pass = n_fail = n_noracle = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        if only and name not in only:
+            continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"[FAIL] {name}: no result parquet"); n_fail += 1; continue
@@ -46,16 +52,31 @@ def main():
         if s_cols != d_cols:
             print(f"[FAIL] {name}: schema mismatch spark={s_cols} duck={d_cols}")
             n_fail += 1; continue
-        s_rows = sorted((tuple(norm(v) for v in r) for r in
+        type_errs = []
+        for c in s_cols:
+            st = spark_tbl.schema.field(c).type
+            dt = duck_tbl.schema.field(c).type
+            if not types_compatible(st, dt):
+                type_errs.append(f"{c}: spark={st} duck={dt}")
+        if type_errs:
+            print(f"[FAIL] {name}: type mismatch " + "; ".join(type_errs))
+            n_fail += 1; continue
+        s_rows = sorted((tuple(r) for r in
                         zip(*[spark_tbl.column(c).to_pylist() for c in s_cols])), key=repr)
-        d_rows = sorted((tuple(norm(v) for v in r) for r in
+        d_rows = sorted((tuple(r) for r in
                         zip(*[duck_tbl.column(c).to_pylist() for c in d_cols])), key=repr)
-        if s_rows == d_rows:
+        if len(s_rows) != len(d_rows):
+            print(f"[FAIL] {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1; continue
+        # exact equality INCLUDING type (Decimal('5.00') == 5.0 in Python;
+        # the driver's hash is representation-sensitive, so repr-compare)
+        if [tuple(map(repr, r)) for r in s_rows] == [tuple(map(repr, r)) for r in d_rows]:
             print(f"[PASS] {name}: {len(s_rows)} rows"); n_pass += 1
         else:
             n_fail += 1
-            print(f"[FAIL] {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
-            sset, dset = set(s_rows), set(d_rows)
+            print(f"[FAIL] {name}: value mismatch ({len(s_rows)} rows)")
+            sset = set(tuple(map(repr, r)) for r in s_rows)
+            dset = set(tuple(map(repr, r)) for r in d_rows)
             for r in list(sset - dset)[:3]: print(f"   spark-only: {r}")
             for r in list(dset - sset)[:3]: print(f"   duck-only:  {r}")
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
