@@ -22,10 +22,13 @@ object Similarity {
   /** embedding cast to array<double>; norm via the codegen'd
     * [[graft.functions.DotProduct]] (same IEEE fold order as the HOF
     * `aggregate(transform(...))` formulation, ~10x less per-row cost). */
-  private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+  private def embFrom(raw: DataFrame): DataFrame =
+    raw
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
       .withColumn("nrm", l2norm(col("vd")))
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    embFrom(Tables.embeddings(spark, dir))
 
   private def dot(a: String, b: String): Column = dotp(col(a), col(b))
 
@@ -65,25 +68,37 @@ object Similarity {
     """))
 
   /** Exact nearest neighbor for a 10% query subset (vec_id % 10 = 0):
-    * the brute-force baseline the ANN path is measured against.
-    * Broadcast the query side; per-query argmax via window rank. */
+    * the brute-force baseline the ANN path is measured against — and
+    * ONLY that. It broadcasts the query side (10% of the corpus): fine
+    * for a recall oracle at test scale, NEVER the production path at
+    * 100 TB, where [[annSrp]] is the serving plan. */
   val cosineKnn = Q(
     "q_cosine_knn",
     (spark, dir) => {
       val e = emb(spark, dir)
       val queries = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
-      // top-1 via max_by (single-pass hash agg with map-side partials)
-      // instead of a per-group window sort; tie-break = smallest vec_id
-      // encoded as max of (sim, -vec_id), identical to the oracle's
-      // row_number ordering
+      // top-1 via a packed-long max: (sim, vec_id) in one long makes
+      // the argmax a plain hash agg with map-side partials (max_by over
+      // a struct plans as sort-based aggregation — two extra sorts).
+      // sim is 6dp-rounded so sim*1e6 is integral; low 42 bits hold the
+      // id, tie-break = smallest vec_id as max of 2^42-1-id. Decoded
+      // sim is bit-identical to round(.,6): both are the correctly-
+      // rounded double of the same 6dp decimal.
+      val idSpace = 1L << 42
       e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6))
+        .withColumn("pack",
+          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
+          (lit(idSpace - 1) - col("vec_id")))
         .groupBy(col("q_id"))
-        .agg(max_by(struct(col("vec_id").as("nn_id"), col("sim")),
-                    struct(col("sim"), -col("vec_id"))).as("m"))
-        .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.sim").as("sim"))
+        .agg(max(col("pack")).as("pack"))
+        .select(col("q_id"),
+          (lit(idSpace - 1) - pmod(col("pack"), lit(idSpace))).as("nn_id"),
+          // shiftright = exact /2^42 (pack >= 0); double division here
+          // would lose the low bits of a ~6e18 pack and skew sim by 1e-6
+          ((shiftright(col("pack"), 42) - 1000000L) / 1e6).as("sim"))
     },
     Some(s"""
       SELECT q_id, nn_id, sim FROM (
@@ -128,6 +143,72 @@ object Similarity {
       LIMIT 20
     """))
 
+  /** Deterministic md5-derived hyperplane tensor for SRP bucketing:
+    * component j of plane (t, p) is uniform in [-1, 1). A few KB —
+    * computed driver-side and inlined as literals so each vector gets
+    * its sign bits in ONE projection (no plane-table join). */
+  private def srpPlanes(nTables: Int, nBits: Int): Array[Array[Array[Double]]] = {
+    def h60Scala(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    Array.tabulate(nTables, nBits, 64) { (t, p, j) =>
+      h60Scala(s"${t}_${p}_${j}") / math.pow(2, 59) - 1.0
+    }
+  }
+
+  /** Per-table SRP bucket ids (one long per table) for a `vd` vector
+    * column, as literal-inlined sign-bit sums. */
+  private def srpBucketCols(planes: Array[Array[Array[Double]]]): Seq[Column] =
+    planes.toSeq.map { tablePlanes =>
+      tablePlanes.toSeq.zipWithIndex.map { case (plane, p) =>
+        when(dotp(col("vd"), typedLit(plane.toSeq)) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** Embedding near-dup scale path: [[nearDupPairs]] is exact but goes
+    * quadratic inside a hot label; this operator additionally blocks by
+    * SRP bucket (4 tables x 8 sign bits = 256 buckets per table), so a
+    * label's pair space shrinks by ~the bucket count while true
+    * near-duplicates — tiny angles, so P[same bucket per table] stays
+    * high (~(1-θ/π)^8, e.g. 0.92 at sim 0.995) — still collide in
+    * >= 1 of the 4 tables. Exact cosine rerank, global top-k. Only
+    * genuinely-near pairs are recoverable by ANY sign-bucket scheme:
+    * at sim ~0.45 (this corpus's closest same-label pairs) the angle
+    * is ~63° and bucket collisions carry no signal, which is exactly
+    * why the LSH path targets dedup (sim -> 1), not mid-similarity
+    * retrieval. DedupSimilaritySpec plants sim≈1 duplicates and
+    * asserts full recovery; probabilistic recall -> no SQL oracle. */
+  def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20): DataFrame = {
+    val planes = srpPlanes(nTables = 4, nBits = 8)
+    val e = embFrom(rawEmbeddings)
+      .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      .withColumn("bks", array(srpBucketCols(planes): _*))
+    val buckets = e.select(col("vec_id"), col("label"), col("vd"),
+        col("nrm"), col("bks"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    val firstTable = (0 until 4).map { j =>
+      when(col("x.t") > j, col("x.bks")(j) =!= col("y.bks")(j))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    buckets.alias("x")
+      .join(buckets.alias("y").hint("shuffle_hash"),
+        col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .filter(firstTable)
+      .select(col("x.label").as("label"),
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(dotp(col("x.vd"), col("y.vd")) / (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
+      .limit(topK)
+  }
+
+  val nearDupPairsLsh = Q(
+    "q_embed_neardup_lsh",
+    (spark, dir) => embedNearDupLsh(Tables.embeddings(spark, dir)),
+    None)
+
   /** SRP-LSH ANN (scale path): 8 tables x 5 md5-derived hyperplanes;
     * vectors bucket by sign bits, candidates collide in >=1 table,
     * rerank exact cosine, keep per-query top-1. Probabilistic recall
@@ -142,51 +223,53 @@ object Similarity {
       // OR measures 0.44 top-1 recall on the test embeddings (6 bits
       // halves pairs again but drops recall to the 0.3 spec floor).
       val nBits = 5
-      // Deterministic hyperplanes: component j of plane (t, p) is an
-      // md5-derived uniform in [-1, 1). The 8x5x64 plane tensor is a
-      // few KB, so it is computed driver-side and inlined as literals:
-      // each vector gets all 32 sign bits in ONE projection — no
-      // crossJoin against a plane table, no 32x row blow-up, no
-      // groupBy shuffle to reassemble buckets (was 9s of the bench).
-      def h60Scala(s: String): Long = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      }
-      val planes = Array.tabulate(nTables, nBits, 64) { (t, p, j) =>
-        h60Scala(s"${t}_${p}_${j}") / math.pow(2, 59) - 1.0
-      }
+      val planes = srpPlanes(nTables, nBits)
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val bucketCols = (0 until nTables).map { t =>
-        val bucket = (0 until nBits).map { p =>
-          val planeDot = dotp(col("vd"), typedLit(planes(t)(p).toSeq))
-          when(planeDot >= 0, lit((1L << p))).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(t).as("t"), bucket.as("bucket"))
-      }
+      // all 8 bucket ids computed once per vector and CARRIED through
+      // the explode: the lower-table buckets let the self-join keep a
+      // colliding pair exactly once (first equal table) — no shuffled
+      // DISTINCT over the candidate set
       val buckets = e
-        .select(col("vec_id"), explode(array(bucketCols: _*)).as("b"))
-        .select(col("vec_id"), col("b.t").as("t"), col("b.bucket").as("bucket"))
-
+        .withColumn("bks", array(srpBucketCols(planes): _*))
+        .select(col("vec_id"), col("bks"),
+          posexplode(col("bks")).as(Seq("t", "bucket")))
+      val firstTable = (0 until nTables).map { j =>
+        when(col("x.t") > j, col("x.bks")(j) =!= col("y.bks")(j))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
       val cand = buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"),
           col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
+        .filter(firstTable)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
-        .distinct()
 
+      // rerank: exact cosine per candidate, then per-query argmax. The
+      // (sim, nn_id) pair is packed into ONE long so the aggregate is a
+      // plain hash-agg max with map-side partials — max_by over a
+      // struct falls back to sort-based aggregation (two extra sorts).
+      // sim is 6dp-rounded -> sim*1e6 is integral in [-1e6, 1e6]; the
+      // packing keeps 42 low bits for the id (tie-break: SMALLEST id
+      // wins, encoded as max of 2^42-1-c_id), exact for ids < 2^42.
+      val idSpace = 1L << 42
       cand
         .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
                        col("nrm").as("qnrm")), "q_id")
         .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
                        col("nrm").as("cnrm")), "c_id")
         .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6))
+        .withColumn("pack",
+          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
+          (lit(idSpace - 1) - col("c_id")))
         .groupBy(col("q_id"))
-        .agg(max_by(struct(col("c_id").as("nn_id"), col("sim")),
-                    struct(col("sim"), -col("c_id"))).as("m"))
-        .select(col("q_id"), col("m.nn_id").as("nn_id"), col("m.sim").as("sim"))
+        .agg(max(col("pack")).as("pack"))
+        .select(col("q_id"),
+          (lit(idSpace - 1) - pmod(col("pack"), lit(idSpace))).as("nn_id"),
+          // shiftright = exact /2^42 (pack >= 0); double division here
+          // would lose the low bits of a ~6e18 pack and skew sim by 1e-6
+          ((shiftright(col("pack"), 42) - 1000000L) / 1e6).as("sim"))
     },
     None)
 
-  def all: Seq[Q] = Seq(cosineTopk, cosineKnn, nearDupPairs, annSrp)
+  def all: Seq[Q] = Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp)
 }

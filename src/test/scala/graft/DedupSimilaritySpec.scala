@@ -49,6 +49,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall collapsed — LSH bucketing broken")
   }
 
+  test("SRP-blocked embed near-dup recovers planted sim≈1 duplicates") {
+    // the raw corpus has no real near-dups (closest same-label pairs
+    // sit at sim ~0.45, where sign buckets carry no signal), so plant
+    // ten: vec_id+100000 is a jittered copy of the original vector —
+    // cosine ~0.9999. The LSH top-10 must be exactly those pairs.
+    val raw = graft.model.Tables.embeddings(spark, sf)
+    val planted = raw.filter(col("vec_id") % 50 === 0).limit(10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x + 0.0005 * (i % 3) AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    val lsh = Similarity.embedNearDupLsh(raw.unionByName(planted), topK = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = raw.filter(col("vec_id") % 50 === 0).limit(10)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).toSet
+    assert(lsh == want, s"planted pairs not recovered: got $lsh want $want")
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val e = graft.model.Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))

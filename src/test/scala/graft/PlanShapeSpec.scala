@@ -57,7 +57,7 @@ class PlanShapeSpec extends SparkSpec {
     val qs = Seq(
       graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.ngramJaccardCapped,
       graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
-      graft.queries.Similarity.annSrp)
+      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh)
     for (q <- qs) {
       val plan = executedPlan(q.fn(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
