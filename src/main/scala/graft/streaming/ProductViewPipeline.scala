@@ -201,8 +201,8 @@ object ProductViewPipeline {
       s"USING PARQUET LOCATION '$parquetDir'")
 
   /** ... and (K6) export over JDBC — replaces the reference's Sqoop
-    * hop (dag_file.py:84-90). Unexercised in tests: no JDBC endpoint
-    * in the zero-egress environment. */
+    * hop (dag_file.py:84-90). JdbcExportSpec round-trips it through
+    * in-process Derby (the embedded JDBC engine Spark ships). */
   def exportJdbc(df: DataFrame, url: String, table: String,
                  properties: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("append").jdbc(url, table, properties)
