@@ -32,6 +32,27 @@ object Similarity {
 
   private def dot(a: String, b: String): Column = dotp(col(a), col(b))
 
+  /** Per-group top-1 via a packed-long max: (sim, id) in one long makes
+    * the argmax a plain hash agg with map-side partials (max_by over a
+    * struct plans as sort-based aggregation — two extra sorts).
+    * sim is 6dp-rounded so sim*1e6 is integral; low 42 bits hold the
+    * id, tie-break = smallest id as max of 2^42-1-id. Decoded sim is
+    * bit-identical to round(.,6): both are the correctly-rounded double
+    * of the same 6dp decimal. Input needs columns (grp, id, sim);
+    * output is (grp, nn_id, sim). */
+  private val idSpace = 1L << 42
+  private def top1Packed(df: DataFrame, grp: String, id: String): DataFrame =
+    df.withColumn("pack",
+        (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
+        (lit(idSpace - 1) - col(id)))
+      .groupBy(col(grp))
+      .agg(max(col("pack")).as("pack"))
+      .select(col(grp),
+        (lit(idSpace - 1) - pmod(col("pack"), lit(idSpace))).as("nn_id"),
+        // shiftright = exact /2^42 (pack >= 0); double division here
+        // would lose the low bits of a ~6e18 pack and skew sim by 1e-6
+        ((shiftright(col("pack"), 42) - 1000000L) / 1e6).as("sim"))
+
   /** DuckDB double-precision sequential dot product over FLOAT[]. */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
@@ -78,27 +99,11 @@ object Similarity {
       val e = emb(spark, dir)
       val queries = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
-      // top-1 via a packed-long max: (sim, vec_id) in one long makes
-      // the argmax a plain hash agg with map-side partials (max_by over
-      // a struct plans as sort-based aggregation — two extra sorts).
-      // sim is 6dp-rounded so sim*1e6 is integral; low 42 bits hold the
-      // id, tie-break = smallest vec_id as max of 2^42-1-id. Decoded
-      // sim is bit-identical to round(.,6): both are the correctly-
-      // rounded double of the same 6dp decimal.
-      val idSpace = 1L << 42
-      e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6))
-        .withColumn("pack",
-          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
-          (lit(idSpace - 1) - col("vec_id")))
-        .groupBy(col("q_id"))
-        .agg(max(col("pack")).as("pack"))
-        .select(col("q_id"),
-          (lit(idSpace - 1) - pmod(col("pack"), lit(idSpace))).as("nn_id"),
-          // shiftright = exact /2^42 (pack >= 0); double division here
-          // would lose the low bits of a ~6e18 pack and skew sim by 1e-6
-          ((shiftright(col("pack"), 42) - 1000000L) / 1e6).as("sim"))
+      top1Packed(
+        e.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6)),
+        "q_id", "vec_id")
     },
     Some(s"""
       SELECT q_id, nn_id, sim FROM (
@@ -244,32 +249,110 @@ object Similarity {
         .filter(firstTable)
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
 
-      // rerank: exact cosine per candidate, then per-query argmax. The
-      // (sim, nn_id) pair is packed into ONE long so the aggregate is a
-      // plain hash-agg max with map-side partials — max_by over a
-      // struct falls back to sort-based aggregation (two extra sorts).
-      // sim is 6dp-rounded -> sim*1e6 is integral in [-1e6, 1e6]; the
-      // packing keeps 42 low bits for the id (tie-break: SMALLEST id
-      // wins, encoded as max of 2^42-1-c_id), exact for ids < 2^42.
-      val idSpace = 1L << 42
-      cand
-        .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
-                       col("nrm").as("qnrm")), "q_id")
-        .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
-                       col("nrm").as("cnrm")), "c_id")
-        .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6))
-        .withColumn("pack",
-          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
-          (lit(idSpace - 1) - col("c_id")))
-        .groupBy(col("q_id"))
-        .agg(max(col("pack")).as("pack"))
-        .select(col("q_id"),
-          (lit(idSpace - 1) - pmod(col("pack"), lit(idSpace))).as("nn_id"),
-          // shiftright = exact /2^42 (pack >= 0); double division here
-          // would lose the low bits of a ~6e18 pack and skew sim by 1e-6
-          ((shiftright(col("pack"), 42) - 1000000L) / 1e6).as("sim"))
+      // rerank: exact cosine per candidate, then per-query packed argmax
+      top1Packed(
+        cand
+          .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                         col("nrm").as("qnrm")), "q_id")
+          .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                         col("nrm").as("cnrm")), "c_id")
+          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+        "q_id", "c_id")
     },
     None)
 
-  def all: Seq[Q] = Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp)
+  // ---------------------------------------------------------------- IVF
+
+  /** Packed (centroid dot, cell) longs for an argmax/top-n over the k
+    * cell centroids of a unit vector column `u`: dot in [-1,1] is
+    * 6dp-scaled into the high bits, cell id inverted in the low byte so
+    * ties break toward the smallest cell. k <= 256. */
+  private def cellPacks(cents: Array[Array[Double]], u: Column): Seq[Column] =
+    cents.toSeq.zipWithIndex.map { case (c, i) =>
+      (round(dotp(u, typedLit(c.toSeq)) * 1e6).cast("long") + 2000000L) * 256L +
+        lit(255L - i)
+    }
+  private def cellOf(pack: Column): Column = lit(255L) - pmod(pack, lit(256L))
+
+  /** Spherical k-means training for the IVF index: seeded from the k
+    * sample vectors with smallest md5(vec_id) (deterministic, spread),
+    * refined by Lloyd iterations where assignment is a literal-inlined
+    * argmax (no join) and the per-cell mean reduces through ONE
+    * shuffle of k x dim partial sums; only the k x dim centroid matrix
+    * (a few KB) ever reaches the driver. The 100 TB recipe: train on
+    * the sample, assign the full corpus in a single distributed pass. */
+  def ivfTrain(e: DataFrame, k: Int, iters: Int, sampleMod: Int): Array[Array[Double]] = {
+    // the sample is scanned once per Lloyd iteration plus once for the
+    // seed: cache it so only the first action pays the parquet scan +
+    // unit-normalize (a k-means sample is sized to fit cluster memory
+    // by construction — that's what sampleMod is for)
+    val sample = e.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+      .persist()
+    try {
+      var cents = sample
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(k)
+        .select("u").collect().map(_.getSeq[Double](0).toArray)
+      val dim = cents(0).length
+      for (_ <- 0 until iters) {
+        val rows = sample
+          .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
+          .select(col("cell"), posexplode(col("u")).as(Seq("j", "x")))
+          .groupBy("cell", "j").agg(sum("x").as("s"))
+          .collect()
+        val sums = Array.ofDim[Double](k, dim)
+        for (r <- rows) sums(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+        cents = Array.tabulate(k) { c =>
+          val n = math.sqrt(sums(c).map(x => x * x).sum)
+          // empty/degenerate cell keeps its previous centroid
+          if (n == 0) cents(c) else sums(c).map(_ / n)
+        }
+      }
+      cents
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** IVF-Flat ANN — the other classic scale path, complementing the
+    * SRP-LSH tables: the corpus is partitioned into k spherical-k-means
+    * cells (the inverted file); each query probes only the nprobe
+    * nearest cells and reranks those candidates exactly. Candidate
+    * volume is ~corpus * nprobe/k per query, and the probe set adapts
+    * to the data distribution — why IVF recall beats SRP at equal
+    * candidate budgets on clustered corpora. Same query subset as
+    * [[cosineKnn]] (vec_id % 10 = 0) so DedupSimilaritySpec can
+    * measure recall against the exact answer. Deterministic (md5
+    * seeding, fixed iteration count) but not SQL-expressible ->
+    * rows-only oracle, like [[annSrp]]. */
+  val annIvf = Q(
+    "q_ann_ivf",
+    (spark, dir) => {
+      val k = 16; val nprobe = 4
+      val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+      val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
+      val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
+      // inverted file: ONE distributed pass assigns every vector a cell
+      val inv = eu
+        .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
+        .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                col("nrm").as("cnrm"), col("cell"))
+      // queries keep their nprobe best cells: sort the k packed longs
+      // descending, slice, decode — all columnar, no per-cell fan-out
+      // until the probe explode itself
+      val probes = eu.filter(col("vec_id") % 10 === 0)
+        .withColumn("pks",
+          slice(reverse(array_sort(array(cellPacks(cents, col("u")): _*))), 1, nprobe))
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                col("nrm").as("qnrm"),
+                explode(expr("transform(pks, p -> 255 - (p % 256))")).as("cell"))
+      top1Packed(
+        probes.join(inv.hint("shuffle_hash"), "cell")
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+        "q_id", "c_id")
+    },
+    None)
+
+  def all: Seq[Q] =
+    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf)
 }

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
     val qs = Seq(
       graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.ngramJaccardCapped,
       graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
-      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh)
+      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh,
+      graft.queries.Similarity.annIvf)
     for (q <- qs) {
       val plan = executedPlan(q.fn(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
