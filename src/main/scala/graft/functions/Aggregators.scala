@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -9,28 +8,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * the legacy UserDefinedAggregateFunction.
   *
   * Semantics are chosen oracle-safe: the per-row discounted price is
-  * rounded to DECIMAL(.,4) exactly like Spark's
-  * `CAST(price * (1.0 - discount) AS DECIMAL(18,4))` (BigDecimal
-  * valueOf + HALF_UP matches Cast's Decimal(double).toPrecision), and
-  * the buffer sums exactly, so merge order cannot change the result —
-  * the property any distributed Aggregator must hold: `merge` runs in
-  * partition-completion order, which is nondeterministic.
+  * converted to integer 1e-4 units exactly like
+  * [[graft.model.Money.cents]] (`floor(price * (1-discount) * 10000 +
+  * 0.5)` — pure IEEE-754 double ops, bit-identical in any engine), and
+  * the buffer sums exact BIGINTs, so merge order cannot change the
+  * result — the property any distributed Aggregator must hold: `merge`
+  * runs in partition-completion order, which is nondeterministic.
   */
 object Aggregators {
 
-  case class RevBuf(sum: JBigDecimal, n: Long)
-  case class RevOut(revenue: JBigDecimal, n_items: Long)
+  case class RevBuf(sum: Long, n: Long)
+  case class RevOut(revenue: Long, n_items: Long)
 
-  /** (extendedprice, discount) -> exact discounted revenue + count. */
+  /** (extendedprice, discount) -> exact discounted revenue in 1e-4
+    * units + count. */
   object DiscountedRevenue extends Aggregator[(Double, Double), RevBuf, RevOut] {
-    private def rowValue(price: Double, discount: Double): JBigDecimal =
-      JBigDecimal.valueOf(price * (1.0 - discount)).setScale(4, RoundingMode.HALF_UP)
+    private def rowUnits(price: Double, discount: Double): Long =
+      math.floor(price * (1.0 - discount) * 10000.0 + 0.5).toLong
 
-    override def zero: RevBuf = RevBuf(JBigDecimal.ZERO, 0L)
+    override def zero: RevBuf = RevBuf(0L, 0L)
     override def reduce(b: RevBuf, in: (Double, Double)): RevBuf =
-      RevBuf(b.sum.add(rowValue(in._1, in._2)), b.n + 1)
+      RevBuf(b.sum + rowUnits(in._1, in._2), b.n + 1)
     override def merge(a: RevBuf, b: RevBuf): RevBuf =
-      RevBuf(a.sum.add(b.sum), a.n + b.n)
+      RevBuf(a.sum + b.sum, a.n + b.n)
     override def finish(b: RevBuf): RevOut = RevOut(b.sum, b.n)
     override def bufferEncoder: Encoder[RevBuf] = Encoders.product[RevBuf]
     override def outputEncoder: Encoder[RevOut] = Encoders.product[RevOut]

@@ -45,3 +45,31 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Representation-proof money arithmetic.
+  *
+  * Engines disagree on DECIMAL *representation* (double→decimal rounding
+  * mode, Arrow decimal emission) across versions even when values agree —
+  * two rounds of oracle hash-compares proved every decimal output column
+  * is a portability hazard while every integer output matched. So money
+  * never leaves a query as DECIMAL: each row is converted to integer
+  * cents with `floor(x * 100 + 0.5)` — three IEEE-754 double ops
+  * (multiply, add, floor) that every engine executes bit-identically —
+  * and aggregated as BIGINT, which is exact and association-order
+  * independent (a distributed sum's partial-merge order is
+  * nondeterministic). 4-decimal products (price * (1 - discount)) use
+  * scale 10000.
+  */
+object Money {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+
+  /** Per-row integer cents (LongType): floor(c * scale + 0.5). */
+  def cents(c: Column, scale: Double = 100.0): Column =
+    floor(c * lit(scale) + lit(0.5))
+
+  /** The DuckDB-side spelling of [[cents]] — the same three double ops,
+    * then an exact BIGINT cast. */
+  def centsSql(expr: String, scale: String = "100.0"): String =
+    s"CAST(floor(($expr) * $scale + 0.5) AS BIGINT)"
+}

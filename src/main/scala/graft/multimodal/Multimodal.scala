@@ -111,10 +111,12 @@ object Multimodal {
         .agg(count(lit(1)).as("n_media"),
              sum(col("n_bytes")).as("sum_bytes"),
              // per-doc double sum is order-fixed (f0+f1+f2+f3 left to
-             // right on both engines); decimal cast before the group
-             // sum keeps the aggregate association-order independent
-             sum((col("f0") + col("f1") + col("f2") + col("f3"))
-               .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("sum_f"))
+             // right on both engines); integer 1e-6 units before the
+             // group sum keep the aggregate association-order
+             // independent and decimal-representation-proof
+             sum(graft.model.Money.cents(
+               col("f0") + col("f1") + col("f2") + col("f3"),
+               1000000.0)).as("sum_f"))
     },
     Some("""
       WITH m AS (
@@ -131,7 +133,7 @@ object Multimodal {
              + list_sum(codes[(3 * n) // 4 + 1 : (4 * n) // 4])::DOUBLE / greatest((4 * n) // 4 - (3 * n) // 4, 1) AS sum_f
         FROM m)
       SELECT fmt, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS sum_bytes,
-             CAST(sum(CAST(sum_f AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_f
+             CAST(sum(CAST(floor((sum_f) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_f
       FROM f
       GROUP BY fmt
     """))

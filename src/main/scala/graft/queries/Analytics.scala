@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.model.{Q, Tables}
+import graft.model.Money.{cents, centsSql}
 
 /** Analytic window functions, multi-dimensional aggregation
   * (rollup/cube/grouping sets) and ordered-frame computations — the
@@ -13,8 +13,9 @@ import graft.model.{Q, Tables}
   *
   * Every ordered window uses a total order (unique tie-break column)
   * so results are deterministic and oracle-comparable; running/moving
-  * aggregates use DECIMAL so partial-order association cannot change
-  * the result.
+  * money aggregates use BIGINT integer cents ([[graft.model.Money]])
+  * so partial-order association and cross-engine decimal
+  * representation cannot change the result.
   */
 object Analytics {
 
@@ -65,7 +66,7 @@ object Analytics {
     """))
 
   /** Per-user running total of event value (cumulative frame), exact
-    * via DECIMAL. */
+    * via BIGINT cents. */
   val runningSum = Q(
     "q_running_sum",
     (spark, dir) => {
@@ -73,14 +74,14 @@ object Analytics {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"),
-          sum(col("value").cast(DecimalType(18, 2))).over(w).as("running_value"))
+          sum(cents(col("value"))).over(w).as("running_value"))
     },
-    Some("""
+    Some(s"""
       SELECT user_id, event_id,
-             CAST(sum(CAST(value AS DECIMAL(18,2)))
+             CAST(sum(${centsSql("value")})
                OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28,2)) AS running_value
+               AS BIGINT) AS running_value
       FROM events
     """))
 
@@ -105,7 +106,7 @@ object Analytics {
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     """))
 
-  /** Moving 3-row sum (sliding frame), exact via DECIMAL. */
+  /** Moving 3-row sum (sliding frame), exact via BIGINT cents. */
   val movingSum = Q(
     "q_moving_sum",
     (spark, dir) => {
@@ -113,14 +114,14 @@ object Analytics {
         .rowsBetween(-2, Window.currentRow)
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"),
-          sum(col("value").cast(DecimalType(18, 2))).over(w).as("moving_sum3"))
+          sum(cents(col("value"))).over(w).as("moving_sum3"))
     },
-    Some("""
+    Some(s"""
       SELECT user_id, event_id,
-             CAST(sum(CAST(value AS DECIMAL(18,2)))
+             CAST(sum(${centsSql("value")})
                OVER (PARTITION BY user_id ORDER BY event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28,2)) AS moving_sum3
+               AS BIGINT) AS moving_sum3
       FROM events
     """))
 
@@ -159,13 +160,13 @@ object Analytics {
           4, Seq(col("o_totalprice"), col("o_orderkey")), tileCol = "quartile")
         .groupBy(col("quartile"))
         .agg(count(lit(1)).as("n_orders"),
-             min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_price"),
-             max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_price"))
+             min(cents(col("o_totalprice"))).as("min_price"),
+             max(cents(col("o_totalprice"))).as("max_price"))
     },
-    Some("""
+    Some(s"""
       SELECT quartile, count(*) AS n_orders,
-             min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-             max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price
+             min(${centsSql("o_totalprice")}) AS min_price,
+             max(${centsSql("o_totalprice")}) AS max_price
       FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
                    o_totalprice
             FROM orders)
@@ -184,12 +185,12 @@ object Analytics {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-             sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"),
+             sum(cents(col("c_acctbal"))).as("sum_bal"),
              grouping_id().as("gid"))
     },
-    Some("""
+    Some(s"""
       SELECT r_name, n_name, count(*) AS n_customers,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
+             CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS sum_bal,
              GROUPING(r_name, n_name) AS gid
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -204,12 +205,12 @@ object Analytics {
       Tables.lineitem(spark, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
-             sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+             sum(cents(col("l_quantity"))).as("sum_qty"),
              grouping_id().as("gid"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
              GROUPING(l_returnflag, l_linestatus) AS gid
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.model.{Q, Tables}
+import graft.model.{Money, Q, Tables}
+import graft.model.Money.{cents, centsSql}
 
 /** Core relational surface: the reference's windowed-count flagship
   * (reference nifi_spark_kafka_product_view_platform_v2.py:62-69)
@@ -11,16 +11,14 @@ import graft.model.{Q, Tables}
   * surface the reference implies (SURVEY.md §2.3, §2.7).
   *
   * Determinism notes for the DuckDB oracle hash-compare:
-  *  - money sums go through `decimal` so they are exact and
-  *    association-order independent (double sums are not);
+  *  - money is emitted as BIGINT integer cents ([[graft.model.Money]]) —
+  *    exact, association-order independent, and free of the cross-engine
+  *    DECIMAL representation divergence that plagued decimal outputs;
   *  - raw event timestamps are nanosecond parquet; oracles CAST to
   *    microsecond TIMESTAMP to match Spark's TimestampType;
   *  - every top-k has a total tie-break order.
   */
 object Relational {
-
-  private def dec(c: String, p: Int = 18, s: Int = 2) =
-    col(c).cast(DecimalType(p, s))
 
   /** Flagship (reference v2:62-69): events per platform source per
     * 5-minute tumbling window, descending. Exercises P4 P6 A1 W2 O1. */
@@ -72,7 +70,8 @@ object Relational {
     """))
 
   /** TPC-H Q1-shaped pricing summary: filter + multi-agg with exact
-    * decimal arithmetic; partial aggregation map-side, 2-col scan. */
+    * integer-cents arithmetic; partial aggregation map-side, 2-col scan.
+    * Money columns are BIGINT cents (disc price: 1e-4 units). */
   val pricingSummary = Q(
     "q_pricing_summary",
     (spark, dir) => {
@@ -80,18 +79,18 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec("l_quantity")).as("sum_qty"),
-          sum(dec("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+            10000.0)).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+             CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -131,13 +130,13 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 4))).as("revenue"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+            10000.0)).as("revenue"),
           count(lit(1)).as("n_items"))
     },
-    Some("""
+    Some(s"""
       SELECT r_name, n_name,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -156,12 +155,12 @@ object Relational {
       val p  = Tables.part(spark, dir)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(dec("l_quantity")).as("sum_qty"),
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty"),
              count(lit(1)).as("n_items"))
     },
-    Some("""
+    Some(s"""
       SELECT p_brand,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
              count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -272,7 +271,7 @@ object Relational {
     },
     None)
 
-  /** Global top-k with total tie-break order. */
+  /** Global top-k with total tie-break order; price in BIGINT cents. */
   val topkOrders = Q(
     "q_topk_orders",
     (spark, dir) => {
@@ -280,11 +279,11 @@ object Relational {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"),
-                dec("o_totalprice").as("total_price"))
+                cents(col("o_totalprice")).as("total_price"))
     },
-    Some("""
+    Some(s"""
       SELECT o_orderkey, o_custkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+             ${centsSql("o_totalprice")} AS total_price
       FROM orders
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 10
@@ -319,12 +318,12 @@ object Relational {
       Tables.orders(spark, dir)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
-             sum(dec("o_totalprice")).as("sum_price"))
+             sum(cents(col("o_totalprice"))).as("sum_price"))
     },
-    Some("""
+    Some(s"""
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              count(*) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+             CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_price
       FROM orders
       GROUP BY 1
     """))
@@ -420,24 +419,24 @@ object Relational {
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 4)).as("rev"))
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+            10000.0).as("rev"))
       val s = Tables.supplier(spark, dir)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
       graft.operators.SaltedJoin.inner(li, s, "l_suppkey", salts = 8)
         .groupBy(col("s_nationkey"))
         .agg(sum(col("rev")).as("revenue"))
     },
-    Some("""
+    Some(s"""
       SELECT s_nationkey,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1
     """))
 
   /** Typed-Aggregator UDAF (graft.functions.Aggregators): discounted
     * revenue per return flag through `functions.udaf`, oracled against
-    * the equivalent built-in decimal aggregation. */
+    * the equivalent built-in integer-cents aggregation. */
   val udafRevenue = Q(
     "q_udaf_revenue",
     (spark, dir) => {
@@ -446,12 +445,12 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(rev(col("l_extendedprice"), col("l_discount")).as("r"))
         .select(col("l_returnflag"),
-                col("r.revenue").cast(DecimalType(18, 4)).as("revenue"),
+                col("r.revenue").as("revenue"),
                 col("r.n_items").as("n_items"))
     },
-    Some("""
+    Some(s"""
       SELECT l_returnflag,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS revenue,
              count(*) AS n_items
       FROM lineitem
       GROUP BY l_returnflag
