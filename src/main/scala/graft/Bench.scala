@@ -29,6 +29,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // isolate queries: a leftover cached block or shuffle state from a
+      // previous query must not tax this one's GC (round-2 bench showed a
+      // contiguous slowdown cluster downstream of a cache-heavy query)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -55,7 +59,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // mark partial runs: a SPARK_GRAFT_BENCH_ONLY subset total must not
+    // be mistaken for a full-suite benchmark
+    val onlyMark = if (only.isDefined) s""","only":${results.size}""" else ""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$onlyMark}"""
     println(line)
     // Belt and braces: also persist to a file in case the launcher's
     // stdout is wrapped by a build-tool logger the parser trips on.

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -13,11 +13,22 @@ object Verify {
     * compare. Session tz is UTC, so the ntz cast is value-identity;
     * applied here once instead of in every query so the engine-side
     * plans keep real (instant-semantics) timestamps. */
+  /** TimestampType -> TimestampNTZType at ANY nesting depth (a window
+    * struct's start/end would otherwise keep the tz'd Arrow type). */
+  private def ntz(dt: DataType): DataType = dt match {
+    case TimestampType => TimestampNTZType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = ntz(f.dataType))))
+    case a: ArrayType  => a.copy(elementType = ntz(a.elementType))
+    case m: MapType    => m.copy(keyType = ntz(m.keyType), valueType = ntz(m.valueType))
+    case other         => other
+  }
+
   private[graft] def tzNormalize(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      if (f.dataType == TimestampType)
-        col(f.name).cast("timestamp_ntz").as(f.name)
-      else col(f.name)
+      val target = ntz(f.dataType)
+      if (target == f.dataType) col(f.name)
+      else col(f.name).cast(target).as(f.name)
     }
     df.select(cols.toSeq: _*)
   }

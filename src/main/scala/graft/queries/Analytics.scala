@@ -261,22 +261,37 @@ object Analytics {
   /** approx_percentile — the 100 TB path for [[percentiles]]: exact
     * `percentile` buffers every group value in one aggregation buffer
     * (OOM on a billion-row group); the Greenwald-Khanna sketch is
-    * bounded-memory and mergeable across partitions. Sketch semantics
-    * differ from DuckDB's, so no SQL oracle (rows-only check);
-    * AnalyticsSpec asserts each approx value within the sketch's rank
-    * tolerance of the exact percentile. */
+    * bounded-memory and mergeable across partitions. Sketch values
+    * differ from DuckDB's sketch, so the oracle-checkable surface is
+    * the sketch's accuracy CONTRACT: with accuracy=1000 each approx
+    * quantile's rank error is <= 1/1000, so its value must lie between
+    * the exact quantiles at p -+ 0.005 (5x margin). The sketch is
+    * deterministic, so each bound check is a stable boolean the driver
+    * hash-compares against literal `true` — a sketch regression flips
+    * it and fails the gate. AnalyticsSpec asserts the tighter relative
+    * bound on the values themselves. */
   val approxPercentiles = Q(
     "q_approx_percentiles",
     (spark, dir) => {
-      Tables.orders(spark, dir)
+      val ps = Seq(0.25, 0.50, 0.75, 0.95)
+      val eps = 0.005
+      val agg = Tables.orders(spark, dir)
         .groupBy(col("o_orderstatus"))
         .agg(
-          expr("approx_percentile(o_totalprice, 0.25, 1000)").as("p25"),
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(o_totalprice, 0.75, 1000)").as("p75"),
-          expr("approx_percentile(o_totalprice, 0.95, 1000)").as("p95"))
+          expr(s"approx_percentile(o_totalprice, array(${ps.mkString(",")}), 1000)").as("ap"),
+          expr(s"percentile(o_totalprice, array(${ps.map(_ - eps).mkString(",")}))").as("lo"),
+          expr(s"percentile(o_totalprice, array(${ps.map(_ + eps).mkString(",")}))").as("hi"))
+      val oks = ps.indices.map(i =>
+        (col("ap")(i) >= col("lo")(i) && col("ap")(i) <= col("hi")(i))
+          .as(s"p${(ps(i) * 100).toInt}_ok"))
+      agg.select(col("o_orderstatus") +: oks: _*)
     },
-    None)
+    Some("""
+      SELECT o_orderstatus, true AS p25_ok, true AS p50_ok,
+             true AS p75_ok, true AS p95_ok
+      FROM orders
+      GROUP BY o_orderstatus
+    """))
 
   /** Pivot: order counts per month wide by status (fixed value list
     * for deterministic columns; oracle = conditional aggregation). */

@@ -71,6 +71,23 @@ object Dedup {
     * The join key is the 60-bit shingle hash, not the shingle string —
     * an 8-byte shuffle key instead of a ~20-byte UTF8 one, and a long
     * equality in the sort-merge instead of a byte-wise compare. */
+  /** The exact j >= 0.5 pair set, as DuckDB SQL — the oracle for BOTH
+    * the inverted-index query and the MinHash-LSH query (banding with
+    * these parameters recovers every j >= 0.5 pair on the test corpora;
+    * P[miss] = (1-j^2)^8 is its documented tail). */
+  private val exactJaccardSql = s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p
+      WHERE round(shared / (na + nb - shared), 6) >= 0.5
+    """
+
   val ngramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
@@ -90,18 +107,7 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
-    Some(s"""
-      WITH $shingleCte,
-      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-      SELECT doc_a, doc_b,
-             round(shared / (na + nb - shared), 6) AS jaccard
-      FROM p
-      WHERE round(shared / (na + nb - shared), 6) >= 0.5
-    """))
+    Some(exactJaccardSql))
 
   /** Doc-frequency-capped Jaccard — THE posting-list lever at 100 TB
     * (promised in this file's scaladoc, exercised here): a shingle
@@ -181,9 +187,12 @@ object Dedup {
 
   /** MinHash-LSH near-dup detection: k=16 signature, 8 bands of r=2;
     * candidate pairs collide on a band bucket, then exact Jaccard
-    * verification (j >= 0.5). Probabilistic recall (P[miss] =
-    * (1-j^2)^8, ~1e-6 at j=0.9) -> no SQL oracle; DedupSpec asserts
-    * it finds exactly the pairs the exact query finds. */
+    * verification (j >= 0.5). Oracle = the exact j >= 0.5 pair set
+    * ([[exactJaccardSql]]): banding is deterministic (md5-derived
+    * hashes, no RNG) and recovers every exact pair on the test corpora
+    * — parity also locked by DedupSimilaritySpec. P[miss] = (1-j^2)^8
+    * (~1e-6 at j=0.9, ~10% right at the j=0.5 boundary) is the
+    * documented recall tail a production corpus would see. */
   val minhashLsh = Q(
     "q_dedup_minhash_lsh",
     (spark, dir) => {
@@ -215,7 +224,7 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
-    None)
+    Some(exactJaccardSql))
 
   private def simhashBits(bits: Int): Column = {
     // bit i of the simhash = sign of sum over tokens of (+-1 per token-hash bit)

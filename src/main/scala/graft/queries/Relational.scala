@@ -258,9 +258,13 @@ object Relational {
       GROUP BY event_type
     """))
 
-  /** approx_count_distinct (A2 as imported in the reference) — HLL++
-    * differs from DuckDB's sketch, so no SQL oracle (rows-only check);
-    * accuracy asserted in ScalaTest against the exact count. */
+  /** approx_count_distinct (A2 as imported in the reference). HLL++
+    * sketch values differ from DuckDB's sketch, so the oracle-checkable
+    * surface is the exact count plus a 3-sigma accuracy bound: the
+    * sketch is deterministic, so `approx_ok` (|approx-exact| within
+    * 3*rsd, floor 3) is a stable boolean the driver hash-compares
+    * against literal `true` — a sketch regression flips it and fails
+    * the gate. Same bound as RelationalSpec's assertion. */
   val approxDistinct = Q(
     "q_approx_distinct_users",
     (spark, dir) => {
@@ -268,8 +272,16 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
              countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            greatest(lit(3.0), col("exact_users") * 0.06)).as("approx_ok"))
     },
-    None)
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             true AS approx_ok
+      FROM events
+      GROUP BY event_type
+    """))
 
   /** Global top-k with total tie-break order; price in BIGINT cents. */
   val topkOrders = Q(

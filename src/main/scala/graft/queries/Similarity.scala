@@ -43,8 +43,14 @@ object Similarity {
   private val idSpace = 1L << 42
   private def top1Packed(df: DataFrame, grp: String, id: String): DataFrame =
     df.withColumn("pack",
-        (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
-        (lit(idSpace - 1) - col(id)))
+        // loud guard instead of silent wrap: an id outside [0, 2^42) would
+        // corrupt the packed argmax (nn_id aliases another vector); the
+        // branch is codegen'd and costs one comparison per row
+        when(col(id) >= 0 && col(id) < idSpace,
+          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
+          (lit(idSpace - 1) - col(id)))
+        .otherwise(raise_error(concat(
+          lit(s"top1Packed: id out of [0, $idSpace): "), col(id).cast("string")))))
       .groupBy(col(grp))
       .agg(max(col("pack")).as("pack"))
       .select(col(grp),
@@ -62,6 +68,24 @@ object Similarity {
     s"""sqrt(list_reduce(list_transform(range(1, len($a) + 1),
                                         i -> $a[i]::DOUBLE * $a[i]::DOUBLE),
                          (x, y) -> x + y))"""
+
+  /** DuckDB replica of one [[srpPlanes]] hyperplane dot product: plane
+    * component (t, p, j) is the identical md5-derived uniform in
+    * [-1, 1) (60-bit hex prefix / 2^59 - 1), and the fold order matches
+    * the codegen'd [[graft.functions.DotProduct]], so the sign — hence
+    * the bucket — is bit-identical. This makes the SRP queries fully
+    * SQL-oracle-able despite being "probabilistic": the randomness is
+    * all derived from md5, which both engines compute exactly. */
+  private def planeDotSql(emb: String, t: Int, p: Int): String =
+    s"""list_reduce(list_transform(range(1, len($emb) + 1),
+          j -> $emb[j]::DOUBLE * (CAST('0x' || substr(md5('${t}_${p}_' || CAST(j - 1 AS VARCHAR)), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)),
+        (x, y) -> x + y)"""
+
+  /** DuckDB replica of one table's [[srpBucketCols]] sign-bit bucket. */
+  private def srpBucketSql(emb: String, t: Int, nBits: Int): String =
+    (0 until nBits).map(p =>
+      s"(CASE WHEN ${planeDotSql(emb, t, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
 
   /** Brute-force cosine top-10 for one query vector (vec_id = 0). */
   val cosineTopk = Q(
@@ -185,7 +209,9 @@ object Similarity {
     * is ~63° and bucket collisions carry no signal, which is exactly
     * why the LSH path targets dedup (sim -> 1), not mid-similarity
     * retrieval. DedupSimilaritySpec plants sim≈1 duplicates and
-    * asserts full recovery; probabilistic recall -> no SQL oracle. */
+    * asserts full recovery; the SQL oracle replicates the md5-derived
+    * buckets exactly ([[planeDotSql]]), so the driver hash-compares
+    * the full pipeline. */
   def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20): DataFrame = {
     val planes = srpPlanes(nTables = 4, nBits = 8)
     val e = embFrom(rawEmbeddings)
@@ -212,21 +238,39 @@ object Similarity {
   val nearDupPairsLsh = Q(
     "q_embed_neardup_lsh",
     (spark, dir) => embedNearDupLsh(Tables.embeddings(spark, dir)),
-    None)
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id, label, embedding,
+               ${(0 until 4).map(t => s"${srpBucketSql("embedding", t, 8)} AS b$t").mkString(",\n               ")}
+        FROM embeddings)
+      SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
+             round(${dotSql("x.embedding", "y.embedding")}
+                   / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim
+      FROM bk x JOIN bk y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+       AND (${(0 until 4).map(t => s"x.b$t = y.b$t").mkString(" OR ")})
+      ORDER BY sim DESC, id_a, id_b
+      LIMIT 20
+    """))
 
-  /** SRP-LSH ANN (scale path): 8 tables x 5 md5-derived hyperplanes;
+  /** SRP-LSH ANN (scale path): 12 tables x 5 md5-derived hyperplanes;
     * vectors bucket by sign bits, candidates collide in >=1 table,
-    * rerank exact cosine, keep per-query top-1. Probabilistic recall
-    * -> no SQL oracle; SimilaritySpec measures recall vs q_cosine_knn.
+    * rerank exact cosine, keep per-query top-1. The SQL oracle
+    * replicates the md5-derived buckets exactly ([[planeDotSql]]) —
+    * deterministic "randomness" makes even the LSH plan
+    * hash-comparable; DedupSimilaritySpec additionally measures recall
+    * vs the exact q_cosine_knn (0.60 at sf0.001, floor 0.5).
     */
   val annSrp = Q(
     "q_ann_srp",
     (spark, dir) => {
-      val nTables = 8
+      val nTables = 12
       // 5 sign bits per table = 32 buckets: ~2x fewer candidate pairs
-      // than 4 bits at sf0.1 (the rerank is the cost center); 8-table
-      // OR measures 0.44 top-1 recall on the test embeddings (6 bits
-      // halves pairs again but drops recall to the 0.3 spec floor).
+      // than 4 bits at sf0.1 (the rerank is the cost center). Recall
+      // 1-(1-p5)^T: 8 tables measured 0.44 top-1 recall, 12 tables
+      // lift it to ~0.58 predicted / measured ~0.55 — above the 0.5
+      // spec floor — for ~1.5x the candidate budget (6 bits would halve
+      // pairs again but drops recall to ~0.3).
       val nBits = 5
       val planes = srpPlanes(nTables, nBits)
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
@@ -259,7 +303,25 @@ object Similarity {
           .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
         "q_id", "c_id")
     },
-    None)
+    Some(s"""
+      WITH bk AS (
+        SELECT vec_id, embedding,
+               ${(0 until 12).map(t => s"${srpBucketSql("embedding", t, 5)} AS b$t").mkString(",\n               ")}
+        FROM embeddings),
+      cand AS (
+        SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+               round(${dotSql("x.embedding", "y.embedding")}
+                     / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim
+        FROM bk x JOIN bk y
+          ON x.vec_id <> y.vec_id
+         AND (${(0 until 12).map(t => s"x.b$t = y.b$t").mkString(" OR ")}))
+      SELECT q_id, c_id AS nn_id, sim FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, c_id) AS rn
+        FROM cand)
+      WHERE rn = 1
+    """))
 
   // ---------------------------------------------------------------- IVF
 
@@ -267,11 +329,14 @@ object Similarity {
     * cell centroids of a unit vector column `u`: dot in [-1,1] is
     * 6dp-scaled into the high bits, cell id inverted in the low byte so
     * ties break toward the smallest cell. k <= 256. */
-  private def cellPacks(cents: Array[Array[Double]], u: Column): Seq[Column] =
+  private def cellPacks(cents: Array[Array[Double]], u: Column): Seq[Column] = {
+    require(cents.length <= 256,
+      s"cellPacks packs the cell id into 8 bits: k=${cents.length} > 256")
     cents.toSeq.zipWithIndex.map { case (c, i) =>
       (round(dotp(u, typedLit(c.toSeq)) * 1e6).cast("long") + 2000000L) * 256L +
         lit(255L - i)
     }
+  }
   private def cellOf(pack: Column): Column = lit(255L) - pmod(pack, lit(256L))
 
   /** Spherical k-means training for the IVF index: seeded from the k
@@ -310,7 +375,10 @@ object Similarity {
         }
       }
       cents
-    } finally sample.unpersist(blocking = false)
+    // blocking: the async release (blocking=false) let this sample's
+    // storage memory linger into the NEXT bench queries — measured as a
+    // contiguous GC-pressure slowdown cluster in round 2
+    } finally sample.unpersist(blocking = true)
   }
 
   /** IVF-Flat ANN — the other classic scale path, complementing the
@@ -353,6 +421,33 @@ object Similarity {
     },
     None)
 
+  /** IVF accuracy contract as a driver-checkable query: unlike the SRP
+    * family, the Lloyd-iteration training loop is not SQL-expressible,
+    * so the oracle-checkable surface is a recall floor against the
+    * exact kNN computed in the same query. Everything is deterministic
+    * (md5 seeding, fixed iterations), so `recall_ok` is a stable
+    * boolean: an index regression flips it and fails the driver gate.
+    * Floor 0.4 sits below the measured 0.48 (sf0.001) / 0.76 (sf0.01).
+    */
+  val annIvfCheck = Q(
+    "q_ann_ivf_check",
+    (spark, dir) => {
+      val exact = cosineKnn.fn(spark, dir)
+        .select(col("q_id"), col("nn_id").as("exact_nn"))
+      val ivf = annIvf.fn(spark, dir)
+        .select(col("q_id"), col("nn_id").as("ivf_nn"))
+      exact.join(ivf, Seq("q_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)) >=
+            count(lit(1)) * 0.4).as("recall_ok"))
+    },
+    Some("""
+      SELECT count(*) AS n_queries, true AS recall_ok
+      FROM embeddings
+      WHERE vec_id % 10 = 0
+    """))
+
   def all: Seq[Q] =
-    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf)
+    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp,
+        annIvf, annIvfCheck)
 }

@@ -53,7 +53,8 @@ object Stateful {
             var cur = state.getOption
             for (e <- events.toSeq.sortBy(_.timestamp.getTime)) {
               cur match {
-                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs =>
+                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs
+                    && s.start.getTime - e.timestamp.getTime <= gapMs =>
                   // monotonic bounds: a cross-batch out-of-order event
                   // older than the session's lastTs (negative gap) must
                   // extend the session backwards, never move lastTs
@@ -61,6 +62,12 @@ object Stateful {
                   val last = if (e.timestamp.after(s.lastTs)) e.timestamp else s.lastTs
                   val first = if (e.timestamp.before(s.start)) e.timestamp else s.start
                   cur = Some(SessionState(first, last, s.nEvents + 1))
+                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs =>
+                  // late straggler above the watermark but gap-separated
+                  // BEFORE the session start: it belongs to an earlier,
+                  // already-closed session. Emit it as its own session
+                  // instead of fusing two gap-separated sessions.
+                  out += UserSession(userid, e.timestamp, e.timestamp, 1L, 0L)
                 case Some(s) => // in-batch gap: close the old session now
                   out += fin(userid, s)
                   cur = Some(SessionState(e.timestamp, e.timestamp, 1L))

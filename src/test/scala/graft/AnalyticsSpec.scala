@@ -11,10 +11,17 @@ class AnalyticsSpec extends SparkSpec {
     // to a small relative value error. Assert each approx quantile is
     // within 2% of the exact interpolated one — loose enough for the
     // sketch, tight enough to catch a broken percentile definition.
+    // (The query itself now emits the rank-bound booleans the driver
+    // oracles; this test re-derives the raw values for the tighter
+    // relative-error assertion.)
     val exact = Analytics.percentiles.fn(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = Analytics.approxPercentiles.fn(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95), 1000)").as("ap"))
+      .collect().map { r =>
+        val a = r.getSeq[Double](1); r.getString(0) -> (a(0), a(1), a(2), a(3))
+      }.toMap
     assert(exact.keySet == approx.keySet)
     for (k <- exact.keySet) {
       val (e, a) = (exact(k), approx(k))
@@ -24,6 +31,11 @@ class AnalyticsSpec extends SparkSpec {
         val rel = math.abs(av - ev) / math.max(math.abs(ev), 1e-9)
         assert(rel <= 0.02, s"$k/$name: approx $av vs exact $ev (rel err $rel)")
       }
+    }
+    // and the driver-facing bound booleans must all be true
+    val oks = Analytics.approxPercentiles.fn(spark, sf).collect()
+    oks.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getBoolean(i), s"bound check $i false for ${r.getString(0)}"))
     }
   }
 

@@ -40,6 +40,19 @@ def main():
         if not files:
             print(f"[FAIL] {name}: no result parquet"); n_fail += 1; continue
         spark_tbl = pq.read_table(files)
+        # Regression guard (round-3 convention): NO query may emit a
+        # decimal column. Decimal representation diverges across engine
+        # versions (double->decimal rounding, Arrow decimal emission) —
+        # the entire round-2 red set was decimal-typed outputs that were
+        # value-correct locally. Money must be BIGINT integer cents
+        # (graft.model.Money).
+        import pyarrow.types as patypes
+        dec_cols = [f.name for f in spark_tbl.schema
+                    if patypes.is_decimal(f.type)]
+        if dec_cols:
+            print(f"[FAIL] {name}: decimal-typed output columns {dec_cols} "
+                  "(emit BIGINT integer cents instead — see graft.model.Money)")
+            n_fail += 1; continue
         if name not in oracles:
             print(f"[rows-only] {name}: {spark_tbl.num_rows} rows")
             n_noracle += 1
