@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label
+  * propagation — the step that turns a near-duplicate PAIR list into
+  * duplicate CLUSTERS (and thus a canonical-document assignment), the
+  * standard tail of a dedup pipeline: pairs only say "a~b"; keeping
+  * one representative per transitive group needs the component.
+  *
+  * Algorithm: every node starts labeled with its own id; each round a
+  * node takes the min of its label and its neighbors' labels; at
+  * fixpoint the label is the component's min id (the canonical doc).
+  *
+  * Scale design (the 100 TB lens):
+  *  - each round is ONE hash-shuffle (join edges->labels on id) plus a
+  *    min-aggregate with map-side partial min — no all-pairs anything;
+  *  - rounds = graph diameter. Near-dup graphs are overwhelmingly
+  *    tiny star/chain clusters (diameter 2-4), so the loop exits after
+  *    a handful of rounds; for adversarial long chains the classic
+  *    large-star/small-star (pointer-doubling) variant drops rounds to
+  *    O(log n) — documented here as the escalation path, not needed
+  *    for dedup workloads;
+  *  - each round's label table is `localCheckpoint`ed: iterative
+  *    lineage otherwise DOUBLES per round (the next plan references
+  *    the previous twice — union + propagation join) and the plan tree
+  *    goes exponential — observed as a driver OOM just rendering the
+  *    explain string at diameter 15. Checkpointing truncates lineage
+  *    to the materialized blocks, keeping plan size constant per
+  *    round. A production cluster job would use `checkpoint()` with a
+  *    reliable checkpoint dir instead (localCheckpoint trades executor
+  *    -loss fault-tolerance for speed); the previous round's blocks
+  *    are freed after the convergence count materializes;
+  *  - convergence is a count action per round (driver sees one Long —
+  *    no data is collected).
+  */
+object ConnectedComponents {
+
+  /** Labels every node of the undirected edge list with its component's
+    * min node id. Output columns: (id, lbl). */
+  def minLabel(edges: DataFrame, src: String, dst: String,
+               maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("lbl"))
+      // eager localCheckpoint materializes `next` and cuts its lineage
+      val next = labels.select(col("id"), col("lbl")).union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels.unpersist(blocking = true)
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

@@ -313,7 +313,44 @@ object Dedup {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """))
 
+  /** Dedup clustering: near-dup PAIRS -> duplicate CLUSTERS via
+    * distributed min-label connected components
+    * ([[graft.operators.ConnectedComponents]]) — the canonical-doc
+    * assignment a real dedup pipeline ends with (keep min doc_id per
+    * transitive group, drop the rest). Oracle: recursive CTE computing
+    * the same transitive min over the same exact-Jaccard edge set.
+    * (The operator's result stays persisted from its internal loop;
+    * callers running query batteries clear cache between queries.) */
+  val dedupClusters = Q(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+      pairs AS (SELECT doc_a, doc_b FROM p
+                WHERE round(shared / (na + nb - shared), 6) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs),
+      reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+      SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
+      FROM reach
+      GROUP BY id
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
-    simhash, simhashPairs)
+    simhash, simhashPairs, dedupClusters)
 }

@@ -186,7 +186,42 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Deterministic stratified sampling / dataset mixing — the step
+    * that assembles a training mixture from heterogeneous corpora:
+    * each language stratum gets a target sampling rate (a mixture
+    * weight), and membership is decided by a seeded content-free hash
+    * of the document id, NOT rand(): the sample is exactly
+    * reproducible across runs, engines, partitionings and retries
+    * (critical for data lineage and ablations), and at 100 TB it is a
+    * pure map-side filter — zero shuffle until the final tiny
+    * per-stratum count. Changing the seed string draws an independent
+    * sample; rates are per-mille for integer exactness. */
+  val datasetMix = Q(
+    "q_dataset_mix",
+    (spark, dir) => {
+      // mixture weights (per-mille): upsample en, downsample the rest
+      val rate = when(col("lang") === "en", 800)
+        .when(col("lang") === "zh", 500)
+        .otherwise(250)
+      Tables.documents(spark, dir)
+        .withColumn("keep",
+          pmod(h60(concat(lit("mix1_"), col("doc_id").cast("string"))), lit(1000L)) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN ${h60Sql("'mix1_' || CAST(doc_id AS VARCHAR)")} % 1000
+                           < (CASE WHEN lang = 'en' THEN 800
+                                   WHEN lang = 'zh' THEN 500
+                                   ELSE 250 END)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM documents
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens)
+    regexTokens, datasetMix)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = pairs.toDF("src", "dst")
+    ConnectedComponents.minLabel(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains, stars and singletons-in-pairs resolve to the component min") {
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+                        (10L, 12L), (13L, 10L), (21L, 20L)))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long chain converges within the iteration cap") {
+    // diameter 15: min-label needs ~15 rounds, below the default cap
+    val labels = cc((0L until 15L).map(i => (i, i + 1)))
+    assert(labels.values.toSet == Set(0L))
+    assert(labels.size == 16)
+  }
+
+  test("dedup clusters: every doc maps to a canon_id <= doc_id within its pair set") {
+    val out = graft.queries.Dedup.dedupClusters.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    assert(out.forall { case (doc, canon) => canon <= doc })
+    // canonical docs label themselves
+    val byId = out.toMap
+    val canons = out.map(_._2).toSet
+    assert(canons.forall(c => byId(c) == c))
+  }
+}
