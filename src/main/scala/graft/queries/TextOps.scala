@@ -221,7 +221,85 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Sequence-packing layout (concat-and-chunk): pretraining packs a
+    * corpus by concatenating all tokens in a fixed document order and
+    * chunking into context-length sequences. Per language this emits
+    * the layout stats a data loader needs: total tokens, number of
+    * 2048-token chunks, and how many documents straddle a chunk
+    * boundary (straddlers lose attention locality — a packing-quality
+    * metric). The per-document start offset is a GLOBAL prefix sum in
+    * (lang, doc_id) order, computed by the distributed
+    * [[graft.operators.PrefixSum]] — NOT a per-lang window, which
+    * would funnel each language's entire corpus through one partition.
+    * Each language's own offset base is its minimum global prefix
+    * (5 rows, broadcast back). */
+  val packChunks = Q(
+    "q_pack_chunks",
+    (spark, dir) => {
+      val C = 2048L
+      val toks = Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val pfx = graft.operators.PrefixSum.exclusive(
+        toks, Seq(col("lang"), col("doc_id")), "n_tokens", "gpfx")
+      val langStart = pfx.groupBy(col("lang"))
+        .agg(min(col("gpfx")).as("lang_start"))
+      pfx.join(broadcast(langStart), "lang")
+        .withColumn("before", col("gpfx") - col("lang_start"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+             sum(when(expr(s"before div $C") < expr(s"(before + n_tokens - 1) div $C"), 1L)
+               .otherwise(0L)).as("n_straddlers"))
+        .select(col("lang"), col("total_tokens"),
+          expr(s"(total_tokens + ${C - 1}) div $C").as("n_chunks"),
+          col("n_straddlers"))
+    },
+    Some("""
+      WITH d AS (SELECT lang, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT lang, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM d)
+      SELECT lang,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN before // 2048 < (before + n_tokens - 1) // 2048
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      FROM c
+      GROUP BY lang
+    """))
+
+  /** Corpus vocabulary statistics per language: vocabulary size, hapax
+    * legomena (frequency-1 tokens — the long tail a tokenizer/filter
+    * pipeline cares about) and the modal token frequency. Two
+    * shuffles, both with map-side partial aggregation: (lang, token)
+    * counts, then per-lang rollup. */
+  val vocabStats = Q(
+    "q_vocab_stats",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab_size"),
+             sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+             max(col("freq")).as("max_freq"))
+    },
+    Some("""
+      SELECT lang, count(*) AS vocab_size,
+             CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             max(freq) AS max_freq
+      FROM (SELECT lang, tok, count(*) AS freq
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY lang, tok)
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens, datasetMix)
+    regexTokens, datasetMix, packChunks, vocabStats)
 }
