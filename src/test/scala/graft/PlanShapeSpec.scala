@@ -65,4 +65,18 @@ class PlanShapeSpec extends SparkSpec {
         s"${q.name} plans an all-pairs join:\n$plan")
     }
   }
+
+  test("dataset mixing is a pure map-side filter: no join, one aggregation shuffle") {
+    val plan = executedPlan(graft.queries.TextOps.datasetMix.fn(spark, sf))
+    assert(!plan.contains("Join"), s"mix sampled via a join:\n$plan")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly the final agg exchange, got $n:\n$plan")
+  }
+
+  test("vocab stats aggregates partially at both levels") {
+    val plan = executedPlan(graft.queries.TextOps.vocabStats.fn(spark, sf))
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 4, s"expected partial+final at token and lang levels:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
