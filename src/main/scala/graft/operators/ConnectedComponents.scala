@@ -41,8 +41,14 @@ object ConnectedComponents {
     * min node id. Output columns: (id, lbl). */
   def minLabel(edges: DataFrame, src: String, dst: String,
                maxIters: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `sym` is referenced twice per
+    // round (propagation join + convergence count), so an unmaterialized
+    // upstream pipeline (e.g. the full Jaccard candidate generation)
+    // would re-execute 2x per round — measured 7.7s -> ~2.8s on
+    // q_dedup_clusters at sf0.1
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
