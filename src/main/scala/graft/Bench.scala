@@ -31,8 +31,11 @@ object Bench {
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // isolate queries: a leftover cached block or shuffle state from a
       // previous query must not tax this one's GC (round-2 bench showed a
-      // contiguous slowdown cluster downstream of a cache-heavy query)
+      // contiguous slowdown cluster downstream of a cache-heavy query);
+      // the GC hint runs in the UNtimed region so a predecessor's garbage
+      // is collected before the clock starts, not during the query
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -95,6 +95,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Money.cents matches BigDecimal HALF_UP at 2dp and is engine-order independent") {
+    // the integer-cents convention every money output relies on:
+    // floor(x*100 + 0.5) must equal the half-up rounding of the decimal
+    // value x represents, for the money magnitudes in the testdata
+    val moneyGen = for {
+      units <- Gen.choose(-99999L, 999999L)
+      hundredths <- Gen.choose(0L, 99L)
+    } yield units + hundredths / 100.0
+    forAll(Gen.nonEmptyListOf(moneyGen), n = 10) { xs =>
+      val df = xs.toDF("x")
+      val got = df.select(graft.model.Money.cents(col("x")).as("c"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = xs.map(x =>
+        java.math.BigDecimal.valueOf(x)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact())
+      assert(got == want, s"cents mismatch for $xs")
+      // association-order independence of the BIGINT sum
+      val s1 = df.repartition(7).select(sum(graft.model.Money.cents(col("x"))))
+        .head.getLong(0)
+      assert(s1 == want.sum)
+    }
+  }
+
   test("dropDuplicates is idempotent and bounded by distinct key count") {
     forAll(Gen.nonEmptyListOf(Gen.choose(1, 50))) { ids =>
       val df = ids.map(i => (i, s"payload-$i")).toDF("id", "payload")
