@@ -100,5 +100,34 @@ object TemporalOps {
       GROUP BY 1, 2, 3
     """))
 
-  def all: Seq[Q] = Seq(asofPrevOrder, sessionWindows, slidingWindows)
+  /** Interval join via [[graft.operators.RangeJoin]]: purchases in the
+    * 10 minutes preceding each error event (no equi key — the case
+    * where Spark's native plan is a BroadcastNestedLoopJoin and the
+    * bucketed rewrite is the scale path; PlanShapeSpec asserts no BNLJ
+    * survives). Oracle = the plain theta join, which DuckDB executes
+    * with its native IEJoin. */
+  val rangeJoin = Q(
+    "q_range_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"))
+      graft.operators.RangeJoin.preceding(err, pur, "e_ts", "p_ts", 600L)
+        .groupBy(col("e_id"))
+        .agg(count(lit(1)).as("n_prior_purchases"))
+        .select(col("e_id").as("event_id"), col("n_prior_purchases"))
+    },
+    Some("""
+      SELECT e.event_id AS event_id, count(*) AS n_prior_purchases
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS e_ts FROM events
+            WHERE event_type = 'error') e
+      JOIN (SELECT CAST(ts AS TIMESTAMP) AS p_ts FROM events
+            WHERE event_type = 'purchase') p
+        ON p.p_ts >= e.e_ts - INTERVAL 10 MINUTE AND p.p_ts < e.e_ts
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(asofPrevOrder, sessionWindows, slidingWindows, rangeJoin)
 }

@@ -66,6 +66,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as a bucket equi-join, never a nested-loop") {
+    val plan = executedPlan(graft.queries.TemporalOps.rangeJoin.fn(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to all-pairs:\n$plan")
+  }
+
   test("dataset mixing is a pure map-side filter: no join, one aggregation shuffle") {
     val plan = executedPlan(graft.queries.TextOps.datasetMix.fn(spark, sf))
     assert(!plan.contains("Join"), s"mix sampled via a join:\n$plan")

@@ -95,6 +95,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoin equals the naive theta join on random timestamps (incl. bucket boundaries)") {
+    val tsGen = Gen.choose(0L, 7200L) // 2h span, 600s buckets -> many boundary hits
+    forAll(Gen.zip(Gen.nonEmptyListOf(tsGen), Gen.nonEmptyListOf(tsGen)), n = 10) {
+      case (ls, rs) =>
+        val left = ls.zipWithIndex
+          .map { case (s, i) => (i.toLong, new Timestamp(1615000000000L + s * 1000)) }
+          .toDF("l_id", "l_ts")
+        val right = rs.zipWithIndex
+          .map { case (s, i) => (i.toLong, new Timestamp(1615000000000L + s * 1000)) }
+          .toDF("r_id", "r_ts")
+        val got = graft.operators.RangeJoin.preceding(left, right, "l_ts", "r_ts", 600L)
+          .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = left.join(right,
+            col("r_ts") >= col("l_ts") - expr("INTERVAL 600 SECONDS") &&
+            col("r_ts") < col("l_ts"))
+          .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"range join mismatch: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
   test("Money.cents matches BigDecimal HALF_UP at 2dp and is engine-order independent") {
     // the integer-cents convention every money output relies on:
     // floor(x*100 + 0.5) must equal the half-up rounding of the decimal
