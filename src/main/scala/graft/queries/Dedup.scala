@@ -350,7 +350,48 @@ object Dedup {
       GROUP BY id
     """))
 
+  /** Benchmark decontamination — the cross-corpus cousin of dedup: for
+    * each EVAL document (here: doc_id % 97 = 0, standing in for a
+    * benchmark set), count how many of its 3-token shingles also occur
+    * anywhere in the TRAINING corpus (the rest), and flag >= 50%
+    * overlap. Asymmetry is the scale lever: the eval set is tiny
+    * (benchmarks are MBs) while the corpus is the 100 TB side, so the
+    * eval shingle set BROADCASTS and the corpus is only ever scanned —
+    * its semi-join against the broadcast is map-side, no corpus
+    * shuffle; only the matched shingles (<= eval size) are
+    * distinct-shuffled and broadcast back. The integer 2*shared >=
+    * n_sh flag avoids a ratio column. */
+  val decontaminate = Q(
+    "q_decontaminate",
+    (spark, dir) => {
+      val e = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val evalSide = e.filter(col("doc_id") % 97 === 0)
+      val corpus = e.filter(col("doc_id") % 97 =!= 0)
+      val evalShingles = evalSide.select(col("hk")).distinct()
+      // corpus-side shingles that appear in the eval set: map-side semi
+      // join against the broadcast eval set, then a tiny distinct
+      val matched = corpus.join(broadcast(evalShingles), Seq("hk"), "left_semi")
+        .select(col("hk")).distinct()
+      evalSide.join(broadcast(matched), Seq("hk"), "left_semi")
+        .groupBy(col("doc_id"), col("n_sh"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared") * 2 >= col("n_sh")).as("contaminated"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ev AS (SELECT * FROM eh WHERE doc_id % 97 = 0),
+      cp AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 <> 0)
+      SELECT doc_id, count(*) AS n_shared,
+             (count(*) * 2 >= any_value(n_sh)) AS contaminated
+      FROM ev
+      WHERE hk IN (SELECT hk FROM cp)
+      GROUP BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, dedupClusters)
+    simhash, simhashPairs, dedupClusters, decontaminate)
 }
