@@ -81,6 +81,32 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a straggler gap-separated BEFORE the session start becomes its own session") {
+    val in = MemoryStream[String]
+    val sessions = Stateful.userSessions(P.parse(in.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess4").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(rec("user-5", "2021-03-07 19:20:00"))
+      q.processAllAvailable()
+      // 19 min older than the session start (> 5-min gap), still above
+      // the 30-min watermark: must NOT stretch the 19:20 session back —
+      // it belongs to an earlier, already-gap-closed session and emits
+      // as its own single-event session
+      in.addData(rec("user-5", "2021-03-07 19:01:00"))
+      q.processAllAvailable()
+      // close the live session by advancing the watermark
+      in.addData(rec("user-9", "2021-03-07 21:00:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-9", "2021-03-07 22:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess4").filter(col("userid") === "user-5")
+        .select("nEvents", "durationS").as[(Long, Long)].collect().sorted
+      assert(rows.toSeq === Seq((1L, 0L), (1L, 0L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches purchases within the delay bound only") {
     val views = MemoryStream[String]
     val purchases = MemoryStream[String]
