@@ -205,12 +205,12 @@ object Analytics {
       Tables.lineitem(spark, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
-             sum(cents(col("l_quantity"))).as("sum_qty"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"),
              grouping_id().as("gid"))
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              GROUPING(l_returnflag, l_linestatus) AS gid
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -269,7 +269,11 @@ object Analytics {
     * deterministic, so each bound check is a stable boolean the driver
     * hash-compares against literal `true` — a sketch regression flips
     * it and fails the gate. AnalyticsSpec asserts the tighter relative
-    * bound on the values themselves. */
+    * bound on the values themselves. NOTE the lo/hi bounds use exact
+    * `percentile` — acceptable because THIS query is the contract
+    * checker, not the production path: at 100 TB you run the sketch
+    * aggregate alone (the `ap` column's plan) and the bound harness
+    * stays at validation scale. */
   val approxPercentiles = Q(
     "q_approx_percentiles",
     (spark, dir) => {

@@ -189,10 +189,15 @@ object Dedup {
     * candidate pairs collide on a band bucket, then exact Jaccard
     * verification (j >= 0.5). Oracle = the exact j >= 0.5 pair set
     * ([[exactJaccardSql]]): banding is deterministic (md5-derived
-    * hashes, no RNG) and recovers every exact pair on the test corpora
-    * — parity also locked by DedupSimilaritySpec. P[miss] = (1-j^2)^8
-    * (~1e-6 at j=0.9, ~10% right at the j=0.5 boundary) is the
-    * documented recall tail a production corpus would see. */
+    * hashes, no RNG) and verified byte-equal to the exact pairs at
+    * sf0.001/0.01/0.1 — parity also locked by DedupSimilaritySpec.
+    * P[miss] = (1-j^2)^8 (~1e-6 at j=0.9, ~10% right AT the j=0.5
+    * boundary) is the recall tail a NEW corpus could expose: a
+    * regenerated dataset with a pair sitting exactly at the threshold
+    * may miss it and fail this oracle without a code bug. If that
+    * happens, the escalation is r=1 x 16 bands (P[miss] = (1-j)^16,
+    * 1.5e-5 at the boundary) at a higher candidate budget — or drop
+    * the oracle back to spec-only parity. */
   val minhashLsh = Q(
     "q_dedup_minhash_lsh",
     (spark, dir) => {

@@ -70,8 +70,10 @@ object Relational {
     """))
 
   /** TPC-H Q1-shaped pricing summary: filter + multi-agg with exact
-    * integer-cents arithmetic; partial aggregation map-side, 2-col scan.
-    * Money columns are BIGINT cents (disc price: 1e-4 units). */
+    * integer arithmetic; partial aggregation map-side, 2-col scan.
+    * Money columns are BIGINT cents (disc price: 1e-4 units); quantity
+    * is a COUNT (integral-valued double), so it casts straight to
+    * BIGINT — scaling it by 100 would silently change its meaning. */
   val pricingSummary = Q(
     "q_pricing_summary",
     (spark, dir) => {
@@ -79,7 +81,7 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(cents(col("l_quantity"))).as("sum_qty"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(cents(col("l_extendedprice"))).as("sum_base_price"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
             10000.0)).as("sum_disc_price"),
@@ -88,7 +90,7 @@ object Relational {
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
              CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS sum_disc_price,
              count(*) AS count_order
@@ -155,12 +157,12 @@ object Relational {
       val p  = Tables.part(spark, dir)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(cents(col("l_quantity"))).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
              count(lit(1)).as("n_items"))
     },
     Some(s"""
       SELECT p_brand,
-             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand

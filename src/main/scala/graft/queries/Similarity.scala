@@ -428,6 +428,10 @@ object Similarity {
     * (md5 seeding, fixed iterations), so `recall_ok` is a stable
     * boolean: an index regression flips it and fails the driver gate.
     * Floor 0.4 sits below the measured 0.48 (sf0.001) / 0.76 (sf0.01).
+    * It re-runs both [[cosineKnn]] and [[annIvf]] from scratch BY
+    * DESIGN: bench queries are isolated (clearCache between runs), so
+    * sharing a cached index would couple their timings; the duplicate
+    * compute is the price of an independently-timed contract check.
     */
   val annIvfCheck = Q(
     "q_ann_ivf_check",

@@ -49,39 +49,35 @@ object Stateful {
             state.remove()
             Iterator.single(done)
           } else {
-            val out = scala.collection.mutable.ListBuffer.empty[UserSession]
-            var cur = state.getOption
-            for (e <- events.toSeq.sortBy(_.timestamp.getTime)) {
-              cur match {
-                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs
-                    && s.start.getTime - e.timestamp.getTime <= gapMs =>
-                  // monotonic bounds: a cross-batch out-of-order event
-                  // older than the session's lastTs (negative gap) must
-                  // extend the session backwards, never move lastTs
-                  // backwards or produce end < start
-                  val last = if (e.timestamp.after(s.lastTs)) e.timestamp else s.lastTs
-                  val first = if (e.timestamp.before(s.start)) e.timestamp else s.start
-                  cur = Some(SessionState(first, last, s.nEvents + 1))
-                case Some(s) if e.timestamp.getTime - s.lastTs.getTime <= gapMs =>
-                  // late straggler above the watermark but gap-separated
-                  // BEFORE the session start: it belongs to an earlier,
-                  // already-closed session. Emit it as its own session
-                  // instead of fusing two gap-separated sessions.
-                  out += UserSession(userid, e.timestamp, e.timestamp, 1L, 0L)
-                case Some(s) => // in-batch gap: close the old session now
-                  out += fin(userid, s)
-                  cur = Some(SessionState(e.timestamp, e.timestamp, 1L))
-                case None =>
-                  cur = Some(SessionState(e.timestamp, e.timestamp, 1L))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // timeout must sit above the current watermark
-              state.setTimeoutTimestamp(
-                math.max(s.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            out.iterator
+            // Interval merge: the carried session plus this batch's
+            // events, sorted by start, fold gap-connected neighbors.
+            // This handles every ordering case uniformly — in-batch
+            // gaps, out-of-order events that extend the session
+            // backwards, AND late stragglers gap-separated before the
+            // session start (which must form their OWN session, merging
+            // with each other when adjacent, never fusing across a
+            // gap). The latest merged interval stays live as state;
+            // everything earlier is gap-closed and emits now.
+            val carried = state.getOption
+              .map(s => SessionState(s.start, s.lastTs, s.nEvents)).toSeq
+            val points = events.toSeq
+              .map(e => SessionState(e.timestamp, e.timestamp, 1L))
+            val merged = (carried ++ points)
+              .sortBy(iv => (iv.start.getTime, iv.lastTs.getTime))
+              .foldLeft(List.empty[SessionState]) { (acc, iv) =>
+                acc match {
+                  case h :: t if iv.start.getTime - h.lastTs.getTime <= gapMs =>
+                    val last = if (iv.lastTs.after(h.lastTs)) iv.lastTs else h.lastTs
+                    SessionState(h.start, last, h.nEvents + iv.nEvents) :: t
+                  case _ => iv :: acc
+                }
+              } // reverse-chronological: head is the latest session
+            val live = merged.head
+            state.update(live)
+            // timeout must sit above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(live.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            merged.tail.reverse.map(s => fin(userid, s)).iterator
           }
       }
   }
