@@ -58,8 +58,7 @@ object Stateful {
             // with each other when adjacent, never fusing across a
             // gap). The latest merged interval stays live as state;
             // everything earlier is gap-closed and emits now.
-            val carried = state.getOption
-              .map(s => SessionState(s.start, s.lastTs, s.nEvents)).toSeq
+            val carried = state.getOption.toSeq
             val points = events.toSeq
               .map(e => SessionState(e.timestamp, e.timestamp, 1L))
             val merged = (carried ++ points)
@@ -72,12 +71,16 @@ object Stateful {
                   case _ => iv :: acc
                 }
               } // reverse-chronological: head is the latest session
-            val live = merged.head
-            state.update(live)
-            // timeout must sit above the current watermark
-            state.setTimeoutTimestamp(
-              math.max(live.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
-            merged.tail.reverse.map(s => fin(userid, s)).iterator
+            merged match {
+              case live :: closed =>
+                state.update(live)
+                // timeout must sit above the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(live.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+                closed.reverse.map(s => fin(userid, s)).iterator
+              case Nil => // empty invocation (no carried state, no events)
+                Iterator.empty
+            }
           }
       }
   }
