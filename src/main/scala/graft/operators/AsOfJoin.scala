@@ -40,6 +40,15 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val lType = left.select(leftCols.map(col): _*).schema
     val rType = right.select(rightCols.map(col): _*).schema
+    // ASOF semantics: a right row with a NULL key or NULL/unparseable
+    // time matches nothing. Without this filter it would sort FIRST in
+    // its window (ASC = NULLS FIRST) and its payload would be carried
+    // into every left row of the partition — a spurious match no SQL
+    // ASOF join produces. Left rows with NULL keys then simply find no
+    // right rows (inner drops them; left emits them unmatched).
+    val rightClean = right
+      .filter(col(rightKey).isNotNull &&
+              col(rightTime).cast("timestamp").isNotNull)
     // At equal time the lower side sorts first. Non-strict: right rows
     // first, so a right row at exactly left-time is visible (<=).
     // Strict: left rows first, so same-time right rows are excluded (<).
@@ -49,7 +58,7 @@ object AsOfJoin {
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"),
       lit(lSide).as("__side"))
-    val r = right.select(
+    val r = rightClean.select(
       col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
       lit(null).cast(lType).as("__l"),
       struct(rightCols.map(col): _*).as("__r"),

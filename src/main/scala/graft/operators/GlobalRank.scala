@@ -63,6 +63,7 @@ object GlobalRank {
     * tiles get one extra row). */
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
                  tileCol: String = "tile"): DataFrame = {
+    require(tiles > 0, s"ntile requires a positive tile count, got $tiles")
     val (ranked, total) = rankedWithTotal(df, sortCols, "__grank")
     val base = total / tiles
     val rem = total % tiles

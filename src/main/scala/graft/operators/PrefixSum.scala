@@ -33,6 +33,11 @@ object PrefixSum {
                 outCol: String = "prefix_sum",
                 numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    // loud driver-side validation: a non-Long value column would throw
+    // an opaque ClassCastException inside a task otherwise
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.LongType,
+      s"$valueCol must be LongType (exact, associative), got " +
+      s"${df.schema(valueCol).dataType}")
     val n = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val sorted = df.repartitionByRange(n, sortCols: _*)

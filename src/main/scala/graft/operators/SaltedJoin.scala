@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * is derived from a hash of the full skewed-side row key-set, so it
   * is deterministic, not a rand() column (which would break retries /
   * speculative execution).
+  *
+  * Known limitation of the deterministic salt: rows of a hot key that
+  * are IDENTICAL across all columns hash to the same salt, so a key
+  * whose skew consists of exact duplicate rows still lands on one
+  * task. Pre-aggregate such duplicates (they are combinable by
+  * definition) or add a distinguishing column before salting; hashing
+  * a rand()/monotonic id instead would spread them but silently break
+  * retry determinism. Map-typed columns are not hashable — project
+  * them away from the skewed side first.
   */
 object SaltedJoin {
 

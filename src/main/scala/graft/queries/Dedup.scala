@@ -71,6 +71,40 @@ object Dedup {
     * The join key is the 60-bit shingle hash, not the shingle string —
     * an 8-byte shuffle key instead of a ~20-byte UTF8 one, and a long
     * equality in the sort-merge instead of a byte-wise compare. */
+  /** Single source of the inverted-index -> shared-count -> exact
+    * Jaccard (j >= 0.5) pipeline, shared by the uncapped, df-capped
+    * and cluster queries so the threshold/rounding/hint can never
+    * silently diverge between variants. Input: exploded index rows
+    * (doc_id, n_sh, hk). */
+  private def jaccardPairs(e: DataFrame): DataFrame = {
+    val a = e.alias("a")
+    // shuffle-hash join: posting lists are short (df-capped corpus,
+    // max df 25 at sf0.1) so the build side fits per-partition;
+    // avoids sort-merge's sort of the full exploded index
+    val b = e.alias("b").hint("shuffle_hash")
+    a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DuckDB CTE fragment mirroring [[jaccardPairs]] over `fromCte`
+    * rows (doc_id, n_sh, hk): defines `pairs(doc_a, doc_b, jaccard)`. */
+  private def jaccardPairsCte(fromCte: String): String = s"""
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM $fromCte a JOIN $fromCte b
+              ON a.hk = b.hk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+      pairs AS (SELECT doc_a, doc_b,
+                       round(shared / (na + nb - shared), 6) AS jaccard
+                FROM p
+                WHERE round(shared / (na + nb - shared), 6) >= 0.5)"""
+
   /** The exact j >= 0.5 pair set, as DuckDB SQL — the oracle for BOTH
     * the inverted-index query and the MinHash-LSH query (banding with
     * these parameters recovers every j >= 0.5 pair on the test corpora;
@@ -78,14 +112,8 @@ object Dedup {
   private val exactJaccardSql = s"""
       WITH $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-      SELECT doc_a, doc_b,
-             round(shared / (na + nb - shared), 6) AS jaccard
-      FROM p
-      WHERE round(shared / (na + nb - shared), 6) >= 0.5
+      ${jaccardPairsCte("eh")}
+      SELECT doc_a, doc_b, jaccard FROM pairs
     """
 
   val ngramJaccard = Q(
@@ -93,19 +121,7 @@ object Dedup {
     (spark, dir) => {
       val e = withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
-      val a = e.alias("a")
-      // shuffle-hash join: posting lists are short (df cap'd corpus,
-      // max df 25 at sf0.1) so the build side fits per-partition;
-      // avoids sort-merge's sort of the full exploded index
-      val b = e.alias("b").hint("shuffle_hash")
-      a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                 col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("jaccard",
-          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      jaccardPairs(e)
     },
     Some(exactJaccardSql))
 
@@ -127,16 +143,7 @@ object Dedup {
       val kept = e.withColumn("df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
         .filter(col("df") <= maxDf).drop("df")
-      val a = kept.alias("a")
-      val b = kept.alias("b").hint("shuffle_hash")
-      a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                 col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("jaccard",
-          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      jaccardPairs(kept)
     },
     Some(s"""
       WITH $shingleCte,
@@ -146,14 +153,8 @@ object Dedup {
                         count(*) OVER (PARTITION BY hk) AS df
                  FROM eh)
                WHERE df <= 10),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-            FROM kept a JOIN kept b ON a.hk = b.hk AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-      SELECT doc_a, doc_b,
-             round(shared / (na + nb - shared), 6) AS jaccard
-      FROM p
-      WHERE round(shared / (na + nb - shared), 6) >= 0.5
+      ${jaccardPairsCte("kept")}
+      SELECT doc_a, doc_b, jaccard FROM pairs
     """))
 
   private def mh(i: Int): Column =
@@ -206,9 +207,13 @@ object Dedup {
       val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 16).map(mh): _*)
+      // packed-long band key: both minhashes are < P < 2^30, so the
+      // pair packs exactly into one long — an 8-byte shuffle/join key
+      // with a long equality instead of a concat'd UTF8 string with a
+      // byte-wise compare (same principle as the shingle hash keys)
       val bandCols = (0 until 8).map(i =>
         struct(lit(i).as("band"),
-               concat_ws("_", col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")).as("key")))
+               (col(s"mh${2 * i}") * (1L << 30) + col(s"mh${2 * i + 1}")).as("key")))
       val bands = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -337,12 +342,7 @@ object Dedup {
       WITH RECURSIVE
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-            FROM eh a JOIN eh b ON a.hk = b.hk AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4),
-      pairs AS (SELECT doc_a, doc_b FROM p
-                WHERE round(shared / (na + nb - shared), 6) >= 0.5),
+      ${jaccardPairsCte("eh")},
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                 UNION ALL
                 SELECT doc_b AS a, doc_a AS b FROM pairs),

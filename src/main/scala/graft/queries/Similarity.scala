@@ -87,6 +87,20 @@ object Similarity {
       s"(CASE WHEN ${planeDotSql(emb, t, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Keep a colliding pair exactly once — in its FIRST equal table: a
+    * pair colliding in k of the tables would otherwise emit k times;
+    * requiring every LOWER table's buckets to differ keeps only the
+    * first collision, as a bitwise post-filter instead of a shuffled
+    * DISTINCT over the (large) candidate set. Single-sourced here so
+    * the invariant cannot drift between the LSH queries. Expects the
+    * self-join to expose x.t (probe table index) and x.bks / y.bks
+    * (per-vector bucket arrays). */
+  private def firstEqualTable(nTables: Int): Column =
+    (0 until nTables).map { j =>
+      when(col("x.t") > j, col("x.bks")(j) =!= col("y.bks")(j))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+
   /** Brute-force cosine top-10 for one query vector (vec_id = 0). */
   val cosineTopk = Q(
     "q_cosine_topk",
@@ -219,15 +233,11 @@ object Similarity {
       .withColumn("bks", array(srpBucketCols(planes): _*))
     val buckets = e.select(col("vec_id"), col("label"), col("vd"),
         col("nrm"), col("bks"), posexplode(col("bks")).as(Seq("t", "bucket")))
-    val firstTable = (0 until 4).map { j =>
-      when(col("x.t") > j, col("x.bks")(j) =!= col("y.bks")(j))
-        .otherwise(lit(true))
-    }.reduce(_ && _)
     buckets.alias("x")
       .join(buckets.alias("y").hint("shuffle_hash"),
         col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .filter(firstTable)
+      .filter(firstEqualTable(4))
       .select(col("x.label").as("label"),
         col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(dotp(col("x.vd"), col("y.vd")) / (col("x.nrm") * col("y.nrm")), 6).as("sim"))
@@ -282,15 +292,11 @@ object Similarity {
         .withColumn("bks", array(srpBucketCols(planes): _*))
         .select(col("vec_id"), col("bks"),
           posexplode(col("bks")).as(Seq("t", "bucket")))
-      val firstTable = (0 until nTables).map { j =>
-        when(col("x.t") > j, col("x.bks")(j) =!= col("y.bks")(j))
-          .otherwise(lit(true))
-      }.reduce(_ && _)
       val cand = buckets.alias("x")
         .join(buckets.alias("y").hint("shuffle_hash"),
           col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
-        .filter(firstTable)
+        .filter(firstEqualTable(nTables))
         .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
 
       // rerank: exact cosine per candidate, then per-query packed argmax
@@ -359,6 +365,11 @@ object Similarity {
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy("h").limit(k)
         .select("u").collect().map(_.getSeq[Double](0).toArray)
+      // fail loudly, not with an AIOOBE mid-Lloyd: fewer seeds than k
+      // means the sample (or corpus) is too small for this index config
+      require(cents.length == k,
+        s"IVF training sample holds ${cents.length} vectors but k=$k cells " +
+        "were requested; lower k or widen the sample (sampleMod)")
       val dim = cents(0).length
       for (_ <- 0 until iters) {
         val rows = sample

@@ -153,9 +153,13 @@ object TextOps {
       SELECT doc_id,
              md5(text) AS fp_md5,
              ${h60Sql("text")} AS fp60,
-             list_reduce(list_transform(range(1, length(text) + 1),
-                                        i -> CAST(ascii(text[i]) AS BIGINT)),
-                         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+             -- empty-text guard: DuckDB's list_reduce errors on an
+             -- empty list where Spark's aggregate returns its 0 init
+             CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE list_reduce(list_transform(range(1, length(text) + 1),
+                                                  i -> CAST(ascii(text[i]) AS BIGINT)),
+                                   (acc, x) -> (acc * 31 + x) % 1000000007)
+             END AS fp_roll
       FROM documents
     """))
 
