@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * IEEE-double order, so DuckDB `list_reduce` oracles keep hashing
   * identically — including the null case: `zip_with` pads a ragged
   * pair with nulls, which nulls the whole fold, so a length mismatch
-  * returns null here too (a ragged embedding must never yield a
-  * plausible-looking partial similarity). Elements are assumed
-  * non-null (enforced upstream: embeddings are dense vectors).
+  * returns null here too, and so does a NULL element (the HOF's
+  * null-poisoned sum) — a sparse or ragged embedding must never yield
+  * a plausible-looking partial similarity, including through the
+  * SQL-registered `dot_product` where arbitrary callers reach it.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,7 +54,11 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -69,9 +74,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -114,7 +114,10 @@ object WireTimestamp {
       if (sign == 'Z' && p + 1 == n) return micros
       if ((sign != '+' && sign != '-') || p + 5 != n) return INVALID
       val oh = two(p + 1); val om = two(p + 3)
-      if (oh < 0 || oh > 18 || om < 0 || om > 59) return INVALID
+      // ZoneOffset's valid range is exactly +/-18:00 — +18:30 must be
+      // INVALID like the java.time formatter this parser mirrors
+      if (oh < 0 || oh > 18 || om < 0 || om > 59 || (oh == 18 && om > 0))
+        return INVALID
       val off = (oh * 3600L + om * 60L) * 1000000L
       micros = if (sign == '+') micros - off else micros + off
     }

@@ -21,9 +21,12 @@ object Multimodal {
   final case class MediaRecord(
       doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
 
-  /** Extracted features: fixed-width vector per record. */
+  /** Extracted features: fixed-width vector per record. Carries `fmt`
+    * through the decode so downstream per-format aggregates need no
+    * join back to the media table (which would re-scan it). */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, f0: Double, f1: Double, f2: Double, f3: Double)
+      doc_id: Long, fmt: String, n_bytes: Int,
+      f0: Double, f1: Double, f2: Double, f3: Double)
 
   /** Batch size for the partition-local decode loop. A real decoder
     * amortizes library/context init over each batch; the value is a
@@ -63,7 +66,8 @@ object Multimodal {
         s.toDouble / (end - start)
       }
     }
-    MediaFeatures(m.doc_id, n, chunkMean(0), chunkMean(1), chunkMean(2), chunkMean(3))
+    MediaFeatures(m.doc_id, m.fmt, n,
+      chunkMean(0), chunkMean(1), chunkMean(2), chunkMean(3))
   }
 
   /** Batched partition-local decode: the distributed shape is
@@ -104,9 +108,7 @@ object Multimodal {
   val featuresQuery = Q(
     "q_multimodal_features",
     (spark, dir) => {
-      val media = mediaTable(spark, dir)
-      decodeFeatures(media).toDF()
-        .join(media.toDF().select(col("doc_id"), col("fmt")), "doc_id")
+      decodeFeatures(mediaTable(spark, dir)).toDF()
         .groupBy(col("fmt"))
         .agg(count(lit(1)).as("n_media"),
              sum(col("n_bytes")).as("sum_bytes"),
@@ -127,11 +129,15 @@ object Multimodal {
         FROM documents),
       f AS (
         SELECT doc_id, fmt, n,
-               list_sum(codes[(0 * n) // 4 + 1 : (1 * n) // 4])::DOUBLE / greatest((1 * n) // 4 - (0 * n) // 4, 1)
-             + list_sum(codes[(1 * n) // 4 + 1 : (2 * n) // 4])::DOUBLE / greatest((2 * n) // 4 - (1 * n) // 4, 1)
-             + list_sum(codes[(2 * n) // 4 + 1 : (3 * n) // 4])::DOUBLE / greatest((3 * n) // 4 - (2 * n) // 4, 1)
-             + list_sum(codes[(3 * n) // 4 + 1 : (4 * n) // 4])::DOUBLE / greatest((4 * n) // 4 - (3 * n) // 4, 1) AS sum_f
+               COALESCE(list_sum(codes[(0 * n) // 4 + 1 : (1 * n) // 4]), 0)::DOUBLE / greatest((1 * n) // 4 - (0 * n) // 4, 1)
+             + COALESCE(list_sum(codes[(1 * n) // 4 + 1 : (2 * n) // 4]), 0)::DOUBLE / greatest((2 * n) // 4 - (1 * n) // 4, 1)
+             + COALESCE(list_sum(codes[(2 * n) // 4 + 1 : (3 * n) // 4]), 0)::DOUBLE / greatest((3 * n) // 4 - (2 * n) // 4, 1)
+             + COALESCE(list_sum(codes[(3 * n) // 4 + 1 : (4 * n) // 4]), 0)::DOUBLE / greatest((4 * n) // 4 - (3 * n) // 4, 1) AS sum_f
         FROM m)
+      -- COALESCE mirrors the decoder's 0.0 for an empty quarter chunk
+      -- (docs shorter than 4 bytes); character==byte here because the
+      -- documents fixture is all-ASCII — a binary-true formulation
+      -- would need DuckDB blob indexing
       SELECT fmt, count(*) AS n_media, CAST(sum(n) AS BIGINT) AS sum_bytes,
              CAST(sum(CAST(floor((sum_f) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_f
       FROM f

@@ -33,6 +33,8 @@ object Apps {
     args.toSeq match {
       case Seq("--kafka", bootstrap, rest @ _*) =>
         (ProductViewPipeline.kafkaSource(spark, bootstrap), rest)
+      case Seq("--kafka") => // missing bootstrap must not become a dir
+        sys.error("usage: (<inputDir> | --kafka <bootstrap>) [args...]")
       case Seq(dir, rest @ _*) =>
         (ProductViewPipeline.fileSource(spark, dir), rest)
       case _ =>

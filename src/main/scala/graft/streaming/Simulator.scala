@@ -14,8 +14,17 @@ object Simulator {
 
   /** One ProductView JSON string per event, in the §1.2 wire shape
     * including the `.SSS+0000` timestamp suffix NiFi stamps
-    * (Active_Users_Pipeline.xml:1669). */
-  def productViewJson(events: DataFrame): DataFrame =
+    * (Active_Users_Pipeline.xml:1669).
+    *
+    * `date_format` renders in the SESSION time zone while the suffix
+    * hardcodes +0000, so a non-UTC session would shift every simulated
+    * instant by the zone offset — assert the precondition loudly
+    * instead of emitting silently wrong wire records. */
+  def productViewJson(events: DataFrame): DataFrame = {
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"productViewJson renders wall-clock + '+0000': session time zone " +
+      s"must be UTC, got '$tz'")
     events.select(to_json(struct(
       lit("ProductView").as("event"),
       concat(lit("msg-"), col("event_id")).as("messageid"),
@@ -25,6 +34,7 @@ object Simulator {
       struct(col("event_type").as("source")).as("context"),
       concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS"), lit("+0000"))
         .as("timestamp"))).as("value"))
+  }
 
   /** A raw JSON *array* payload (the reference's on-disk input shape,
     * README.md:7) — exercised by [[splitJsonArray]]. */

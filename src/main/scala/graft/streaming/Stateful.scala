@@ -14,24 +14,37 @@ object Stateful {
 
   case class Click(userid: String, source: String, timestamp: Timestamp)
   case class SessionState(start: Timestamp, lastTs: Timestamp, nEvents: Long)
+  /** fMGWS state wrapper: ALL of a user's unfinalized sessions, oldest
+    * first — a gap-closed interval must stay in state until the
+    * watermark passes its end + gap, because an above-watermark
+    * straggler can still bridge the gap and merge into it. */
+  case class SessionsState(items: Seq[SessionState])
   case class UserSession(userid: String, start: Timestamp, end: Timestamp,
                          nEvents: Long, durationS: Long)
 
   implicit private val clickEnc: Encoder[Click] = Encoders.product[Click]
-  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val stateEnc: Encoder[SessionsState] = Encoders.product[SessionsState]
   implicit private val outEnc: Encoder[UserSession] = Encoders.product[UserSession]
   implicit private val stringEnc: Encoder[String] = Encoders.STRING
 
   /** Event-time sessionization: one session per user while gaps stay
-    * under `gapMs`; a session closes (and emits) when the event-time
-    * watermark passes lastTs + gap. State per user is O(1) — start,
-    * last timestamp, count — and is dropped on emit, so total state is
-    * bounded by active users within the watermark horizon, not by
-    * history. Input: output of [[ProductViewPipeline.parse]]. */
+    * under `gapMs` (strict, matching `session_window`'s [ts, ts+gap)
+    * semantics: two events exactly gapMs apart are separate sessions).
+    * A session emits exactly when the event-time watermark passes its
+    * lastTs + gap — append-mode results are FINAL: no above-watermark
+    * event can change an emitted session, because every interval the
+    * watermark hasn't released yet stays in state and remains
+    * mergeable. State per user is O(unfinalized sessions) — bounded by
+    * the watermark horizon / gap, typically one. Malformed records
+    * (null timestamps from the permissive wire parse) are dropped
+    * before keying — a null event time would otherwise NPE the state
+    * function and kill the query. Input: output of
+    * [[ProductViewPipeline.parse]]. */
   def userSessions(parsed: DataFrame, gapMs: Long = 30 * 60 * 1000L,
                    watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     val clicks = parsed
       .select(col("userid"), col("source"), col("timestamp"))
+      .filter(col("timestamp").isNotNull)
       .as[Click](clickEnc)
       .withWatermark("timestamp", watermarkDelay)
 
@@ -41,47 +54,42 @@ object Stateful {
 
     clicks
       .groupByKey(_.userid)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[SessionsState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userid: String, events: Iterator[Click], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val done = fin(userid, state.get)
-            state.remove()
-            Iterator.single(done)
-          } else {
-            // Interval merge: the carried session plus this batch's
-            // events, sorted by start, fold gap-connected neighbors.
-            // This handles every ordering case uniformly — in-batch
-            // gaps, out-of-order events that extend the session
-            // backwards, AND late stragglers gap-separated before the
-            // session start (which must form their OWN session, merging
-            // with each other when adjacent, never fusing across a
-            // gap). The latest merged interval stays live as state;
-            // everything earlier is gap-closed and emits now.
-            val carried = state.getOption.toSeq
-            val points = events.toSeq
-              .map(e => SessionState(e.timestamp, e.timestamp, 1L))
-            val merged = (carried ++ points)
-              .sortBy(iv => (iv.start.getTime, iv.lastTs.getTime))
-              .foldLeft(List.empty[SessionState]) { (acc, iv) =>
-                acc match {
-                  case h :: t if iv.start.getTime - h.lastTs.getTime <= gapMs =>
-                    val last = if (iv.lastTs.after(h.lastTs)) iv.lastTs else h.lastTs
-                    SessionState(h.start, last, h.nEvents + iv.nEvents) :: t
-                  case _ => iv :: acc
-                }
-              } // reverse-chronological: head is the latest session
-            merged match {
-              case live :: closed =>
-                state.update(live)
-                // timeout must sit above the current watermark
-                state.setTimeoutTimestamp(
-                  math.max(live.lastTs.getTime + gapMs, state.getCurrentWatermarkMs + 1))
-                closed.reverse.map(s => fin(userid, s)).iterator
-              case Nil => // empty invocation (no carried state, no events)
-                Iterator.empty
-            }
+        (userid: String, events: Iterator[Click], state: GroupState[SessionsState]) =>
+          // Interval merge: carried unfinalized sessions plus this
+          // batch's events, sorted by start, fold gap-connected
+          // neighbors. Handles every ordering case uniformly —
+          // in-batch gaps, out-of-order events that extend a session
+          // backwards, late stragglers that bridge a previously-split
+          // gap, and stragglers gap-separated before everything (which
+          // form their own session, merging with each other when
+          // adjacent). The timeout path is the same body with no
+          // events: partition what the watermark has finalized.
+          val wm = state.getCurrentWatermarkMs
+          val carried = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val points = events.toSeq
+            .map(e => SessionState(e.timestamp, e.timestamp, 1L))
+          val merged = (carried ++ points)
+            .sortBy(iv => (iv.start.getTime, iv.lastTs.getTime))
+            .foldLeft(List.empty[SessionState]) { (acc, iv) =>
+              acc match {
+                case h :: t if iv.start.getTime - h.lastTs.getTime < gapMs =>
+                  val last = if (iv.lastTs.after(h.lastTs)) iv.lastTs else h.lastTs
+                  SessionState(h.start, last, h.nEvents + iv.nEvents) :: t
+                case _ => iv :: acc
+              }
+            }.reverse // chronological, disjoint, gap-separated
+          val (done, open) =
+            merged.partition(s => s.lastTs.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // next finalization point; must sit above the watermark
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastTs.getTime).min + gapMs, wm + 1))
           }
+          done.map(s => fin(userid, s)).iterator
       }
   }
 

@@ -40,16 +40,22 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("in-batch gap splits into two sessions without waiting for the watermark") {
+  test("in-batch gap splits into two sessions; only the watermark-finalized one emits") {
     val in = MemoryStream[String]
     val sessions = Stateful.userSessions(P.parse(in.toDF()),
       gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
     val q = sessions.writeStream.outputMode("append").format("memory")
       .queryName("sess2").option("checkpointLocation", tmp()).start()
     try {
-      // 19:00 and 19:30 in ONE batch: 30 min > 5 min gap -> first session
-      // closes immediately, second stays open
+      // 19:00 and 19:30 in ONE batch: 30 min > 5 min gap -> two sessions
       in.addData(rec("user-3", "2021-03-07 19:00:00"), rec("user-3", "2021-03-07 19:30:00"))
+      q.processAllAvailable()
+      // advance the watermark past the FIRST session's end+gap (19:05)
+      // but not the second's (19:35): only the first may emit — a
+      // straggler could still bridge into the 19:30 session
+      in.addData(rec("user-8", "2021-03-07 19:10:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-8", "2021-03-07 19:12:00"))
       q.processAllAvailable()
       val rows = spark.table("sess2").filter(col("userid") === "user-3")
         .select("nEvents").as[Long].collect()
@@ -78,6 +84,31 @@ class StatefulSpec extends SparkSpec {
       val rows = spark.table("sess3").filter(col("userid") === "user-4")
         .select("nEvents", "durationS").as[(Long, Long)].collect()
       assert(rows.toSeq === Seq((2L, 120L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("an above-watermark straggler bridges a previously-split gap into one session") {
+    val in = MemoryStream[String]
+    val sessions = Stateful.userSessions(P.parse(in.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess5").option("checkpointLocation", tmp()).start()
+    try {
+      // 8-min in-batch gap -> two unfinalized intervals held in state
+      in.addData(rec("user-6", "2021-03-07 19:00:00"), rec("user-6", "2021-03-07 19:08:00"))
+      q.processAllAvailable()
+      // 19:04 is above the watermark and within gap of BOTH intervals:
+      // it must fuse them into one 3-event session — the reason split
+      // intervals stay in state until the watermark releases them
+      in.addData(rec("user-6", "2021-03-07 19:04:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-9", "2021-03-07 21:00:00"))
+      q.processAllAvailable()
+      in.addData(rec("user-9", "2021-03-07 22:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess5").filter(col("userid") === "user-6")
+        .select("nEvents", "durationS").as[(Long, Long)].collect()
+      assert(rows.toSeq === Seq((3L, 480L)), s"got ${rows.toSeq}")
     } finally q.stop()
   }
 
