@@ -335,7 +335,14 @@ object Analytics {
       GROUP BY 1, 2
     """))
 
-  /** percent_rank / cume_dist over customer balance per nation. */
+  /** percent_rank / cume_dist over customer balance per nation,
+    * emitted as parts-per-million BIGINTs: these are small-denominator
+    * RATIONALS (k/(n-1), k/n), so `round(x, 6)` hits exact decimal
+    * ties whenever the group size divides a power of 10 — and the two
+    * engines break ties differently (Spark HALF_UP vs DuckDB
+    * half-even; observed as 3 divergent rows at sf0.1 where n=1280).
+    * floor(x*1e6 + 0.5) is the same IEEE ops on both sides — no
+    * rounding-rule divergence possible ([[graft.model.Money]]). */
   val percentRank = Q(
     "q_percent_rank",
     (spark, dir) => {
@@ -343,13 +350,13 @@ object Analytics {
         .orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(spark, dir)
         .select(col("c_nationkey"), col("c_custkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          cents(percent_rank().over(w), 1000000.0).as("pr"),
+          cents(cume_dist().over(w), 1000000.0).as("cd"))
     },
-    Some("""
+    Some(s"""
       SELECT c_nationkey, c_custkey,
-             round(percent_rank() OVER w, 6) AS pr,
-             round(cume_dist()    OVER w, 6) AS cd
+             ${centsSql("percent_rank() OVER w", "1000000.0")} AS pr,
+             ${centsSql("cume_dist() OVER w", "1000000.0")} AS cd
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """))

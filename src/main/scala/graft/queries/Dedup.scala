@@ -75,7 +75,15 @@ object Dedup {
     * Jaccard (j >= 0.5) pipeline, shared by the uncapped, df-capped
     * and cluster queries so the threshold/rounding/hint can never
     * silently diverge between variants. Input: exploded index rows
-    * (doc_id, n_sh, hk). */
+    * (doc_id, n_sh, hk).
+    *
+    * Representation-proofing: the threshold is the INTEGER compare
+    * `2*shared >= union` (exact — no rounding at the boundary), and
+    * the emitted similarity is parts-per-million BIGINT via
+    * floor(x*1e6+0.5): Jaccard is a small-denominator rational, and
+    * `round(x, 6)` on an exact decimal tie breaks differently across
+    * engines (Spark HALF_UP vs DuckDB half-even — the divergence class
+    * observed on percent_rank at sf0.1). */
   private def jaccardPairs(e: DataFrame): DataFrame = {
     val a = e.alias("a")
     // shuffle-hash join: posting lists are short (df-capped corpus,
@@ -86,9 +94,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
       .withColumn("jaccard",
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jaccard") >= 0.5)
+        graft.model.Money.cents(
+          col("shared") / (col("na") + col("nb") - col("shared")), 1000000.0))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -101,9 +110,9 @@ object Dedup {
               ON a.hk = b.hk AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4),
       pairs AS (SELECT doc_a, doc_b,
-                       round(shared / (na + nb - shared), 6) AS jaccard
+                       CAST(floor((shared / (na + nb - shared)) * 1000000.0 + 0.5) AS BIGINT) AS jaccard
                 FROM p
-                WHERE round(shared / (na + nb - shared), 6) >= 0.5)"""
+                WHERE 2 * shared >= na + nb - shared)"""
 
   /** The exact j >= 0.5 pair set, as DuckDB SQL — the oracle for BOTH
     * the inverted-index query and the MinHash-LSH query (banding with
@@ -229,9 +238,12 @@ object Dedup {
         .join(s.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
                        col("n_sh").as("nb")), "doc_b")
         .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        // same integer threshold + ppm output as [[jaccardPairs]] —
+        // this query shares the exact pair set's oracle
+        .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
         .withColumn("jaccard",
-          round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
-        .filter(col("jaccard") >= 0.5)
+          graft.model.Money.cents(
+            col("shared") / (col("na") + col("nb") - col("shared")), 1000000.0))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
     Some(exactJaccardSql))
