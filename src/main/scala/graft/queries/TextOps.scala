@@ -59,8 +59,15 @@ object TextOps {
         .withColumn("punct_cnt",
           length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
         .select(col("doc_id"), col("n_tokens"), col("stop_cnt"), col("punct_cnt"),
-          round((lit(1.0) - col("stop_cnt") / col("n_tokens")) *
-                log(lit(1.0) + col("n_tokens")), 6).as("quality"))
+          // ppm BIGINT, not round(.,6): the stopword ratio is a
+          // small-denominator rational, and cross-engine round() tie
+          // rules diverge on exact decimal ties (see Analytics
+          // percent_rank) — floor(x*1e6+0.5) is the same IEEE ops on
+          // both sides
+          graft.model.Money.cents(
+            (lit(1.0) - col("stop_cnt") / col("n_tokens")) *
+              log(lit(1.0) + col("n_tokens")),
+            1000000.0).as("quality"))
     },
     Some("""
       SELECT doc_id,
@@ -68,10 +75,10 @@ object TextOps {
              len(list_filter(string_split(text, ' '),
                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop_cnt,
              length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct_cnt,
-             round((1.0 - len(list_filter(string_split(text, ' '),
+             CAST(floor(((1.0 - len(list_filter(string_split(text, ' '),
                      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))::DOUBLE
                          / len(string_split(text, ' ')))
-                   * ln(1.0 + len(string_split(text, ' '))), 6) AS quality
+                   * ln(1.0 + len(string_split(text, ' ')))) * 1000000.0 + 0.5) AS BIGINT) AS quality
       FROM documents
     """))
 
