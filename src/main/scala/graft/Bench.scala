@@ -45,8 +45,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Untimed warmup: absorb JIT/codegen/classloading so the first timed
-    // query isn't charged for JVM startup (it was +4s otherwise).
-    SparkEntry.queries.get("q_pricing_summary").foreach(fn => run("warmup", fn))
+    // query isn't charged for JVM startup (it was +4s otherwise). Falls
+    // back to any query rather than silently skipping if the preferred
+    // one is renamed (an unwarmed first query reads as a phantom
+    // regression).
+    SparkEntry.queries.get("q_pricing_summary")
+      .orElse {
+        System.err.println("[bench] warmup query missing; using first registered")
+        SparkEntry.queries.headOption.map(_._2)
+      }
+      .foreach(fn => run("warmup", fn))
     // Best-of-N: single-shot timings at local[32] swing 2-5x with GC /
     // scheduler noise; the min is the reproducible steady-state cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
@@ -59,13 +67,21 @@ object Bench {
       name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
         .minOption.getOrElse(-1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a host locale with comma decimal separators would
+    // render 1.234 as "1,234" and break the driver's JSON parse
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // mark partial runs: a SPARK_GRAFT_BENCH_ONLY subset total must not
     // be mistaken for a full-suite benchmark
     val onlyMark = if (only.isDefined) s""","only":${results.size}""" else ""
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"$onlyMark}"""
+    // a crashed query is excluded from the total — flag it so a lower
+    // total can never be read as a speedup
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failMark = if (failed.nonEmpty) s""","failed":[${failed.mkString(",")}]""" else ""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$onlyMark$failMark}"""
     println(line)
     // Belt and braces: also persist to a file in case the launcher's
     // stdout is wrapped by a build-tool logger the parser trips on.

@@ -71,6 +71,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of every registered query, so the local gate can FAIL
+    // on a query that crashed (its output dir is simply absent — a
+    // glob over dirs alone would silently skip it)
+    Files.writeString(Paths.get(s"$outDir/names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -26,7 +26,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read it as raw nanos and truncate to microsecond
-    * TimestampType (matches DuckDB's CAST(ts AS TIMESTAMP)). */
+    * TimestampType (matches DuckDB's CAST(ts AS TIMESTAMP)).
+    *
+    * KNOWN SIDE EFFECT: `nanosAsLong` is a session-wide SQL conf (no
+    * per-read option exists) and the scan is lazy, so it cannot be
+    * set-and-restored here — it stays on for the session. That is
+    * acceptable in this engine because events is the only nanos table
+    * and every consumer loads it through this method; a future nanos
+    * column elsewhere would silently arrive as raw longs, which is why
+    * this note exists. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")

@@ -75,16 +75,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // ten: vec_id+100000 is a jittered copy of the original vector —
     // cosine ~0.9999. The LSH top-10 must be exactly those pairs.
     val raw = graft.model.Tables.embeddings(spark, sf)
-    val planted = raw.filter(col("vec_id") % 50 === 0).limit(10)
+    // pick the planted ids ONCE, deterministically — two separate
+    // unordered limit(10) jobs could sample different rows
+    val ids = raw.filter(col("vec_id") % 50 === 0)
+      .orderBy(col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0))
+    val planted = raw.filter(col("vec_id").isin(ids: _*))
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> cast(x + 0.0005 * (i % 3) AS FLOAT))")
           .as("embedding"),
         col("label"))
     val lsh = Similarity.embedNearDupLsh(raw.unionByName(planted), topK = 10)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = raw.filter(col("vec_id") % 50 === 0).limit(10)
-      .select("vec_id").collect().map(_.getLong(0))
-      .map(id => (id, id + 100000L)).toSet
+    val want = ids.map(id => (id, id + 100000L)).toSet
     assert(lsh == want, s"planted pairs not recovered: got $lsh want $want")
   }
 

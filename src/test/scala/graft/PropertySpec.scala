@@ -13,11 +13,18 @@ class PropertySpec extends SparkSpec {
   import spark.implicits._
 
   /** Seeded forAll over scalacheck Gen (no scalatestplus bridge in
-    * the offline dep set): 20 deterministic samples per property. */
-  private def forAll[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    * the offline dep set): 20 deterministic samples per property. A
+    * generator that produces no samples (e.g. an over-narrow suchThat
+    * added later) fails the property instead of passing it vacuously. */
+  private def forAll[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit = {
+    var ran = 0
     (0 until n).foreach { i =>
-      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach { a =>
+        ran += 1; f(a)
+      }
     }
+    assert(ran > 0, s"generator produced 0 of $n samples — vacuous property")
+  }
 
   private val eventGen: Gen[(String, Long)] = for {
     src <- Gen.oneOf("desktop", "mobile-web", "mobile-app")

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
 
   test("update mode re-emits a window with growing counts across batches") {
     val in = MemoryStream[String]
-    val counts = P.windowedCounts(P.parse(in.toDF().withColumnRenamed("value", "value")))
+    val counts = P.windowedCounts(P.parse(in.toDF()))
     val q = startMemoryQuery(counts, "upd", "update")
     try {
       in.addData(rec("2021-03-07 19:01:00", "desktop"), rec("2021-03-07 19:02:00", "desktop"))

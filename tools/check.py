@@ -32,6 +32,19 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    # a query that CRASHED in Verify has no output dir at all — glob
+    # alone would silently skip it and report all-pass (the exact
+    # lenient-gate failure mode this script exists to prevent)
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{out_dir}/*/")}
+    names_file = f"{out_dir}/names.json"
+    expected = set(json.load(open(names_file))) if os.path.exists(names_file) \
+        else set(oracles)
+    for name in sorted(expected - dumped):
+        if only and name not in only:
+            continue
+        print(f"[FAIL] {name}: no output dumped (query crashed in Verify?)")
+        n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only:
@@ -54,8 +67,14 @@ def main():
                   "(emit BIGINT integer cents instead — see graft.model.Money)")
             n_fail += 1; continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {spark_tbl.num_rows} rows")
-            n_noracle += 1
+            # mirror the driver's rows>0 smoke check: an empty result
+            # from a non-oracled query is a regression, not a pass
+            if spark_tbl.num_rows == 0:
+                print(f"[FAIL] {name}: rows-only query returned 0 rows")
+                n_fail += 1
+            else:
+                print(f"[rows-only] {name}: {spark_tbl.num_rows} rows")
+                n_noracle += 1
             continue
         try:
             duck_tbl = con.execute(oracles[name]).fetch_arrow_table()
