@@ -408,7 +408,48 @@ object Dedup {
       GROUP BY doc_id
     """))
 
+  /** Dedup application — the step that actually shrinks the corpus:
+    * every document whose cluster label differs from its own id (a
+    * non-canonical duplicate) is dropped; survivors are counted per
+    * language. The drop set is tiny relative to the corpus (only
+    * members of dup clusters), so it broadcasts and the corpus-side
+    * anti-join is map-side — the corpus never shuffles, mirroring the
+    * decontamination shape. Oracle reuses the recursive-CTE cluster
+    * computation. */
+  val dedupApply = Q(
+    "q_dedup_apply",
+    (spark, dir) => {
+      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val drop = graft.operators.ConnectedComponents
+        .minLabel(pairs, "doc_a", "doc_b")
+        .filter(col("lbl") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(spark, dir)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs),
+      reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
+                  HAVING min(lbl) <> id)
+      SELECT lang, count(*) AS n_kept
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, dedupClusters, decontaminate)
+    simhash, simhashPairs, dedupClusters, decontaminate, dedupApply)
 }
