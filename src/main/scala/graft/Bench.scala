@@ -51,8 +51,9 @@ object Bench {
     // regression).
     SparkEntry.queries.get("q_pricing_summary")
       .orElse {
-        System.err.println("[bench] warmup query missing; using first registered")
-        SparkEntry.queries.headOption.map(_._2)
+        System.err.println("[bench] warmup query missing; using first by name")
+        // deterministic fallback — an unordered Map's head is arbitrary
+        SparkEntry.queries.toSeq.sortBy(_._1).headOption.map(_._2)
       }
       .foreach(fn => run("warmup", fn))
     // Best-of-N: single-shot timings at local[32] swing 2-5x with GC /

@@ -48,12 +48,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-output guard: a query that fails BEFORE its overwrite-write
+    // executes (e.g. an AnalysisException at plan time) must not leave
+    // a previous run's parquet behind for the checker to green-light
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      else {
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
+        try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

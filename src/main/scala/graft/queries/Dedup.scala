@@ -114,6 +114,19 @@ object Dedup {
                 FROM p
                 WHERE 2 * shared >= na + nb - shared)"""
 
+  /** Recursive-CTE fragment shared by the cluster and apply oracles
+    * (same single-source rule as [[jaccardPairsCte]]): symmetrized
+    * `edges(a, b)` over `pairs`, and `reach(id, lbl)` whose per-id min
+    * is the connected-component label. */
+  private val ccCte = """
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs),
+      reach(id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)"""
+
   /** The exact j >= 0.5 pair set, as DuckDB SQL — the oracle for BOTH
     * the inverted-index query and the MinHash-LSH query (banding with
     * these parameters recovers every j >= 0.5 pair on the test corpora;
@@ -355,13 +368,7 @@ object Dedup {
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL
-                SELECT doc_b AS a, doc_a AS b FROM pairs),
-      reach(id, lbl) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+      $ccCte
       SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
       FROM reach
       GROUP BY id
@@ -434,13 +441,7 @@ object Dedup {
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                UNION ALL
-                SELECT doc_b AS a, doc_a AS b FROM pairs),
-      reach(id, lbl) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      $ccCte,
       dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
                   HAVING min(lbl) <> id)
       SELECT lang, count(*) AS n_kept

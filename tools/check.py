@@ -45,10 +45,20 @@ def main():
             continue
         print(f"[FAIL] {name}: no output dumped (query crashed in Verify?)")
         n_fail += 1
+    # the symmetric direction: a dir for a renamed/deleted query is a
+    # stale artifact, not coverage
+    if os.path.exists(names_file):
+        for name in sorted(dumped - expected):
+            if only and name not in only:
+                continue
+            print(f"[FAIL] {name}: output dir not in names manifest (stale artifact?)")
+            n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only:
             continue
+        if os.path.exists(names_file) and name not in expected:
+            continue  # already failed above as a stale artifact
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"[FAIL] {name}: no result parquet"); n_fail += 1; continue
