@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Analytics.all ++
     graft.queries.TemporalOps.all ++
     graft.queries.TextOps.all ++
+    graft.queries.Curation.all ++
     graft.queries.Dedup.all ++
     graft.queries.Similarity.all ++
     graft.queries.PipelineQueries.all ++

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.{Money, Q, Tables}
+import TextOps.h60Sql
+
+/** Corpus-curation operators over `documents` — the quality-filtering
+  * half of a training-data pipeline (north star), complementing
+  * [[Dedup]]'s near-duplicate half: heuristic quality rules
+  * (Gopher/C4-style), within-document repetition detection, corpus-
+  * frequency rarity scoring, and Bloom-prefiltered benchmark
+  * decontamination.
+  *
+  * Cross-engine determinism: every rule threshold is an INTEGER
+  * comparison (`3*n <= s` instead of `s/n >= 3`) so no rational ever
+  * hits a rounding boundary, and every emitted ratio is a ppm BIGINT
+  * via `floor(x*1e6+0.5)` ([[graft.model.Money]]) — the same IEEE
+  * double ops on both engines, no cross-engine round-tie divergence.
+  */
+object Curation {
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopsSqlList = stops.map(s => s"'$s'").mkString(", ")
+
+  /** Gopher-style heuristic quality rules (shape of Rae et al. 2021
+    * §A1.1, thresholds adapted to this corpus), evaluated per document
+    * and aggregated per language:
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]  (as 3*n <= sum_len <= 10*n)
+    *   - >= 2 distinct stopword kinds present
+    *   - duplicate-token fraction <= 30%  (as 10*(n-d) <= 3*n)
+    * `keep` = all rules pass. At 100 TB every rule is a map-side
+    * per-row expression over the scan — the only shuffle is the final
+    * 5-row per-language rollup with map-side partial aggregation. */
+  val gopherRules = Q(
+    "q_gopher_rules",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        // total word chars: text length minus the separator spaces
+        .withColumn("wlen", length(replace(col("text"), lit(" "), lit(""))).cast("long"))
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_stop_kinds", expr(
+          s"size(filter(array_distinct(toks), t -> t IN (${stopsSqlList})))").cast("long"))
+        .withColumn("p_wc", col("n") >= 50L && col("n") <= 100000L)
+        .withColumn("p_wlen", col("wlen") >= col("n") * 3L && col("wlen") <= col("n") * 10L)
+        .withColumn("p_stop", col("n_stop_kinds") >= 2L)
+        .withColumn("p_dup", (col("n") - col("nd")) * 10L <= col("n") * 3L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p_wc"), 1L).otherwise(0L)).as("n_pass_wordcount"),
+          sum(when(col("p_wlen"), 1L).otherwise(0L)).as("n_pass_wordlen"),
+          sum(when(col("p_stop"), 1L).otherwise(0L)).as("n_pass_stopword"),
+          sum(when(col("p_dup"), 1L).otherwise(0L)).as("n_pass_dupfrac"),
+          sum(when(col("p_wc") && col("p_wlen") && col("p_stop") && col("p_dup"),
+            1L).otherwise(0L)).as("n_keep"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS wlen,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                    t -> t IN (${stopsSqlList}))) AS BIGINT) AS n_stop_kinds
+        FROM documents),
+      r AS (
+        SELECT lang,
+               (n >= 50 AND n <= 100000) AS p_wc,
+               (wlen >= n * 3 AND wlen <= n * 10) AS p_wlen,
+               (n_stop_kinds >= 2) AS p_stop,
+               ((n - nd) * 10 <= n * 3) AS p_dup
+        FROM d)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
+             CAST(sum(CASE WHEN p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+             CAST(sum(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopword,
+             CAST(sum(CASE WHEN p_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dupfrac,
+             CAST(sum(CASE WHEN p_wc AND p_wlen AND p_stop AND p_dup
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM r
+      GROUP BY lang
+    """))
+
+  /** Within-document repetition: the duplicate-bigram fraction (the
+    * Gopher "duplicate n-gram" family, n=2) per document, with a keep
+    * flag at <= 20% duplicates decided by the exact integer compare
+    * `5*(n_bi - n_distinct) <= n_bi`. Pure per-row array expressions —
+    * no shuffle at all; the ppm column is reporting only, never a
+    * threshold. */
+  val repetition = Q(
+    "q_repetition",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bi", expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .withColumn("n_bigrams", size(col("bi")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("bi"))).cast("long"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          Money.cents((col("n_bigrams") - col("n_distinct")) / col("n_bigrams"),
+            1000000.0).as("dup_ppm"),
+          ((col("n_bigrams") - col("n_distinct")) * 5L <= col("n_bigrams")).as("keep"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               [tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))] AS bi
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 2)
+      SELECT doc_id,
+             CAST(len(bi) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct,
+             CAST(floor(((len(bi) - len(list_distinct(bi))) / len(bi))
+                        * 1000000.0 + 0.5) AS BIGINT) AS dup_ppm,
+             ((len(bi) - len(list_distinct(bi))) * 5 <= len(bi)) AS keep
+      FROM b
+    """))
+
+  /** Corpus-frequency rarity scoring: a unigram-LM-shaped quality
+    * signal — each document's mean corpus frequency over its token
+    * occurrences, in exact integer arithmetic ((sum_freq * 1e6) div n:
+    * no float summation across rows, whose partial-merge order is
+    * nondeterministic in a distributed agg). Low mean frequency = rare
+    * vocabulary. Emits the 20 rarest documents. At 100 TB the token
+    * frequency table is Zipf-bounded (vocabulary, not corpus, sized)
+    * and broadcasts; the per-doc rollup shuffles on doc_id with
+    * map-side partials. */
+  val tokenRarity = Q(
+    "q_token_rarity",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+      tok.join(broadcast(freq), "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("sum_freq"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+          expr("(sum_freq * cast(1000000 AS bigint)) div n_tokens").as("mean_freq_ppm"))
+        .orderBy(asc("mean_freq_ppm"), asc("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+      d AS (
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(f) AS BIGINT) AS sum_freq
+        FROM tok JOIN freq USING (t)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tokens, sum_freq,
+             CAST((sum_freq * 1000000) // n_tokens AS BIGINT) AS mean_freq_ppm
+      FROM d
+      ORDER BY mean_freq_ppm, doc_id
+      LIMIT 20
+    """))
+
+  /** Bloom-prefiltered benchmark decontamination — the TRAIN-side
+    * direction (drop training documents that overlap the benchmark;
+    * [[Dedup.decontaminate]] flags the EVAL side): a train document is
+    * contaminated when ANY of its 3-token shingles occurs in the eval
+    * set (doc_id % 97 = 0).
+    *
+    * The 100 TB mechanics this query exercises: the eval shingle set is
+    * compiled into a Bloom filter (bits, not a hash table — at 1% fpp
+    * it is ~10 bits/shingle, so an eval set too big to broadcast as an
+    * exact set still ships to every executor) and applied as a map-side
+    * prefilter over the exploded corpus scan. Only the ~1% surviving
+    * false-positive candidates plus the true hits enter the exact
+    * broadcast semi-join, so the final answer is EXACT — the Bloom
+    * filter affects cost, never results — and the corpus is never
+    * shuffled; only per-doc contamination ids (<= corpus doc count)
+    * aggregate. */
+  val decontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (spark, dir) => {
+      val e = Dedup.withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(col("shs")).as("hk"))
+      val evalShingles = e.filter(col("doc_id") % 97 === 0)
+        .select(col("hk")).distinct()
+      // the eval side is benchmark-sized (MBs): one tiny count + one
+      // driver-built Bloom filter, both over the broadcastable side only
+      val bf = evalShingles.stat.bloomFilter("hk", math.max(evalShingles.count(), 64L), 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+      val contaminated = e.filter(col("doc_id") % 97 =!= 0)
+        .filter(mightContain(col("hk")))                        // Bloom prefilter (cost only)
+        .join(broadcast(evalShingles), Seq("hk"), "left_semi")  // exact verification
+        .select(col("doc_id")).distinct()
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(contaminated.withColumn("bad", lit(true))), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("bad").isNull, 1L).otherwise(0L)).as("n_kept"))
+    },
+    Some(s"""
+      WITH ${Dedup.shingleCte},
+      eh AS (SELECT doc_id, ${h60Sql("sh1")} AS hk FROM e),
+      ev AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM eh
+              WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev))
+      SELECT lang, count(*) AS n_train,
+             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      FROM documents
+      WHERE doc_id % 97 <> 0
+      GROUP BY lang
+    """))
+
+  def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom)
+}

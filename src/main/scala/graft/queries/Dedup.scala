@@ -25,14 +25,14 @@ object Dedup {
     * md5-per-shingle loop, no interpreted HOF lambdas, no intermediate
     * shingle strings. Hash values equal the oracle's
     * `CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)`. */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[queries] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shs", graft.functions.ShingleHash.shingleHashes(col("toks"), 3))
       .withColumn("n_sh", size(col("shs")))
 
   /** DuckDB CTE mirroring [[withShingles]]. */
-  private val shingleCte = """
+  private[queries] val shingleCte = """
       t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       s AS (SELECT doc_id,
                    list_distinct([array_to_string(tk[i:i+2], ' ')
