@@ -92,6 +92,20 @@ object ProductViewPipeline {
               col("source"), col("approx_users"), col("source_number"))
   }
 
+  /** In-flight data-quality metrics via `Dataset.observe`: per
+    * micro-batch record count, malformed-timestamp count and dropped-
+    * (null-source) count, surfaced through each progress event's
+    * `observedMetrics` — the monitoring hook a production pipeline
+    * alerts on (a spike in `n_bad_ts` means an upstream format change,
+    * caught without a second pass over the data: the aggregates ride
+    * the existing scan as accumulator-style observations, zero extra
+    * jobs or shuffles). */
+  def withWireMetrics(parsed: DataFrame, name: String = "wire_metrics"): DataFrame =
+    parsed.observe(name,
+      count(lit(1)).as("n_records"),
+      sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("n_bad_ts"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_no_source"))
+
   /** Streaming dedup on message id bounded by the watermark
     * (exactly-once semantics over an at-least-once transport). */
   def dedupedByMessageId(parsed: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame =

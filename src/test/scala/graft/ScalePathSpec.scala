@@ -38,6 +38,27 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("hive-style partitioned output prunes partitions at read time") {
+    // the training-data layout: corpus sharded by language so a
+    // per-language consumer reads only its shard — at 100 TB the
+    // difference between scanning 1/5th of the files and all of them
+    val dir = Files.createTempDirectory("graftpart").toString
+    val docs = graft.model.Tables.documents(spark, sf)
+    docs.write.partitionBy("lang").mode("overwrite").parquet(s"$dir/docs")
+    val en = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    assert(en.count() === docs.filter(col("lang") === "en").count())
+    // the lang predicate must be a partition filter (pruned before any
+    // file is opened), not a post-scan data filter
+    val scan = en.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang not pushed as a partition filter: ${scan.partitionFilters}")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).forall(_.getPath.toString.contains("lang=en")),
+      "pruned listing still contains non-en files")
+  }
+
   test("windowed aggregation runs on the RocksDB state store") {
     val in = MemoryStream[String]
     val counts = P.windowedCounts(P.parse(in.toDF()))

@@ -137,6 +137,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe() surfaces per-batch wire-quality metrics without extra jobs") {
+    val in = MemoryStream[String]
+    val observed = P.withWireMetrics(P.parse(in.toDF()))
+    val q = startMemoryQuery(observed.select("messageid", "source"), "obs", "append")
+    try {
+      in.addData(
+        rec("2021-03-07 19:01:00", "desktop", "m1"),
+        rec("2021-03-07 19:02:00", "mobile-web", "m2"),
+        // malformed timestamp -> parses to null, counted by n_bad_ts
+        rec("not-a-timestamp", "desktop", "m3"))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("wire_metrics"))).last
+      assert(m.getAs[Long]("n_records") == 3L, s"n_records: $m")
+      assert(m.getAs[Long]("n_bad_ts") == 1L, s"n_bad_ts: $m")
+      assert(m.getAs[Long]("n_no_source") == 0L, s"n_no_source: $m")
+    } finally q.stop()
+  }
+
   test("foreachBatch emits each micro-batch globally sorted descending (v2 parity)") {
     val in = MemoryStream[String]
     val counts = P.windowedCounts(P.parse(in.toDF()))
