@@ -9,8 +9,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** tokens -> DISTINCT 60-bit hashes of the n-token shingles, in one
-  * compiled pass.
+/** tokens -> 60-bit hashes of the n-token shingles, in one compiled
+  * pass — DISTINCT (sorted) by default; positional (index = window
+  * start, duplicates kept) with `distinct = false` for span-level
+  * consumers like exact-substring coverage.
   *
   * Replaces the interpreted HOF chain
   * `array_distinct(transform(sequence(...), i -> conv(substr(md5(
@@ -27,18 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * bits = (first-8-bytes-big-endian >>> 4). Covered by a spec
   * comparing against the HOF expression on real documents.
   */
-case class ShingleHash(child: Expression, n: Int)
+case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHash.compute(input.asInstanceOf[ArrayData], n)
+    ShingleHash.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHash.compute($c, $n)")
+      s"graft.functions.ShingleHash.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
@@ -51,7 +53,7 @@ object ShingleHash {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** Called from generated code — must stay public + static-friendly. */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val total = tokens.numElements()
     val m = total - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -75,6 +77,7 @@ object ShingleHash {
       out(i) = h >>> 4
       i += 1
     }
+    if (!distinct) return new GenericArrayData(out)
     // distinct (order irrelevant downstream: consumers min/explode/set)
     java.util.Arrays.sort(out)
     var w = 1
@@ -89,4 +92,9 @@ object ShingleHash {
   /** Column helper: distinct n-token shingle hashes of a token array. */
   def shingleHashes(tokens: Column, n: Int = 3): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n))
+
+  /** Column helper: ALL n-token window hashes in positional order
+    * (array index = window start) — the exact-substring span input. */
+  def windowHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n, distinct = false))
 }

@@ -178,10 +178,14 @@ object Curation {
     (spark, dir) => {
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(col("shs")).as("hk"))
+      // the eval side is benchmark-sized (MBs) but read three times
+      // (sizing count, Bloom build, exact semi-join), so it persists;
+      // like dedupClusters, the result stays cached — query-battery
+      // callers clear cache between queries
       val evalShingles = e.filter(col("doc_id") % 97 === 0)
-        .select(col("hk")).distinct()
-      // the eval side is benchmark-sized (MBs): one tiny count + one
-      // driver-built Bloom filter, both over the broadcastable side only
+        .select(col("hk")).distinct().persist()
+      // one tiny count + one driver-built Bloom filter, both over the
+      // broadcastable side only
       val bf = evalShingles.stat.bloomFilter("hk", math.max(evalShingles.count(), 64L), 0.01)
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))

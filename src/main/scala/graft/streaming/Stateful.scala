@@ -131,13 +131,19 @@ object Stateful {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
 
-  /** Watermarked stream-stream inner join: views joined to purchases
-    * of the same user within `maxDelay` after the view. Both sides
-    * carry watermarks and the join condition bounds event time on both
-    * sides, so Spark can evict join state (unbounded otherwise). */
+  /** Watermarked stream-stream join: views joined to purchases of the
+    * same user within `maxDelay` after the view. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * sides, so Spark can evict join state (unbounded otherwise).
+    * `joinType` extends the semantics to outer variants: with
+    * "left_outer", a view whose match window the watermark has closed
+    * emits once with null purchase columns — the conversion-funnel
+    * "viewed but never bought" record, produced exactly when it is
+    * safe to say so and never retracted. */
   def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame,
                          watermark: String = "10 minutes",
-                         maxDelay: String = "30 minutes"): DataFrame = {
+                         maxDelay: String = "30 minutes",
+                         joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("userid").as("v_user"), col("source"),
               col("timestamp").as("view_ts"))
@@ -149,6 +155,7 @@ object Stateful {
     v.join(p,
       col("v_user") === col("p_user") &&
       col("purchase_ts") >= col("view_ts") &&
-      col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"),
+      joinType)
   }
 }

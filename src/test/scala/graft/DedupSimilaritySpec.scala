@@ -102,6 +102,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("exact-substring coverage matches the hand-computed planted span") {
+    // docs 0 and 1 share a verbatim 10-token prefix: W=8 windows at
+    // starts 0,1,2 match cross-doc -> interval union covers 10 tokens
+    // in each; doc 2 shares nothing
+    val shared = (0 until 10).map(i => s"span$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toFile.getAbsolutePath
+    spark.createDataFrame(Seq(
+        (0L, "en", s"$shared alpha beta gamma delta epsilon zeta"),
+        (1L, "en", s"$shared one two three four five six seven"),
+        (2L, "en", "completely different words with no overlap at all whatsoever today")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Dedup.exactSubstring.fn(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(1) == 3L, s"n_docs: $r")
+    assert(r.getLong(3) == 2L, s"n_dup_docs: $r")
+    assert(r.getLong(4) == 20L, s"covered_tokens (10 per dup doc): $r")
+  }
+
   test("fingerprints are stable and distinct for distinct texts") {
     val fp = TextOps.fingerprint.fn(spark, sf).cache()
     val n = fp.count()

@@ -160,6 +160,34 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views with nulls after watermark") {
+    val views = MemoryStream[String]
+    val purchases = MemoryStream[String]
+    val joined = Stateful.viewToPurchaseJoin(
+      P.parse(views.toDF()), P.parse(purchases.toDF()),
+      watermark = "1 minute", maxDelay = "30 minutes", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjlo").option("checkpointLocation", tmp()).start()
+    try {
+      views.addData(rec("user-1", "2021-03-07 19:00:00"),  // will match
+                    rec("user-3", "2021-03-07 19:00:00"))  // never matches
+      purchases.addData(rec("user-1", "2021-03-07 19:10:00"))
+      q.processAllAvailable()
+      // the unmatched view may only emit once BOTH watermarks pass its
+      // match window (view_ts + 30 min + 1 min delay): advance them
+      views.addData(rec("user-9", "2021-03-07 21:00:00"))
+      purchases.addData(rec("user-9", "2021-03-07 21:00:01"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjlo")
+        .select("v_user", "purchase_ts")
+        .as[(String, Option[java.sql.Timestamp])].collect().toMap
+      assert(rows("user-1").contains(java.sql.Timestamp.valueOf("2021-03-07 19:10:00")),
+        s"matched view lost its purchase: $rows")
+      assert(rows.contains("user-3") && rows("user-3").isEmpty,
+        s"unmatched view did not emit with null purchase: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState accumulates per-user lifetime counts across batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
