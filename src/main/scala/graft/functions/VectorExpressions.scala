@@ -119,14 +119,61 @@ object VectorFunctions {
       FunctionIdentifier("dot_product"), info, build _)
 }
 
+/** The engine's native SQL function surface — one builder list shared
+  * by the two registration paths, so they can never drift:
+  *
+  *  - `dot_product(array<double>, array<double>)` — codegen'd fold
+  *  - `shingle_hash(array<string>, n[, distinct])` — 60-bit n-token
+  *    window hashes (distinct/sorted by default; positional when
+  *    distinct = false)
+  *  - `wire_timestamp(string)` — the wire-format timestamp parse
+  */
+object GraftFunctions {
+
+  private def lit[T](e: Expression, what: String): T = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.asInstanceOf[T]
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => VectorFunctions.build(children)),
+    (FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, n) =>
+          ShingleHash(toks, lit[Int](n, "shingle_hash n"))
+        case Seq(toks, n, d) =>
+          ShingleHash(toks, lit[Int](n, "shingle_hash n"),
+            lit[Boolean](d, "shingle_hash distinct"))
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash requires (tokens, n[, distinct]); got ${other.length} args")
+      }),
+    (FunctionIdentifier("wire_timestamp"),
+      new ExpressionInfo(classOf[WireTimestamp].getName, "wire_timestamp"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => WireTimestamp(s)
+        case other => throw new IllegalArgumentException(
+          s"wire_timestamp requires exactly 1 argument; got ${other.length}")
+      }))
+
+  /** Idempotent registration into an EXISTING session (notebook /
+    * test path; `withExtensions` only applies at session build). */
+  def registerAll(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
 /** `SparkSessionExtensions` hook: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
-  * native functions without any per-query registration. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get every
+  * native graft function as a plain SQL function with no per-query
+  * registration. Same builders as [[GraftFunctions.registerAll]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => VectorFunctions.build(children)))
+    GraftFunctions.entries.foreach(ext.injectFunction)
 }

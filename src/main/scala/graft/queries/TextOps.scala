@@ -310,7 +310,51 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** TF-IDF top terms per language — the weighting every keyword /
+    * relevance pipeline applies after raw term counting: score =
+    * tf * ln(N/df) over per-language document frequencies. The ranking
+    * key is the ppm BIGINT (integer order, engine-identical ties via
+    * the token tiebreak), never the raw double. Two shuffles — the
+    * (lang, token) aggregate with map-side partials, then the tiny
+    * per-language top-5 window over vocabulary-sized groups; the
+    * per-language doc counts broadcast. ln() is a single per-row op on
+    * an integer-derived quotient (the [[qualityScore]] determinism
+    * class, driver-verified since round 2). */
+  val tfidf = Q(
+    "q_tfidf",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tok = docs.select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val scored = tok.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .join(broadcast(nDocs), "lang")
+        .withColumn("tfidf_ppm", graft.model.Money.cents(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 1000000.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(desc("tfidf_ppm"), asc("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("tok"), col("tf"), col("df"), col("tfidf_ppm"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      s AS (SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY lang, tok),
+      j AS (SELECT s.lang AS lang, tok, tf, df,
+                   CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df)
+                              * 1000000.0 + 0.5) AS BIGINT) AS tfidf_ppm
+            FROM s JOIN n USING (lang))
+      SELECT lang, tok, tf, df, tfidf_ppm
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY tfidf_ppm DESC, tok) AS rn FROM j)
+      WHERE rn <= 5
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens, datasetMix, packChunks, vocabStats)
+    regexTokens, datasetMix, packChunks, vocabStats, tfidf)
 }

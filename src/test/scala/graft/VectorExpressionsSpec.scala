@@ -60,6 +60,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("the graft SQL function surface: all natives callable from pure SQL") {
+    // an isolated child session: registerAll uses the same builder list
+    // GraftExtensions injects at build time (they cannot drift), and a
+    // pre-existing shared test session never sees build-time extensions
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s2)
+    val viaSql = s2.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                shingle_hash(array('a', 'b', 'c', 'd'), 3) AS sh,
+                shingle_hash(array('a', 'b', 'c', 'd'), 3, false) AS shp,
+                wire_timestamp('2021-03-07 19:01:23.456+0000') AS ts""").head
+    assert(viaSql.getDouble(0) == 11.0)
+    assert(viaSql.getSeq[Long](1).sorted == viaSql.getSeq[Long](2).sorted,
+      "positional and distinct modes must hash identical windows here")
+    assert(viaSql.getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2021-03-07 19:01:23.456"))
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
