@@ -130,11 +130,20 @@ object VectorFunctions {
   */
 object GraftFunctions {
 
-  private def lit[T](e: Expression, what: String): T = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-      v.asInstanceOf[T]
+  // type-checked literal extraction: erasure would let a NULL or LONG
+  // literal slip through a generic asInstanceOf (null unboxes to n=0 —
+  // silently wrong shingles; a Long throws a bare ClassCastException)
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+        if v.isValidInt => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$what must be a literal, got $other")
+      s"$what must be an integer literal, got $other")
+  }
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -145,10 +154,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
       (children: Seq[Expression]) => children match {
         case Seq(toks, n) =>
-          ShingleHash(toks, lit[Int](n, "shingle_hash n"))
+          ShingleHash(toks, intLit(n, "shingle_hash n"))
         case Seq(toks, n, d) =>
-          ShingleHash(toks, lit[Int](n, "shingle_hash n"),
-            lit[Boolean](d, "shingle_hash distinct"))
+          ShingleHash(toks, intLit(n, "shingle_hash n"),
+            boolLit(d, "shingle_hash distinct"))
         case other => throw new IllegalArgumentException(
           s"shingle_hash requires (tokens, n[, distinct]); got ${other.length} args")
       }),

@@ -121,8 +121,8 @@ object Curation {
 
   /** Corpus-frequency rarity scoring: a unigram-LM-shaped quality
     * signal — each document's mean corpus frequency over its token
-    * occurrences, in exact integer arithmetic ((sum_freq * 1e6) div n:
-    * no float summation across rows, whose partial-merge order is
+    * occurrences, in exact overflow-safe integer arithmetic (no float
+    * summation across rows, whose partial-merge order is
     * nondeterministic in a distributed agg). Low mean frequency = rare
     * vocabulary. Emits the 20 rarest documents. At 100 TB the token
     * frequency table is Zipf-bounded (vocabulary, not corpus, sized)
@@ -137,8 +137,15 @@ object Curation {
       tok.join(broadcast(freq), "t")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("sum_freq"))
+        // div-first with exact remainder correction, NOT sum_freq*1e6:
+        // at corpus scale sum_freq alone reaches ~1e15 and the naive
+        // scale-then-divide overflows int64. (q div n)*1e6 stays exact
+        // and <= max_token_freq*1e6 (~1e18 at 100 TB, inside int64);
+        // the remainder term is < n_tokens*1e6. Same floor semantics.
         .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
-          expr("(sum_freq * cast(1000000 AS bigint)) div n_tokens").as("mean_freq_ppm"))
+          expr("""(sum_freq div n_tokens) * cast(1000000 AS bigint)
+                  + ((sum_freq % n_tokens) * cast(1000000 AS bigint)) div n_tokens""")
+            .as("mean_freq_ppm"))
         .orderBy(asc("mean_freq_ppm"), asc("doc_id"))
         .limit(20)
     },
@@ -151,7 +158,8 @@ object Curation {
         FROM tok JOIN freq USING (t)
         GROUP BY doc_id)
       SELECT doc_id, n_tokens, sum_freq,
-             CAST((sum_freq * 1000000) // n_tokens AS BIGINT) AS mean_freq_ppm
+             CAST((sum_freq // n_tokens) * 1000000
+                  + ((sum_freq % n_tokens) * 1000000) // n_tokens AS BIGINT) AS mean_freq_ppm
       FROM d
       ORDER BY mean_freq_ppm, doc_id
       LIMIT 20
@@ -164,34 +172,41 @@ object Curation {
     * set (doc_id % 97 = 0).
     *
     * The 100 TB mechanics this query exercises: the eval shingle set is
-    * compiled into a Bloom filter (bits, not a hash table — at 1% fpp
-    * it is ~10 bits/shingle, so an eval set too big to broadcast as an
-    * exact set still ships to every executor) and applied as a map-side
-    * prefilter over the exploded corpus scan. Only the ~1% surviving
-    * false-positive candidates plus the true hits enter the exact
-    * broadcast semi-join, so the final answer is EXACT — the Bloom
-    * filter affects cost, never results — and the corpus is never
-    * shuffled; only per-doc contamination ids (<= corpus doc count)
-    * aggregate. */
+    * compiled into a Bloom filter (~10 bits/shingle at 1% fpp — the
+    * structure cheap enough to probe for EVERY window of the corpus
+    * scan) and applied as a map-side prefilter; only the ~1% surviving
+    * candidates are checked against the exact set, so the final answer
+    * is EXACT — the Bloom filter affects cost, never results — and the
+    * corpus is never shuffled; only per-doc contamination ids
+    * (<= corpus doc count) aggregate. */
   val decontaminateBloom = Q(
     "q_decontaminate_bloom",
     (spark, dir) => {
+      import spark.implicits._
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(col("shs")).as("hk"))
-      // the eval side is benchmark-sized (MBs) but read three times
-      // (sizing count, Bloom build, exact semi-join), so it persists;
-      // like dedupClusters, the result stays cached — query-battery
-      // callers clear cache between queries
-      val evalShingles = e.filter(col("doc_id") % 97 === 0)
-        .select(col("hk")).distinct().persist()
-      // one tiny count + one driver-built Bloom filter, both over the
-      // broadcastable side only
-      val bf = evalShingles.stat.bloomFilter("hk", math.max(evalShingles.count(), 64L), 0.01)
+      // ONE distributed job materializes the eval shingle set: it is
+      // benchmark-sized (MBs) by design, so it collects — the same
+      // driver round-trip df.stat.bloomFilter would do internally —
+      // and leaves no cached blocks behind (a persist here would
+      // outlive the query: the set is referenced by the returned lazy
+      // plan). At a scale where the exact set cannot ship, the verify
+      // stage becomes a distributed semi-join over the bloom-surviving
+      // candidates (the [[Dedup.decontaminate]] shape).
+      val evalArr = e.filter(col("doc_id") % 97 === 0)
+        .select(col("hk")).distinct().as[Long].collect()
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(evalArr.length.toLong, 64L), 0.01)
+      evalArr.foreach(bf.putLong)
       val bfB = spark.sparkContext.broadcast(bf)
-      val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+      val evalSetB = spark.sparkContext.broadcast(evalArr.toSet)
+      // bloom first (10 bits/element, cache-friendly — the thing cheap
+      // enough to test EVERY corpus window against), exact set only on
+      // the ~1% bloom positives: results are exact, bloom shapes cost
+      val hitsEval = udf((h: Long) =>
+        bfB.value.mightContainLong(h) && evalSetB.value.contains(h))
       val contaminated = e.filter(col("doc_id") % 97 =!= 0)
-        .filter(mightContain(col("hk")))                        // Bloom prefilter (cost only)
-        .join(broadcast(evalShingles), Seq("hk"), "left_semi")  // exact verification
+        .filter(hitsEval(col("hk")))
         .select(col("doc_id")).distinct()
       Tables.documents(spark, dir)
         .filter(col("doc_id") % 97 =!= 0)

@@ -436,11 +436,17 @@ object Dedup {
         .withColumn("n", size(col("toks")).cast("long"))
       // codegen'd positional window hashes (array index = window
       // start): one compiled md5 loop instead of the interpreted
-      // md5/conv HOF chain — same ~10x saving as the shingle queries
+      // md5/conv HOF chain — same ~10x saving as the shingle queries.
+      // Persisted because the plan reads it twice (dup-hash aggregate
+      // + semi-join probe) and the partial-agg exchange is not
+      // reusable for the join's; like dedupClusters, the cached block
+      // outlives the query — battery callers clear cache between
+      // queries (Bench does).
       val wins = d.filter(col("n") >= W)
         .select(col("doc_id"), posexplode(
           graft.functions.ShingleHash.windowHashes(col("toks"), W))
           .as(Seq("pos", "wh")))
+        .persist()
       val dupWh = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
