@@ -22,31 +22,54 @@ object Curation {
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopsSqlList = stops.map(s => s"'$s'").mkString(", ")
 
-  /** Gopher-style heuristic quality rules (shape of Rae et al. 2021
-    * §A1.1, thresholds adapted to this corpus), evaluated per document
-    * and aggregated per language:
-    *   - word count in [50, 100000]
-    *   - mean word length in [3, 10]  (as 3*n <= sum_len <= 10*n)
-    *   - >= 2 distinct stopword kinds present
-    *   - duplicate-token fraction <= 30%  (as 10*(n-d) <= 3*n)
-    * `keep` = all rules pass. At 100 TB every rule is a map-side
-    * per-row expression over the scan — the only shuffle is the final
-    * 5-row per-language rollup with map-side partial aggregation. */
+  /** Per-document Gopher rule flags (shape of Rae et al. 2021 §A1.1,
+    * thresholds adapted to this corpus), shared by the per-rule rollup
+    * and the curation funnel so the rules cannot drift:
+    *   - p_wc: word count in [50, 100000]
+    *   - p_wlen: mean word length in [3, 10]  (as 3*n <= sum_len <= 10*n)
+    *   - p_stop: >= 2 distinct stopword kinds present
+    *   - p_dup: duplicate-token fraction <= 30%  (as 10*(n-d) <= 3*n)
+    * All map-side per-row expressions over the scan. */
+  private[queries] def withGopherFlags(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // total word chars: text length minus the separator spaces
+      .withColumn("wlen", length(replace(col("text"), lit(" "), lit(""))).cast("long"))
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop_kinds", expr(
+        s"size(filter(array_distinct(toks), t -> t IN (${stopsSqlList})))").cast("long"))
+      .withColumn("p_wc", col("n") >= 50L && col("n") <= 100000L)
+      .withColumn("p_wlen", col("wlen") >= col("n") * 3L && col("wlen") <= col("n") * 10L)
+      .withColumn("p_stop", col("n_stop_kinds") >= 2L)
+      .withColumn("p_dup", (col("n") - col("nd")) * 10L <= col("n") * 3L)
+
+  /** DuckDB CTE mirroring [[withGopherFlags]]: defines
+    * `gr(doc_id, lang, p_wc, p_wlen, p_stop, p_dup)`. */
+  private[queries] val gopherCte = s"""
+      gd AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS wlen,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                    t -> t IN (${stopsSqlList}))) AS BIGINT) AS n_stop_kinds
+        FROM documents),
+      gr AS (
+        SELECT doc_id, lang,
+               (n >= 50 AND n <= 100000) AS p_wc,
+               (wlen >= n * 3 AND wlen <= n * 10) AS p_wlen,
+               (n_stop_kinds >= 2) AS p_stop,
+               ((n - nd) * 10 <= n * 3) AS p_dup
+        FROM gd)"""
+
+  /** Gopher-rule rollup per language; `keep` = all rules pass. At
+    * 100 TB the only shuffle is the 5-row per-language rollup with
+    * map-side partial aggregation. */
   val gopherRules = Q(
     "q_gopher_rules",
     (spark, dir) => {
-      Tables.documents(spark, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n", size(col("toks")).cast("long"))
-        // total word chars: text length minus the separator spaces
-        .withColumn("wlen", length(replace(col("text"), lit(" "), lit(""))).cast("long"))
-        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("n_stop_kinds", expr(
-          s"size(filter(array_distinct(toks), t -> t IN (${stopsSqlList})))").cast("long"))
-        .withColumn("p_wc", col("n") >= 50L && col("n") <= 100000L)
-        .withColumn("p_wlen", col("wlen") >= col("n") * 3L && col("wlen") <= col("n") * 10L)
-        .withColumn("p_stop", col("n_stop_kinds") >= 2L)
-        .withColumn("p_dup", (col("n") - col("nd")) * 10L <= col("n") * 3L)
+      withGopherFlags(Tables.documents(spark, dir))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("p_wc"), 1L).otherwise(0L)).as("n_pass_wordcount"),
@@ -57,21 +80,7 @@ object Curation {
             1L).otherwise(0L)).as("n_keep"))
     },
     Some(s"""
-      WITH d AS (
-        SELECT lang,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
-               CAST(length(replace(text, ' ', '')) AS BIGINT) AS wlen,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
-               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-                                    t -> t IN (${stopsSqlList}))) AS BIGINT) AS n_stop_kinds
-        FROM documents),
-      r AS (
-        SELECT lang,
-               (n >= 50 AND n <= 100000) AS p_wc,
-               (wlen >= n * 3 AND wlen <= n * 10) AS p_wlen,
-               (n_stop_kinds >= 2) AS p_stop,
-               ((n - nd) * 10 <= n * 3) AS p_dup
-        FROM d)
+      WITH $gopherCte
       SELECT lang, count(*) AS n_docs,
              CAST(sum(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
              CAST(sum(CASE WHEN p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
@@ -79,7 +88,7 @@ object Curation {
              CAST(sum(CASE WHEN p_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dupfrac,
              CAST(sum(CASE WHEN p_wc AND p_wlen AND p_stop AND p_dup
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-      FROM r
+      FROM gr
       GROUP BY lang
     """))
 
@@ -232,5 +241,78 @@ object Curation {
       GROUP BY lang
     """))
 
-  def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom)
+  /** The curation funnel — the whole pipeline composed end to end, the
+    * report a data team actually reads: per language, how many
+    * training documents survive each successive stage:
+    *   n_raw     — the training split (non-benchmark docs)
+    *   n_quality — + pass all Gopher rules ([[withGopherFlags]])
+    *   n_dedup   — + canonical under corpus-wide Jaccard clustering
+    *               (the [[Dedup.dedupApply]] drop set: transitive
+    *               connected components over exact j >= 0.5 pairs)
+    *   n_clean   — + share no 3-gram with the benchmark split
+    *               ([[Dedup.decontaminate]] semantics, train side)
+    * Composition is the scale story: the rule flags are map-side
+    * per-row expressions, and both drop sets are tiny relative to the
+    * corpus, so they BROADCAST onto the scan — the corpus itself never
+    * shuffles; only the 5-row per-language rollup aggregates. */
+  val curationFunnel = Q(
+    "q_curation_funnel",
+    (spark, dir) => {
+      val flags = withGopherFlags(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"),
+          (col("p_wc") && col("p_wlen") && col("p_stop") && col("p_dup")).as("q_keep"))
+      // ONE persisted inverted shingle index serves the dedup pair
+      // generation AND both decontamination sides (three computations
+      // otherwise); like dedupClusters, the cached block outlives the
+      // query — battery callers clear cache between queries
+      val e = Dedup.withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+        .persist()
+      val dup = graft.operators.ConnectedComponents
+        .minLabel(Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .filter(col("lbl") =!= col("id"))
+        .select(col("id").as("doc_id")).withColumn("dup", lit(true))
+      val evalShingles = e.filter(col("doc_id") % 97 === 0).select(col("hk")).distinct()
+      val contaminated = e.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalShingles), Seq("hk"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("bad", lit(true))
+      flags.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(dup), Seq("doc_id"), "left")
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("q_keep") && col("dup").isNull, 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("q_keep") && col("dup").isNull && col("bad").isNull, 1L)
+            .otherwise(0L)).as("n_clean"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${Dedup.shingleCte},
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${Dedup.jaccardPairsCte("eh")},
+      ${Dedup.ccCte},
+      dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
+                  HAVING min(lbl) <> id),
+      ev AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM eh
+              WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev)),
+      $gopherCte
+      SELECT lang, count(*) AS n_raw,
+             CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN q_keep AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+             CAST(sum(CASE WHEN q_keep AND NOT is_dup AND NOT is_bad
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      FROM (SELECT lang,
+                   (p_wc AND p_wlen AND p_stop AND p_dup) AS q_keep,
+                   doc_id IN (SELECT doc_id FROM dropped) AS is_dup,
+                   doc_id IN (SELECT doc_id FROM bad) AS is_bad
+            FROM gr
+            WHERE doc_id % 97 <> 0)
+      GROUP BY lang
+    """))
+
+  def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
+    curationFunnel)
 }

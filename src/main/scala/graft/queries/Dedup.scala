@@ -84,7 +84,7 @@ object Dedup {
     * `round(x, 6)` on an exact decimal tie breaks differently across
     * engines (Spark HALF_UP vs DuckDB half-even — the divergence class
     * observed on percent_rank at sf0.1). */
-  private def jaccardPairs(e: DataFrame): DataFrame = {
+  private[queries] def jaccardPairs(e: DataFrame): DataFrame = {
     val a = e.alias("a")
     // shuffle-hash join: posting lists are short (df-capped corpus,
     // max df 25 at sf0.1) so the build side fits per-partition;
@@ -103,7 +103,7 @@ object Dedup {
 
   /** DuckDB CTE fragment mirroring [[jaccardPairs]] over `fromCte`
     * rows (doc_id, n_sh, hk): defines `pairs(doc_a, doc_b, jaccard)`. */
-  private def jaccardPairsCte(fromCte: String): String = s"""
+  private[queries] def jaccardPairsCte(fromCte: String): String = s"""
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
             FROM $fromCte a JOIN $fromCte b
@@ -118,7 +118,7 @@ object Dedup {
     * (same single-source rule as [[jaccardPairsCte]]): symmetrized
     * `edges(a, b)` over `pairs`, and `reach(id, lbl)` whose per-id min
     * is the connected-component label. */
-  private val ccCte = """
+  private[queries] val ccCte = """
       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                 UNION ALL
                 SELECT doc_b AS a, doc_a AS b FROM pairs),

@@ -71,6 +71,20 @@ class CurationSpec extends SparkSpec {
       s"unexpected rarity rows: ${out.toSeq}")
   }
 
+  test("curation funnel stages are monotonically shrinking and consistent") {
+    val rows = Curation.curationFunnel.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (raw, q, d, c) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= d && d >= c,
+        s"funnel must shrink monotonically: $r")
+    }
+    val totalRaw = rows.map(_.getLong(1)).sum
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(totalRaw == expected, s"n_raw $totalRaw != train split $expected")
+  }
+
   test("bloom decontamination equals the exact no-bloom computation") {
     val e = Tables.documents(spark, sf)
       .withColumn("toks", split(col("text"), " "))

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
     val qs = Seq(
       graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.ngramJaccardCapped,
       graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
-      graft.queries.Dedup.decontaminate,
+      graft.queries.Dedup.decontaminate, graft.queries.Dedup.exactSubstring,
+      graft.queries.Curation.decontaminateBloom,
       graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh,
       graft.queries.Similarity.annIvf)
     for (q <- qs) {
