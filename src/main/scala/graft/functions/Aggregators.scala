@@ -35,4 +35,31 @@ object Aggregators {
     override def bufferEncoder: Encoder[RevBuf] = Encoders.product[RevBuf]
     override def outputEncoder: Encoder[RevOut] = Encoders.product[RevOut]
   }
+
+  case class TopKBuf(items: Seq[(Long, Long)])
+  case class TopKOut(items: Seq[(Long, Long)])
+
+  /** Bounded top-k per group as a mergeable aggregate — the scale
+    * alternative to `row_number().over(partitionBy(...)) <= k`: the
+    * window form sorts EVERY group member inside the exchange, while
+    * this buffer never holds more than k (value, tiebreak) pairs and
+    * aggregates partially map-side, so the shuffle carries at most
+    * k rows per group per partition instead of the whole group.
+    * Ordering is (value DESC, tiebreak ASC) — a total order, so
+    * `merge` is associative/commutative regardless of the
+    * nondeterministic partition-completion order. */
+  class TopK(k: Int) extends Aggregator[(Long, Long), TopKBuf, TopKOut] {
+    require(k > 0, s"TopK requires k > 0, got $k")
+    private val ord = Ordering.by[(Long, Long), (Long, Long)] {
+      case (v, t) => (-v, t)
+    }
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf =
+      TopKBuf((b.items :+ in).sorted(ord).take(k))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf((a.items ++ b.items).sorted(ord).take(k))
+    override def finish(b: TopKBuf): TopKOut = TopKOut(b.items)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKOut] = Encoders.product[TopKOut]
+  }
 }

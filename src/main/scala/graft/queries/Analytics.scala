@@ -361,9 +361,39 @@ object Analytics {
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """))
 
+  /** Top-3 orders per customer via the mergeable bounded-heap
+    * [[graft.functions.Aggregators.TopK]] UDAF — same results as the
+    * `row_number()` window form ([[topPerCustomer]]'s shape, and this
+    * oracle), but aggregated PARTIALLY map-side: the shuffle carries
+    * <= k rows per (customer, partition) instead of every order, the
+    * difference between a skew-safe plan and a full-group sort at
+    * 100 TB fan-in. Values are integer cents, tiebreak o_orderkey —
+    * a total order, so merge order cannot change results. */
+  val topkAgg = Q(
+    "q_topk_agg",
+    (spark, dir) => {
+      val topk = udaf(new graft.functions.Aggregators.TopK(3))
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("c"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top.items")).as(Seq("pos", "item")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("item._1").as("cents"), col("item._2").as("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_custkey, rn AS rank, cents, o_orderkey
+      FROM (SELECT o_custkey, o_orderkey,
+                   ${centsSql("o_totalprice")} AS cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
-    unpivotStatus, percentRank)
+    unpivotStatus, percentRank, topkAgg)
 }

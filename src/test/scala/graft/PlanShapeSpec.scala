@@ -68,6 +68,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k UDAF aggregates partially before the exchange") {
+    val plan = executedPlan(graft.queries.Analytics.topkAgg.fn(spark, sf))
+    // typed-Aggregator plans as ObjectHashAggregate: the partial
+    // instance must sit below the exchange (map-side k-row buffers)
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topk"),
+      s"no partial top-k aggregation before the shuffle:\n$plan")
+  }
+
   test("range join plans as a bucket equi-join, never a nested-loop") {
     val plan = executedPlan(graft.queries.TemporalOps.rangeJoin.fn(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
