@@ -310,6 +310,42 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Count-Min-Sketch heavy hitters with a checkable accuracy
+    * contract — the third sketch family next to HLL distinct counts
+    * and GK percentiles: the exact top-10 tokens (the oracle side)
+    * are each probed against a CMS built over the full token stream,
+    * asserting the classic guarantees `exact <= estimate <=
+    * exact + eps * N`. Everything is deterministic: the sketch is
+    * seeded, and its counters are SUMS, so partition merge order
+    * cannot change a single estimate. At 100 TB the sketch is the
+    * point: frequency queries over an unbounded token stream in
+    * eps-bounded memory (here ~2 KB rows x depth), mergeable across
+    * executors — the streaming-side companion of [[termFreq]]. */
+  val heavyHitters = Q(
+    "q_heavy_hitters",
+    (spark, dir) => {
+      val eps = 0.001
+      val tok = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cms = tok.stat.countMinSketch("tok", eps, 0.99, 42)
+      val cmsB = spark.sparkContext.broadcast(cms)
+      val bound = math.ceil(eps * cms.totalCount()).toLong
+      val okUdf = udf((t: String, f: Long) => {
+        val est = cmsB.value.estimateCount(t)
+        est >= f && est <= f + bound
+      })
+      tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(10)
+        .withColumn("cms_ok", okUdf(col("tok"), col("freq")))
+    },
+    Some("""
+      SELECT tok, count(*) AS freq, true AS cms_ok
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY freq DESC, tok
+      LIMIT 10
+    """))
+
   /** TF-IDF top terms per language — the weighting every keyword /
     * relevance pipeline applies after raw term counting: score =
     * tf * ln(N/df) over per-language document frequencies. The ranking
@@ -356,5 +392,5 @@ object TextOps {
 
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens, datasetMix, packChunks, vocabStats, tfidf)
+    regexTokens, datasetMix, packChunks, vocabStats, tfidf, heavyHitters)
 }
