@@ -58,6 +58,11 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else {
+        // isolate queries, same rule as Bench: several queries persist
+        // internal relations by design (dedupClusters, curationFunnel,
+        // exactSubstring, heavyHitters) — a leftover block must not
+        // occupy this local[4] JVM for the rest of an 83-query run
+        spark.catalog.clearCache()
         deleteRecursively(new java.io.File(s"$outDir/$name"))
         try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -50,12 +50,16 @@ object Aggregators {
     * nondeterministic partition-completion order. */
   class TopK(k: Int) extends Aggregator[(Long, Long), TopKBuf, TopKOut] {
     require(k > 0, s"TopK requires k > 0, got $k")
-    private val ord = Ordering.by[(Long, Long), (Long, Long)] {
-      case (v, t) => (-v, t)
-    }
+    // no negation trick: -Long.MinValue overflows and would rank the
+    // minimum value first
+    private val ord: Ordering[(Long, Long)] =
+      Ordering.by[(Long, Long), Long](_._1).reverse.orElseBy(_._2)
     override def zero: TopKBuf = TopKBuf(Vector.empty)
     override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf =
-      TopKBuf((b.items :+ in).sorted(ord).take(k))
+      // fast path first: the overwhelming majority of rows lose to the
+      // k-th element — one comparison, no allocation, no sort
+      if (b.items.size >= k && ord.lteq(b.items.last, in)) b
+      else TopKBuf((b.items :+ in).sorted(ord).take(k))
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
       TopKBuf((a.items ++ b.items).sorted(ord).take(k))
     override def finish(b: TopKBuf): TopKOut = TopKOut(b.items)

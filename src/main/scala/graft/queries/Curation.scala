@@ -22,6 +22,15 @@ object Curation {
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopsSqlList = stops.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB fragment of the train-side contamination rule over `eh`
+    * rows (doc_id, hk): defines `ev` (distinct benchmark shingles) and
+    * `bad` (train docs sharing ANY shingle with the benchmark) —
+    * single-sourced for [[decontaminateBloom]] and the funnel. */
+  private val evBadCte = """
+      ev AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT doc_id FROM eh
+              WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev))"""
+
   /** Per-document Gopher rule flags (shape of Rae et al. 2021 §A1.1,
     * thresholds adapted to this corpus), shared by the per-rule rollup
     * and the curation funnel so the rules cannot drift:
@@ -228,9 +237,7 @@ object Curation {
     Some(s"""
       WITH ${Dedup.shingleCte},
       eh AS (SELECT doc_id, ${h60Sql("sh1")} AS hk FROM e),
-      ev AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 = 0),
-      bad AS (SELECT DISTINCT doc_id FROM eh
-              WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev))
+      $evBadCte
       SELECT lang, count(*) AS n_train,
              CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
@@ -247,10 +254,12 @@ object Curation {
     *   n_raw     — the training split (non-benchmark docs)
     *   n_quality — + pass all Gopher rules ([[withGopherFlags]])
     *   n_dedup   — + canonical under corpus-wide Jaccard clustering
-    *               (the [[Dedup.dedupApply]] drop set: transitive
+    *               (the [[Dedup.nonCanonical]] drop set: transitive
     *               connected components over exact j >= 0.5 pairs)
     *   n_clean   — + share no 3-gram with the benchmark split
-    *               ([[Dedup.decontaminate]] semantics, train side)
+    *               (the [[decontaminateBloom]] rule — ANY shared
+    *               shingle drops the train doc; [[Dedup.decontaminate]]
+    *               is the different, eval-side >= 50% flag)
     * Composition is the scale story: the rule flags are map-side
     * per-row expressions, and both drop sets are tiny relative to the
     * corpus, so they BROADCAST onto the scan — the corpus itself never
@@ -264,15 +273,13 @@ object Curation {
       // ONE persisted inverted shingle index serves the dedup pair
       // generation AND both decontamination sides (three computations
       // otherwise); like dedupClusters, the cached block outlives the
-      // query — battery callers clear cache between queries
+      // query — both batteries (Bench AND Verify) clear cache per query
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
         .persist()
-      val dup = graft.operators.ConnectedComponents
-        .minLabel(Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b")),
-          "doc_a", "doc_b")
-        .filter(col("lbl") =!= col("id"))
-        .select(col("id").as("doc_id")).withColumn("dup", lit(true))
+      val dup = Dedup.nonCanonical(
+          Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b")))
+        .withColumn("dup", lit(true))
       val evalShingles = e.filter(col("doc_id") % 97 === 0).select(col("hk")).distinct()
       val contaminated = e.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(evalShingles), Seq("hk"), "left_semi")
@@ -293,11 +300,8 @@ object Curation {
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${Dedup.jaccardPairsCte("eh")},
       ${Dedup.ccCte},
-      dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
-                  HAVING min(lbl) <> id),
-      ev AS (SELECT DISTINCT hk FROM eh WHERE doc_id % 97 = 0),
-      bad AS (SELECT DISTINCT doc_id FROM eh
-              WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev)),
+      ${Dedup.droppedCte},
+      $evBadCte,
       $gopherCte
       SELECT lang, count(*) AS n_raw,
              CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,

@@ -127,6 +127,21 @@ object Dedup {
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)"""
 
+  /** The non-canonical drop set over near-dup `pairs(doc_a, doc_b)` —
+    * every doc whose transitive cluster label differs from its own id
+    * — single-sourced for [[dedupApply]] and the curation funnel (same
+    * rule as [[jaccardPairsCte]]: shared fragments cannot drift). */
+  private[queries] def nonCanonical(pairs: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id").as("doc_id"))
+
+  /** DuckDB fragment mirroring [[nonCanonical]] over `reach`
+    * ([[ccCte]]): defines `dropped(doc_id)`. */
+  private[queries] val droppedCte = """
+      dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
+                  HAVING min(lbl) <> id)"""
+
   /** The exact j >= 0.5 pair set, as DuckDB SQL — the oracle for BOTH
     * the inverted-index query and the MinHash-LSH query (banding with
     * these parameters recovers every j >= 0.5 pair on the test corpora;
@@ -510,11 +525,8 @@ object Dedup {
   val dedupApply = Q(
     "q_dedup_apply",
     (spark, dir) => {
-      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
-      val drop = graft.operators.ConnectedComponents
-        .minLabel(pairs, "doc_a", "doc_b")
-        .filter(col("lbl") =!= col("id"))
-        .select(col("id").as("doc_id"))
+      val drop = nonCanonical(
+        ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b")))
       Tables.documents(spark, dir)
         .join(broadcast(drop), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -526,8 +538,7 @@ object Dedup {
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
       $ccCte,
-      dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
-                  HAVING min(lbl) <> id)
+      $droppedCte
       SELECT lang, count(*) AS n_kept
       FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)

@@ -313,29 +313,43 @@ object TextOps {
   /** Count-Min-Sketch heavy hitters with a checkable accuracy
     * contract — the third sketch family next to HLL distinct counts
     * and GK percentiles: the exact top-10 tokens (the oracle side)
-    * are each probed against a CMS built over the full token stream,
-    * asserting the classic guarantees `exact <= estimate <=
-    * exact + eps * N`. Everything is deterministic: the sketch is
-    * seeded, and its counters are SUMS, so partition merge order
-    * cannot change a single estimate. At 100 TB the sketch is the
-    * point: frequency queries over an unbounded token stream in
-    * eps-bounded memory (here ~2 KB rows x depth), mergeable across
-    * executors — the streaming-side companion of [[termFreq]]. */
+    * are each probed against a CMS of the full token stream, asserting
+    * the classic guarantees `exact <= estimate <= exact + eps * N`.
+    * The sketch is seeded and its counters are SUMS, so partition
+    * merge order cannot change an estimate — for a GIVEN corpus the
+    * booleans are stable. The upper bound itself is probabilistic
+    * (P >= confidence per probe): at confidence 0.999 (depth 10) the
+    * union tail over 10 probes is ~1%, so a REGENERATED corpus could
+    * in principle flip one boolean with no code bug — same documented
+    * tail class as minhashLsh's banding miss; the escalation is a
+    * higher confidence or a widened bound, never a weaker sketch.
+    * One corpus scan: the sketch is fed (token, count) pairs from the
+    * same vocabulary-sized aggregate the top-10 derives from (CMS
+    * add(x, c) == c adds of x), persisted — a few KB resident, the
+    * documented internal-persist pattern. At 100 TB the sketch is the
+    * point: frequency queries over an unbounded stream in eps-bounded
+    * memory, mergeable across executors — the streaming companion of
+    * [[termFreq]]. */
   val heavyHitters = Q(
     "q_heavy_hitters",
     (spark, dir) => {
       val eps = 0.001
-      val tok = Tables.documents(spark, dir)
+      val freq = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
-      val cms = tok.stat.countMinSketch("tok", eps, 0.99, 42)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .persist() // vocabulary-sized; battery callers clear cache
+      val cms = freq.select(col("tok"), col("freq")).rdd
+        .treeAggregate(
+          org.apache.spark.util.sketch.CountMinSketch.create(eps, 0.999, 42))(
+          (s, r) => { s.add(r.getString(0), r.getLong(1)); s },
+          (a, b) => { a.mergeInPlace(b); a })
       val cmsB = spark.sparkContext.broadcast(cms)
       val bound = math.ceil(eps * cms.totalCount()).toLong
       val okUdf = udf((t: String, f: Long) => {
         val est = cmsB.value.estimateCount(t)
         est >= f && est <= f + bound
       })
-      tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        .orderBy(desc("freq"), asc("tok")).limit(10)
+      freq.orderBy(desc("freq"), asc("tok")).limit(10)
         .withColumn("cms_ok", okUdf(col("tok"), col("freq")))
     },
     Some("""
