@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join — an operator Spark lacks natively.
   *
-  * For each left row, attach the single right row with the same key
-  * and the greatest right-time <= left-time (backward direction).
+  * Backward: for each left row, the single right row with the same key
+  * and the greatest right-time <= left-time. Forward: the smallest
+  * right-time >= left-time. Both with optional strictness (exclude
+  * equal times) and an optional tolerance bounding the match distance
+  * (the pandas `merge_asof` surface).
   *
   * Implementation is the scale-first union+window pattern, NOT a range
   * join: tag both sides, union, ONE shuffle on the key, sort each key
@@ -35,23 +38,55 @@ object AsOfJoin {
       rightKey: String, rightTime: String,
       rightCols: Seq[String],
       joinType: String = "inner",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKey, leftTime, rightKey, rightTime, rightCols,
+      joinType, strict, forwardDir = false, tolerance)
+
+  /** Forward direction: smallest right-time >= left-time (strict: >).
+    * `tolerance` (an SQL interval body, e.g. "90 days") drops matches
+    * farther than left-time + tolerance — beyond-tolerance left rows
+    * behave exactly like unmatched ones (dropped under "inner",
+    * null-extended under "left"). */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightCols: Seq[String],
+      joinType: String = "inner",
+      strict: Boolean = false,
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKey, leftTime, rightKey, rightTime, rightCols,
+      joinType, strict, forwardDir = true, tolerance)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightCols: Seq[String],
+      joinType: String,
+      strict: Boolean,
+      forwardDir: Boolean,
+      tolerance: Option[String]): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"joinType=$joinType")
     val leftCols = left.columns.toSeq
     val lType = left.select(leftCols.map(col): _*).schema
     val rType = right.select(rightCols.map(col): _*).schema
     // ASOF semantics: a right row with a NULL key or NULL/unparseable
     // time matches nothing. Without this filter it would sort FIRST in
-    // its window (ASC = NULLS FIRST) and its payload would be carried
-    // into every left row of the partition — a spurious match no SQL
-    // ASOF join produces. Left rows with NULL keys then simply find no
-    // right rows (inner drops them; left emits them unmatched).
+    // its window and its payload would be carried into every left row
+    // of the partition — a spurious match no SQL ASOF join produces.
+    // Left rows with NULL keys then simply find no right rows (inner
+    // drops them; left emits them unmatched).
     val rightClean = right
       .filter(col(rightKey).isNotNull &&
               col(rightTime).cast("timestamp").isNotNull)
-    // At equal time the lower side sorts first. Non-strict: right rows
-    // first, so a right row at exactly left-time is visible (<=).
-    // Strict: left rows first, so same-time right rows are excluded (<).
+    // At equal time the lower side sorts first (secondary __side sort
+    // holds for both directions). Non-strict: right rows first, so a
+    // right row at exactly left-time is visible. Strict: left rows
+    // first, so same-time right rows are excluded.
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
@@ -63,12 +98,31 @@ object AsOfJoin {
       lit(null).cast(lType).as("__l"),
       struct(rightCols.map(col): _*).as("__r"),
       lit(rSide).as("__side"))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    // backward scans time ascending; forward scans descending so the
+    // carried "last right row" is the SMALLEST right-time >= left-time.
+    // Nulls first in both: a null-time left row must see no right rows
+    // (desc defaults to nulls-last, which would hand it the global
+    // minimum right row).
+    val timeOrder: Column =
+      if (forwardDir) col("__t").desc_nulls_first else col("__t").asc
+    val w = Window.partitionBy(col("__k")).orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      // the matched row's own time, carried by the same window over
+      // the same ordering — needed to apply the tolerance bound
+      .withColumn("__mt",
+        last(when(col("__side") === rSide, col("__t")), ignoreNulls = true).over(w))
       .filter(col("__side") === lSide)
-    val kept = if (joinType == "inner") joined.filter(col("__match").isNotNull) else joined
+    val bounded = tolerance.fold(matched) { tol =>
+      val ok =
+        if (forwardDir) col("__mt") <= col("__t") + expr(s"INTERVAL $tol")
+        else col("__mt") >= col("__t") - expr(s"INTERVAL $tol")
+      // a beyond-tolerance match is no match at all
+      matched.withColumn("__match", when(ok, col("__match")))
+    }
+    val kept =
+      if (joinType == "inner") bounded.filter(col("__match").isNotNull) else bounded
     kept.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
       rightCols.map(c => col(s"__match.$c").as(c)): _*)

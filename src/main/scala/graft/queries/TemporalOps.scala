@@ -129,5 +129,46 @@ object TemporalOps {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(asofPrevOrder, sessionWindows, slidingWindows, rangeJoin)
+  /** Forward as-of with tolerance: for every order, the customer's
+    * NEXT order, but only when it lands within 90 days — the
+    * repurchase-window question (strict forward + tolerance; DuckDB
+    * oracles the direction with a native `ASOF ... ON l.t < r.t` and
+    * the tolerance as a post-filter, equivalent because ASOF keeps
+    * only the nearest candidate). Right side deduped to one row per
+    * (custkey, date) like [[asofPrevOrder]]. */
+  val asofNextOrder = Q(
+    "q_asof_next_order",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val right = o.groupBy(col("o_custkey").as("custkey"),
+                            col("o_orderdate").as("next_date"))
+        .agg(max(col("o_orderkey")).as("next_orderkey"))
+      AsOfJoin.forward(
+          o.select("o_orderkey", "o_custkey", "o_orderdate"), right,
+          leftKey = "o_custkey", leftTime = "o_orderdate",
+          rightKey = "custkey", rightTime = "next_date",
+          rightCols = Seq("next_date", "next_orderkey"),
+          joinType = "inner", strict = true, tolerance = Some("90 days"))
+        .select(col("o_orderkey"), col("o_custkey"), col("next_orderkey"),
+                datediff(col("next_date"), col("o_orderdate")).as("gap_days"))
+    },
+    Some("""
+      WITH d AS (SELECT o_custkey AS custkey, o_orderdate AS next_date,
+                        max(o_orderkey) AS next_orderkey
+                 FROM orders GROUP BY 1, 2),
+      -- MATERIALIZED: the tolerance filter must stay OUTSIDE the ASOF
+      -- join (pushed in, it binds as a second ASOF inequality -> error)
+      a AS MATERIALIZED (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               d.next_orderkey, d.next_date
+        FROM orders o ASOF JOIN d
+          ON o.o_custkey = d.custkey AND o.o_orderdate < d.next_date)
+      SELECT o_orderkey, o_custkey, next_orderkey,
+             date_diff('day', o_orderdate, next_date) AS gap_days
+      FROM a
+      WHERE next_date <= o_orderdate + INTERVAL 90 DAY
+    """))
+
+  def all: Seq[Q] = Seq(asofPrevOrder, asofNextOrder, sessionWindows,
+    slidingWindows, rangeJoin)
 }

@@ -51,6 +51,39 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
   }
 
+  test("forward as-of picks the earliest quote at or after the trade") {
+    val out = AsOfJoin.forward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"))
+      .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // trade 1 -> next A quote 10:05 (101); trade 2 exactly on it
+    // (non-strict); trade 3 -> B quote 10:03; trade 4: no key
+    assert(out === Map(1L -> 101.0, 2L -> 101.0, 3L -> 50.0))
+  }
+
+  test("forward strict skips the same-timestamp quote") {
+    val out = AsOfJoin.forward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), strict = true)
+      .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // trade 2 at exactly 10:05 must NOT match that quote, and A has
+    // none later -> unmatched under inner
+    assert(out === Map(1L -> 101.0, 3L -> 50.0))
+  }
+
+  test("tolerance turns a too-far match into no match") {
+    // trade 3 at 10:02 -> B quote at 10:03 is 60s away: within 2
+    // minutes, outside 30 seconds
+    val within = AsOfJoin.forward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), tolerance = Some("2 minutes"))
+      .select("trade_id").collect().map(_.getLong(0)).toSet
+    assert(within.contains(3L))
+    val tight = AsOfJoin.forward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), joinType = "left",
+        tolerance = Some("30 seconds"))
+    assert(tight.filter(col("trade_id") === 3L).head.isNullAt(
+      tight.columns.indexOf("px")),
+      "beyond-tolerance match must be null-extended under left join")
+  }
+
   test("plan shuffles once on the key — no nested-loop join") {
     val plan = AsOfJoin.backward(trades, quotes,
       "sym", "tt", "sym", "qt", Seq("px")).queryExecution.executedPlan.toString
