@@ -155,4 +155,45 @@ class PropertySpec extends SparkSpec {
       assert(twice.count() === once.count())
     }
   }
+
+  test("interval-union coverage fold equals brute-force window union") {
+    // the q_exact_substring core: fold sorted window starts through
+    // the (cov, last) accumulator == |union of [p, p+W)| for any
+    // position multiset
+    val W = 8
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 60))) { rawPs =>
+      val ps = rawPs.distinct.sorted.map(_.toLong)
+      val df = Seq(Tuple1(ps)).toDF("ps")
+        .select(expr(
+          s"""aggregate(ps,
+                named_struct('cov', cast(0 AS bigint), 'last', cast(-1 AS bigint)),
+                (a, p) -> named_struct(
+                  'cov', a.cov + greatest(cast(p AS bigint) + $W
+                                          - greatest(cast(p AS bigint), a.last),
+                                          cast(0 AS bigint)),
+                  'last', greatest(a.last, cast(p AS bigint) + $W)),
+                a -> a.cov)""").as("covered"))
+      val expected = ps.flatMap(p => p until p + W).distinct.size.toLong
+      assert(df.head.getLong(0) === expected, s"positions $ps")
+    }
+  }
+
+  test("TopK aggregator equals sort-take regardless of grouping order") {
+    val topk = udaf(new graft.functions.Aggregators.TopK(3))
+    forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(1, 5), Gen.choose(-100L, 100L))), n = 10) { rows =>
+      // unique tiebreak ids so expected order is total
+      val data = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val out = data.toDF("g", "v", "id").repartition(7)
+        .groupBy(col("g")).agg(topk(col("v"), col("id")).as("t"))
+        .select(col("g"), explode(col("t.items")).as("item"))
+        .select(col("g"), col("item._1").as("v"), col("item._2").as("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq.sorted).toMap
+      val expected = data.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3)).sortBy { case (v, id) => (-v, id) }
+          .take(3).sorted.toSeq).toMap
+      assert(out === expected)
+    }
+  }
 }
