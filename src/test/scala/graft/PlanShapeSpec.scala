@@ -68,6 +68,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation scans prune to the columns they use") {
+    // rule evaluation reads (lang, text) only — a scan dragging the
+    // full documents schema through a 100 TB pass is the regression
+    // this locks out
+    val plan = executedPlan(graft.queries.Curation.gopherRules.fn(spark, sf))
+    val schema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(schema.contains("lang") && schema.contains("text"), schema)
+    assert(!schema.contains("source") && !schema.contains("n_chars"),
+      s"gopher scan reads unused columns: $schema")
+  }
+
   test("bounded top-k UDAF aggregates partially before the exchange") {
     val plan = executedPlan(graft.queries.Analytics.topkAgg.fn(spark, sf))
     // typed-Aggregator plans as ObjectHashAggregate: the partial
