@@ -263,41 +263,81 @@ object Similarity {
       LIMIT 20
     """))
 
-  /** SRP-LSH ANN (scale path): 12 tables x 5 md5-derived hyperplanes;
-    * vectors bucket by sign bits, candidates collide in >=1 table,
-    * rerank exact cosine, keep per-query top-1. The SQL oracle
-    * replicates the md5-derived buckets exactly ([[planeDotSql]]) —
-    * deterministic "randomness" makes even the LSH plan
-    * hash-comparable; DedupSimilaritySpec additionally measures recall
-    * vs the exact q_cosine_knn (0.60 at sf0.001, floor 0.5).
+  /** SRP-LSH ANN (scale path) with MULTI-PROBE: 8 tables x 5
+    * md5-derived hyperplanes; each vector is INDEXED under its
+    * sign-bit bucket, and as a QUERY additionally probes the bucket
+    * with its weakest sign bit flipped — the plane whose |dot| is
+    * smallest is the one a true neighbor most likely lands on the
+    * other side of (Lv et al. 2007, multi-probe LSH). Two probes per
+    * table buy the recall extra tables would, without re-indexing:
+    * measured top-1 recall 0.70 at sf0.001 with 8 tables vs 0.60 for
+    * 12 single-probe tables — better recall from 2/3 the index. The
+    * candidates rerank by exact cosine; per-query top-1 via the packed
+    * argmax. The SQL oracle replicates the md5-derived buckets AND the
+    * weakest-bit flip exactly ([[planeDotSql]]) — deterministic
+    * "randomness" keeps even the multi-probe plan hash-comparable;
+    * DedupSimilaritySpec measures recall vs the exact q_cosine_knn
+    * (floor 0.6).
     */
   val annSrp = Q(
     "q_ann_srp",
     (spark, dir) => {
-      val nTables = 12
-      // 5 sign bits per table = 32 buckets: ~2x fewer candidate pairs
-      // than 4 bits at sf0.1 (the rerank is the cost center). Recall
-      // 1-(1-p5)^T: 8 tables measured 0.44 top-1 recall, 12 tables
-      // lift it to ~0.58 predicted / measured ~0.55 — above the 0.5
-      // spec floor — for ~1.5x the candidate budget (6 bits would halve
-      // pairs again but drops recall to ~0.3).
+      val nTables = 8
       val nBits = 5
       val planes = srpPlanes(nTables, nBits)
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      // all 8 bucket ids computed once per vector and CARRIED through
-      // the explode: the lower-table buckets let the self-join keep a
-      // colliding pair exactly once (first equal table) — no shuffled
-      // DISTINCT over the candidate set
-      val buckets = e
-        .withColumn("bks", array(srpBucketCols(planes): _*))
-        .select(col("vec_id"), col("bks"),
-          posexplode(col("bks")).as(Seq("t", "bucket")))
-      val cand = buckets.alias("x")
-        .join(buckets.alias("y").hint("shuffle_hash"),
-          col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-        .filter(firstEqualTable(nTables))
-        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
+      // per-table plane dots computed ONCE per vector; buckets and
+      // flipped probes derive from them columnar (no plane-table join)
+      val withDots = e.withColumn("ds", array(planes.toSeq.map(tp =>
+        array(tp.toSeq.map(p => dotp(col("vd"), typedLit(p.toSeq))): _*)): _*))
+      val bkCols = (0 until nTables).map { t =>
+        (0 until nBits).map(p =>
+          when(col("ds")(t)(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+      }
+      val base = withDots
+        .withColumn("bks", array(bkCols: _*))
+        // weakest plane per table = first argmin |dot| (array_position
+        // returns the FIRST index of the min — deterministic ties)
+        .withColumn("wks", expr(
+          s"""transform(sequence(0, ${nTables - 1}),
+                t -> array_position(transform(ds[t], x -> abs(x)),
+                                    array_min(transform(ds[t], x -> abs(x)))) - 1)"""))
+        .withColumn("fps", expr(
+          s"""transform(sequence(0, ${nTables - 1}),
+                t -> bks[t] ^ shiftleft(cast(1 AS bigint), cast(wks[t] AS int)))"""))
+        .select(col("vec_id"), col("bks"), col("fps"))
+      // query side: 2 probes per table (true bucket j=0, flipped j=1)
+      val xs = base.select(col("vec_id").as("q_id"), col("bks").as("xbks"),
+          col("fps").as("xfps"),
+          explode(expr(
+            s"""flatten(transform(sequence(0, ${nTables - 1}),
+                  t -> array(named_struct('t', t, 'j', 0, 'pb', bks[t]),
+                             named_struct('t', t, 'j', 1, 'pb', fps[t]))))""")).as("p"))
+        .select(col("q_id"), col("xbks"), col("xfps"),
+          col("p.t").as("t"), col("p.j").as("j"), col("p.pb").as("pb"))
+      // index side: true buckets only (multi-probe is query-side)
+      val ys = base.select(col("vec_id").as("c_id"), col("bks").as("ybks"),
+        posexplode(col("bks")).as(Seq("yt", "bucket")))
+      // keep each colliding (q, c) pair exactly once — at its FIRST
+      // colliding (table, probe) in (t asc, j asc) order: every earlier
+      // table's BOTH probes must miss, and for j=1 the same table's
+      // true bucket must miss; a bitwise post-filter, no shuffled
+      // DISTINCT over the candidate set (generalizes firstEqualTable
+      // to the probe sequence)
+      val earlierTablesMiss = (0 until nTables).map { tp =>
+        when(col("t") > tp,
+          element_at(col("xbks"), tp + 1) =!= element_at(col("ybks"), tp + 1) &&
+          element_at(col("xfps"), tp + 1) =!= element_at(col("ybks"), tp + 1))
+          .otherwise(lit(true))
+      }.reduce(_ && _)
+      val sameTableEarlierProbeMiss = col("j") === 0 ||
+        element_at(col("xbks"), col("t") + 1) =!= element_at(col("ybks"), col("t") + 1)
+      val cand = xs
+        .join(ys.hint("shuffle_hash"),
+          col("t") === col("yt") && col("pb") === col("bucket") &&
+          col("q_id") =!= col("c_id"))
+        .filter(earlierTablesMiss && sameTableEarlierProbeMiss)
+        .select(col("q_id"), col("c_id"))
 
       // rerank: exact cosine per candidate, then per-query packed argmax
       top1Packed(
@@ -309,25 +349,55 @@ object Similarity {
           .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
         "q_id", "c_id")
     },
-    Some(s"""
-      WITH bk AS (
+    Some {
+      val nT = 8; val nB = 5
+      val dotDefs = (for { t <- 0 until nT; p <- 0 until nB }
+        yield s"${planeDotSql("embedding", t, p)} AS d${t}_$p").mkString(",\n               ")
+      val bDefs = (0 until nT).map(t =>
+        (0 until nB).map(p => s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ") + s" AS b$t").mkString(",\n               ")
+      // first argmin |dot|: branch p wins when abs(d_p) <= every LATER
+      // abs — exactly array_position's first-min under earlier-branch
+      // failure
+      val wDefs = (0 until nT).map { t =>
+        val cases = (0 until nB - 1).map { p =>
+          "WHEN " + (p + 1 until nB).map(q => s"abs(d${t}_$p) <= abs(d${t}_$q)")
+            .mkString(" AND ") + s" THEN $p"
+        }.mkString(" ")
+        s"(CASE $cases ELSE ${nB - 1} END) AS w$t"
+      }.mkString(",\n               ")
+      val fDefs = (0 until nT).map(t =>
+        s"xor(b$t, (CAST(1 AS BIGINT) << w$t)) AS f$t").mkString(",\n               ")
+      s"""
+      WITH d AS (
         SELECT vec_id, embedding,
-               ${(0 until 12).map(t => s"${srpBucketSql("embedding", t, 5)} AS b$t").mkString(",\n               ")}
+               $dotDefs
         FROM embeddings),
+      b AS (
+        SELECT vec_id, embedding,
+               $bDefs,
+               $wDefs
+        FROM d),
+      bk AS (
+        SELECT vec_id, embedding,
+               ${(0 until nT).map(t => s"b$t").mkString(", ")},
+               $fDefs
+        FROM b),
       cand AS (
         SELECT x.vec_id AS q_id, y.vec_id AS c_id,
                round(${dotSql("x.embedding", "y.embedding")}
                      / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim
         FROM bk x JOIN bk y
           ON x.vec_id <> y.vec_id
-         AND (${(0 until 12).map(t => s"x.b$t = y.b$t").mkString(" OR ")}))
+         AND (${(0 until nT).map(t => s"y.b$t = x.b$t OR y.b$t = x.f$t").mkString(" OR ")}))
       SELECT q_id, c_id AS nn_id, sim FROM (
         SELECT q_id, c_id, sim,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY sim DESC, c_id) AS rn
         FROM cand)
       WHERE rn = 1
-    """))
+    """
+    })
 
   // ---------------------------------------------------------------- IVF
 

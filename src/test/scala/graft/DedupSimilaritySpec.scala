@@ -46,9 +46,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = exact.count { case (q, nn) => ann.get(q).contains(nn) }
     val recall = hits.toDouble / exact.size
     info(s"SRP-LSH top-1 recall: $recall (${hits}/${exact.size})")
-    // 12 tables x 5 bits measures 0.60 here (0.78 at sf0.01); floor
-    // below the measurement so a legit param tweak doesn't flap
-    assert(recall >= 0.5, s"recall $recall below the SRP floor")
+    // 8 tables x 5 bits x 2 probes (multi-probe) measures 0.70 here;
+    // floor below the measurement so a legit param tweak doesn't flap
+    assert(recall >= 0.6, s"recall $recall below the SRP floor")
   }
 
   test("IVF ANN recall vs exact knn beats the SRP floor") {
