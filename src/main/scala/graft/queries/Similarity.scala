@@ -91,8 +91,9 @@ object Similarity {
     * pair colliding in k of the tables would otherwise emit k times;
     * requiring every LOWER table's buckets to differ keeps only the
     * first collision, as a bitwise post-filter instead of a shuffled
-    * DISTINCT over the (large) candidate set. Single-sourced here so
-    * the invariant cannot drift between the LSH queries. Expects the
+    * DISTINCT over the (large) candidate set. Used by the
+    * single-probe LSH queries; [[annSrp]] generalizes the same
+    * invariant to its (table, probe) sequence inline. Expects the
     * self-join to expose x.t (probe table index) and x.bks / y.bks
     * (per-vector bucket arrays). */
   private def firstEqualTable(nTables: Int): Column =
@@ -320,23 +321,23 @@ object Similarity {
         posexplode(col("bks")).as(Seq("yt", "bucket")))
       // keep each colliding (q, c) pair exactly once — at its FIRST
       // colliding (table, probe) in (t asc, j asc) order: every earlier
-      // table's BOTH probes must miss, and for j=1 the same table's
-      // true bucket must miss; a bitwise post-filter, no shuffled
-      // DISTINCT over the candidate set (generalizes firstEqualTable
-      // to the probe sequence)
+      // table's BOTH probes must miss. Within one table no extra guard
+      // is needed: a j=1 (flipped-probe) collision means fps[t] ==
+      // ybks[t], and fps differs from bks in exactly one bit, so the
+      // j=0 probe missed automatically. A bitwise post-filter, no
+      // shuffled DISTINCT over the candidate set (generalizes
+      // firstEqualTable to the probe sequence).
       val earlierTablesMiss = (0 until nTables).map { tp =>
         when(col("t") > tp,
           element_at(col("xbks"), tp + 1) =!= element_at(col("ybks"), tp + 1) &&
           element_at(col("xfps"), tp + 1) =!= element_at(col("ybks"), tp + 1))
           .otherwise(lit(true))
       }.reduce(_ && _)
-      val sameTableEarlierProbeMiss = col("j") === 0 ||
-        element_at(col("xbks"), col("t") + 1) =!= element_at(col("ybks"), col("t") + 1)
       val cand = xs
         .join(ys.hint("shuffle_hash"),
           col("t") === col("yt") && col("pb") === col("bucket") &&
           col("q_id") =!= col("c_id"))
-        .filter(earlierTablesMiss && sameTableEarlierProbeMiss)
+        .filter(earlierTablesMiss)
         .select(col("q_id"), col("c_id"))
 
       // rerank: exact cosine per candidate, then per-query packed argmax

@@ -84,6 +84,20 @@ class AsOfJoinSpec extends SparkSpec {
       "beyond-tolerance match must be null-extended under left join")
   }
 
+  test("backward tolerance bounds the lookback distance") {
+    // trade 1 at 10:04:59 -> quote at 10:00 is 299s back: inside 10
+    // minutes, outside 1 minute (trade 2's quote is 0s back — always in)
+    val wide = AsOfJoin.backward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), tolerance = Some("10 minutes"))
+      .select("trade_id").collect().map(_.getLong(0)).toSet
+    assert(wide === Set(1L, 2L))
+    val tight = AsOfJoin.backward(trades, quotes,
+        "sym", "tt", "sym", "qt", Seq("px"), tolerance = Some("1 minute"))
+      .select("trade_id").collect().map(_.getLong(0)).toSet
+    assert(tight === Set(2L),
+      s"backward tolerance failed to drop the 299s-old match: $tight")
+  }
+
   test("plan shuffles once on the key — no nested-loop join") {
     val plan = AsOfJoin.backward(trades, quotes,
       "sym", "tt", "sym", "qt", Seq("px")).queryExecution.executedPlan.toString
