@@ -232,6 +232,35 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Deterministic train/val/test split — the other half of dataset
+    * assembly next to [[datasetMix]]: each document lands in exactly
+    * one split by a seeded content-free hash of its id (90/5/5 here),
+    * reproducible across runs, engines, partitionings and retries —
+    * and DISJOINT by construction, which rand()-based splitting cannot
+    * guarantee under retries. A pure map-side expression; the only
+    * shuffle is the (lang, split) rollup. Changing the seed string
+    * redraws the split independently of [[datasetMix]]'s sample. */
+  val datasetSplit = Q(
+    "q_dataset_split",
+    (spark, dir) => {
+      val h = pmod(h60(concat(lit("split1_"), col("doc_id").cast("string"))), lit(100L))
+      Tables.documents(spark, dir)
+        .withColumn("split",
+          when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    Some(s"""
+      SELECT lang,
+             CASE WHEN ${h60Sql("'split1_' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                  WHEN ${h60Sql("'split1_' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY 1, 2
+    """))
+
   /** Sequence-packing layout (concat-and-chunk): pretraining packs a
     * corpus by concatenating all tokens in a fixed document order and
     * chunking into context-length sequences. Per language this emits
@@ -406,5 +435,6 @@ object TextOps {
 
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens, datasetMix, packChunks, vocabStats, tfidf, heavyHitters)
+    regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
+    heavyHitters)
 }
