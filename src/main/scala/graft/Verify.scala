@@ -61,7 +61,7 @@ object Verify {
         // isolate queries, same rule as Bench: several queries persist
         // internal relations by design (dedupClusters, curationFunnel,
         // exactSubstring, heavyHitters) — a leftover block must not
-        // occupy this local[4] JVM for the rest of an 83-query run
+        // occupy this local[4] JVM for the rest of the full battery
         spark.catalog.clearCache()
         deleteRecursively(new java.io.File(s"$outDir/$name"))
         try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")

@@ -35,14 +35,17 @@ import org.apache.spark.storage.StorageLevel
   *  - each round is one join (edges co-partitioned, labels shuffled) +
   *    `reduceByKey(min)` with map-side combine — no all-pairs anything;
   *  - rounds = graph diameter. Near-dup graphs are overwhelmingly tiny
-  *    star/chain clusters (diameter 2-4); for adversarial long chains
-  *    the classic large-star/small-star (pointer-doubling) variant
-  *    drops rounds to O(log n) — the documented escalation path;
+  *    star/chain clusters (diameter 2-4) so the per-round cost stays
+  *    minimal; for adversarial long chains the loop ESCALATES to the
+  *    alternating large-star/small-star contraction of Kiveris et al.
+  *    2014 ([[starContract]]) instead of aborting — O(log^2 n) rounds
+  *    regardless of diameter;
   *  - memory holds at most two label RDDs plus the edge RDD, all
   *    MEMORY_AND_DISK (spill, not OOM);
   *  - convergence is a count action per round (one Long to the
-  *    driver); exhausting `maxIters` without converging THROWS — a
-  *    silently partial labeling would assign wrong canonical docs.
+  *    driver); exhausting the star phase's round cap without
+  *    converging THROWS — a silently partial labeling would assign
+  *    wrong canonical docs.
   */
 object ConnectedComponents {
 
@@ -108,18 +111,99 @@ object ConnectedComponents {
       labelsStore = merged
       iter += 1
     }
-    sym.unpersist(blocking = true)
     if (changed > 0) {
+      // the graph's diameter exceeded the plain-propagation cap: an
+      // adversarial chain in the corpus. Escalate to star contraction
+      // (O(log^2 n) rounds) rather than abort — the min-label rounds
+      // already spent are discarded (labels are derivable from the
+      // edge set alone) but the cap is sized so real near-dup graphs
+      // never reach this branch.
       labelsStore.unpersist(blocking = true)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIters rounds " +
-        "(graph diameter exceeds the cap); raise maxIters or switch to " +
-        "the large-star/small-star pointer-doubling variant")
+      val canon = sym.filter { case (a, b) => a > b } // each edge once, self-loops out
+      val (stars, _) = starContract(canon, part)
+      // star edges label every attached node; (id, id) seeds cover
+      // roots and self-loop-only nodes; min-combine resolves both
+      labels = stars.flatMap { case (u, m) => Iterator((u, m), (m, m)) }
+        .union(sym.mapPartitions(_.map { case (id, _) => (id, id) },
+          preservesPartitioning = true))
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      stars.unpersist(blocking = true)
     }
+    sym.unpersist(blocking = true)
 
     val out = labels.map { case (id, lbl) => Row(id, lbl) }
     spark.createDataFrame(out, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("lbl", LongType, nullable = false))))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"): converges
+    * in O(log^2 n) rounds on ANY diameter, the escalation path behind
+    * [[minLabel]]'s plain propagation. Input: distinct canonical edges
+    * (bigger id, smaller id), no self-loops. Output: the converged
+    * star edge set — every non-minimum node paired directly with its
+    * component's minimum id — plus the round count (for the spec's
+    * O(log n) assertion); the returned RDD is left persisted for the
+    * caller to consume and release.
+    *
+    * Both star operations are expressed as reduceByKey(min) + a
+    * co-partitioned join — never groupByKey — so a hot star center
+    * (every near-dup of a boilerplate page) never materializes its
+    * neighbor list in one task: the 100 TB skew story.
+    *   large-star: every directed (u, v) with v > u re-attaches v to
+    *     m(u) = min(Γ(u) ∪ u) — tall trees halve;
+    *   small-star: every canonical (u, v) re-attaches v (and u) to
+    *     m(u) = min(Γ_small(u)) — shallow fans flatten onto the min.
+    * Convergence = the canonical edge set reaches a fixpoint (two
+    * co-partitioned subtract counts per round, driver sees two Longs).
+    */
+  private[graft] def starContract(edges0: RDD[(Long, Long)],
+                                  part: HashPartitioner,
+                                  maxRounds: Int = 50): (RDD[(Long, Long)], Int) = {
+    val min2 = (a: Long, b: Long) => math.min(a, b)
+    var edges = edges0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // -------- large-star over the symmetrized adjacency
+      val directed = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      // m(u) = min(u, min Γ(u)); reduceByKey keeps `part`, the
+      // key-preserving mapValues keeps it too
+      val mins = directed.reduceByKey(part, min2)
+        .mapPartitions(_.map { case (u, m) => (u, math.min(u, m)) },
+          preservesPartitioning = true)
+      // (u, v>u) join m(u): v re-attaches to m(u); v > u >= m(u) so the
+      // output is canonical by construction and never a self-loop
+      val large = directed.filter { case (u, v) => v > u }
+        .join(mins)
+        .map { case (_, (v, m)) => (v, m) }
+        .distinct(part.numPartitions)
+      // -------- small-star over canonical edges (all neighbors < u)
+      val mins2 = large.reduceByKey(part, min2)
+      val small = large.join(mins2).flatMap { case (u, (v, m)) =>
+        // m ∈ Γ_small(u) always (it IS the min): the v == m edge
+        // carries u's own re-attachment; others re-attach v — both
+        // canonical ((u or v) > m), no self-loops
+        if (v == m) Iterator((u, m)) else Iterator((v, m))
+      }.distinct(part.numPartitions)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // fixpoint test: set equality via two co-partitioned subtracts
+      converged = small.subtract(edges, part).isEmpty() &&
+        edges.subtract(small, part).isEmpty()
+      edges.unpersist(blocking = true)
+      edges = small
+      rounds += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = true)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds — " +
+        "O(log^2 n) bound violated; the edge list is likely corrupt")
+    }
+    (edges, rounds)
   }
 }

@@ -142,17 +142,23 @@ object Curation {
     * occurrences, in exact overflow-safe integer arithmetic (no float
     * summation across rows, whose partial-merge order is
     * nondeterministic in a distributed agg). Low mean frequency = rare
-    * vocabulary. Emits the 20 rarest documents. At 100 TB the token
-    * frequency table is Zipf-bounded (vocabulary, not corpus, sized)
-    * and broadcasts; the per-doc rollup shuffles on doc_id with
-    * map-side partials. */
+    * vocabulary. Emits the 20 rarest documents. Scale note: the raw
+    * distinct-token set of 100 TB of web text (typos, URLs, code) runs
+    * to billions of entries — tens of GB, past any broadcast
+    * threshold — so the frequency side carries NO broadcast hint: the
+    * freq aggregate's shuffle already leaves both sides hash-
+    * partitioned on `t`, the sort-merge join reuses that exchange on
+    * the build side, and AQE is still free to downgrade to broadcast
+    * when runtime stats show the vocabulary is actually small
+    * (PlanShapeSpec pins the no-static-broadcast property). The
+    * per-doc rollup then shuffles on doc_id with map-side partials. */
   val tokenRarity = Q(
     "q_token_rarity",
     (spark, dir) => {
       val tok = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
-      tok.join(broadcast(freq), "t")
+      tok.join(freq, "t")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("sum_freq"))
         // div-first with exact remainder correction, NOT sum_freq*1e6:

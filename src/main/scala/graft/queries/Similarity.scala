@@ -127,23 +127,39 @@ object Similarity {
       LIMIT 10
     """))
 
-  /** Exact nearest neighbor for a 10% query subset (vec_id % 10 = 0):
-    * the brute-force baseline the ANN path is measured against — and
-    * ONLY that. It broadcasts the query side (10% of the corpus): fine
-    * for a recall oracle at test scale, NEVER the production path at
-    * 100 TB, where [[annSrp]] is the serving plan. */
+  /** The kNN/IVF recall-family query subset: every 10th vector, ID-
+    * CAPPED so the subset is bounded by construction (<= 1000 queries)
+    * no matter how large the corpus grows — the broadcast in
+    * [[exactKnnTop1]] then stays O(1)-sized at any SF instead of
+    * silently growing to 10% of a 100 TB table. An id-range cap (not
+    * LIMIT) keeps the subset deterministic and SQL-expressible; at the
+    * test SFs (max vec_id 1999) the cap does not bind, so results are
+    * unchanged. */
+  private val knnQueryIdCap = 10000L
+  private def isKnnQuery: Column =
+    col("vec_id") % 10 === 0 && col("vec_id") < knnQueryIdCap
+  private def knnQuerySql(c: String) = s"$c % 10 = 0 AND $c < $knnQueryIdCap"
+
+  /** Exact nearest neighbor for the capped query subset: the
+    * brute-force baseline the ANN paths are measured against — and
+    * ONLY that. It broadcasts the query side (bounded by
+    * [[knnQueryIdCap]]): fine for a recall oracle, NEVER the
+    * production path at 100 TB, where [[annSrp]]/[[ivfTop1]] are the
+    * serving plans. One body shared by [[cosineKnn]] and the
+    * [[annIvf]] contract, so the two can never drift. */
+  private def exactKnnTop1(e: DataFrame): DataFrame = {
+    val queries = e.filter(isKnnQuery)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
+    top1Packed(
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6)),
+      "q_id", "vec_id")
+  }
+
   val cosineKnn = Q(
     "q_cosine_knn",
-    (spark, dir) => {
-      val e = emb(spark, dir)
-      val queries = e.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
-      top1Packed(
-        e.crossJoin(broadcast(queries))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(dot("vd", "qv") / (col("nrm") * col("qnrm")), 6)),
-        "q_id", "vec_id")
-    },
+    (spark, dir) => exactKnnTop1(emb(spark, dir)),
     Some(s"""
       SELECT q_id, nn_id, sim FROM (
         SELECT q.vec_id AS q_id, d.vec_id AS nn_id,
@@ -154,7 +170,7 @@ object Similarity {
                      / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}), 6) DESC,
                                   d.vec_id) AS rn
         FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
-        WHERE q.vec_id % 10 = 0)
+        WHERE ${knnQuerySql("q.vec_id")})
       WHERE rn = 1
     """))
 
@@ -463,77 +479,75 @@ object Similarity {
     } finally sample.unpersist(blocking = true)
   }
 
-  /** IVF-Flat ANN — the other classic scale path, complementing the
-    * SRP-LSH tables: the corpus is partitioned into k spherical-k-means
-    * cells (the inverted file); each query probes only the nprobe
-    * nearest cells and reranks those candidates exactly. Candidate
-    * volume is ~corpus * nprobe/k per query, and the probe set adapts
-    * to the data distribution — why IVF recall beats SRP at equal
-    * candidate budgets on clustered corpora. Same query subset as
-    * [[cosineKnn]] (vec_id % 10 = 0) so DedupSimilaritySpec can
-    * measure recall against the exact answer. Deterministic (md5
-    * seeding, fixed iteration count) but not SQL-expressible ->
-    * rows-only oracle, like [[annSrp]]. */
+  /** IVF-Flat ANN serving path — the other classic scale path,
+    * complementing the SRP-LSH tables: the corpus is partitioned into
+    * k spherical-k-means cells (the inverted file); each query probes
+    * only the nprobe nearest cells and reranks those candidates
+    * exactly. Candidate volume is ~corpus * nprobe/k per query, and
+    * the probe set adapts to the data distribution — why IVF recall
+    * beats SRP at equal candidate budgets on clustered corpora. Same
+    * query subset as [[cosineKnn]] so DedupSimilaritySpec can measure
+    * recall against the exact answer. Deterministic (md5 seeding,
+    * fixed iteration count) but the Lloyd loop is not SQL-expressible,
+    * so the registered [[annIvf]] query wraps this table in its
+    * oracle-checkable recall contract; this per-query table is the
+    * production plan (PlanShapeSpec pins it all-pairs-free). */
+  def ivfTop1(spark: SparkSession, dir: String): DataFrame =
+    ivfTop1From(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
+
+  private def ivfTop1From(e: DataFrame): DataFrame = {
+    val k = 16; val nprobe = 4
+    val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
+    val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
+    // inverted file: ONE distributed pass assigns every vector a cell
+    val inv = eu
+      .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
+      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
+              col("nrm").as("cnrm"), col("cell"))
+    // queries keep their nprobe best cells: sort the k packed longs
+    // descending, slice, decode — all columnar, no per-cell fan-out
+    // until the probe explode itself
+    val probes = eu.filter(isKnnQuery)
+      .withColumn("pks",
+        slice(reverse(array_sort(array(cellPacks(cents, col("u")): _*))), 1, nprobe))
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+              col("nrm").as("qnrm"),
+              explode(expr("transform(pks, p -> 255 - (p % 256))")).as("cell"))
+    top1Packed(
+      probes.join(inv.hint("shuffle_hash"), "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+      "q_id", "c_id")
+  }
+
+  /** IVF accuracy contract — [[ivfTop1From]] plus the recall boolean
+    * in ONE plan (merged from round 4's separate q_ann_ivf +
+    * q_ann_ivf_check, which re-ran training twice for an extra
+    * no_oracle row): the IVF top-1 answers join the exact kNN computed
+    * over the same scan, and the query emits the aggregate contract.
+    * Everything is deterministic (md5 seeding, fixed iterations), so
+    * `recall_ok` is a stable boolean: an index regression flips it and
+    * fails the driver gate. Floor 0.4 sits below the measured 0.48
+    * (sf0.001) / 0.76 (sf0.01). The brute-force side broadcasts only
+    * the [[knnQueryIdCap]]-bounded query subset; the IVF side is the
+    * serving plan. */
   val annIvf = Q(
     "q_ann_ivf",
     (spark, dir) => {
-      val k = 16; val nprobe = 4
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
-      val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
-      // inverted file: ONE distributed pass assigns every vector a cell
-      val inv = eu
-        .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
-        .select(col("vec_id").as("c_id"), col("vd").as("cv"),
-                col("nrm").as("cnrm"), col("cell"))
-      // queries keep their nprobe best cells: sort the k packed longs
-      // descending, slice, decode — all columnar, no per-cell fan-out
-      // until the probe explode itself
-      val probes = eu.filter(col("vec_id") % 10 === 0)
-        .withColumn("pks",
-          slice(reverse(array_sort(array(cellPacks(cents, col("u")): _*))), 1, nprobe))
-        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-                col("nrm").as("qnrm"),
-                explode(expr("transform(pks, p -> 255 - (p % 256))")).as("cell"))
-      top1Packed(
-        probes.join(inv.hint("shuffle_hash"), "cell")
-          .filter(col("q_id") =!= col("c_id"))
-          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
-        "q_id", "c_id")
-    },
-    None)
-
-  /** IVF accuracy contract as a driver-checkable query: unlike the SRP
-    * family, the Lloyd-iteration training loop is not SQL-expressible,
-    * so the oracle-checkable surface is a recall floor against the
-    * exact kNN computed in the same query. Everything is deterministic
-    * (md5 seeding, fixed iterations), so `recall_ok` is a stable
-    * boolean: an index regression flips it and fails the driver gate.
-    * Floor 0.4 sits below the measured 0.48 (sf0.001) / 0.76 (sf0.01).
-    * It re-runs both [[cosineKnn]] and [[annIvf]] from scratch BY
-    * DESIGN: bench queries are isolated (clearCache between runs), so
-    * sharing a cached index would couple their timings; the duplicate
-    * compute is the price of an independently-timed contract check.
-    */
-  val annIvfCheck = Q(
-    "q_ann_ivf_check",
-    (spark, dir) => {
-      val exact = cosineKnn.fn(spark, dir)
-        .select(col("q_id"), col("nn_id").as("exact_nn"))
-      val ivf = annIvf.fn(spark, dir)
-        .select(col("q_id"), col("nn_id").as("ivf_nn"))
+      val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
+      val ivf = ivfTop1From(e).select(col("q_id"), col("nn_id").as("ivf_nn"))
       exact.join(ivf, Seq("q_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
           (sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)) >=
             count(lit(1)) * 0.4).as("recall_ok"))
     },
-    Some("""
+    Some(s"""
       SELECT count(*) AS n_queries, true AS recall_ok
       FROM embeddings
-      WHERE vec_id % 10 = 0
+      WHERE ${knnQuerySql("vec_id")}
     """))
 
   def all: Seq[Q] =
-    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp,
-        annIvf, annIvfCheck)
+    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf)
 }

@@ -29,6 +29,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.size == 16)
   }
 
+  test("a diameter-100 chain escalates to star contraction and still labels correctly") {
+    // 20 plain propagation rounds cannot close a 100-hop chain; the
+    // loop must fall through to large-star/small-star and converge
+    val labels = cc((0L until 100L).map(i => (i, i + 1)))
+    assert(labels.size == 101)
+    assert(labels.values.toSet == Set(0L), s"chain not contracted: $labels")
+  }
+
+  test("star contraction converges in O(log n) rounds, same labels as propagation") {
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(8)
+    // canonical (bigger, smaller) edges of a 101-node chain + a star
+    val edges = spark.sparkContext.parallelize(
+      (0L until 100L).map(i => (i + 1, i)) ++ Seq((201L, 200L), (202L, 200L)))
+    val (stars, rounds) = ConnectedComponents.starContract(edges, part)
+    val got = stars.collect().toSet
+    stars.unpersist(blocking = true)
+    assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
+    assert(got == ((1L to 100L).map(i => (i, 0L)).toSet ++ Set((201L, 200L), (202L, 200L))),
+      s"star set wrong: $got")
+  }
+
   test("dedup clusters: every doc maps to a canon_id <= doc_id within its pair set") {
     val out = graft.queries.Dedup.dedupClusters.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -54,7 +54,7 @@ class DedupSimilaritySpec extends SparkSpec {
   test("IVF ANN recall vs exact knn beats the SRP floor") {
     val exact = Similarity.cosineKnn.fn(spark, sf)
       .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val ivf = Similarity.annIvf.fn(spark, sf)
+    val ivf = Similarity.ivfTop1(spark, sf)
       .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // every query must produce an answer: nprobe cells always hold
     // at least the query's own cell-mates

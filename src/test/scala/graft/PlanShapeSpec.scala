@@ -59,13 +59,18 @@ class PlanShapeSpec extends SparkSpec {
       graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
       graft.queries.Dedup.decontaminate, graft.queries.Dedup.exactSubstring,
       graft.queries.Curation.decontaminateBloom,
-      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh,
-      graft.queries.Similarity.annIvf)
+      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh)
     for (q <- qs) {
       val plan = executedPlan(q.fn(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"${q.name} plans an all-pairs join:\n$plan")
     }
+    // the IVF SERVING path (per-query table) — not the registered
+    // contract query, whose exact-kNN baseline side deliberately
+    // broadcasts the capped query subset (a BNLJ by construction)
+    val ivfPlan = executedPlan(graft.queries.Similarity.ivfTop1(spark, sf))
+    assert(!ivfPlan.contains("BroadcastNestedLoopJoin") && !ivfPlan.contains("CartesianProduct"),
+      s"ivfTop1 plans an all-pairs join:\n$ivfPlan")
   }
 
   test("curation scans prune to the columns they use") {
@@ -100,6 +105,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"mix sampled via a join:\n$plan")
     val n = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(n == 1, s"expected exactly the final agg exchange, got $n:\n$plan")
+  }
+
+  test("token rarity never statically broadcasts the vocabulary side") {
+    // at 100 TB the raw distinct-token set (typos, URLs, code) runs to
+    // billions of entries — a FORCED broadcast(freq) hint OOMs the
+    // driver no matter what the stats say. The optimizer is still free
+    // to pick a broadcast from its own size ESTIMATE (it does at test
+    // SF, and won't at 100 TB where the aggregate estimate is huge) —
+    // that adaptivity is the point. So the lock is on the logical
+    // plan: no broadcast strategy hint survives optimization.
+    val df = graft.queries.Curation.tokenRarity.fn(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("strategy=broadcast"),
+      s"frequency side carries a forced broadcast hint:\n$logical")
   }
 
   test("vocab stats aggregates partially at both levels") {
