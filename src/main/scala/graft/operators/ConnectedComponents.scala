@@ -170,7 +170,11 @@ object ConnectedComponents {
     var converged = false
     while (!converged && rounds < maxRounds) {
       // -------- large-star over the symmetrized adjacency
+      // `directed` and `large` each feed TWO consumers (the min-reduce
+      // and the join); persisted for the round so the flatMap/large-star
+      // stages run once, not once per consumer
       val directed = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // m(u) = min(u, min Γ(u)); reduceByKey keeps `part`, the
       // key-preserving mapValues keeps it too
       val mins = directed.reduceByKey(part, min2)
@@ -182,6 +186,7 @@ object ConnectedComponents {
         .join(mins)
         .map { case (_, (v, m)) => (v, m) }
         .distinct(part.numPartitions)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // -------- small-star over canonical edges (all neighbors < u)
       val mins2 = large.reduceByKey(part, min2)
       val small = large.join(mins2).flatMap { case (u, (v, m)) =>
@@ -192,8 +197,12 @@ object ConnectedComponents {
       }.distinct(part.numPartitions)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // fixpoint test: set equality via two co-partitioned subtracts
+      // (these also materialize `small`, so the round's intermediates
+      // can be released before the next round starts)
       converged = small.subtract(edges, part).isEmpty() &&
         edges.subtract(small, part).isEmpty()
+      directed.unpersist(blocking = true)
+      large.unpersist(blocking = true)
       edges.unpersist(blocking = true)
       edges = small
       rounds += 1

@@ -32,14 +32,41 @@ object GlobalRank {
 
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String = "global_rank",
-                     numPartitions: Option[Int] = None): DataFrame =
-    rankedWithTotal(df, sortCols, rankCol, numPartitions)._1
+                     numPartitions: Option[Int] = None,
+                     keyCols: Seq[String] = Nil): DataFrame =
+    rankedWithTotal(df, sortCols, rankCol, numPartitions, keyCols)._1
 
   /** Same, also returning the total row count (already computed by
-    * zipWithIndex's count job — callers needing N avoid a re-scan). */
+    * zipWithIndex's count job — callers needing N avoid a re-scan).
+    *
+    * `keyCols` (a unique key, usually the tie-break column) opts into
+    * the NARROW path: only a `(keyCols, sortCols)` projection takes
+    * the range-shuffle + row-level index hop, and the rank joins back
+    * onto the full rows by key. For wide rows (a documents table with
+    * the text column) this is the difference between serializing the
+    * corpus twice through non-Tungsten Rows and shuffling it once
+    * through a codegen'd hash join — without `keyCols` the full row
+    * rides the RDD hop (fine for already-narrow inputs). */
   def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                       rankCol: String = "global_rank",
-                      numPartitions: Option[Int] = None): (DataFrame, Long) = {
+                      numPartitions: Option[Int] = None,
+                      keyCols: Seq[String] = Nil): (DataFrame, Long) = {
+    if (keyCols.nonEmpty) {
+      // alias each sort expression so the narrow projection is
+      // well-defined even for computed sort keys; order is preserved
+      val aliased = sortCols.zipWithIndex.map { case (c, i) => c.as(s"__sort$i") }
+      val narrow = df.select(keyCols.map(col) ++ aliased: _*)
+      val (ranked, total) = rankedNarrow(
+        narrow, sortCols.indices.map(i => col(s"__sort$i")), rankCol, numPartitions)
+      val ranks = ranked.select(keyCols.map(col) :+ col(rankCol): _*)
+      return (df.join(ranks, keyCols), total)
+    }
+    rankedNarrow(df, sortCols, rankCol, numPartitions)
+  }
+
+  private def rankedNarrow(df: DataFrame, sortCols: Seq[Column],
+                           rankCol: String,
+                           numPartitions: Option[Int]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -62,9 +89,9 @@ object GlobalRank {
     * rank (same tile-size rule as SQL ntile: the first `N mod tiles`
     * tiles get one extra row). */
   def ntileExact(df: DataFrame, tiles: Int, sortCols: Seq[Column],
-                 tileCol: String = "tile"): DataFrame = {
+                 tileCol: String = "tile", keyCols: Seq[String] = Nil): DataFrame = {
     require(tiles > 0, s"ntile requires a positive tile count, got $tiles")
-    val (ranked, total) = rankedWithTotal(df, sortCols, "__grank")
+    val (ranked, total) = rankedWithTotal(df, sortCols, "__grank", None, keyCols)
     val base = total / tiles
     val rem = total % tiles
     val r = col("__grank")

@@ -537,9 +537,16 @@ object Similarity {
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
       val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
       val ivf = ivfTop1From(e).select(col("q_id"), col("nn_id").as("ivf_nn"))
-      exact.join(ivf, Seq("q_id"), "left")
+      // anchor the denominator on the query SUBSET itself, not on
+      // exact-kNN's output: the oracle counts every subset row, and on
+      // a degenerate corpus (a query with no other vector) exact-kNN
+      // emits nothing — such a vacuously-unanswerable query counts as
+      // satisfied (exact_nn IS NULL) so both sides agree at any SF
+      val qs = e.filter(isKnnQuery).select(col("vec_id").as("q_id"))
+      qs.join(exact, Seq("q_id"), "left").join(ivf, Seq("q_id"), "left")
         .agg(count(lit(1)).as("n_queries"),
-          (sum(when(col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)) >=
+          (sum(when(col("exact_nn").isNull ||
+                    col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)) >=
             count(lit(1)) * 0.4).as("recall_ok"))
     },
     Some(s"""

@@ -38,6 +38,27 @@ class GlobalRankSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"expected no WindowExec:\n$plan")
   }
 
+  test("narrow keyCols path: identical ranks on a wide table, text column off the RDD hop") {
+    // documents carries the wide `text` column — exactly the shape
+    // where ranking full rows through the Row-level hop hurts
+    val d = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars", "text", "lang", "source")
+    val sortCols = Seq(col("n_chars"), col("doc_id"))
+    val narrow = GlobalRank.withGlobalRank(d, sortCols, "r", keyCols = Seq("doc_id"))
+    val wide = GlobalRank.withGlobalRank(d, sortCols, "r2")
+    val joined = narrow.join(wide.select("doc_id", "r2"), "doc_id")
+    assert(joined.filter(col("r") =!= col("r2")).count() === 0)
+    assert(narrow.count() === d.count())
+    assert(narrow.columns.sorted === (d.columns :+ "r").sorted)
+    // the RDD index hop's output (the ExistingRDD scan in the final
+    // plan) must carry only key + sort + rank — never the text column
+    val plan = narrow.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("ExistingRDD")).toSeq
+    assert(scanLines.nonEmpty, s"expected an ExistingRDD scan:\n$plan")
+    assert(!scanLines.exists(_.contains("text")),
+      s"text column rode the RDD index hop:\n${scanLines.mkString("\n")}")
+  }
+
   test("ranks at sf0.01 are a permutation of 1..N with equal ntile splits") {
     val o = Tables.orders(spark, "/root/testdata/sf0.01")
       .select("o_orderkey", "o_totalprice")
