@@ -8,12 +8,13 @@ import graft.model.{Q, Tables}
   * as opaque `binary` columns with typed metadata, decoded/featurized
   * in batched partition-local passes.
   *
-  * The container has no image/audio libraries, so `decodeOne` is a
+  * The container has no image/audio libraries, so [[fakeDecoder]] is a
   * clearly-marked DETERMINISTIC FAKE (chunk-mean "pixels" over the
   * payload bytes). Everything around it — schema, Dataset encoders,
   * batch shape, partition balancing — is the real plumbing a decoder
-  * drops into: swap `decodeOne`'s body for an actual
-  * `javax.imageio`/ffmpeg call and nothing else changes.
+  * drops into: [[decodeFeatures]] takes the decoder as an argument, so
+  * an actual `javax.imageio`/ffmpeg implementation is a one-line swap
+  * at the call site and nothing else changes.
   */
 object Multimodal {
 
@@ -48,11 +49,17 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** A decoder turns one opaque media record into its feature row.
+    * The decode pipeline is parameterized on this seam so a real
+    * `javax.imageio`/ffmpeg implementation is a one-argument swap —
+    * the function must be serializable (it ships to executors). */
+  type Decoder = MediaRecord => MediaFeatures
+
   /** STUB DECODER — deterministic fake. Features = mean byte value of
     * the 4 payload quarters (chunk j spans [j*n/4, (j+1)*n/4) with
     * integer floor division, so the SQL oracle can mirror it exactly).
-    * A real implementation decodes `payload` per `fmt` here. */
-  private def decodeOne(m: MediaRecord): MediaFeatures = {
+    * A real implementation decodes `payload` per `fmt` instead. */
+  val fakeDecoder: Decoder = (m: MediaRecord) => {
     val b = m.payload
     val n = b.length
     def chunkMean(j: Int): Double = {
@@ -72,13 +79,17 @@ object Multimodal {
 
   /** Batched partition-local decode: the distributed shape is
     * `mapPartitions` over grouped iterators — no per-row library
-    * setup, no driver collect, partition-parallel. */
-  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    * setup, no driver collect, partition-parallel. The decoder is
+    * injected (default: the labeled fake) so swapping in a real media
+    * library changes this call site's argument and nothing else —
+    * MultimodalSpec proves the plumbing is decoder-agnostic. */
+  def decodeFeatures(media: Dataset[MediaRecord],
+                     decoder: Decoder = fakeDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
         // real decoders init codec context once per batch here
-        batch.map(decodeOne)
+        batch.map(decoder)
       }
     }
   }

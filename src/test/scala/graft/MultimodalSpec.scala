@@ -21,6 +21,24 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("decoder seam: an alternate decoder runs through identical plumbing") {
+    import graft.multimodal.Multimodal.{MediaFeatures, MediaRecord}
+    // trivial alternate decoder: features = byte-length histogram-ish
+    // constants — proves decodeFeatures is decoder-agnostic and the
+    // fake is swappable without touching the pipeline
+    val alt: Multimodal.Decoder = (m: MediaRecord) =>
+      MediaFeatures(m.doc_id, m.fmt, m.payload.length,
+        m.payload.length.toDouble, 0.0, 1.0, 2.0)
+    val media = Multimodal.mediaTable(spark, sf).repartition(5)
+    val fake = Multimodal.decodeFeatures(media).collect()
+    val other = Multimodal.decodeFeatures(media, alt).collect()
+    // same rows out, same ids/fmt/byte counts — only feature values differ
+    assert(other.length == fake.length)
+    val fk = fake.map(f => f.doc_id -> ((f.fmt, f.n_bytes))).toMap
+    assert(other.forall(o => fk(o.doc_id) == ((o.fmt, o.n_bytes))))
+    assert(other.forall(o => o.f0 == o.n_bytes.toDouble && o.f3 == 2.0))
+  }
+
   test("frame sampling emits stride-filtered frames covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()

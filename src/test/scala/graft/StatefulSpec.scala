@@ -40,6 +40,37 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization (flatMapGroupsWithState) runs on the RocksDB state store") {
+    // SCALE.md's claim that RocksDB is the drop-in for state beyond
+    // heap must hold for the CUSTOM-state path too, not just the
+    // built-in windowed agg (ScalePathSpec) and transformWithState
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val sessions = Stateful.userSessions(P.parse(in.toDF()),
+        gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName("sess_rocks").option("checkpointLocation", tmp()).start()
+      try {
+        in.addData(rec("user-1", "2021-03-07 19:00:00"), rec("user-1", "2021-03-07 19:02:00"))
+        q.processAllAvailable()
+        in.addData(rec("user-2", "2021-03-07 20:00:00"))
+        q.processAllAvailable()
+        in.addData(rec("user-2", "2021-03-07 21:00:00"))
+        q.processAllAvailable()
+        // same answer as the default-provider run of the same lineage
+        val rows = spark.table("sess_rocks").filter(col("userid") === "user-1")
+          .select("nEvents", "durationS").as[(Long, Long)].collect()
+        assert(rows.toSeq === Seq((2L, 120L)), s"got ${rows.toSeq}")
+        val stateOps = q.lastProgress.stateOperators
+        assert(stateOps.nonEmpty &&
+          stateOps.forall(_.customMetrics.containsKey("rocksdbFilesCopied")),
+          "session state operator is not RocksDB-backed")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("in-batch gap splits into two sessions; only the watermark-finalized one emits") {
     val in = MemoryStream[String]
     val sessions = Stateful.userSessions(P.parse(in.toDF()),
