@@ -323,6 +323,162 @@ object Curation {
       GROUP BY lang
     """))
 
+  // ---- PII redaction ------------------------------------------------
+
+  /** PII patterns, shared verbatim by both engines. Written without
+    * backslash classes (`[0-9]` not `\d`, no `\b`) so the SAME string
+    * is a valid, identically-behaving regex under Java's engine
+    * (Spark) and RE2 (DuckDB) — escape-dialect divergence is the
+    * classic cross-engine regex trap. */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  private val ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** PII redaction — the scrub pass a training corpus takes before
+    * anything else sees it: find-and-mask emails, IPv4 addresses and
+    * phone-shaped numbers, and report per-language counts plus the
+    * redacted byte volume. A pure map-side pass at any scale: regex
+    * count + replace per row, then a 5-row per-language rollup with
+    * map-side partials — zero data-sized shuffles.
+    *
+    * The synthetic fixture contains no PII (no digits at all), so the
+    * query INJECTS it deterministically from doc_id — every doc gets
+    * an email, every 3rd an IP, every 5th a phone — mirrored exactly
+    * in the oracle. The operator under test is the redaction
+    * machinery; the injection is the fixture's stand-in for dirty
+    * text, same approach as [[graft.multimodal.Multimodal]]'s payload
+    * fake. */
+  val piiRedact = Q(
+    "q_pii_redact",
+    (spark, dir) => {
+      val withPii = Tables.documents(spark, dir)
+        .withColumn("pii_text", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      val clean = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("pii_text"), lit(emailRe), lit("<EMAIL>")),
+          lit(ipv4Re), lit("<IP>")),
+        lit(phoneRe), lit("<PHONE>"))
+      withPii
+        .select(col("lang"),
+          regexp_count(col("pii_text"), lit(emailRe)).as("e"),
+          regexp_count(col("pii_text"), lit(ipv4Re)).as("i"),
+          regexp_count(col("pii_text"), lit(phoneRe)).as("p"),
+          (length(col("pii_text")) - length(clean)).cast("long").as("shrunk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("e")).cast("long").as("n_emails"),
+             sum(col("i")).cast("long").as("n_ips"),
+             sum(col("p")).cast("long").as("n_phones"),
+             sum(col("shrunk")).as("chars_redacted"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT lang,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS pii_text
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(pii_text, '$emailRe'))) AS BIGINT) AS n_emails,
+             CAST(sum(len(regexp_extract_all(pii_text, '$ipv4Re'))) AS BIGINT) AS n_ips,
+             CAST(sum(len(regexp_extract_all(pii_text, '$phoneRe'))) AS BIGINT) AS n_phones,
+             CAST(sum(length(pii_text) - length(
+               regexp_replace(regexp_replace(regexp_replace(pii_text,
+                 '$emailRe', '<EMAIL>', 'g'),
+                 '$ipv4Re', '<IP>', 'g'),
+                 '$phoneRe', '<PHONE>', 'g'))) AS BIGINT) AS chars_redacted
+      FROM p
+      GROUP BY lang
+    """))
+
+  // ---- DSIR importance resampling ------------------------------------
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score each raw document by how much it looks like a TARGET domain
+    * (here: the English slice) under hashed-unigram bag-of-words
+    * models — log p_target(x) - log p_raw(x) with add-one smoothing
+    * over B=64 hash buckets — and keep the top-scoring documents.
+    *
+    * Cross-engine exactness: the per-BUCKET log-ratio is the only
+    * transcendental, computed once per bucket and immediately fixed to
+    * a ppm BIGINT (64 `ln` calls total); each document's score is then
+    * a pure INTEGER dot product of its bucket counts with those fixed
+    * weights — associative, order-independent, no float accumulation
+    * across rows (the same discipline as [[tokenRarity]]).
+    *
+    * 100 TB shape: two token-bucket aggregates (64 groups, map-side
+    * partials — the shuffle carries 64 rows per partition), a
+    * broadcast of the 64-row weight table (bounded by construction, a
+    * true constant unlike the vocabulary broadcast this module
+    * removed in round 5), one (doc, bucket) rollup, and a
+    * TakeOrderedAndProject top-20. */
+  val dsirWeights = Q(
+    "q_dsir_weights",
+    (spark, dir) => {
+      val nb = 64L
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", pmod(h60(concat(lit("dsir1_"), col("tok"))), lit(nb)))
+      val buckets = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("r"),
+             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      val totals = buckets.agg(sum(col("r")).as("rr"), sum(col("t")).as("tt"))
+      val weights = buckets.crossJoin(totals)
+        .select(col("b"), Money.cents(
+          log((col("t") + 1.0) / (col("tt") + 64.0)) -
+          log((col("r") + 1.0) / (col("rr") + 64.0)), 1000000.0).as("w_ppm"))
+      toks.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(weights), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+             sum(col("cnt") * col("w_ppm")).as("weight_ppm"))
+        .orderBy(desc("weight_ppm"), asc("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               ${h60Sql("'dsir1_' || tok")} % 64 AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)),
+      buckets AS (
+        SELECT b, count(*) AS r,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t
+        FROM toks GROUP BY b),
+      totals AS (
+        SELECT CAST(sum(r) AS BIGINT) AS rr, CAST(sum(t) AS BIGINT) AS tt
+        FROM buckets),
+      weights AS (
+        SELECT b, CAST(floor((ln((t + 1.0) / (tt + 64.0))
+                            - ln((r + 1.0) / (rr + 64.0))) * 1000000.0 + 0.5)
+                       AS BIGINT) AS w_ppm
+        FROM buckets, totals)
+      SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(cnt * w_ppm) AS BIGINT) AS weight_ppm
+      FROM (SELECT doc_id, lang, b, count(*) AS cnt
+            FROM toks GROUP BY 1, 2, 3)
+      JOIN weights USING (b)
+      GROUP BY doc_id, lang
+      ORDER BY weight_ppm DESC, doc_id
+      LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
-    curationFunnel)
+    curationFunnel, piiRedact, dsirWeights)
 }

@@ -545,8 +545,44 @@ object Dedup {
       GROUP BY lang
     """))
 
+  /** Duplicate-graph profile: the cluster-SIZE histogram over the
+    * exact-Jaccard near-dup clusters — the diagnostic a dedup run
+    * reports before committing to a drop set (a single giant cluster
+    * usually means boilerplate, not true duplication; many pairs means
+    * healthy near-dup structure). Composes the same pair set and
+    * connected components as [[dedupClusters]]; after the CC labels,
+    * the only work is a shuffle on the cluster label (size per
+    * cluster, partial-aggregated map-side) and a tiny histogram
+    * rollup — both safe at any corpus size. Only documents
+    * participating in at least one near-dup pair appear (singleton
+    * "clusters" are the complement and would dwarf the histogram). */
+  val dupGraphStats = Q(
+    "q_dup_graph_stats",
+    (spark, dir) => {
+      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+             min(col("lbl")).as("min_canon_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      $ccCte,
+      cl AS (SELECT id, CAST(min(lbl) AS BIGINT) AS lbl FROM reach GROUP BY id),
+      sizes AS (SELECT lbl, count(*) AS cluster_size FROM cl GROUP BY lbl)
+      SELECT cluster_size, count(*) AS n_clusters,
+             CAST(min(lbl) AS BIGINT) AS min_canon_id
+      FROM sizes
+      GROUP BY cluster_size
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, dedupClusters, decontaminate, dedupApply,
-    exactSubstring)
+    simhash, simhashPairs, dedupClusters, dupGraphStats, decontaminate,
+    dedupApply, exactSubstring)
 }

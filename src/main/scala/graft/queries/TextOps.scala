@@ -433,8 +433,56 @@ object TextOps {
       WHERE rn <= 5
     """))
 
+  /** Exact-SIZE stratified sampling: exactly min(cap, |stratum|)
+    * documents per language, chosen by a seeded content-free hash —
+    * the third dataset-assembly primitive next to [[datasetMix]]
+    * (rate-based) and [[datasetSplit]] (disjoint partitions). Fixed
+    * per-stratum counts are what a balanced eval set or an
+    * equal-budget ablation needs; rate-based sampling only hits the
+    * target in expectation.
+    *
+    * The selection is "the cap documents with the largest seeded
+    * hashes" — uniform because the hash is, and deterministic across
+    * runs/retries/partitionings. At 100 TB the naive plan
+    * (`row_number() OVER (PARTITION BY lang ORDER BY hash)`) sorts
+    * every group member through one reducer per language — a skew
+    * disaster for an en-dominant web corpus. This uses the mergeable
+    * bounded-heap [[graft.functions.Aggregators.TopK]] instead: each
+    * map task keeps at most cap (hash, doc_id) pairs per language, so
+    * the shuffle carries <= cap rows per lang per partition and no
+    * group is ever materialized, let alone sorted. The id_checksum
+    * pins exact membership, not just counts. */
+  val stratifiedSample = Q(
+    "q_stratified_sample",
+    (spark, dir) => {
+      val cap = 75
+      val topk = udaf(new graft.functions.Aggregators.TopK(cap))
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          h60(concat(lit("strat1_"), col("doc_id").cast("string"))).as("h"),
+          col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"), topk(col("h"), col("doc_id")).as("top"))
+        .select(col("lang"), col("n_total"),
+          size(col("top.items")).cast("long").as("n_sampled"),
+          expr("aggregate(top.items, CAST(0 AS BIGINT), (acc, x) -> acc + x._2)")
+            .as("id_checksum"))
+    },
+    Some(s"""
+      SELECT lang, CAST(max(cnt) AS BIGINT) AS n_total,
+             count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM (SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY lang) AS cnt
+            FROM (SELECT lang, doc_id,
+                    ${h60Sql("'strat1_' || CAST(doc_id AS VARCHAR)")} AS h
+                  FROM documents))
+      WHERE rn <= 75
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
-    heavyHitters)
+    heavyHitters, stratifiedSample)
 }
