@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.{Money, Q, Tables}
-import TextOps.h60Sql
+import TextOps.{h60, h60Sql}
 
 /** Corpus-curation operators over `documents` — the quality-filtering
   * half of a training-data pipeline (north star), complementing
