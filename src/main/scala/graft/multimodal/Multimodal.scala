@@ -8,13 +8,20 @@ import graft.model.{Q, Tables}
   * as opaque `binary` columns with typed metadata, decoded/featurized
   * in batched partition-local passes.
   *
-  * The container has no image/audio libraries, so [[fakeDecoder]] is a
-  * clearly-marked DETERMINISTIC FAKE (chunk-mean "pixels" over the
-  * payload bytes). Everything around it — schema, Dataset encoders,
-  * batch shape, partition balancing — is the real plumbing a decoder
-  * drops into: [[decodeFeatures]] takes the decoder as an argument, so
-  * an actual `javax.imageio`/ffmpeg implementation is a one-line swap
-  * at the call site and nothing else changes.
+  * Two decoders ship behind the [[Decoder]] seam:
+  *   - [[imageIoDecoder]] — a REAL image decoder over the JDK's
+  *     `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, no external library),
+  *     emitting per-channel pixel means. MultimodalSpec drives it over
+  *     actual encoded PNG/BMP/GIF payloads.
+  *   - [[fakeDecoder]] — a clearly-marked DETERMINISTIC FAKE
+  *     (chunk-mean "pixels" over the payload bytes), used by the
+  *     REGISTERED queries because the `documents` fixture carries text
+  *     bytes, not encoded media, and the DuckDB oracle must be able to
+  *     recompute the features in SQL.
+  * Everything around the seam — schema, Dataset encoders, batch shape,
+  * partition balancing — is shared: [[decodeFeatures]] takes the
+  * decoder as an argument, so audio/video (ffmpeg-class) decoders are
+  * the same one-argument swap.
   */
 object Multimodal {
 
@@ -75,6 +82,38 @@ object Multimodal {
     }
     MediaFeatures(m.doc_id, m.fmt, n,
       chunkMean(0), chunkMean(1), chunkMean(2), chunkMean(3))
+  }
+
+  /** REAL image decoder: `javax.imageio` (in the JDK — PNG, JPEG,
+    * BMP, GIF, WBMP) decodes the payload to pixels; features are the
+    * mean red/green/blue channel values and the mean luminance
+    * (Rec.601 integer weights 299/587/114, exact in doubles for 8-bit
+    * channels). Fails loudly on an undecodable payload — silently
+    * emitting zeros would poison downstream aggregates. Alpha is
+    * ignored: `getRGB` returns non-premultiplied sRGB, so RGB means
+    * are well-defined for ARGB sources too. */
+  val imageIoDecoder: Decoder = (m: MediaRecord) => {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    require(img != null,
+      s"imageIoDecoder: undecodable '${m.fmt}' payload for doc_id=${m.doc_id} " +
+        s"(${m.payload.length} bytes) — javax.imageio found no matching reader")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    MediaFeatures(m.doc_id, m.fmt, m.payload.length,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n))
   }
 
   /** Batched partition-local decode: the distributed shape is

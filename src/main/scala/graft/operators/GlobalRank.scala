@@ -46,7 +46,16 @@ object GlobalRank {
     * the text column) this is the difference between serializing the
     * corpus twice through non-Tungsten Rows and shuffling it once
     * through a codegen'd hash join — without `keyCols` the full row
-    * rides the RDD hop (fine for already-narrow inputs). */
+    * rides the RDD hop (fine for already-narrow inputs).
+    *
+    * CONTRACT on `keyCols`: values must be NON-NULL (an inner
+    * equi-join would silently drop NULL-key rows — enforced, see
+    * below) and UNIQUE (a duplicated key would join one rank onto
+    * several rows, silently inflating the output — callers needing a
+    * guaranteed-unique key use the row's primary key or include one
+    * in the projection). Nulls are detected for free inside the count
+    * job that zipWithIndex already runs, so a violation fails the job
+    * loudly instead of corrupting ranks. */
   def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                       rankCol: String = "global_rank",
                       numPartitions: Option[Int] = None,
@@ -57,7 +66,8 @@ object GlobalRank {
       val aliased = sortCols.zipWithIndex.map { case (c, i) => c.as(s"__sort$i") }
       val narrow = df.select(keyCols.map(col) ++ aliased: _*)
       val (ranked, total) = rankedNarrow(
-        narrow, sortCols.indices.map(i => col(s"__sort$i")), rankCol, numPartitions)
+        narrow, sortCols.indices.map(i => col(s"__sort$i")), rankCol, numPartitions,
+        nNullCheckedKeys = keyCols.length)
       val ranks = ranked.select(keyCols.map(col) :+ col(rankCol): _*)
       return (df.join(ranks, keyCols), total)
     }
@@ -66,15 +76,33 @@ object GlobalRank {
 
   private def rankedNarrow(df: DataFrame, sortCols: Seq[Column],
                            rankCol: String,
-                           numPartitions: Option[Int]): (DataFrame, Long) = {
+                           numPartitions: Option[Int],
+                           nNullCheckedKeys: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val sortedRdd = sorted.rdd // ONE RDD: both jobs below reuse its shuffle
+    val nKeys = nNullCheckedKeys // avoid closing over `this`
     val counts = spark.sparkContext.runJob(sortedRdd,
-      (it: Iterator[Row]) => { var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c })
+      (it: Iterator[Row]) => {
+        var c = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          // piggyback the keyCols null contract on the count pass —
+          // zero extra jobs, and the failure names the row
+          var k = 0
+          while (k < nKeys) {
+            if (row.isNullAt(k)) throw new IllegalArgumentException(
+              s"GlobalRank keyCols contract violated: NULL key (field $k) in row $row — " +
+                "an inner join-back would silently drop this row; rank on non-null keys")
+            k += 1
+          }
+          c += 1
+        }
+        c
+      })
     val offsets = counts.scanLeft(0L)(_ + _)
     val ranked = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var i = offsets(pid)

@@ -203,35 +203,50 @@ object Curation {
     * is EXACT — the Bloom filter affects cost, never results — and the
     * corpus is never shuffled; only per-doc contamination ids
     * (<= corpus doc count) aggregate. */
+  /** Hard cap on the driver-side eval-shingle materialization in
+    * [[decontaminateBloom]]: 2^22 longs = 32 MB off the wire, a few
+    * hundred MB as a broadcast hash set — comfortably driver-sized,
+    * and NOT corpus-proportional because the collect is LIMIT-capped
+    * below, not open-ended. A real benchmark suite (the thing being
+    * decontaminated against) is millions of shingles at most. */
+  private val evalSetCap = 1 << 22
+
   val decontaminateBloom = Q(
     "q_decontaminate_bloom",
     (spark, dir) => {
       import spark.implicits._
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(col("shs")).as("hk"))
-      // ONE distributed job materializes the eval shingle set: it is
-      // benchmark-sized (MBs) by design, so it collects — the same
-      // driver round-trip df.stat.bloomFilter would do internally —
-      // and leaves no cached blocks behind (a persist here would
-      // outlive the query: the set is referenced by the returned lazy
-      // plan). At a scale where the exact set cannot ship, the verify
-      // stage becomes a distributed semi-join over the bloom-surviving
-      // candidates (the [[Dedup.decontaminate]] shape).
-      val evalArr = e.filter(col("doc_id") % 97 === 0)
-        .select(col("hk")).distinct().as[Long].collect()
-      val bf = org.apache.spark.util.sketch.BloomFilter
-        .create(math.max(evalArr.length.toLong, 64L), 0.01)
-      evalArr.foreach(bf.putLong)
-      val bfB = spark.sparkContext.broadcast(bf)
-      val evalSetB = spark.sparkContext.broadcast(evalArr.toSet)
-      // bloom first (10 bits/element, cache-friendly — the thing cheap
-      // enough to test EVERY corpus window against), exact set only on
-      // the ~1% bloom positives: results are exact, bloom shapes cost
-      val hitsEval = udf((h: Long) =>
-        bfB.value.mightContainLong(h) && evalSetB.value.contains(h))
-      val contaminated = e.filter(col("doc_id") % 97 =!= 0)
-        .filter(hitsEval(col("hk")))
-        .select(col("doc_id")).distinct()
+      val evalDistinct = e.filter(col("doc_id") % 97 === 0)
+        .select(col("hk")).distinct()
+      // ONE distributed job materializes the eval shingle set, but the
+      // driver round-trip is BOUNDED BY CONSTRUCTION: LIMIT cap+1
+      // ships at most cap+1 longs regardless of corpus size. Under the
+      // cap (every real benchmark suite) the bloom+exact-set fast path
+      // runs; over it, fall back to the distributed semi-join (the
+      // [[Dedup.decontaminate]] shape) — exact either way, and no
+      // collect() in this query ever grows with the corpus.
+      val probe = evalDistinct.limit(evalSetCap + 1).as[Long].collect()
+      val contaminated = if (probe.length <= evalSetCap) {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(probe.length.toLong, 64L), 0.01)
+        probe.foreach(bf.putLong)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val evalSetB = spark.sparkContext.broadcast(probe.toSet)
+        // bloom first (10 bits/element, cache-friendly — the thing
+        // cheap enough to test EVERY corpus window against), exact set
+        // only on the ~1% bloom positives: results are exact, bloom
+        // shapes cost
+        val hitsEval = udf((h: Long) =>
+          bfB.value.mightContainLong(h) && evalSetB.value.contains(h))
+        e.filter(col("doc_id") % 97 =!= 0)
+          .filter(hitsEval(col("hk")))
+          .select(col("doc_id")).distinct()
+      } else {
+        e.filter(col("doc_id") % 97 =!= 0)
+          .join(evalDistinct, Seq("hk"), "left_semi")
+          .select(col("doc_id")).distinct()
+      }
       Tables.documents(spark, dir)
         .filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(contaminated.withColumn("bad", lit(true))), Seq("doc_id"), "left")
@@ -419,6 +434,16 @@ object Curation {
     * a pure INTEGER dot product of its bucket counts with those fixed
     * weights — associative, order-independent, no float accumulation
     * across rows (the same discipline as [[tokenRarity]]).
+    *
+    * Known residual risk, accepted: if JVM `Math.log` and DuckDB `ln`
+    * ever differ in the last ulp AND that ulp lands exactly on a
+    * `.5` ppm rounding boundary, one bucket's w_ppm flips by 1 and the
+    * dot product amplifies it. Probability per bucket is ~1e-10 (one
+    * ulp of x*1e6 against a unit interval); with 64 buckets this is
+    * ~1e-8 per SF. Verified hash-stable at sf0.001/0.01/0.1 across
+    * consecutive runs (round 7); an exactness GUARANTEE would need an
+    * ln-free rational surrogate, which would no longer be the DSIR
+    * estimator.
     *
     * 100 TB shape: two token-bucket aggregates (64 groups, map-side
     * partials — the shuffle carries 64 rows per partition), a

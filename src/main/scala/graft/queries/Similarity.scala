@@ -555,6 +555,138 @@ object Similarity {
       WHERE ${knnQuerySql("vec_id")}
     """))
 
+  // ---- embedding storage / curation over per-dimension statistics ----
+
+  /** Int8 (256-level) per-dimension affine quantization of the
+    * embedding column, with exact reconstruction-error accounting —
+    * the storage operator an embedding corpus needs at 100 TB (4x
+    * smaller than float32 before compression). Per (label, dim):
+    * lo/hi range; per element: q = floor((x-lo)*255/(hi-lo)+0.5),
+    * dequantized back and the absolute error fixed to a ppm BIGINT.
+    *
+    * 100 TB shape: the per-dim lo/hi stats are mergeable min/max
+    * aggregates over the exploded (label, dim) keys — map-side
+    * partials shrink the shuffle to (labels x dims) rows per
+    * partition; the stats pivot into per-label arrays (labels x dims
+    * doubles, a true constant) and BROADCAST back onto the unexploded
+    * scan, so the corpus itself is read once, never shuffled, and the
+    * per-vector error is one codegen'd fold over the array column.
+    *
+    * Cross-engine exactness: lo/hi are exact (min/max of floats, no
+    * accumulation); the per-element quantize/dequantize chain is the
+    * same IEEE double ops in the same order on both engines; errors
+    * leave each element as ppm BIGINTs, so every cross-row aggregate
+    * is exact integer arithmetic (association-order independent). */
+  val embedQuantize = Q(
+    "q_embed_quantize",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val ex = e.select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
+      val stats = ex.groupBy(col("label"), col("pos"))
+        .agg(min("x").as("lo"), max("x").as("hi"))
+      val sarr = stats.groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").as("los"),
+        expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").as("his"))
+      e.join(broadcast(sarr), "label")
+        .withColumn("v_err", expr("""
+          aggregate(transform(sequence(0, size(vd) - 1), i ->
+            CAST(floor(abs(vd[i] - (los[i] +
+              (CASE WHEN his[i] = los[i] THEN CAST(0.0 AS DOUBLE)
+                    ELSE floor((vd[i] - los[i]) * 255.0D / (his[i] - los[i]) + 0.5D) END)
+              * (his[i] - los[i]) / 255.0D)) * 1000000.0D + 0.5D) AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(col("v_err")).as("total_err_ppm"),
+             max(col("v_err")).as("max_vec_err_ppm"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                                     i -> embedding[i]::DOUBLE)) AS x
+        FROM embeddings),
+      stats AS (
+        SELECT label, pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1, 2),
+      sarr AS (
+        SELECT label, list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        FROM stats GROUP BY label),
+      ve AS (
+        SELECT e.label, vec_id,
+               list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+                 CAST(floor(abs(embedding[i]::DOUBLE - (los[i] +
+                   (CASE WHEN his[i] = los[i] THEN 0.0
+                         ELSE floor((embedding[i]::DOUBLE - los[i]) * 255.0
+                                    / (his[i] - los[i]) + 0.5) END)
+                   * (his[i] - los[i]) / 255.0)) * 1000000.0 + 0.5) AS BIGINT)),
+                 (a, b) -> a + b) AS v_err
+        FROM embeddings e JOIN sarr ON e.label = sarr.label)
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(v_err) AS BIGINT) AS total_err_ppm,
+             CAST(max(v_err) AS BIGINT) AS max_vec_err_ppm
+      FROM ve GROUP BY label
+    """))
+
+  /** SemDeDup-style embedding outliers (Abbas et al. 2023 use
+    * centroid distance WITHIN clusters to drop semantic duplicates
+    * near the centroid / keep informative outliers): distance of each
+    * vector to its label centroid, top-20 most-distant corpus-wide —
+    * the embedding-space quality/novelty signal of a curation
+    * pipeline.
+    *
+    * The float hazard here is the CENTROID: a distributed sum of
+    * doubles is association-order dependent, so each component is
+    * fixed to ppm BIGINT per row FIRST and the centroid kept as the
+    * exact rational (sum_ppm, n) — the shuffle carries only
+    * (labels x dims) exact partial sums. The per-vector distance then
+    * divides once per dim (deterministic double), folds dims in array
+    * order, and exits as a ppm BIGINT into a TakeOrderedAndProject
+    * top-20 — corpus scanned once, never shuffled. */
+  val embedOutliers = Q(
+    "q_embed_outliers",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val ex = e.select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .withColumn("xi", graft.model.Money.cents(col("x"), 1000000.0))
+      val s = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      val sarr = s.groupBy(col("label")).agg(
+        expr("transform(array_sort(collect_list(struct(pos, sx))), t -> t.sx)").as("ss"),
+        max(col("n")).as("n"))
+      e.join(broadcast(sarr), "label")
+        .withColumn("dist2_ppm", expr("""
+          CAST(floor(aggregate(transform(sequence(0, size(vd) - 1), i ->
+            (vd[i] - ss[i] / (n * 1000000.0D)) * (vd[i] - ss[i] / (n * 1000000.0D))),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000.0D + 0.5D) AS BIGINT)"""))
+        .orderBy(desc("dist2_ppm"), asc("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("label"), col("dist2_ppm"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))) AS xi
+        FROM embeddings),
+      s AS (
+        SELECT label, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS n
+        FROM ex GROUP BY 1, 2),
+      sarr AS (
+        SELECT label, list(sx ORDER BY pos) AS ss, CAST(max(n) AS BIGINT) AS n
+        FROM s GROUP BY label)
+      SELECT vec_id, e.label,
+             CAST(floor(list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+               (embedding[i]::DOUBLE - ss[i] / (n * 1000000.0))
+               * (embedding[i]::DOUBLE - ss[i] / (n * 1000000.0))),
+               (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS dist2_ppm
+      FROM embeddings e JOIN sarr ON e.label = sarr.label
+      ORDER BY dist2_ppm DESC, vec_id
+      LIMIT 20
+    """))
+
   def all: Seq[Q] =
-    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf)
+    Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
+      embedQuantize, embedOutliers)
 }

@@ -59,6 +59,21 @@ class GlobalRankSpec extends SparkSpec {
       s"text column rode the RDD index hop:\n${scanLines.mkString("\n")}")
   }
 
+  test("narrow keyCols path fails loudly on a NULL key instead of dropping rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1L), 10), (None: Option[Long], 20), (Some(3L), 30))
+      .toDF("id", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.withGlobalRank(df, Seq(col("v"), col("id")), keyCols = Seq("id")).count()
+    }
+    // the contract violation must surface with its own message, not as
+    // a generic NPE from the join
+    assert(ex.getMessage.contains("keyCols contract")
+      || Option(ex.getCause).exists(_.getMessage.contains("keyCols contract")),
+      s"unexpected failure: $ex")
+  }
+
   test("ranks at sf0.01 are a permutation of 1..N with equal ntile splits") {
     val o = Tables.orders(spark, "/root/testdata/sf0.01")
       .select("o_orderkey", "o_totalprice")

@@ -39,6 +39,63 @@ class MultimodalSpec extends SparkSpec {
     assert(other.forall(o => o.f0 == o.n_bytes.toDouble && o.f3 == 2.0))
   }
 
+  test("real decoder: javax.imageio decodes PNG/BMP/GIF payloads to exact pixel means") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    // encode a real image: left half one solid color, right half
+    // another, so the expected channel means are exact rationals
+    def encode(fmt: String, w: Int, h: Int, left: Int, right: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) left else right)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in this JDK")
+      bos.toByteArray
+    }
+    // PNG and BMP are lossless; GIF is palette-based but a 2-color
+    // image fits one palette exactly — all three decode bit-exact
+    val records = Seq(
+      MediaRecord(1L, encode("png", 8, 4, 0xff0000, 0x0000ff), 8, 4, "png"),
+      MediaRecord(2L, encode("bmp", 6, 6, 0x102030, 0x405060), 6, 6, "bmp"),
+      MediaRecord(3L, encode("gif", 4, 4, 0x00ff00, 0x000000), 4, 4, "gif"))
+    import spark.implicits._
+    val out = Multimodal
+      .decodeFeatures(spark.createDataset(records).repartition(3), Multimodal.imageIoDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    // doc 1: half pure red, half pure blue -> R=G=127.5? no: half of
+    // pixels red=255 -> mean R = 127.5, G = 0, B = 127.5
+    assert(out(1L).f0 == 127.5 && out(1L).f1 == 0.0 && out(1L).f2 == 127.5)
+    assert(out(1L).f3 == (299.0 * 127.5 + 114.0 * 127.5) / 1000.0)
+    // doc 2: channel means are midpoints of the two halves' values
+    assert(out(2L).f0 == (0x10 + 0x40) / 2.0)
+    assert(out(2L).f1 == (0x20 + 0x50) / 2.0)
+    assert(out(2L).f2 == (0x30 + 0x60) / 2.0)
+    // doc 3: half green, half black. The JDK's GIF writer is NOT
+    // bit-faithful on tiny images (observed: it zeroes the last row of
+    // a 4x4 on this JDK), so assert structure — pure-green/black
+    // palette survives (no red/blue bleed), green present — rather
+    // than the exact mean the lossless formats get
+    assert(out(3L).f0 == 0.0 && out(3L).f2 == 0.0)
+    assert(out(3L).f1 > 0.0 && out(3L).f1 <= 127.5)
+    // n_bytes is the ENCODED payload size, not the pixel count
+    assert(out(1L).n_bytes == records.head.payload.length)
+  }
+
+  test("real decoder fails loudly on an undecodable payload") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import spark.implicits._
+    val junk = spark.createDataset(Seq(
+      MediaRecord(9L, Array[Byte](1, 2, 3, 4), 2, 2, "png")))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(junk, Multimodal.imageIoDecoder).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("frame sampling emits stride-filtered frames covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()

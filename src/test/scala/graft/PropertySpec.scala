@@ -178,6 +178,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratified sampler yields exactly min(cap, |stratum|) rows under adversarial skew") {
+    // the q_stratified_sample shape (TextOps.scala): bounded-heap TopK
+    // per stratum — driven here over adversarially skewed strata (one
+    // 2000-row giant next to a 1-row singleton, web-corpus style) and
+    // heavily tied sample keys (h = id % 3) so the (h DESC, id ASC)
+    // tie-break, not luck, decides membership
+    val cap = 7
+    val topk = udaf(new graft.functions.Aggregators.TopK(cap))
+    val sizes = Seq("giant" -> 2000, "exact" -> cap, "under" -> (cap - 1),
+      "over" -> (cap + 1), "one" -> 1)
+    val data = sizes.flatMap { case (g, n) =>
+      (0 until n).map(i => (g, (i % 3).toLong, i.toLong))
+    }
+    val out = data.toDF("g", "h", "id").repartition(13)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_total"), topk(col("h"), col("id")).as("top"))
+      .select(col("g"), col("n_total"), col("top.items").as("items"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getLong(1))))))
+      .toMap
+    sizes.foreach { case (g, n) =>
+      val (nTotal, items) = out(g)
+      assert(nTotal == n.toLong, s"stratum $g total")
+      assert(items.size == math.min(cap, n), s"stratum $g: exact-size contract")
+      val expected = (0 until n).map(i => ((i % 3).toLong, i.toLong))
+        .sortBy { case (h, id) => (-h, id) }.take(cap)
+      assert(items == expected, s"stratum $g: deterministic (h DESC, id ASC) membership")
+    }
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
