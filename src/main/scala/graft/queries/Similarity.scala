@@ -686,7 +686,80 @@ object Similarity {
       LIMIT 20
     """))
 
+  /** Exact-integer ppm threshold for [[embedDedup]]'s "semantic
+    * duplicate" rule: cosine >= 0.35, measured on this corpus to sit
+    * in the true NEAR-DUP regime — 14/26/391 pairs at
+    * sf0.001/0.01/0.1 forming tight clusters (biggest component 14
+    * nodes, diameter 5 at sf0.1). At 0.30 the graph percolates into a
+    * 332-node diameter-17 blob: mid-similarity retrieval, not
+    * duplication — and a component whose diameter grows with SF is
+    * exactly what pushes min-label propagation toward its iteration
+    * cap. Thresholding into the clustered regime is therefore a SCALE
+    * decision, not just a semantic one. */
+  private val semanticDupPpm = 350000L
+
+  /** SemDeDup APPLY (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication end to end — within-cluster cosine pairs above a
+    * threshold, transitive closure, keep one canonical vector per
+    * cluster, report the per-label funnel. The embedding-space
+    * counterpart of [[Dedup.dedupApply]]'s lexical pipeline, sharing
+    * the SAME [[Dedup.nonCanonical]] connected-components drop rule
+    * (and its recursive-CTE oracle fragments), so the two dedup
+    * families cannot drift.
+    *
+    * `label` plays SemDeDup's k-means cluster id (the fixture ships
+    * one; a production corpus gets it from [[ivfTrain]]'s centroids
+    * at this exact seam). 100 TB shape: cluster blocking bounds the
+    * pair join (equi-join on label — never all-pairs), the CC loop is
+    * the co-partitioned [[graft.operators.ConnectedComponents]], and
+    * the drop set (bounded by the duplicate count, small relative to
+    * the corpus by construction) broadcasts onto one unshuffled
+    * corpus scan — the same funnel discipline as
+    * [[Curation.curationFunnel]]. */
+  val embedDedup = Q(
+    "q_embed_dedup",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("doc_a"),
+                       col("vd").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("doc_b"),
+                       col("vd").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("sim_ppm", graft.model.Money.cents(
+          dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
+        .filter(col("sim_ppm") >= semanticDupPpm)
+        .select(col("doc_a"), col("doc_b"))
+      val dropSet = Dedup.nonCanonical(pairs)
+        .withColumnRenamed("doc_id", "vec_id").withColumn("dup", lit(true))
+      Tables.embeddings(spark, dir)
+        .join(broadcast(dropSet), Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+    },
+    Some(s"""
+      WITH RECURSIVE p0 AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               CAST(floor((${dotSql("a.embedding", "b.embedding")}
+                 / (${nrmSql("a.embedding")} * ${nrmSql("b.embedding")}))
+                 * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id),
+      pairs AS (SELECT doc_a, doc_b FROM p0 WHERE sim_ppm >= $semanticDupPpm),
+      ${Dedup.ccCte},
+      ${Dedup.droppedCte}
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(CASE WHEN vec_id IN (SELECT doc_id FROM dropped)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN vec_id IN (SELECT doc_id FROM dropped)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      FROM embeddings
+      GROUP BY label
+    """))
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, embedOutliers)
+      embedQuantize, embedOutliers, embedDedup)
 }

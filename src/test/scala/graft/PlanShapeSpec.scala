@@ -59,7 +59,8 @@ class PlanShapeSpec extends SparkSpec {
       graft.queries.Dedup.minhashLsh, graft.queries.Dedup.simhashPairs,
       graft.queries.Dedup.decontaminate, graft.queries.Dedup.exactSubstring,
       graft.queries.Curation.decontaminateBloom,
-      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh)
+      graft.queries.Similarity.annSrp, graft.queries.Similarity.nearDupPairsLsh,
+      graft.queries.Similarity.embedDedup)
     for (q <- qs) {
       val plan = executedPlan(q.fn(spark, sf))
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -119,6 +120,20 @@ class PlanShapeSpec extends SparkSpec {
     val logical = df.queryExecution.optimizedPlan.toString
     assert(!logical.toLowerCase.contains("strategy=broadcast"),
       s"frequency side carries a forced broadcast hint:\n$logical")
+  }
+
+  test("embedding quantize/outliers: per-dim stats broadcast onto one unshuffled scan") {
+    // both queries' 100 TB shape: tiny (labels x dims) stats arrays
+    // BROADCAST back onto the corpus scan — the corpus itself must
+    // never hash-shuffle, and the outlier top-20 must be TakeOrdered,
+    // not a global sort
+    val qp = executedPlan(graft.queries.Similarity.embedQuantize.fn(spark, sf))
+    assert(qp.contains("BroadcastHashJoin"), s"quantize stats not broadcast:\n$qp")
+    assert(!qp.contains("CartesianProduct") && !qp.contains("BroadcastNestedLoopJoin"), qp)
+    val op = executedPlan(graft.queries.Similarity.embedOutliers.fn(spark, sf))
+    assert(op.contains("BroadcastHashJoin"), s"centroid stats not broadcast:\n$op")
+    assert(op.contains("TakeOrderedAndProject"), s"outlier top-20 not TakeOrdered:\n$op")
+    assert(!op.contains("CartesianProduct") && !op.contains("BroadcastNestedLoopJoin"), op)
   }
 
   test("vocab stats aggregates partially at both levels") {
