@@ -504,6 +504,148 @@ object Curation {
       LIMIT 20
     """))
 
+  // ---- C4-style line-level dedup -------------------------------------
+
+  /** Tokens per pseudo-line in [[lineDedup]]. The synthetic corpus is
+    * single-line (no '\n' anywhere in `documents.text`), so fixed-width
+    * 15-token segments stand in for newline segmentation; a real corpus
+    * swaps `split(text, "\n")` into the same plan. */
+  private val lineLen = 15
+
+  /** C4-style cross-document line deduplication (Raffel et al. 2020,
+    * C4: lines occurring more than once in the dataset are dropped,
+    * keeping one occurrence) — the sub-document dedup granularity
+    * between [[Dedup]]'s whole-document hashing and
+    * `q_exact_substring`'s span index: boilerplate (nav bars, license
+    * headers, cookie banners) repeats across pages whose documents are
+    * NOT near-duplicates, and line dedup is the standard scrub for it.
+    *
+    * Rule: a line occurring >1 time corpus-wide keeps only its first
+    * occurrence in (doc_id, line_no) order; every other occurrence is
+    * removed. Reports the per-language removal funnel.
+    *
+    * 100 TB shape: lines are hashed ([[h60]]) and aggregated BY HASH —
+    * `min(struct(doc_id, line_no))` picks the keeper and `count`
+    * detects duplication in ONE shuffle with map-side partials (no
+    * all-pairs, no per-line window over the corpus); the occurrence →
+    * stats join is an equi-join on the same hash key, so the exchange
+    * is reused, and the rollup is a 5-row per-language aggregate. */
+  val lineDedup = Q(
+    "q_line_dedup",
+    (spark, dir) => {
+      val L = lineLen
+      val occ = Tables.documents(spark, dir)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), posexplode(expr(
+          s"""transform(sequence(0, (size(tk) + ${L - 1}) div $L - 1),
+                        i -> concat_ws(' ', slice(tk, i * $L + 1, $L)))""")))
+        .select(col("doc_id"), col("lang"), col("pos").cast("long").as("line_no"),
+          size(split(col("col"), " ")).cast("long").as("line_toks"),
+          h60(col("col")).as("hk"))
+      val stats = occ.groupBy(col("hk"))
+        .agg(count(lit(1)).as("occ_cnt"),
+             min(struct(col("doc_id"), col("line_no"))).as("keeper"))
+      occ.join(stats, "hk")
+        .withColumn("removed", col("occ_cnt") > 1 &&
+          (col("doc_id") =!= col("keeper.doc_id") ||
+           col("line_no") =!= col("keeper.line_no")))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_lines"),
+             sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed_lines"),
+             sum(when(col("removed"), col("line_toks")).otherwise(0L)).as("tokens_removed"),
+             countDistinct(when(col("removed"), col("doc_id"))).as("n_docs_affected"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      l AS (SELECT doc_id, lang,
+              unnest(range(0, (len(tk) + 14) // 15)) AS line_no,
+              unnest([array_to_string(tk[(i * 15 + 1):(i * 15 + 15)], ' ')
+                      for i in range(0, (len(tk) + 14) // 15)]) AS line
+            FROM d),
+      o AS (SELECT doc_id, lang, line_no,
+              CAST(len(string_split(line, ' ')) AS BIGINT) AS line_toks,
+              ${h60Sql("line")} AS hk FROM l),
+      r AS (SELECT lang, doc_id, line_toks,
+              (count(*) OVER (PARTITION BY hk) > 1 AND
+               row_number() OVER (PARTITION BY hk ORDER BY doc_id, line_no) > 1) AS removed
+            FROM o)
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
+             CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
+             CAST(sum(CASE WHEN removed THEN line_toks ELSE 0 END) AS BIGINT) AS tokens_removed,
+             count(DISTINCT CASE WHEN removed THEN doc_id END) AS n_docs_affected
+      FROM r
+      GROUP BY lang
+    """))
+
+  // ---- Unigram-LM surprisal quality filter ---------------------------
+
+  /** CCNet-style language-model quality filter (Wenzek et al. 2020:
+    * rank documents by LM perplexity; high perplexity = far from the
+    * reference distribution) with an EXACT integer surrogate: each
+    * token's surprisal is floor(log2(N)) - floor(log2(cnt)) bits under
+    * the corpus's own unigram model, computed as
+    * `length(bin(N)) - length(bin(cnt))` — binary digit counts, pure
+    * integer string ops both engines evaluate identically. Unlike
+    * [[dsirWeights]]' 64 documented-risk `ln` calls, this query has NO
+    * transcendental anywhere: the score is exact by construction.
+    * Emits the 20 highest-surprisal documents (the discard candidates)
+    * with milli-bits-per-token via exact integer division.
+    *
+    * Complements [[tokenRarity]] (arithmetic-mean corpus frequency —
+    * dominated by a doc's most common token) with the information-
+    * theoretic mean: surprisal SUMS log-counts, so one ultra-rare token
+    * can't be masked by many common ones.
+    *
+    * 100 TB shape: the (doc, tok) pre-aggregate shrinks the join input
+    * to distinct per-doc tokens; the vocabulary side carries NO
+    * broadcast hint (billions of distinct tokens in web text — the
+    * [[tokenRarity]] round-5 lesson): the count aggregate leaves both
+    * sides hash-partitioned on `tok`, the sort-merge join reuses that
+    * exchange, AQE may still downgrade to broadcast when runtime stats
+    * allow. The 1-row total broadcasts; the finish is a (doc) rollup
+    * with map-side partials and a TakeOrderedAndProject top-20. */
+  val lmSurprisal = Q(
+    "q_lm_surprisal",
+    (spark, dir) => {
+      val dt = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c_dt"))
+      val vocab = dt.groupBy(col("tok")).agg(sum(col("c_dt")).as("cnt"))
+      val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+      dt.join(vocab, "tok")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c_dt")).as("n_tokens"),
+             sum(col("c_dt") *
+               (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long"))
+               .as("sum_bits"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("sum_bits"),
+          expr("(sum_bits * 1000) div n_tokens").as("mbpt"))
+        .orderBy(desc("mbpt"), asc("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH dt AS (
+        SELECT doc_id, lang, tok, count(*) AS c_dt
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2, 3),
+      v AS (SELECT tok, CAST(sum(c_dt) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM v),
+      s AS (SELECT doc_id, lang,
+              CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+              CAST(sum(c_dt * (length(bin(n_total)) - length(bin(cnt)))) AS BIGINT) AS sum_bits
+            FROM dt JOIN v USING (tok) CROSS JOIN n
+            GROUP BY 1, 2)
+      SELECT doc_id, lang, n_tokens, sum_bits,
+             CAST((sum_bits * 1000) // n_tokens AS BIGINT) AS mbpt
+      FROM s
+      ORDER BY mbpt DESC, doc_id
+      LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
-    curationFunnel, piiRedact, dsirWeights)
+    curationFunnel, piiRedact, dsirWeights, lineDedup, lmSurprisal)
 }

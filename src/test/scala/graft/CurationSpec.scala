@@ -102,4 +102,32 @@ class CurationSpec extends SparkSpec {
     assert(out.getLong(0) == out.getLong(1) + out.getLong(2),
       "dropped + kept must partition the training corpus")
   }
+
+  test("line dedup: duplicated 15-token lines keep only the first occurrence") {
+    def line(p: String) = (0 until 15).map(i => s"$p$i").mkString(" ")
+    val dir = fixtureDir(Seq(
+      (0L, "en", line("a") + " " + line("b")), // keeper of line a
+      (1L, "en", line("a") + " " + line("c")), // dup of line a -> removed
+      (2L, "fr", line("a")),                   // dup of line a -> removed
+      (3L, "en", line("d") + " " + (0 until 5).map(i => s"e$i").mkString(" "))))
+    val out = Curation.lineDedup.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // en: 3 docs, 6 lines, one removed occurrence (doc1 line0) of 15 tokens
+    assert(out("en") == ((3L, 6L, 1L, 15L, 1L)), s"en row: ${out("en")}")
+    // fr: doc2's only line is a dup of doc0's -> removed entirely
+    assert(out("fr") == ((1L, 1L, 1L, 15L, 1L)), s"fr row: ${out("fr")}")
+  }
+
+  test("lm surprisal: exact bin-length log2 bits match hand computation") {
+    // corpus: N=5 tokens; cnt(x)=4, cnt(y)=1
+    // bits(x) = len(bin 5) - len(bin 4) = 3-3 = 0; bits(y) = 3-1 = 2
+    val dir = fixtureDir(Seq(
+      (0L, "en", "x x x"),   // sum_bits 0, mbpt 0
+      (1L, "en", "x y")))    // sum_bits 2, mbpt 2000/2 = 1000
+    val out = Curation.lmSurprisal.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1000L), (0L, 3L, 0L, 0L)),
+      s"unexpected surprisal rows: ${out.toSeq}")
+  }
 }
