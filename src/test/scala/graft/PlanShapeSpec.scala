@@ -136,6 +136,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!op.contains("CartesianProduct") && !op.contains("BroadcastNestedLoopJoin"), op)
   }
 
+  test("line dedup joins occurrences to stats by hash — no all-pairs, no forced broadcast") {
+    // the stats side is line-count-sized (one row per distinct line) —
+    // at 100 TB that is corpus-proportional and must never carry a
+    // static broadcast hint; the join must stay an equi-join on hk
+    val df = graft.queries.Curation.lineDedup.fn(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("strategy=broadcast"),
+      s"line stats side carries a forced broadcast hint:\n$logical")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"line dedup fell back to all-pairs:\n$plan")
+  }
+
+  test("lm surprisal: vocab join unhinted, only the 1-row total broadcasts, top-20 TakeOrdered") {
+    val df = graft.queries.Curation.lmSurprisal.fn(spark, sf)
+    // exactly ONE broadcast hint may survive optimization: the 1-row
+    // totals crossJoin (bounded by construction). The vocabulary side
+    // must carry none — billions of distinct tokens at 100 TB (the
+    // tokenRarity discipline above).
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    val hints = "strategy=broadcast".r.findAllIn(logical).size
+    assert(hints <= 1, s"vocab side must not be hint-broadcast ($hints hints):\n$logical")
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
   test("vocab stats aggregates partially at both levels") {
     val plan = executedPlan(graft.queries.TextOps.vocabStats.fn(spark, sf))
     val n = "HashAggregate".r.findAllIn(plan).size
