@@ -481,8 +481,64 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Nucleus vocabulary coverage — the tokenizer-design diagnostic:
+    * per language, the smallest top-frequency vocabulary whose
+    * cumulative mass reaches 50% / 90% of all token occurrences
+    * (Zipf head size; what "how big must the vocab be" ablations
+    * read). Thresholds are EXACT integer comparisons on the exclusive
+    * running mass (`2*excl < total`, `10*excl < 9*total`) — a token
+    * counts toward the nucleus iff the mass strictly before it in
+    * (freq DESC, tok) order is below the target share, so no rational
+    * ever hits a rounding boundary.
+    *
+    * 100 TB shape: the cumulative mass over each language's
+    * frequency-sorted vocabulary is the [[packChunks]] pattern — a
+    * GLOBAL distributed prefix sum over (lang, -freq, tok) via
+    * [[graft.operators.PrefixSum]] (range-repartitioned, one RDD),
+    * NOT `sum().over(Window.partitionBy(lang))`, which would funnel
+    * each language's billion-entry vocabulary through one reducer.
+    * Each language's own base is its minimum global prefix (5 rows,
+    * broadcast back). */
+  val vocabCoverage = Q(
+    "q_vocab_coverage",
+    (spark, dir) => {
+      val f = Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("nf", -col("freq")) // asc(nf) = freq desc, exact
+      val pfx = graft.operators.PrefixSum.exclusive(
+        f, Seq(col("lang"), col("nf"), col("tok")), "freq", "gpfx")
+      val base = pfx.groupBy(col("lang"))
+        .agg(min(col("gpfx")).as("lang_start"), sum(col("freq")).as("total"))
+      pfx.join(broadcast(base), "lang")
+        .withColumn("excl", col("gpfx") - col("lang_start"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab_size"),
+             max(col("total")).as("total_tokens"),
+             sum(when(col("excl") * 2 < col("total"), 1L).otherwise(0L)).as("n_cover_50"),
+             sum(when(col("excl") * 10 < col("total") * 9, 1L).otherwise(0L)).as("n_cover_90"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS total FROM f GROUP BY lang),
+      c AS (SELECT lang, freq,
+              COALESCE(sum(freq) OVER (PARTITION BY lang ORDER BY freq DESC, tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+            FROM f)
+      SELECT lang, count(*) AS vocab_size,
+             CAST(max(total) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN 2 * excl < total THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_50,
+             CAST(sum(CASE WHEN 10 * excl < 9 * total THEN 1 ELSE 0 END) AS BIGINT) AS n_cover_90
+      FROM c JOIN t USING (lang)
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
-    heavyHitters, stratifiedSample)
+    heavyHitters, stratifiedSample, vocabCoverage)
 }

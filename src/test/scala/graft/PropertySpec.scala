@@ -209,6 +209,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage equals the naive per-lang window computation") {
+    // the distributed PrefixSum path (q_vocab_coverage) must agree
+    // exactly with the single-reducer window formulation it replaces
+    val out = graft.queries.TextOps.vocabCoverage.fn(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val f = graft.model.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("freq"), asc("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = f
+      .withColumn("excl", coalesce(sum(col("freq")).over(w), lit(0L)))
+      .withColumn("total", sum(col("freq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"), max(col("total")).as("total_tokens"),
+           sum(when(col("excl") * 2 < col("total"), 1L).otherwise(0L)).as("n_cover_50"),
+           sum(when(col("excl") * 10 < col("total") * 9, 1L).otherwise(0L)).as("n_cover_90"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == naive, s"prefix-sum path $out != window path $naive")
+    // the nucleus is never empty and never exceeds the vocabulary
+    out.foreach { case (lang, (vocab, _, c50, c90)) =>
+      assert(c50 >= 1L && c50 <= c90 && c90 <= vocab, s"$lang: 1 <= c50 <= c90 <= vocab")
+    }
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
