@@ -581,8 +581,55 @@ object Dedup {
       GROUP BY cluster_size
     """))
 
+  /** Edit-distance rerank of near-dup candidates — the character-level
+    * confirmation pass behind shingle-level Jaccard: two documents can
+    * share most 3-gram shingles while differing by scattered
+    * single-token edits, and Levenshtein distance (unit costs,
+    * identical in Spark and DuckDB) measures exactly how many such
+    * edits separate them. Emits distance, normalized edit similarity
+    * (ppm BIGINT over max length) and a keep/drop verdict at >= 80%
+    * similarity via the exact integer compare `5*lev <= maxlen`.
+    *
+    * 100 TB discipline: Levenshtein is O(|a|*|b|) per pair — it NEVER
+    * runs corpus-wide. It runs only on the banded candidate set (here
+    * the verified j >= 0.5 pairs from [[jaccardPairs]]'s inverted
+    * index; in production the MinHash-LSH candidates), which is
+    * linear-ish in the corpus by the df-cap/banding arguments. The
+    * two text lookups are equi-joins on doc_id against the pruned
+    * (doc_id, text) scan. */
+  val fuzzy = Q(
+    "q_dedup_fuzzy",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val e = withShingles(docs)
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("lev"),
+          graft.model.Money.cents(lit(1.0) - col("lev") / col("maxlen"), 1000000.0)
+            .as("edit_sim_ppm"),
+          (col("lev") * 5L <= col("maxlen")).as("is_dup"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")}
+      SELECT pr.doc_a AS doc_a, pr.doc_b AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             CAST(floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                  / greatest(length(a.text), length(b.text))) * 1000000.0 + 0.5)
+                  AS BIGINT) AS edit_sim_ppm,
+             (levenshtein(a.text, b.text) * 5 <= greatest(length(a.text), length(b.text)))
+               AS is_dup
+      FROM pairs pr JOIN documents a ON pr.doc_a = a.doc_id
+                    JOIN documents b ON pr.doc_b = b.doc_id
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
     simhash, simhashPairs, dedupClusters, dupGraphStats, decontaminate,
-    dedupApply, exactSubstring)
+    dedupApply, exactSubstring, fuzzy)
 }

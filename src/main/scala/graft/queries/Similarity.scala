@@ -759,7 +759,61 @@ object Similarity {
       GROUP BY label
     """))
 
+  /** Hard-negative mining — the contrastive-retrieval training-data
+    * step (e.g. DPR, Karpukhin et al. 2020): for each query vector,
+    * the top-3 most-similar vectors with a DIFFERENT label. Same-label
+    * neighbors are positives; the highest-scoring cross-label
+    * neighbors are the "hard" negatives a dual encoder trains against.
+    *
+    * Ranking key is the ppm BIGINT cosine (floor(x*1e6+0.5) — the
+    * [[graft.model.Money]] discipline), tie-broken by vec_id, so both
+    * engines order identically. Top-3 per query uses the mergeable
+    * bounded-heap [[graft.functions.Aggregators.TopK]] — (sim DESC,
+    * id ASC), exactly the oracle's window order — NOT `row_number`
+    * over a per-query window, which would sort every candidate row
+    * inside the exchange.
+    *
+    * 100 TB shape: the query side is bounded by [[knnQueryIdCap]]
+    * (same contract as [[cosineKnn]]) and broadcasts; the corpus is
+    * scanned once, candidates never materialize beyond the TopK
+    * buffers, and the shuffle carries <= 3 rows per (query,
+    * partition). A production run swaps the brute-force scan for the
+    * [[annSrp]]/[[annIvf]] candidate generation in front of the same
+    * TopK finish. */
+  val hardNegatives = Q(
+    "q_hard_negatives",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val queries = e.filter(isKnnQuery)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+                col("vd").as("qv"), col("nrm").as("qnrm"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(3))
+      e.crossJoin(broadcast(queries))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("sim_ppm", graft.model.Money.cents(
+          dot("vd", "qv") / (col("nrm") * col("qnrm")), 1000000.0))
+        .groupBy(col("q_id"))
+        .agg(topk(col("sim_ppm"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top.items")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("col._2").as("neg_id"), col("col._1").as("sim_ppm"))
+    },
+    Some(s"""
+      SELECT q_id, rn, neg_id, sim_ppm FROM (
+        SELECT q.vec_id AS q_id, d.vec_id AS neg_id,
+               CAST(floor((${dotSql("d.embedding", "q.embedding")}
+                     / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY floor((${dotSql("d.embedding", "q.embedding")}
+                     / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}))
+                    * 1000000.0 + 0.5) DESC, d.vec_id) AS rn
+        FROM embeddings q JOIN embeddings d ON d.label <> q.label
+        WHERE ${knnQuerySql("q.vec_id")})
+      WHERE rn <= 3
+    """))
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, embedOutliers, embedDedup)
+      embedQuantize, embedOutliers, embedDedup, hardNegatives)
 }

@@ -91,6 +91,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == want, s"planted pairs not recovered: got $lsh want $want")
   }
 
+  test("fuzzy rerank covers every jaccard pair and agrees with JVM levenshtein") {
+    val pairs = Dedup.ngramJaccard.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fuzzy = Dedup.fuzzy.fn(spark, sf).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs,
+      "fuzzy rerank must score exactly the candidate pair set")
+    // spot-check the distance column against a reference implementation
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    fuzzy.take(5).foreach { r =>
+      val expect = lev(texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getLong(2) == expect.toLong,
+        s"levenshtein(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}, reference $expect")
+    }
+  }
+
+  test("hard negatives: cross-label only, sim-ordered, equals naive window top-3") {
+    val out = Similarity.hardNegatives.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    out.foreach { case (q, _, neg, _) =>
+      assert(labels(q) != labels(neg), s"negative $neg shares label with query $q")
+    }
+    // per query: exactly 3 rows, ranks 1..3, sims non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == Seq(1L, 2L, 3L), s"query $q ranks")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-_).toSeq,
+        s"query $q sims not ordered")
+    }
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val e = graft.model.Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
