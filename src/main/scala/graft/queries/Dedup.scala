@@ -628,8 +628,61 @@ object Dedup {
                     JOIN documents b ON pr.doc_b = b.doc_id
     """))
 
+  /** Incremental content novelty — the corpus-redundancy profile a
+    * dedup analysis reads before choosing thresholds: per language,
+    * what fraction of each document's distinct 3-gram shingles first
+    * appear in THAT document when the corpus is consumed in doc_id
+    * order (the ingestion order). Low novelty = the corpus is mostly
+    * restating earlier content; the per-language ratios tell you where
+    * dedup will pay. The first-occurrence rule is exact and
+    * deterministic: a shingle's owner is `min(doc_id)`.
+    *
+    * 100 TB shape: one shuffle keyed by shingle hash computes the
+    * first-owner table with map-side partial `min`; the ownership join
+    * reuses that partitioning; the per-doc rollup shuffles (doc_id)
+    * counts, then a 5-row language aggregate. No pair space anywhere —
+    * this is linear in the exploded index, same budget as
+    * [[jaccardPairs]]' input. The ppm is a single IEEE division of
+    * two exact BIGINTs (the [[graft.model.Money]] late-rounding
+    * class), never a float accumulation. */
+  val shingleNovelty = Q(
+    "q_shingle_novelty",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val e = withShingles(docs)
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val first = e.groupBy(col("hk")).agg(min(col("doc_id")).as("first_doc"))
+      e.join(first, "hk")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_sh")).cast("long").as("n_sh"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_sh")).as("sum_shingles"),
+             sum(col("novel")).as("sum_novel"))
+        .withColumn("novel_ppm", graft.model.Money.cents(
+          col("sum_novel").cast("double") / col("sum_shingles").cast("double"),
+          1000000.0))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      f AS (SELECT hk, min(doc_id) AS first_doc FROM eh GROUP BY hk),
+      d AS (SELECT doc_id, CAST(max(n_sh) AS BIGINT) AS n_sh,
+              CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+            FROM eh JOIN f USING (hk) GROUP BY doc_id)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_sh) AS BIGINT) AS sum_shingles,
+             CAST(sum(novel) AS BIGINT) AS sum_novel,
+             CAST(floor((CAST(sum(novel) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS novel_ppm
+      FROM d JOIN documents USING (doc_id)
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
     simhash, simhashPairs, dedupClusters, dupGraphStats, decontaminate,
-    dedupApply, exactSubstring, fuzzy)
+    dedupApply, exactSubstring, fuzzy, shingleNovelty)
 }

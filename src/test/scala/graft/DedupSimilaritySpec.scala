@@ -138,6 +138,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("shingle novelty matches hand computation on a planted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty")
+      .toFile.getAbsolutePath
+    spark.createDataFrame(Seq(
+      (0L, "en", "a b c d"),  // shingles {a b c, b c d} — both novel
+      (1L, "fr", "a b c x"),  // {a b c (seen in doc0), b c x novel} — 1/2
+      (2L, "en", "a b c d"))) // exact dup of doc0 — 0/2 novel
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.shingleNovelty.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("en") == ((2L, 4L, 2L, 500000L)), s"en: ${out("en")}")
+    assert(out("fr") == ((1L, 2L, 1L, 500000L)), s"fr: ${out("fr")}")
+  }
+
   test("cosine similarity of a vector with itself is 1") {
     val e = graft.model.Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
