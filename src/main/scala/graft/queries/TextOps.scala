@@ -537,8 +537,73 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** PMI collocation mining — phrase discovery for tokenizer merges /
+    * multi-word-expression extraction: the top-20 adjacent token pairs
+    * by pointwise-mutual-information LIFT, `p(xy) / (p(x)p(y))` =
+    * `c_xy * N_uni^2 / (N_bi * c_x * c_y)`, with a minimum pair count
+    * of 5 (PMI's classic rare-pair instability guard). Since log is
+    * monotone the lift RANKS identically to PMI, so no transcendental
+    * is needed; the lift is one float expression over exact BIGINTs
+    * with explicit per-operand double casts — both engines evaluate
+    * the identical left-associated IEEE ops ([[qualityScore]]'s
+    * determinism class) — and the ranking key is the ppm BIGINT with a
+    * (tok_a, tok_b) tiebreak.
+    *
+    * 100 TB shape: bigram and unigram counts are two exploded-scan
+    * aggregates with map-side partials; the two unigram joins are
+    * vocabulary-sized and carry NO broadcast hint (the tokenRarity
+    * discipline); the two grand totals broadcast as 1-row tables;
+    * finish is TakeOrderedAndProject. */
+  val collocations = Q(
+    "q_collocations",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val bi = docs.select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(t) - 2),
+                       i -> struct(t[i] AS tok_a, t[i + 1] AS tok_b))""")).as("p"))
+        .select(col("p.tok_a"), col("p.tok_b"))
+      val cb = bi.groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_xy"))
+      val cu = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val totals = cb.agg(sum(col("c_xy")).as("n_bi"))
+        .crossJoin(cu.agg(sum(col("c")).as("n_uni")))
+      cb.filter(col("c_xy") >= 5)
+        .join(cu.select(col("tok").as("tok_a"), col("c").as("ca")), "tok_a")
+        .join(cu.select(col("tok").as("tok_b"), col("c").as("cb")), "tok_b")
+        .crossJoin(broadcast(totals))
+        .select(col("tok_a"), col("tok_b"), col("c_xy"),
+          graft.model.Money.cents(
+            col("c_xy").cast("double") * col("n_uni").cast("double")
+              * col("n_uni").cast("double")
+              / (col("n_bi").cast("double") * col("ca").cast("double")
+                 * col("cb").cast("double")),
+            1000000.0).as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("tok_a"), asc("tok_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+      bi AS (SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+             FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)),
+      cb AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2),
+      u AS (SELECT unnest(t) AS tok FROM tk),
+      cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+      n AS (SELECT CAST((SELECT count(*) FROM bi) AS BIGINT) AS n_bi,
+                   CAST((SELECT count(*) FROM u) AS BIGINT) AS n_uni)
+      SELECT tok_a, tok_b, c_xy,
+             CAST(floor((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))
+                  / (CAST(n_bi AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
+      FROM cb JOIN cu a ON cb.tok_a = a.tok JOIN cu b ON cb.tok_b = b.tok CROSS JOIN n
+      WHERE c_xy >= 5
+      ORDER BY lift_ppm DESC, tok_a, tok_b
+      LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
-    heavyHitters, stratifiedSample, vocabCoverage)
+    heavyHitters, stratifiedSample, vocabCoverage, collocations)
 }

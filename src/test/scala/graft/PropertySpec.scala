@@ -240,6 +240,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("collocation lift matches hand computation and ranks like PMI") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colloc")
+      .toFile.getAbsolutePath
+    // tokens: x y x y x y x y x y -> bigrams (x,y)=5, (y,x)=4
+    // unigrams x=5, y=5; N_uni=10, N_bi=9
+    // lift(x,y) = 5*10*10/(9*5*5) = 500/225 = 2.2222... -> 2222222 ppm
+    spark.createDataFrame(Seq((0L, "en", Seq.fill(5)("x y").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps.collocations.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", "y", 5L, 2222222L)),
+      s"unexpected collocations: ${out.toSeq}")
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
