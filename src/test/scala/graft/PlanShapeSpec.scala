@@ -163,6 +163,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
 
+  test("novelty and fuzzy rerank never hint-broadcast a corpus-proportional side") {
+    // shingle-novelty's first-owner table and fuzzy's text sides are
+    // corpus-proportional — a static broadcast hint would OOM the
+    // driver at 100 TB; both must stay hash-keyed equi-joins
+    for (q <- Seq(graft.queries.Dedup.shingleNovelty, graft.queries.Dedup.fuzzy)) {
+      val df = q.fn(spark, sf)
+      val logical = df.queryExecution.optimizedPlan.toString
+      assert(!logical.toLowerCase.contains("strategy=broadcast"),
+        s"${q.name} carries a forced broadcast hint:\n$logical")
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} fell back to all-pairs:\n$plan")
+    }
+  }
+
+  test("collocations: unigram joins unhinted, top-20 TakeOrdered") {
+    val df = graft.queries.TextOps.collocations.fn(spark, sf)
+    // exactly ONE hint may survive: the broadcast of the two 1-row
+    // grand totals; the vocabulary-sized unigram joins carry none
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    val hints = "strategy=broadcast".r.findAllIn(logical).size
+    assert(hints <= 1, s"unigram side must not be hint-broadcast ($hints hints):\n$logical")
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
+  }
+
   test("vocab stats aggregates partially at both levels") {
     val plan = executedPlan(graft.queries.TextOps.vocabStats.fn(spark, sf))
     val n = "HashAggregate".r.findAllIn(plan).size
