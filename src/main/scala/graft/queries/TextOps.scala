@@ -602,8 +602,55 @@ object TextOps {
       LIMIT 20
     """))
 
+  /** Sliding-window chunking layout (RAG indexing): each document is
+    * cut into 256-token windows at stride 192 (64-token overlap — the
+    * standard retrieval-chunking shape, vs [[packChunks]]' contiguous
+    * pretraining packing). Chunk count and duplicated-token overhead
+    * have exact closed forms — `k = 1 + ceil((n-C)/S)` for n > C, and
+    * the overlap re-emits `(k-1)*(C-S)` tokens — so the whole query is
+    * per-row integer arithmetic on the scan plus a 5-row per-language
+    * rollup: zero data-sized shuffles at any corpus size. The
+    * overhead ppm is a single IEEE division of two exact BIGINTs
+    * (the [[graft.model.Money]] late-rounding class). */
+  val chunkOverlap = Q(
+    "q_chunk_overlap",
+    (spark, dir) => {
+      val C = 256L; val S = 192L
+      Tables.documents(spark, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("k",
+          when(col("n") <= C, 1L)
+            .otherwise(expr(s"1 + (n - $C + ${S - 1}) div $S")))
+        .withColumn("overlap", (col("k") - 1) * (C - S))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n")).as("sum_tokens"),
+             sum(col("k")).as("sum_chunks"),
+             sum(col("overlap")).as("sum_overlap"))
+        .withColumn("overhead_ppm", graft.model.Money.cents(
+          col("sum_overlap").cast("double") / col("sum_tokens").cast("double"),
+          1000000.0))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT lang, n,
+              CASE WHEN n <= 256 THEN 1
+                   ELSE 1 + (n - 256 + 191) // 192 END AS k
+            FROM d)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens,
+             CAST(sum(k) AS BIGINT) AS sum_chunks,
+             CAST(sum((k - 1) * 64) AS BIGINT) AS sum_overlap,
+             CAST(floor((CAST(sum((k - 1) * 64) AS DOUBLE)
+                  / CAST(sum(n) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS overhead_ppm
+      FROM c
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
-    heavyHitters, stratifiedSample, vocabCoverage, collocations)
+    heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap)
 }

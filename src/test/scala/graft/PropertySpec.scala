@@ -255,6 +255,26 @@ class PropertySpec extends SparkSpec {
       s"unexpected collocations: ${out.toSeq}")
   }
 
+  test("chunk overlap layout matches hand computation at the window boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk")
+      .toFile.getAbsolutePath
+    def toks(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    spark.createDataFrame(Seq(
+      (0L, "a", toks(256)),  // exactly one window: k=1, overlap 0
+      (1L, "b", toks(257)),  // one past the boundary: k=2, overlap 64
+      (2L, "c", toks(500)),  // k = 1 + ceil(244/192) = 3, overlap 128
+      (3L, "d", toks(448)))) // n = C + S exactly: k=2, overlap 64
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps.chunkOverlap.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((256L, 1L, 0L)), s"a: ${out("a")}")
+    assert(out("b") == ((257L, 2L, 64L)), s"b: ${out("b")}")
+    assert(out("c") == ((500L, 3L, 128L)), s"c: ${out("c")}")
+    assert(out("d") == ((448L, 2L, 64L)), s"d: ${out("d")}")
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
