@@ -681,8 +681,66 @@ object Dedup {
       GROUP BY lang
     """))
 
+  /** MinHash estimation-accuracy contract — the third sketch-accuracy
+    * query next to the CMS bound ([[graft.queries.TextOps]]
+    * q_heavy_hitters) and the HLL rsd contract: for every verified
+    * j >= 0.5 pair, the 16-hash MinHash estimate
+    * `est = matches/16` (exact ppm: matches * 62500) is compared to
+    * the exact Jaccard, with a `within_3sigma` verdict at
+    * `|err| <= 375000` ppm — 3 * sqrt(j(1-j)/16) maximized at j=0.5.
+    * The signatures are md5-derived (no RNG), so for a GIVEN corpus
+    * every boolean is a deterministic constant; a REGENERATED corpus
+    * could flip one with no code bug (the documented q_heavy_hitters /
+    * minhashLsh tail class — escalation is more hashes, never a
+    * weaker sketch).
+    *
+    * 100 TB shape: the signature build is the [[minhashSignatures]]
+    * aggregate (map-side partial min, one doc_id shuffle); signatures
+    * then join onto the BANDED candidate pair set only — the sketch
+    * accuracy is audited exactly where the sketch is used, without
+    * ever materializing a pair space. */
+  val minhashEstimate = Q(
+    "q_minhash_estimate",
+    (spark, dir) => {
+      val s = withShingles(Tables.documents(spark, dir))
+      val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
+        .groupBy(col("doc_id"))
+        .agg(mh(0), (1 until 16).map(mh): _*)
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+      val matches = (0 until 16).map(i =>
+        when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      jaccardPairs(e)
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_ppm", matches * lit(62500L))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ppm"),
+          abs(col("jaccard") - col("est_ppm")).as("abs_err_ppm"),
+          (abs(col("jaccard") - col("est_ppm")) <= 375000L).as("within_3sigma"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      hh AS (SELECT doc_id, ${h60Sql("sh1")} % $P AS hh FROM e),
+      sig AS (SELECT doc_id, ${(0 until 16).map(mhSql).mkString(", ")}
+              FROM hh GROUP BY doc_id)
+      SELECT pr.doc_a AS doc_a, pr.doc_b AS doc_b, pr.jaccard AS jaccard,
+             CAST((${(0 until 16).map(i =>
+               s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")})
+                  * 62500 AS BIGINT) AS est_ppm,
+             CAST(abs(pr.jaccard - (${(0 until 16).map(i =>
+               s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")})
+                  * 62500) AS BIGINT) AS abs_err_ppm,
+             (abs(pr.jaccard - (${(0 until 16).map(i =>
+               s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")})
+                  * 62500) <= 375000) AS within_3sigma
+      FROM pairs pr JOIN sig a ON pr.doc_a = a.doc_id
+                    JOIN sig b ON pr.doc_b = b.doc_id
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
     simhash, simhashPairs, dedupClusters, dupGraphStats, decontaminate,
-    dedupApply, exactSubstring, fuzzy, shingleNovelty)
+    dedupApply, exactSubstring, fuzzy, shingleNovelty, minhashEstimate)
 }

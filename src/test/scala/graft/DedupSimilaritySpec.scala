@@ -138,6 +138,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate covers every verified pair and honors the 3-sigma contract") {
+    val rows = Dedup.minhashEstimate.fn(spark, sf).collect()
+    val pairs = Dedup.ngramJaccard.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs,
+      "estimate must audit exactly the verified pair set")
+    rows.foreach { r =>
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)),
+        s"abs_err must be |jaccard - est|: $r")
+      // est is a multiple of 1/16 in ppm
+      assert(r.getLong(3) % 62500L == 0L && r.getLong(3) <= 1000000L, s"est range: $r")
+    }
+    // distribution sanity on this corpus: the contract should hold for
+    // the overwhelming majority (all 28 at sf0.001; allow a small tail)
+    val within = rows.count(_.getBoolean(5))
+    assert(within * 10 >= rows.length * 8,
+      s"only $within/${rows.length} pairs within 3 sigma")
+  }
+
   test("shingle novelty matches hand computation on a planted corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-novelty")
       .toFile.getAbsolutePath
