@@ -151,6 +151,70 @@ object Multimodal {
       .select(col("doc_id"), col("frame_id"), col("frame_start"), col("frame_len"))
   }
 
+  /** One resized record: the checksum of the nearest-neighbor-sampled
+    * pixel grid (exact integer — no float resampling kernels, so the
+    * SQL oracle mirrors it digit for digit). */
+  final case class ResizedMedia(
+      doc_id: Long, fmt: String, dst_w: Int, dst_h: Int, pix_sum: Long)
+
+  /** Nearest-neighbor resize over the payload-as-grid: the record's
+    * typed metadata (width x height) defines a row-major byte grid
+    * over the payload (index modulo payload length — the fixture's
+    * text bytes are shorter than w*h, same stand-in rule as
+    * [[fakeDecoder]]), and destination pixel (r, c) samples source
+    * ((r*h) div dstH, (c*w) div dstW) — the standard integer
+    * nearest-neighbor map. Batched `mapPartitions`, the
+    * [[decodeFeatures]] distributed shape: partition-local, no
+    * per-row setup, no driver collect. [[resizeImageNearest]] is the
+    * same map over a REAL decoded `BufferedImage` (spec-driven). */
+  def resizeNearest(media: Dataset[MediaRecord], dstW: Int = 4, dstH: Int = 4)
+      : Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val n = m.payload.length
+          var s = 0L
+          if (n > 0) {
+            var r = 0
+            while (r < dstH) {
+              val sr = r * m.height / dstH
+              var c = 0
+              while (c < dstW) {
+                val sc = c * m.width / dstW
+                s += (m.payload((sr * m.width + sc) % n) & 0xff)
+                c += 1
+              }
+              r += 1
+            }
+          }
+          ResizedMedia(m.doc_id, m.fmt, dstW, dstH, s)
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor image resize (the [[resizeNearest]] index
+    * map over a decoded `BufferedImage`) — spec-driven with
+    * `javax.imageio` payloads, same seam contract as
+    * [[imageIoDecoder]]. */
+  def resizeImageNearest(img: java.awt.image.BufferedImage, dstW: Int, dstH: Int)
+      : java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < dstH) {
+      val sr = r * img.getHeight / dstH
+      var c = 0
+      while (c < dstW) {
+        out.setRGB(c, r, img.getRGB(c * img.getWidth / dstW, sr) & 0xffffff)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Q: full decode path — media table -> balanced partitions ->
     * batched decode -> per-format feature aggregate. The oracle
     * recomputes the fake decoder's chunk means in SQL, cross-checking
@@ -213,5 +277,38 @@ object Multimodal {
       GROUP BY frame_id
     """))
 
-  def all: Seq[Q] = Seq(featuresQuery, framesQuery)
+  /** Q: resize fan-in — nearest-neighbor 4x4 thumbnails of every
+    * media record, rolled up per format. The oracle replays the exact
+    * integer index map over the text-byte grid (16 fixed sample
+    * positions per record). */
+  val resizeQuery = Q(
+    "q_multimodal_resize",
+    (spark, dir) => {
+      resizeNearest(mediaTable(spark, dir)).toDF()
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_media"),
+             sum(col("pix_sum")).as("sum_pix"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+               CAST(16 + doc_id % 16 AS BIGINT) AS w,
+               CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
+               CAST(length(text) AS BIGINT) AS n, text
+        FROM documents),
+      r AS (
+        SELECT fmt,
+               CASE WHEN n = 0 THEN 0 ELSE
+                 list_sum([CAST(ascii(text[
+                     CAST(((((i // 4) * h) // 4) * w + (((i % 4) * w) // 4)) % n + 1 AS BIGINT)
+                   ]) AS BIGINT) for i in range(0, 16)])
+               END AS pix_sum
+        FROM m)
+      SELECT fmt, count(*) AS n_media, CAST(sum(pix_sum) AS BIGINT) AS sum_pix
+      FROM r
+      GROUP BY fmt
+    """))
+
+  def all: Seq[Q] = Seq(featuresQuery, framesQuery, resizeQuery)
 }

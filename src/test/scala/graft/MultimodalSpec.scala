@@ -85,6 +85,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).n_bytes == records.head.payload.length)
   }
 
+  test("nearest-neighbor grid resize matches hand computation") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import spark.implicits._
+    // 8x8 grid of bytes 0..63; dst (r,c) samples (2r, 2c) -> idx 16r+2c
+    // sum over r,c < 4 of (16r + 2c) = 64*(0+1+2+3) + 4*2*(0+1+2+3)/... = 432
+    val rec = MediaRecord(7L, (0 until 64).map(_.toByte).toArray, 8, 8, "png")
+    val out = Multimodal.resizeNearest(Seq(rec).toDS(), 4, 4).head()
+    assert(out.pix_sum == (0 until 4).flatMap(r => (0 until 4).map(c => 16 * r + 2 * c)).sum,
+      s"unexpected resize checksum ${out.pix_sum}")
+    assert(out.dst_w == 4 && out.dst_h == 4 && out.fmt == "png")
+  }
+
+  test("real image resize: nearest-neighbor over a decoded PNG keeps sampled pixels") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (x * 40) << 16 | (y * 40) << 8 | 7)
+    // round-trip through a real PNG encode/decode, then resize 2x2
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos), "no png writer in this JDK")
+    val decoded = ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val small = Multimodal.resizeImageNearest(decoded, 2, 2)
+    // dst (r,c) samples source (2r, 2c)
+    for (r <- 0 until 2; c <- 0 until 2)
+      assert((small.getRGB(c, r) & 0xffffff) == (img.getRGB(2 * c, 2 * r) & 0xffffff),
+        s"pixel ($r,$c) diverged from source (${2 * r},${2 * c})")
+  }
+
   test("real decoder fails loudly on an undecodable payload") {
     import graft.multimodal.Multimodal.MediaRecord
     import spark.implicits._
