@@ -649,8 +649,50 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Temperature-scaled multilingual sampling weights (alpha = 0.5,
+    * the mBERT/XLM-R exponent): per language, the raw share p_ppm
+    * (exact integer division) and the temperature weight
+    * `sqrt(p)` ppm — the upsampling factor that keeps low-resource
+    * languages from washing out of a multilingual mixture.
+    *
+    * Cross-engine determinism note: unlike `ln`/`exp` (documented
+    * dsir risk), IEEE 754 REQUIRES sqrt to be correctly rounded, so
+    * JVM `Math.sqrt` and DuckDB `sqrt` agree bit-for-bit on the same
+    * input double — the ppm is deterministic even at exact-decimal
+    * results (the es stratum lands on exactly 400000 at sf0.001).
+    * Weights are emitted UNNORMALIZED: the normalizer is a sum of a
+    * handful of per-language doubles whose accumulation order no
+    * engine guarantees — the caller normalizes the 5 returned rows.
+    *
+    * 100 TB shape: one 5-row aggregate with map-side partials, a
+    * 1-row total broadcast — nothing else. */
+  val temperatureMix = Q(
+    "q_temperature_mix",
+    (spark, dir) => {
+      val c = Tables.documents(spark, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val t = c.agg(sum(col("n_docs")).as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_docs * 1000000) div total").as("p_ppm"),
+          graft.model.Money.cents(
+            sqrt(col("n_docs").cast("double") / col("total").cast("double")),
+            1000000.0).as("w_sqrt_ppm"))
+    },
+    Some("""
+      WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+      SELECT lang, n_docs,
+             CAST((n_docs * 1000000) // total AS BIGINT) AS p_ppm,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS w_sqrt_ppm
+      FROM c CROSS JOIN t
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
-    heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap)
+    heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
+    temperatureMix)
 }

@@ -275,6 +275,24 @@ class PropertySpec extends SparkSpec {
     assert(out("d") == ((448L, 2L, 64L)), s"d: ${out("d")}")
   }
 
+  test("temperature mix: sqrt weights compress the share gap, exact at planted ratios") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp")
+      .toFile.getAbsolutePath
+    // 64 en + 36 fr of 100: p = 0.64 / 0.36, sqrt = 0.8 / 0.6 exactly
+    spark.createDataFrame(
+      (0 until 64).map(i => (i.toLong, "en", "x")) ++
+      (0 until 36).map(i => (100L + i, "fr", "x")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps.temperatureMix.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("en") == ((64L, 640000L, 800000L)), s"en: ${out("en")}")
+    assert(out("fr") == ((36L, 360000L, 600000L)), s"fr: ${out("fr")}")
+    // the whole point: sqrt narrows the ratio (0.8/0.6 < 0.64/0.36)
+    assert(out("en")._3.toDouble / out("fr")._3 < out("en")._2.toDouble / out("fr")._2)
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
