@@ -690,9 +690,90 @@ object TextOps {
       FROM c CROSS JOIN t
     """))
 
+  /** BM25 lexical ranking (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75) — the retrieval scoring baseline every lexical search
+    * stack ships, complementing the vector side
+    * ([[Similarity]] kNN/ANN) with the other half of a hybrid
+    * retriever. Scores every document against a fixed 3-term query
+    * and returns the top 10.
+    *
+    * Determinism: per (doc, term) the score is ONE ln on an
+    * integer-derived quotient times a rational — the [[tfidf]] /
+    * [[qualityScore]] class, driver-verified since round 2; both
+    * engines evaluate the textually identical left-associated
+    * expression with explicit per-operand double casts, and the
+    * ranking key is the ppm BIGINT with a doc_id tiebreak.
+    *
+    * 100 TB shape: the per-doc term frequencies are map-side array
+    * expressions on the scan; the corpus statistics (N, total length,
+    * the 3 dfs) are ONE 1-row aggregate broadcast back; finish is
+    * TakeOrderedAndProject. The corpus never shuffles — this is the
+    * classic "score-and-take" retrieval plan. */
+  val bm25 = Q(
+    "q_bm25",
+    (spark, dir) => {
+      def tf(term: String) =
+        expr(s"size(filter(toks, x -> x = '$term'))").cast("long")
+      val d = Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("dl"),
+          tf("spark").as("tf1"), tf("stream").as("tf2"), tf("join").as("tf3"))
+      val g = d.agg(
+        count(lit(1)).as("nd"), sum(col("dl")).as("sl"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      def term(tfc: org.apache.spark.sql.Column,
+               dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val nd = col("nd").cast("double"); val sl = col("sl").cast("double")
+        val dl = col("dl").cast("double")
+        val t = tfc.cast("double"); val f = dfc.cast("double")
+        log(lit(1.0) + (nd - f + 0.5) / (f + 0.5)) * (t * 2.2) /
+          (t + lit(1.2) * (lit(0.25) + lit(0.75) * dl * nd / sl))
+      }
+      d.crossJoin(broadcast(g))
+        .select(col("doc_id"), col("lang"),
+          graft.model.Money.cents(
+            term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
+              term(col("tf3"), col("df3")),
+            1000000.0).as("bm25_ppm"))
+        .orderBy(desc("bm25_ppm"), asc("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS BIGINT) AS tf2,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf3
+        FROM documents),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sl,
+                   CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                   CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+            FROM d)
+      SELECT doc_id, lang,
+        CAST(floor((
+          ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+            * (CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
+        + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+            * (CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
+        + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+            * (CAST(tf3 AS DOUBLE) * 2.2)
+            / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
+        ) * 1000000.0 + 0.5) AS BIGINT) AS bm25_ppm
+      FROM d CROSS JOIN g
+      ORDER BY bm25_ppm DESC, doc_id
+      LIMIT 10
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
-    temperatureMix)
+    temperatureMix, bm25)
 }

@@ -293,6 +293,25 @@ class PropertySpec extends SparkSpec {
     assert(out("en")._3.toDouble / out("fr")._3 < out("en")._2.toDouble / out("fr")._2)
   }
 
+  test("bm25 ranks term-bearing docs above term-free docs, rare terms above common") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
+      .toFile.getAbsolutePath
+    def filler(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    spark.createDataFrame(Seq(
+      (0L, "en", "spark stream join " + filler("a", 7)),   // all 3 terms
+      (1L, "en", "spark " + filler("b", 9)),               // 1 common term
+      (2L, "en", filler("c", 10)),                          // no terms -> 0
+      (3L, "en", "join " + filler("d", 9))))                // 1 rarer term (df same here)
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextOps.bm25.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) > out(1L) && out(0L) > out(3L),
+      s"doc with all terms must rank first: $out")
+    assert(out(2L) == 0L, s"term-free doc must score exactly 0: $out")
+    assert(out(1L) > 0L && out(3L) > 0L, s"single-term docs must score > 0: $out")
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
