@@ -540,10 +540,60 @@ object Relational {
       GROUP BY user_id
     """))
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-bounded orders ⋈ post-date lineitems, per-order revenue,
+    * top-10 — the classic selective multi-way join + agg + top-k that
+    * exercises join ordering, filter pushdown on BOTH join sides and
+    * a TakeOrdered finish in one plan. Revenue is exact BIGINT cents
+    * summed from per-row cents ([[graft.model.Money]]); the top-10
+    * order carries an l_orderkey tiebreak so revenue ties cannot
+    * reorder across engines.
+    *
+    * 100 TB shape: the filtered customer side is dimension-scaled and
+    * broadcasts; lineitem⋈orders shuffles once on the order key with
+    * both date filters pushed to the scans; the rollup groups on the
+    * already-partitioned order key, and the finish is
+    * TakeOrderedAndProject, never a global sort. */
+  val shippingPriority = Q(
+    "q_shipping_priority",
+    (spark, dir) => {
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val c = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                col("o_orderpriority"))
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("o_orderdate"), asc("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS revenue_cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+      LIMIT 10
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
-    saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg)
+    saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
+    shippingPriority)
 }

@@ -189,6 +189,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
   }
 
+  test("shipping priority: dimension broadcasts, date filters push, top-10 TakeOrdered") {
+    val df = graft.queries.Relational.shippingPriority.fn(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("l_shipdate") || plan.contains("GreaterThan")),
+      s"lineitem date filter not pushed to the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q3 fell back to all-pairs:\n$plan")
+  }
+
   test("vocab stats aggregates partially at both levels") {
     val plan = executedPlan(graft.queries.TextOps.vocabStats.fn(spark, sf))
     val n = "HashAggregate".r.findAllIn(plan).size
