@@ -698,6 +698,155 @@ object Similarity {
     * decision, not just a semantic one. */
   private val semanticDupPpm = 350000L
 
+  /** Target mean cell size for [[semCells]] — k = ceil(n / this), so
+    * block cardinality grows linearly with the corpus and the
+    * within-cell pair join stays O(n · semCellTarget) instead of
+    * O(n²/blocks). 64 keeps the fixture in the multi-cell regime at
+    * every SF (k = 8/8/32 at sf0.001/0.01/0.1). */
+  private val semCellTarget = 64.0
+
+  /** SemDeDup cell assignment: spherical k-means over the unit
+    * embeddings, md5-seeded + ONE Lloyd refinement — [[ivfTrain]]'s
+    * recipe re-derived in EXACT arithmetic so the assignment (hence
+    * the whole dedup funnel) is DuckDB-oracle-able, where q_ann_ivf
+    * settles for a recall contract: centroid partial sums are ppm
+    * BIGINTs (the [[embedOutliers]] exact-rational-centroid
+    * discipline), every argmax compares floor(x·1e6+0.5) packed longs
+    * with a smallest-cell tie-break, and both engines fold dims in
+    * array order. Only k×dim centroid doubles (a few KB) ever reach
+    * the driver; both assignment passes are literal-inlined argmaxes
+    * over one corpus scan each — no join, no shuffle.
+    *
+    * Returns (vec_id, cell). Deterministic: seeds are the k sample
+    * vectors with smallest md5(vec_id), iteration count is fixed. */
+  private[queries] def semCells(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val k = math.max(4L, math.ceil(n / semCellTarget).toLong).toInt
+    require(k <= 1024, s"semCells packs the cell id into 10 bits: k=$k > 1024")
+    val u = e.select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+    // pack = (dot_ppm + 2e6) * 1024 + (1023 - cell): argmax via a plain
+    // greatest(), ties break toward the smallest cell id on BOTH engines
+    def pack(dotPpm: Column, cell: Int): Column =
+      (dotPpm + lit(2000000L)) * lit(1024L) + lit(1023L - cell)
+    val unpackCell: Column => Column = p => lit(1023L) - pmod(p, lit(1024L))
+    val seeds: Array[Array[Double]] = u
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(k)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k,
+      s"semCells: corpus holds ${seeds.length} vectors but k=$k cells requested")
+    val a0 = u.withColumn("cell0", unpackCell(greatest(
+      seeds.toSeq.zipWithIndex.map { case (s, i) =>
+        pack(graft.model.Money.cents(dotp(col("u"), typedLit(s.toSeq)), 1000000.0), i)
+      }: _*)))
+    // one exact Lloyd step: per-(cell, dim) ppm-BIGINT partial sums —
+    // association-order independent, so the k×dim centroid matrix the
+    // driver sees is bit-identical to the oracle's SQL aggregation
+    val sums = a0
+      .select(col("cell0"),
+        posexplode(expr(
+          "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
+          .as(Seq("pos", "xi")))
+      .groupBy("cell0", "pos")
+      .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
+      .collect()
+    val byCell = sums.groupBy(_.getLong(0).toInt)
+    val cents: Seq[(Int, Array[Double], Double)] = byCell.toSeq.map {
+      case (cell, rows) =>
+        val dim = rows.length
+        val comps = Array.ofDim[Double](dim)
+        for (r <- rows)
+          comps(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1000000.0)
+        // same left fold as the oracle's list_reduce (squares >= 0, so
+        // the 0.0 init is exact) and IEEE-correctly-rounded sqrt
+        (cell, comps, math.sqrt(comps.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }.filter(_._3 > 0).sortBy(_._1)
+    require(cents.nonEmpty, "semCells: every refined centroid degenerate")
+    u.select(col("vec_id"), unpackCell(greatest(cents.map { case (cell, c, nrm) =>
+      pack(graft.model.Money.cents(
+        dotp(col("u"), typedLit(c.toSeq)) / lit(nrm), 1000000.0), cell)
+    }: _*)).as("cell"))
+  }
+
+  /** The [[embedDedup]] candidate-pair plan (sharable with
+    * PlanShapeSpec): within-[[semCells]]-cell cosine pairs at the
+    * [[semanticDupPpm]] threshold. The join keys on `cell` — a
+    * trained, corpus-scaled blocking key — never on a fixed-
+    * cardinality column. */
+  private def embedDedupPairsFrom(e: DataFrame): DataFrame = {
+    val cells = semCells(e)
+    val a = e.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id").as("doc_a"),
+              col("vd").as("va"), col("nrm").as("na"))
+    val b = e.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id").as("doc_b"),
+              col("vd").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim_ppm", graft.model.Money.cents(
+        dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
+      .filter(col("sim_ppm") >= semanticDupPpm)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** PlanShapeSpec entry point for the [[embedDedup]] pair join. */
+  def embedDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    embedDedupPairsFrom(emb(spark, dir)
+      .select(col("vec_id"), col("label"), col("vd"), col("nrm")))
+
+  /** DuckDB CTE chain mirroring [[semCells]] exactly: defines
+    * `asn(vec_id, label, embedding, cell)`. Every float op is the
+    * same IEEE double op in the same fold order as the Spark side;
+    * cross-row aggregation happens only on ppm BIGINTs. */
+  private def semCellsCtes: String = {
+    val dotUU = """list_reduce(
+            list_transform(range(1, len(u) + 1), i -> u[i] * su[i]),
+            (x, y) -> x + y)"""
+    val dotUC = """list_reduce(
+            list_transform(range(1, len(u) + 1), i -> u[i] * carr[i]),
+            (x, y) -> x + y)"""
+    s"""
+      kq AS (SELECT greatest(4, CAST(ceil(count(*) / $semCellTarget) AS BIGINT)) AS k
+             FROM embeddings),
+      uu AS (SELECT vec_id, label, embedding,
+                    list_transform(range(1, len(embedding) + 1),
+                                   i -> embedding[i]::DOUBLE / nr) AS u
+             FROM (SELECT vec_id, label, embedding,
+                          ${nrmSql("embedding")} AS nr
+                   FROM embeddings)),
+      sd AS (SELECT su, s FROM (
+               SELECT u AS su,
+                      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
+               FROM uu)
+             WHERE s < (SELECT k FROM kq)),
+      a0 AS (SELECT vec_id,
+                    1023 - (max((CAST(floor($dotUU * 1000000.0 + 0.5) AS BIGINT)
+                                 + 2000000) * 1024 + (1023 - s)) % 1024) AS cell0
+             FROM uu, sd GROUP BY vec_id),
+      xv AS (SELECT cell0,
+                    unnest(range(1, len(u) + 1)) AS pos,
+                    unnest(list_transform(u,
+                      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS xi
+             FROM a0 JOIN uu USING (vec_id)),
+      sm AS (SELECT cell0, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS cn
+             FROM xv GROUP BY 1, 2),
+      ct AS (SELECT cell0 AS cell,
+                    list(sx / (cn * 1000000.0) ORDER BY pos) AS carr
+             FROM sm GROUP BY cell0),
+      cc0 AS (SELECT cell, carr,
+                     sqrt(list_reduce(
+                       list_transform(range(1, len(carr) + 1), i -> carr[i] * carr[i]),
+                       (x, y) -> x + y)) AS cnrm
+              FROM ct),
+      cf AS (SELECT cell, carr, cnrm FROM cc0 WHERE cnrm > 0),
+      a1 AS (SELECT vec_id,
+                    1023 - (max((CAST(floor($dotUC / cnrm * 1000000.0 + 0.5) AS BIGINT)
+                                 + 2000000) * 1024 + (1023 - cell)) % 1024) AS cell
+             FROM uu, cf GROUP BY vec_id),
+      asn AS (SELECT uu.vec_id, uu.label, uu.embedding, a1.cell
+              FROM uu JOIN a1 USING (vec_id))"""
+  }
+
   /** SemDeDup APPLY (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication end to end — within-cluster cosine pairs above a
     * threshold, transitive closure, keep one canonical vector per
@@ -707,29 +856,24 @@ object Similarity {
     * (and its recursive-CTE oracle fragments), so the two dedup
     * families cannot drift.
     *
-    * `label` plays SemDeDup's k-means cluster id (the fixture ships
-    * one; a production corpus gets it from [[ivfTrain]]'s centroids
-    * at this exact seam). 100 TB shape: cluster blocking bounds the
-    * pair join (equi-join on label — never all-pairs), the CC loop is
-    * the co-partitioned [[graft.operators.ConnectedComponents]], and
-    * the drop set (bounded by the duplicate count, small relative to
-    * the corpus by construction) broadcasts onto one unshuffled
+    * Blocking key: [[semCells]] k-means cells — k = max(4, ceil(n /
+    * [[semCellTarget]])) GROWS with the corpus, so expected cell size
+    * is a constant and candidate volume is O(n). (Until round 8 the
+    * block key was the fixture's 5-value `label` column — a key whose
+    * cardinality does not grow with the corpus makes the pair join
+    * ~n²/blocks, quadratic at 100 TB.) `label` survives only as the
+    * funnel's reporting dimension. 100 TB shape: cell blocking bounds
+    * the pair join (equi-join on cell — never all-pairs), the CC loop
+    * is the co-partitioned [[graft.operators.ConnectedComponents]],
+    * and the drop set (bounded by the duplicate count, small relative
+    * to the corpus by construction) broadcasts onto one unshuffled
     * corpus scan — the same funnel discipline as
     * [[Curation.curationFunnel]]. */
   val embedDedup = Q(
     "q_embed_dedup",
     (spark, dir) => {
       val e = emb(spark, dir).select(col("vec_id"), col("label"), col("vd"), col("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("doc_a"),
-                       col("vd").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("doc_b"),
-                       col("vd").as("vb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("sim_ppm", graft.model.Money.cents(
-          dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
-        .filter(col("sim_ppm") >= semanticDupPpm)
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = embedDedupPairsFrom(e)
       val dropSet = Dedup.nonCanonical(pairs)
         .withColumnRenamed("doc_id", "vec_id").withColumn("dup", lit(true))
       Tables.embeddings(spark, dir)
@@ -740,13 +884,15 @@ object Similarity {
           sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"))
     },
     Some(s"""
-      WITH RECURSIVE p0 AS (
+      WITH RECURSIVE
+      $semCellsCtes,
+      p0 AS (
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                CAST(floor((${dotSql("a.embedding", "b.embedding")}
                  / (${nrmSql("a.embedding")} * ${nrmSql("b.embedding")}))
                  * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id),
+        FROM asn a JOIN asn b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id),
       pairs AS (SELECT doc_a, doc_b FROM p0 WHERE sim_ppm >= $semanticDupPpm),
       ${Dedup.ccCte},
       ${Dedup.droppedCte}

@@ -74,6 +74,23 @@ class PlanShapeSpec extends SparkSpec {
       s"ivfTop1 plans an all-pairs join:\n$ivfPlan")
   }
 
+  test("embed dedup pair join blocks on trained cells, never a fixed-cardinality column") {
+    // the r7 scale-killer: blocking SemDeDup pairs on `label` (5
+    // fixture values) makes candidate volume ~n²/5 — quadratic at
+    // 100 TB. The pair join must key on the semCells assignment
+    // (cardinality = ceil(n/64), grows with the corpus) and must not
+    // reference label at all
+    val pairs = graft.queries.Similarity.embedDedupPairs(spark, sf)
+    val logical = pairs.queryExecution.optimizedPlan.toString
+    val joinLines = logical.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("cell"), s"pair join does not key on cell:\n$joinLines")
+    assert(!joinLines.contains("label"),
+      s"pair join references the fixed-cardinality label column:\n$joinLines")
+    val plan = executedPlan(pairs)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"embed dedup pair generation plans an all-pairs join:\n$plan")
+  }
+
   test("curation scans prune to the columns they use") {
     // rule evaluation reads (lang, text) only — a scan dragging the
     // full documents schema through a 100 TB pass is the regression
