@@ -63,10 +63,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = exact.count { case (q, nn) => ivf.get(q).contains(nn) }
     val recall = hits.toDouble / exact.size
     // measures 0.48 on the sf0.001 corpus vs SRP's 0.44 — IVF's probe
-    // set adapts to the data, SRP's buckets don't; floor below the
-    // measurement so a legit param tweak doesn't flap the suite
+    // set adapts to the data, SRP's buckets don't; 0.45 matches the
+    // recorded q_ann_ivf per-SF floor (sits just under the
+    // deterministic measurement, so a real index regression fails
+    // here AND flips the oracle's recall_ok)
     info(s"IVF top-1 recall (k=16, nprobe=4): $recall (${hits}/${exact.size})")
-    assert(recall >= 0.4, s"recall $recall below the IVF floor")
+    assert(recall >= 0.45, s"recall $recall below the IVF floor")
   }
 
   test("SRP-blocked embed near-dup recovers planted sim≈1 duplicates") {
