@@ -290,6 +290,10 @@ object Multimodal {
              sum(col("pix_sum")).as("sum_pix"))
     },
     Some("""
+      -- length(text)/ascii(...) mirror payload BYTES only because the
+      -- documents fixture is all-ASCII (character == byte); a non-ASCII
+      -- fixture regeneration breaks this parity — same assumption as
+      -- the features oracle above
       WITH m AS (
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,

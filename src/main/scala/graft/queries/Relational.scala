@@ -553,20 +553,30 @@ object Relational {
     * broadcasts; lineitem⋈orders shuffles once on the order key with
     * both date filters pushed to the scans; the rollup groups on the
     * already-partitioned order key, and the finish is
-    * TakeOrderedAndProject, never a global sort. */
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * The cutoff compares at DATE granularity: a timestamp literal like
+    * `lit("1995-03-15").cast("timestamp")` parses in the session
+    * timezone while DuckDB's `TIMESTAMP '1995-03-15'` is naive, so the
+    * boundary would shift for a driver running outside UTC. Casting the
+    * column to date round-trips the parquet's naive midnight value
+    * through ANY fixed session TZ unchanged, and the fixture's
+    * o_orderdate/l_shipdate are midnight-only (verified at sf0.01 and
+    * sf0.1), so date-level and timestamp-level comparison are exactly
+    * equivalent. */
   val shippingPriority = Q(
     "q_shipping_priority",
     (spark, dir) => {
-      val cutoff = lit("1995-03-15").cast("timestamp")
+      val cutoff = lit("1995-03-15").cast("date")
       val c = Tables.customer(spark, dir)
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
       val o = Tables.orders(spark, dir)
-        .filter(col("o_orderdate") < cutoff)
+        .filter(col("o_orderdate").cast("date") < cutoff)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
                 col("o_orderpriority"))
       val l = Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") > cutoff)
+        .filter(col("l_shipdate").cast("date") > cutoff)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -582,8 +592,9 @@ object Relational {
                AS revenue_cents
       FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
-        AND l_shipdate > TIMESTAMP '1995-03-15'
+      WHERE c_mktsegment = 'BUILDING'
+        AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
       GROUP BY 1, 2, 3
       ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
       LIMIT 10

@@ -698,11 +698,17 @@ object TextOps {
     * and returns the top 10.
     *
     * Determinism: per (doc, term) the score is ONE ln on an
-    * integer-derived quotient times a rational — the [[tfidf]] /
-    * [[qualityScore]] class, driver-verified since round 2; both
-    * engines evaluate the textually identical left-associated
-    * expression with explicit per-operand double casts, and the
-    * ranking key is the ppm BIGINT with a doc_id tiebreak.
+    * integer-derived quotient times a rational, and the three query
+    * terms sum to THREE ln calls per document — more transcendental
+    * surface than the single-ln [[tfidf]] / [[qualityScore]] class, so
+    * this query carries the same accepted cross-engine ulp-risk tail
+    * as [[Curation.dsirWeights]] (a 1-ulp ln divergence could flip the
+    * ppm floor at an exact boundary). Verified hash-stable at all
+    * three SFs on consecutive full runs (r7, r8), same discipline as
+    * the dsir note in NOTES.md; both engines evaluate the textually
+    * identical left-associated expression with explicit per-operand
+    * double casts, and the ranking key is the ppm BIGINT with a
+    * doc_id tiebreak.
     *
     * 100 TB shape: the per-doc term frequencies are map-side array
     * expressions on the scan; the corpus statistics (N, total length,
