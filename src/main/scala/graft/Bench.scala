@@ -56,17 +56,27 @@ object Bench {
         SparkEntry.queries.toSeq.sortBy(_._1).headOption.map(_._2)
       }
       .foreach(fn => run("warmup", fn))
-    // Best-of-N: single-shot timings at local[32] swing 2-5x with GC /
-    // scheduler noise; the min is the reproducible steady-state cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Median-of-N: single-shot timings at local[32] swing 2-5x with GC /
+    // scheduler noise (round 7 read a q_pack_chunks "2x regression" off
+    // one shot; round 8's reruns measured 0.5s). The median is robust to
+    // one bad rep in a way neither a single shot nor the mean is; per-rep
+    // raw times go to the detail file so spread stays inspectable.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // comma-separated allowlist for fast single-query iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
-        .minOption.getOrElse(-1.0)
+        name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0).sorted
+      }
+    val results = raw.map { case (name, runs) =>
+      name -> (if (runs.isEmpty) -1.0 else median(runs))
     }
     // Locale.ROOT: a host locale with comma decimal separators would
     // render 1.234 as "1,234" and break the driver's JSON parse
@@ -82,13 +92,22 @@ object Bench {
     // total can never be read as a speedup
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failMark = if (failed.nonEmpty) s""","failed":[${failed.mkString(",")}]""" else ""
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$onlyMark$failMark}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$onlyMark$failMark}"""
     println(line)
     // Belt and braces: also persist to a file in case the launcher's
     // stdout is wrapped by a build-tool logger the parser trips on.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // Per-rep raw times (sorted ascending), for spread/regression calls —
+    // NOT part of the driver's one-line contract.
+    val detail = raw.map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out.replaceAll("\\.json$", "") + "_detail.json"),
+      s"""{"reps":$reps,"sf":"$sfDir","runs":$detail}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }
 }
