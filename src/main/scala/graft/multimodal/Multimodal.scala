@@ -8,16 +8,21 @@ import graft.model.{Q, Tables}
   * as opaque `binary` columns with typed metadata, decoded/featurized
   * in batched partition-local passes.
   *
-  * Two decoders ship behind the [[Decoder]] seam:
+  * Three decoders ship behind the [[Decoder]] seam:
   *   - [[imageIoDecoder]] — a REAL image decoder over the JDK's
   *     `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, no external library),
   *     emitting per-channel pixel means. MultimodalSpec drives it over
   *     actual encoded PNG/BMP/GIF payloads.
+  *   - [[wavDecoder]] — a REAL audio decoder over the JDK's
+  *     `javax.sound.sampled` (WAV/PCM, no external library), emitting
+  *     duration + per-channel RMS + peak. MultimodalSpec drives it
+  *     over actual encoded WAV payloads with known signal shapes.
   *   - [[fakeDecoder]] — a clearly-marked DETERMINISTIC FAKE
   *     (chunk-mean "pixels" over the payload bytes), used by the
   *     REGISTERED queries because the `documents` fixture carries text
   *     bytes, not encoded media, and the DuckDB oracle must be able to
-  *     recompute the features in SQL.
+  *     recompute the features in SQL. Video (ffmpeg-class) remains the
+  *     fake: no decoder for it ships in the JDK or this sandbox.
   * Everything around the seam — schema, Dataset encoders, batch shape,
   * partition balancing — is shared: [[decodeFeatures]] takes the
   * decoder as an argument, so audio/video (ffmpeg-class) decoders are
@@ -114,6 +119,73 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.fmt, m.payload.length,
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
       (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n))
+  }
+
+  /** REAL audio decoder: `javax.sound.sampled` (in the JDK) parses
+    * the WAV container and yields raw PCM frames; features are
+    *   f0 = duration in seconds (frames / frameRate),
+    *   f1 = RMS amplitude of the FIRST channel,
+    *   f2 = RMS amplitude of the LAST channel (== f1 for mono),
+    *   f3 = peak absolute amplitude across all channels,
+    * all normalized to [0, 1] by full scale. Supports the formats the
+    * JDK's WAV reader emits without a codec: signed 16-bit and
+    * signed/unsigned 8-bit integer PCM, any channel count, either
+    * endianness. Fails loudly on an unparseable payload or a PCM
+    * layout outside that set — same no-silent-zeros contract as
+    * [[imageIoDecoder]]. Per-channel RMS (not a pooled mono mix) is
+    * the curation signal that catches one-dead-channel recordings,
+    * which a mixed RMS averages away. */
+  val wavDecoder: Decoder = (m: MediaRecord) => {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      require(signed || enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"wavDecoder: non-PCM encoding $enc for doc_id=${m.doc_id}")
+      require(bits == 8 || bits == 16,
+        s"wavDecoder: unsupported sample size $bits bits for doc_id=${m.doc_id}")
+      val ch = fmt.getChannels
+      val bytesPerSample = bits / 8
+      val frameBytes = fmt.getFrameSize
+      val raw = in.readAllBytes()
+      require(raw.length % frameBytes == 0,
+        s"wavDecoder: ${raw.length} PCM bytes not a frame multiple for doc_id=${m.doc_id}")
+      val nFrames = raw.length / frameBytes
+      require(nFrames > 0, s"wavDecoder: zero frames for doc_id=${m.doc_id}")
+      val fullScale = if (bits == 16) 32768.0 else 128.0
+      def sample(frame: Int, c: Int): Double = {
+        val off = frame * frameBytes + c * bytesPerSample
+        val v =
+          if (bits == 8) {
+            val b = raw(off).toInt
+            if (signed) b else (b & 0xff) - 128 // center unsigned at 0
+          } else {
+            val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+            ((raw(hi).toInt << 8) | (raw(lo) & 0xff)).toShort.toInt
+          }
+        v / fullScale
+      }
+      var s2First = 0.0; var s2Last = 0.0; var peak = 0.0
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < ch) {
+          val x = sample(f, c)
+          val ax = math.abs(x)
+          if (ax > peak) peak = ax
+          if (c == 0) s2First += x * x
+          if (c == ch - 1) s2Last += x * x
+          c += 1
+        }
+        f += 1
+      }
+      MediaFeatures(m.doc_id, m.fmt, m.payload.length,
+        nFrames / fmt.getFrameRate.toDouble,
+        math.sqrt(s2First / nFrames), math.sqrt(s2Last / nFrames), peak)
+    } finally in.close()
   }
 
   /** Batched partition-local decode: the distributed shape is

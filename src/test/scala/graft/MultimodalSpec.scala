@@ -124,6 +124,71 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("real audio decoder: javax.sound.sampled decodes WAV/PCM to exact duration and RMS") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def wav(fmt: AudioFormat, pcm: Array[Byte]): Array[Byte] = {
+      val frames = pcm.length / fmt.getFrameSize
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    // stereo 16-bit signed little-endian, 44100 Hz, 441 frames
+    // (duration exactly 0.01 s). Channel 0 is a constant +8192
+    // (quarter scale -> RMS exactly 0.25); channel 1 is a +/-16384
+    // square wave (half scale -> RMS exactly 0.5, peak 0.5). Constant
+    // and square signals make every expected feature an exact double.
+    val st = new AudioFormat(44100f, 16, 2, true, false)
+    val stereoPcm = new Array[Byte](441 * 4)
+    for (f <- 0 until 441) {
+      val l = 8192
+      val r = if (f % 2 == 0) 16384 else -16384
+      stereoPcm(f * 4) = (l & 0xff).toByte
+      stereoPcm(f * 4 + 1) = ((l >> 8) & 0xff).toByte
+      stereoPcm(f * 4 + 2) = (r & 0xff).toByte
+      stereoPcm(f * 4 + 3) = ((r >> 8) & 0xff).toByte
+    }
+    // mono 8-bit unsigned, 8000 Hz, 800 frames (0.1 s), constant 192:
+    // centered (192-128)/128 = 0.5 exactly for RMS and peak
+    val mo = new AudioFormat(8000f, 8, 1, false, false)
+    val monoPcm = Array.fill[Byte](800)(192.toByte)
+
+    val records = Seq(
+      MediaRecord(1L, wav(st, stereoPcm), 0, 0, "wav"),
+      MediaRecord(2L, wav(mo, monoPcm), 0, 0, "wav"))
+    import spark.implicits._
+    val out = Multimodal
+      .decodeFeatures(spark.createDataset(records).repartition(2), Multimodal.wavDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    assert(out(1L).f0 == 441.0 / 44100.0, s"stereo duration ${out(1L).f0}")
+    assert(out(1L).f1 == 0.25, s"channel-0 RMS ${out(1L).f1}")
+    assert(out(1L).f2 == 0.5, s"channel-1 RMS ${out(1L).f2}")
+    assert(out(1L).f3 == 0.5, s"peak ${out(1L).f3}")
+    assert(out(2L).f0 == 0.1, s"mono duration ${out(2L).f0}")
+    // mono: first channel == last channel
+    assert(out(2L).f1 == 0.5 && out(2L).f2 == 0.5 && out(2L).f3 == 0.5)
+    // n_bytes is the ENCODED container size (header + PCM), not frames
+    assert(out(1L).n_bytes == records.head.payload.length)
+    assert(out(1L).n_bytes > stereoPcm.length)
+  }
+
+  test("real audio decoder fails loudly on a non-WAV payload") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import spark.implicits._
+    val junk = spark.createDataset(Seq(
+      MediaRecord(9L, Array[Byte](82, 73, 70, 70, 0, 0), 0, 0, "wav")))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(junk, Multimodal.wavDecoder).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("frame sampling emits stride-filtered frames covering the payload") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()
