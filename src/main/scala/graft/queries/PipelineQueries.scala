@@ -53,6 +53,42 @@ object PipelineQueries {
       GROUP BY 1
     """))
 
+  /** Stream-side content dedup, oracle-checked on the batch parity
+    * path (the [[ProductViewPipeline.dedupedByContent]] transform is
+    * source-agnostic like the rest of the pipeline; its
+    * streaming-only semantics — watermark-bounded state, eviction —
+    * are StreamingSpec's surface). The input injects an at-least-once
+    * redelivery: every 7th event is re-sent with a FRESH message id
+    * (regex-rewritten at the wire level, exactly what a producer retry
+    * emits), which message-id dedup cannot catch. Content dedup must
+    * collapse the redeliveries so the windowed counts equal the
+    * distinct-content counts — the oracle computes them from the
+    * events table directly (userid/productid/messageid derive
+    * injectively from user_id/event_id, so distinct content ==
+    * distinct (event_type, user_id, event_id%100, ts)). */
+  val streamContentDedup = Q(
+    "q_stream_content_dedup",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val wire = Simulator.productViewJson(ev)
+      val redelivered = Simulator.productViewJson(
+          ev.filter(pmod(col("event_id"), lit(7)) === 0))
+        .withColumn("value", regexp_replace(col("value"),
+          "\"messageid\":\"msg-", "\"messageid\":\"msg-rdl-"))
+      val deduped = ProductViewPipeline.dedupedByContent(
+        ProductViewPipeline.parse(wire.union(redelivered)))
+      ProductViewPipeline.windowedCounts(deduped)
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS start,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS "end",
+             event_type AS source,
+             count(*) AS source_number
+      FROM (SELECT DISTINCT event_type, user_id, event_id % 100 AS pid, ts
+            FROM events)
+      GROUP BY 1, 2, 3
+    """))
+
   /** NiFi-array path: JSON array payload -> split -> parse -> count
     * (P9/W10 semantics as Spark expressions). */
   val jsonArraySplit = Q(
@@ -75,5 +111,6 @@ object PipelineQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(productViewPipeline, productViewParse, jsonArraySplit)
+  def all: Seq[Q] = Seq(productViewPipeline, productViewParse, jsonArraySplit,
+    streamContentDedup)
 }

@@ -113,6 +113,37 @@ object ProductViewPipeline {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("messageid")
 
+  /** Streaming CONTENT dedup — the stream-side counterpart of
+    * [[graft.queries.Dedup]]'s exact content-hash family: the key is a
+    * sha-256 over the payload FIELDS (event, user, product, source,
+    * timestamp) and deliberately excludes `messageid`, so it catches
+    * the redelivery [[dedupedByMessageId]] cannot — a producer retry
+    * that minted a FRESH message id for the same event. Keying on
+    * `to_json(struct(...))` is null-safe (field names disambiguate
+    * which column was null, where a separator-join would collide), and
+    * hashing to a fixed 64-char key keeps the state-store entry width
+    * constant no matter how wide the payload grows.
+    *
+    * 100 TB shape: state is bounded by the watermark horizon —
+    * `dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes, so state size is O(events per delay window), not O(all
+    * events ever) (StreamingSpec proves the eviction). On the batch
+    * parity path the same key feeds a plain `dropDuplicates` (batch
+    * has no watermark), which is the [[graft.queries.Dedup.exact]]
+    * hash-groupBy shape — shuffle on the hash key, no pair space. */
+  def dedupedByContent(parsed: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame = {
+    val keyed = parsed.withColumn("content_key",
+      sha2(to_json(struct(
+        col("event"), col("userid"), col("productid"), col("source"),
+        col("timestamp"))), 256))
+    val deduped =
+      if (parsed.isStreaming)
+        keyed.withWatermark("timestamp", watermarkDelay)
+          .dropDuplicatesWithinWatermark("content_key")
+      else keyed.dropDuplicates("content_key")
+    deduped.drop("content_key")
+  }
+
   /** v1 sink: console, update mode (reference v1:60-65). */
   def consoleQuery(
       counts: DataFrame,

@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content dedup drops fresh-message-id redeliveries and evicts state at the watermark") {
+    val in = MemoryStream[String]
+    val deduped = P.dedupedByContent(P.parse(in.toDF()), "2 minutes")
+    val q = startMemoryQuery(deduped.select("messageid", "source"), "cdedup", "append")
+    try {
+      // same content, three DIFFERENT message ids — message-id dedup
+      // would pass all three; content dedup must keep exactly one
+      in.addData(rec("2021-03-07 19:01:00", "desktop", "m1"),
+                 rec("2021-03-07 19:01:00", "desktop", "m2"),
+                 rec("2021-03-07 19:02:00", "mobile-web", "m3"))
+      q.processAllAvailable()
+      in.addData(rec("2021-03-07 19:01:00", "desktop", "m4")) // dup, still in state
+      q.processAllAvailable()
+      val first = spark.table("cdedup").select("messageid").as[String].collect().toSet
+      assert(first == Set("m1", "m3"), s"got $first")
+      // advance the watermark past 19:01/19:02 + 2 min, then send one
+      // more batch so the evicting maintenance pass runs
+      in.addData(rec("2021-03-07 19:30:00", "desktop", "m5"))
+      q.processAllAvailable()
+      in.addData(rec("2021-03-07 19:01:00", "desktop", "m6"), // late dup: dropped by lateness
+                 rec("2021-03-07 19:31:00", "desktop", "m7"))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").select("messageid").as[String].collect().toSet
+      assert(ids == Set("m1", "m3", "m5", "m7"), s"got $ids")
+      // state is bounded by the watermark horizon, not all-events-ever:
+      // 4 distinct keys entered state (m1, m3, m5, m7 contents); after
+      // the watermark passed 19:01/19:02 those two keys must be gone
+      val stateRows = q.recentProgress.reverse
+        .flatMap(_.stateOperators).headOption.map(_.numRowsTotal)
+      assert(stateRows.exists(_ <= 2),
+        s"dedup state not evicted at the watermark: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("observe() surfaces per-batch wire-quality metrics without extra jobs") {
     val in = MemoryStream[String]
     val observed = P.withWireMetrics(P.parse(in.toDF()))
