@@ -646,6 +646,58 @@ object Curation {
       LIMIT 20
     """))
 
+  /** Text normalization + its dedup payoff in ONE pass: the standard
+    * LLM-corpus canonicalization chain (lowercase -> strip non-
+    * alphanumerics -> collapse runs of spaces -> trim), reported as
+    * per-language effect stats INCLUDING the collision gain — how many
+    * raw-distinct documents collapse once normalized. That last number
+    * is the operator's reason to exist: exact dedup
+    * ([[Dedup.exact]]) keyed on raw bytes misses trivially-reformatted
+    * copies, and `distinct_raw - distinct_norm` measures exactly what
+    * normalization-aware dedup would additionally remove.
+    *
+    * Cross-engine: both regexes are literal character classes (no
+    * engine-specific syntax between Java regex and RE2); DuckDB needs
+    * the explicit 'g' flag for replace-all, which is Spark's default.
+    * Counting distinct md5s (not strings) keeps the shuffle rows
+    * fixed-width.
+    *
+    * 100 TB shape: one scan, one shuffle (the groupBy lang) with
+    * map-side partial aggregation; the normalization chain is three
+    * codegen'd string expressions on the scan — no UDF, no explode. */
+  val textNormalize = Q(
+    "q_text_normalize",
+    (spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(spark, dir)
+        .withColumn("norm", norm)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("norm") =!= col("text"), 1L).otherwise(0L))
+               .as("n_changed"),
+             sum(length(col("text")) - length(col("norm")))
+               .cast("long").as("chars_stripped"),
+             countDistinct(md5(col("text").cast("binary"))).as("distinct_raw"),
+             countDistinct(md5(col("norm").cast("binary"))).as("distinct_norm"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT lang, text,
+               trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+             CAST(sum(length(text) - length(norm)) AS BIGINT) AS chars_stripped,
+             count(DISTINCT md5(text)) AS distinct_raw,
+             count(DISTINCT md5(norm)) AS distinct_norm
+      FROM n
+      GROUP BY lang
+    """))
+
   def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
-    curationFunnel, piiRedact, dsirWeights, lineDedup, lmSurprisal)
+    curationFunnel, piiRedact, dsirWeights, lineDedup, lmSurprisal,
+    textNormalize)
 }

@@ -194,6 +194,65 @@ object Dedup {
       SELECT doc_a, doc_b, jaccard FROM pairs
     """))
 
+  /** Shingle CONTAINMENT near-subset pairs — the asymmetry Jaccard
+    * cannot see: a short document quoted wholesale inside a long one
+    * has |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0, so a
+    * symmetric threshold misses exactly the quote-inclusion /
+    * truncated-copy duplicates an LLM corpus is full of (the
+    * containment variant of the same shingle algebra, cf. Broder's
+    * resemblance-vs-containment distinction). Pairs where the SMALLER
+    * side is >= 60% contained in the other: integer compare
+    * `5*shared >= 3*least(na, nb)` (exact at the boundary), emitted as
+    * ppm of the smaller side. (0.6 keeps the detector non-trivial at
+    * every fixture SF — the sf0.1 corpus's max df-capped containment
+    * is 0.64, so an 0.8 floor would emit zero rows there and the
+    * oracle row would pass vacuously.)
+    *
+    * 100 TB shape: same inverted shingle index as [[jaccardPairs]]
+    * with the same df <= 10 posting-list cap ([[ngramJaccardCapped]]),
+    * same shuffle_hash join — candidate volume is bounded by capped
+    * posting lists, never the n^2 pair space; the shuffle key stays
+    * the 8-byte shingle hash. */
+  val containment = Q(
+    "q_dedup_containment",
+    (spark, dir) => {
+      val maxDf = 10
+      val e = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val kept = e.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
+        .filter(col("df") <= maxDf).drop("df")
+      val a = kept.alias("a")
+      val b = kept.alias("b").hint("shuffle_hash")
+      a.join(b, col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                 col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") * 5 >= least(col("na"), col("nb")) * 3)
+        .withColumn("containment", graft.model.Money.cents(
+          col("shared") / least(col("na"), col("nb")), 1000000.0))
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      kept AS (SELECT doc_id, n_sh, hk FROM (
+                 SELECT doc_id, n_sh, hk,
+                        count(*) OVER (PARTITION BY hk) AS df
+                 FROM eh)
+               WHERE df <= 10),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+            FROM kept a JOIN kept b
+              ON a.hk = b.hk AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+      SELECT doc_a, doc_b,
+             CAST(floor((shared / least(na, nb)) * 1000000.0 + 0.5) AS BIGINT)
+               AS containment
+      FROM p
+      WHERE 5 * shared >= 3 * least(na, nb)
+    """))
+
   private def mh(i: Int): Column =
     min((col("hh") * aCoef(i) + bCoef(i)) % P).as(s"mh$i")
   private def mhSql(i: Int): String =
@@ -740,7 +799,8 @@ object Dedup {
     """))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, ngramJaccardCapped, minhashSignatures, minhashLsh,
-    simhash, simhashPairs, dedupClusters, dupGraphStats, decontaminate,
-    dedupApply, exactSubstring, fuzzy, shingleNovelty, minhashEstimate)
+    exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
+    minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
+    decontaminate, dedupApply, exactSubstring, fuzzy, shingleNovelty,
+    minhashEstimate)
 }

@@ -600,11 +600,76 @@ object Relational {
       LIMIT 10
     """))
 
+  /** CDC upsert merge (MERGE INTO semantics without a table format):
+    * apply a change set — updates, deletes, inserts — onto a base
+    * snapshot and emit the merged next snapshot. The incremental-
+    * refresh operator every training-data pipeline needs: yesterday's
+    * corpus + today's crawl delta -> today's corpus, without rewriting
+    * rows that didn't change semantically.
+    *
+    * The change set here derives deterministically from the base so
+    * the oracle can recompute it: keys ≡3 (mod 10) are updated
+    * (status 'U', +100.00), keys ≡7 are tombstoned, and keys ≡1 spawn
+    * an insert under a fresh key (+1e9, provably disjoint from the
+    * base key space). The MERGE itself is the general shape: tag base
+    * rows version 0 and change rows version 1, union, keep
+    * `max_by(payload, version)` per key, drop tombstones.
+    *
+    * 100 TB shape: ONE shuffle on the merge key with map-side partial
+    * `max_by` (an aggregate, NOT a per-key window sort — no
+    * sort-within-group at all); the change set streams through the
+    * same exchange. This out-scales the join-based MERGE spelling
+    * (anti-join + union) which shuffles base twice. The oracle is an
+    * INDEPENDENT spelling (direct selection of surviving rows), so a
+    * merge-machinery bug cannot cancel out of both sides. */
+  val upsertSnapshot = Q(
+    "q_upsert_snapshot",
+    (spark, dir) => {
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val m10 = pmod(col("o_orderkey"), lit(10))
+      val updates = base.filter(m10 === 3).select(
+        col("o_orderkey"), lit("U").as("status"),
+        (col("price_cents") + 10000L).as("price_cents"),
+        lit(false).as("tombstone"))
+      val deletes = base.filter(m10 === 7).select(
+        col("o_orderkey"), col("status"), col("price_cents"),
+        lit(true).as("tombstone"))
+      val inserts = base.filter(m10 === 1).select(
+        (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        lit("N").as("status"), col("price_cents"),
+        lit(false).as("tombstone"))
+      val tagged = base.withColumn("tombstone", lit(false)).withColumn("v", lit(0))
+        .unionByName(updates.unionByName(deletes).unionByName(inserts)
+          .withColumn("v", lit(1)))
+      tagged
+        .groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("status"), col("price_cents"), col("tombstone")),
+          col("v")).as("r"))
+        .filter(!col("r.tombstone"))
+        .select(col("o_orderkey"), col("r.status").as("status"),
+                col("r.price_cents").as("price_cents"))
+    },
+    Some(s"""
+      SELECT o_orderkey, o_orderstatus AS status,
+             ${centsSql("o_totalprice")} AS price_cents
+      FROM orders WHERE o_orderkey % 10 NOT IN (3, 7)
+      UNION ALL
+      SELECT o_orderkey, 'U' AS status,
+             ${centsSql("o_totalprice")} + 10000 AS price_cents
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS o_orderkey, 'N' AS status,
+             ${centsSql("o_totalprice")} AS price_cents
+      FROM orders WHERE o_orderkey % 10 = 1
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
-    shippingPriority)
+    shippingPriority, upsertSnapshot)
 }

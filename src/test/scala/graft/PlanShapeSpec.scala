@@ -15,6 +15,40 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("no registered query plans an unbounded all-pairs join") {
+    // the one guard that covers every FUTURE query too: an operator
+    // added without a blocking/banding key shows up here as a
+    // CartesianProduct or BroadcastNestedLoopJoin before it ever ships.
+    // The allowlist names the audited exceptions — every one a
+    // crossJoin whose build side is 1 row or capped by construction
+    val allowed: Map[String, String] = Map(
+      "q_cosine_knn" -> "crossJoin(broadcast(queries)): query side capped by knnQueryIdCap",
+      "q_cosine_topk" -> "crossJoin(broadcast(single query vector)): 1-row build side",
+      "q_ann_ivf" -> "exact-kNN reference side: crossJoin capped by knnQueryIdCap",
+      "q_hard_negatives" -> "crossJoin(broadcast(queries)): capped query side",
+      "q_embed_neardup" -> "label-blocked pair join (fixture variant; _lsh sibling is the scale path)",
+      "q_bm25" -> "crossJoin(broadcast(1-row corpus stats))",
+      "q_chunk_overlap" -> "crossJoin(broadcast(1-row layout params))",
+      "q_temperature_mix" -> "crossJoin(broadcast(1-row normalizer))",
+      "q_dsir_weights" -> "crossJoin(broadcast(64-bucket stats))",
+      "q_vocab_coverage" -> "crossJoin(broadcast(1-row total))",
+      "q_above_avg" -> "join(broadcast(1-row global avg)): scalar-subquery shape",
+      "q_collocations" -> "crossJoin(1-row unigram total)",
+      "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        // pre-AQE physical plan: join strategies are chosen here, no
+        // execution needed (queries whose builders run bounded driver
+        // actions — ivf/cell training — still run only those)
+        val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+        val nl = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (nl && !allowed.contains(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unaudited all-pairs join in: ${offenders.mkString(", ")}")
+  }
+
   test("filter + projection reach the parquet scan (pushdown, pruning)") {
     val plan = executedPlan(Relational.filterPushdown.fn(spark, sf))
     assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
