@@ -391,9 +391,150 @@ object Analytics {
       WHERE rn <= 3
     """))
 
+  /** Time-bounded conversion funnel (view -> click -> purchase, each
+    * step within 24 h of the previous, first-touch greedy) as a
+    * per-user ordered FOLD: each user's events sort into an array
+    * once, then a codegen'd `aggregate` runs the stage machine over
+    * it. No flat aggregate (min/max per type) can express this —
+    * each step's eligibility depends on the position AND time of the
+    * previous accepted step. Emits the funnel histogram: users per
+    * furthest-reached stage.
+    *
+    * Cross-engine: events map to (epoch-µs, event_id, stage-code)
+    * structs; the fold state is simply the LAST ACCEPTED event (the
+    * candidate x becomes the new state exactly when its code is
+    * acc.step+1 and it is within the window), so the lambda is one
+    * CASE with pure BIGINT comparisons. Both engines run a sequential
+    * left fold in identical array order (µs with event_id tie-break —
+    * NOTES: per-element folds in array order are safe); DuckDB's
+    * init-less `list_reduce` gets the stage-0 sentinel PREPENDED.
+    *
+    * 100 TB shape: ONE shuffle on user_id with the sort confined to
+    * each user's own array (sort_array after collect_list — never a
+    * global or per-partition sort); state per user is its event list,
+    * bounded by per-user activity, the same boundedness assumption
+    * every sessionizer makes ([[TemporalOps.sessionWindows]]). */
+  val funnelStages = Q(
+    "q_funnel_stages",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            when(col("event_type") === "view", 1)
+              .when(col("event_type") === "click", 2)
+              .when(col("event_type") === "purchase", 3)
+              .otherwise(0).as("step")).as("ev"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("ev"))).as("evs"))
+        .withColumn("stage", expr("""
+          aggregate(evs,
+            named_struct('us', CAST(0 AS BIGINT), 'eid', CAST(0 AS BIGINT),
+                         'step', 0),
+            (acc, x) -> IF(x.step = acc.step + 1
+                           AND (acc.step = 0 OR x.us <= acc.us + 86400000000),
+                         x, acc)).step"""))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               list(struct_pack(us := epoch_us(ts), eid := event_id,
+                    step := CASE event_type WHEN 'view' THEN 1
+                            WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+                            ELSE 0 END)
+                    ORDER BY ts, event_id) AS evs
+        FROM events GROUP BY user_id),
+      st AS (
+        SELECT user_id,
+               list_reduce(list_prepend(struct_pack(us := CAST(0 AS BIGINT),
+                             eid := CAST(0 AS BIGINT), step := 0), evs),
+                 (acc, x) -> CASE WHEN x.step = acc.step + 1
+                     AND (acc.step = 0 OR x.us <= acc.us + 86400000000)
+                   THEN x ELSE acc END).step AS stage
+        FROM u)
+      SELECT stage, count(*) AS n_users FROM st GROUP BY stage
+    """))
+
+  /** Signup cohort retention: users grouped by signup DAY, retained if
+    * ANY activity lands in the (signup, signup + 7 days] window —
+    * day-one product analytics over the reference's own event stream.
+    *
+    * 100 TB shape: the signup side aggregates to one row per user
+    * BEFORE the join (min over a filtered scan, map-side partial),
+    * then ONE equi-join on user_id against the raw activity scan and
+    * an immediate re-aggregate on the same key — the join and both
+    * groupBys share the user_id hash partitioning, so the exchange is
+    * reused, and no per-user collection is ever materialized. The
+    * retained test is a pure timestamp comparison — no rationals, no
+    * rounding. */
+  val cohortRetention = Q(
+    "q_cohort_retention",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("signup_ts"))
+      val acts = ev.select(col("user_id"), col("ts"))
+      signup.join(acts, "user_id")
+        .filter(col("ts") > col("signup_ts") &&
+          col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(count(lit(1)).as("n_acts"))
+        // right side of the cohort rollup: users with >=1 in-window act
+        .groupBy(to_date(col("signup_ts")).cast("timestamp").as("cohort_day"))
+        .agg(count(lit(1)).as("retained_users"),
+             sum(col("n_acts")).as("window_events"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, min(ts) AS signup_ts
+                 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      w AS (SELECT s.user_id, s.signup_ts, count(*) AS n_acts
+            FROM s JOIN events e ON e.user_id = s.user_id
+             AND e.ts > s.signup_ts
+             AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+            GROUP BY 1, 2)
+      SELECT CAST(CAST(signup_ts AS DATE) AS TIMESTAMP) AS cohort_day,
+             count(*) AS retained_users,
+             CAST(sum(n_acts) AS BIGINT) AS window_events
+      FROM w
+      GROUP BY 1
+    """))
+
+  /** Error-rate anomaly flags: hours where errors exceed a quarter of
+    * the hour's traffic — the alerting aggregate an ops pipeline hangs
+    * off the stream ([[graft.streaming.ProductViewPipeline]]'s
+    * `observe` metrics are the in-flight half; this is the batch/
+    * backfill half). Threshold is the INTEGER compare `4*errors >
+    * total` — no rate division anywhere near the cutoff.
+    *
+    * 100 TB shape: one map-side-partial groupBy on (hour) — the scan
+    * reads (ts, event_type) only; emits only flagged hours. */
+  val errorAnomaly = Q(
+    "q_error_anomaly",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("event_type") === "error", 1L).otherwise(0L))
+               .as("n_errors"))
+        .filter(col("n_errors") * 4 > col("n_events"))
+    },
+    Some("""
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_errors
+      FROM events
+      GROUP BY 1
+      HAVING CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) * 4 > count(*)
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
-    unpivotStatus, percentRank, topkAgg)
+    unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
+    errorAnomaly)
 }
