@@ -798,7 +798,11 @@ object Similarity {
     * trained, corpus-scaled blocking key — never on a fixed-
     * cardinality column. */
   private def embedDedupPairsFrom(e: DataFrame): DataFrame = {
-    val cells = semCells(e)
+    // persisted: the assignment feeds BOTH sides of the pair join and
+    // the final keep/drop join — without it the k-way argmax scan runs
+    // three times (persist-internally pattern, cf. dedupClusters;
+    // Bench clearCache()s between queries)
+    val cells = semCells(e).persist()
     val a = e.join(cells, "vec_id")
       .select(col("cell"), col("vec_id").as("doc_a"),
               col("vd").as("va"), col("nrm").as("na"))
