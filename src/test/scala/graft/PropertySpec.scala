@@ -312,6 +312,46 @@ class PropertySpec extends SparkSpec {
     assert(out(1L) > 0L && out(3L) > 0L, s"single-term docs must score > 0: $out")
   }
 
+  test("upsert merge conserves mass: |merged| = |base| - |deletes| + |inserts|") {
+    val base = graft.model.Tables.orders(spark, sf)
+    val nBase = base.count()
+    val m10 = pmod(col("o_orderkey"), lit(10))
+    val nDel = base.filter(m10 === 7).count()
+    val nIns = base.filter(m10 === 1).count()
+    val merged = graft.queries.Relational.upsertSnapshot.fn(spark, sf)
+    assert(merged.count() === nBase - nDel + nIns)
+    // no tombstoned key survives; every updated key carries the new payload
+    assert(merged.filter(pmod(col("o_orderkey"), lit(10)) === 7).count() === 0)
+    val badUpd = merged
+      .filter(pmod(col("o_orderkey"), lit(10)) === 3 &&
+        col("o_orderkey") < 1000000000L && col("status") =!= "U").count()
+    assert(badUpd === 0, "an updated key kept its stale payload")
+  }
+
+  test("funnel histogram partitions the user population") {
+    val hist = graft.queries.Analytics.funnelStages.fn(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val users = graft.model.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(hist.values.sum === users,
+      s"stages ${hist} must partition all $users users")
+    assert(hist.keySet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("containment dominates Jaccard: every capped-Jaccard pair at >= 0.6 appears in containment") {
+    // shared/min(na,nb) >= shared/(na+nb-shared) pointwise, so the
+    // j >= 0.6 subset of the df-capped pair set must be a subset of
+    // the containment >= 0.6 pair set (identical index, identical cap)
+    val jac = graft.queries.Dedup.ngramJaccardCapped.fn(spark, sf)
+      .filter(col("jaccard") >= 600000L)
+      .select("doc_a", "doc_b")
+    val cont = graft.queries.Dedup.containment.fn(spark, sf)
+      .select("doc_a", "doc_b")
+    val missing = jac.except(cont).count()
+    assert(missing === 0,
+      s"$missing high-Jaccard pairs missing from the containment pair set")
+  }
+
   test("TopK aggregator equals sort-take regardless of grouping order") {
     val topk = udaf(new graft.functions.Aggregators.TopK(3))
     forAll(Gen.nonEmptyListOf(
