@@ -640,6 +640,74 @@ object Dedup {
       GROUP BY cluster_size
     """))
 
+  /** Exact-INTEGER PageRank over the duplicate graph (3 fixed
+    * iterations, damping 85/100): authority scoring for canonical-
+    * document selection — inside a duplicate cluster, the doc most
+    * linked by near-dup edges is the best keeper candidate, a
+    * centrality signal `min(doc_id)` canonicalization ([[dedupApply]])
+    * cannot see. Every arithmetic step is integer: ranks are ppm
+    * BIGINTs, each node's per-edge contribution is `rank div degree`
+    * (floor division), and damping is `150000 + (sum * 85) div 100` —
+    * so the 3-iteration unrolled oracle is bit-exact on both engines,
+    * where a float PageRank would accumulate association-order ulps
+    * across the sum. (The graph is symmetrized, so every node has
+    * degree >= 1 and no dangling-mass term is needed.)
+    *
+    * 100 TB shape: the iteration is |pairs|-sized join+agg rounds on
+    * the SAME id key — the [[graft.operators.ConnectedComponents]]
+    * co-partitioning discipline (there via one shared HashPartitioner;
+    * here the fixed 3-round DataFrame chain reuses the hash exchange
+    * under AQE). Rank state is one row per dup-graph NODE (bounded by
+    * the near-dup pair set, not the corpus); finish is TakeOrdered
+    * top-20. */
+  val dupPagerank = Q(
+    "q_dup_pagerank",
+    (spark, dir) => {
+      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist() // 3 iterations + degree pass read it; tiny (pair set)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contribs = edges
+          .join(ranks.join(deg, col("id") === col("src")).select(
+            col("id"), expr("r div deg").as("c")), col("src") === col("id"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+        ranks = contribs.select(col("dst").as("id"),
+          (lit(150000L) + expr("(s * 85) div 100")).as("r"))
+      }
+      ranks.orderBy(desc("r"), asc("id")).limit(20)
+        .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION ALL
+             SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+      r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM dg),
+      r1 AS (SELECT ed.dst AS id,
+                    150000 + (sum(r0.r // dg.deg) * 85) // 100 AS r
+             FROM ed JOIN r0 ON r0.id = ed.src JOIN dg ON dg.src = ed.src
+             GROUP BY ed.dst),
+      r2 AS (SELECT ed.dst AS id,
+                    150000 + (sum(r1.r // dg.deg) * 85) // 100 AS r
+             FROM ed JOIN r1 ON r1.id = ed.src JOIN dg ON dg.src = ed.src
+             GROUP BY ed.dst),
+      r3 AS (SELECT ed.dst AS id,
+                    150000 + (sum(r2.r // dg.deg) * 85) // 100 AS r
+             FROM ed JOIN r2 ON r2.id = ed.src JOIN dg ON dg.src = ed.src
+             GROUP BY ed.dst)
+      SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm
+      FROM r3
+      ORDER BY r DESC, id
+      LIMIT 20
+    """))
+
   /** Edit-distance rerank of near-dup candidates — the character-level
     * confirmation pass behind shingle-level Jaccard: two documents can
     * share most 3-gram shingles while differing by scattered
@@ -801,6 +869,6 @@ object Dedup {
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
-    decontaminate, dedupApply, exactSubstring, fuzzy, shingleNovelty,
-    minhashEstimate)
+    dupPagerank, decontaminate, dedupApply, exactSubstring, fuzzy,
+    shingleNovelty, minhashEstimate)
 }
