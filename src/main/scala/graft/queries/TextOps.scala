@@ -777,9 +777,66 @@ object TextOps {
       LIMIT 10
     """))
 
+  /** Corpus drift detection: token-frequency movers between two corpus
+    * slices (even vs odd doc_id — in production, yesterday's snapshot
+    * vs today's crawl) — the distribution-shift alarm a continuously-
+    * refreshed training corpus needs before a drifted batch poisons a
+    * run. Scoring is the integer lift surrogate from [[collocations]]:
+    * ranking by `freq_b * total_a * 1e6 / (freq_a * total_b)` (as ppm
+    * BIGINT of exact integer products) orders identically to log-ratio
+    * drift, with zero transcendentals; smoothing `+1` on both
+    * numerator counts keeps tokens absent from one slice rankable.
+    * Top-20 gainers with min total support 10.
+    *
+    * 100 TB shape: ONE shuffle (groupBy token with map-side partials
+    * aggregating both slices' counts in the same pass via conditional
+    * sums); the 1-row slice totals broadcast; finish is TakeOrdered.
+    * Products stay in BIGINT range: ppm(1e6) * count(<=1e9 tokens per
+    * slice at fixture scale; at true 100 TB swap the ppm scale for a
+    * per-billion one or go through DECIMAL(38) intermediates). */
+  val corpusDrift = Q(
+    "q_corpus_drift",
+    (spark, dir) => {
+      val tok = Tables.documents(spark, dir)
+        .select(pmod(col("doc_id"), lit(2)).as("slice"),
+          explode(split(col("text"), " ")).as("token"))
+      val counts = tok.groupBy(col("token"))
+        .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("fa"),
+             sum(when(col("slice") === 1, 1L).otherwise(0L)).as("fb"))
+        .filter(col("fa") + col("fb") >= 10)
+      val totals = counts.agg(sum(col("fa")).as("ta"), sum(col("fb")).as("tb"))
+      counts.crossJoin(broadcast(totals))
+        // integral `div`, NOT `/`: the products reach ~4e16 at sf0.1,
+        // past double's 2^53 exact-integer range — a float quotient
+        // here would diverge from the oracle's BIGINT floor division
+        .withColumn("lift_ppm",
+          expr("((fb + 1) * ta * 1000000) div ((fa + 1) * tb)"))
+        .orderBy(desc("lift_ppm"), asc("token"))
+        .limit(20)
+        .select(col("token"), col("fa"), col("fb"), col("lift_ppm"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id % 2 AS slice, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      c AS (SELECT token,
+                   CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fa,
+                   CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fb
+            FROM tok GROUP BY token
+            HAVING sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) >= 10),
+      t AS (SELECT CAST(sum(fa) AS BIGINT) AS ta, CAST(sum(fb) AS BIGINT) AS tb
+            FROM c)
+      SELECT token, fa, fb,
+             ((fb + 1) * ta * 1000000) // ((fa + 1) * tb) AS lift_ppm
+      FROM c, t
+      ORDER BY lift_ppm DESC, token
+      LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
-    temperatureMix, bm25)
+    temperatureMix, bm25, corpusDrift)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage beyond parquet: CSV, JSON-lines and ORC
+  * round-trips of the events table (SURVEY §2.1 S3 generalized — the
+  * reference ingests JSON files; a library user brings all three).
+  * Each case asserts byte-level row equality against the parquet
+  * source, plus the format-specific hazards: CSV needs an explicit
+  * schema + timestamp format to survive the trip, JSON preserves µs
+  * timestamps only through ISO-8601, ORC is the only one of the three
+  * carrying a real schema of its own.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_fmt").toString
+
+  /** events slice, µs-truncated timestamps (CSV/JSON render µs max),
+    * sorted canonical form for comparison. */
+  private def slice(): DataFrame =
+    graft.model.Tables.events(spark, sf)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+
+  private def canon(df: DataFrame): Array[String] =
+    df.select(col("event_id"), col("ts").cast("long").as("ts_us"),
+        col("user_id"), col("event_type"),
+        // value is a double: compare exact bits, not a rendering
+        expr("cast(double(value) as string)").as("v"), col("props"))
+      .collect().map(_.mkString("|")).sorted
+
+  test("CSV round-trip with explicit schema preserves every field") {
+    val dir = tmp()
+    val src = slice()
+    src.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val back = spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema).csv(dir)
+    assert(canon(back).sameElements(canon(src)), "CSV round-trip diverged")
+  }
+
+  test("JSON-lines round-trip preserves every field through ISO timestamps") {
+    val dir = tmp()
+    val src = slice()
+    src.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(canon(back).sameElements(canon(src)), "JSON round-trip diverged")
+  }
+
+  test("ORC round-trip preserves schema and rows without an explicit schema") {
+    val dir = tmp()
+    val src = slice()
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC carries its own schema — assert it survived, then the rows
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"ORC schema drifted: ${back.schema}")
+    assert(canon(back).sameElements(canon(src)), "ORC round-trip diverged")
+  }
+}
