@@ -987,7 +987,81 @@ object Similarity {
       WHERE rn <= 3
     """))
 
+  /** Hybrid retrieval via reciprocal-rank fusion: the [[TextOps.bm25]]
+    * lexical ranking and the cosine ranking against query vector 0,
+    * fused as `sum_systems floor(1e6 / (60 + rank))` — RRF (Cormack et
+    * al.) with the division done in INTEGERS, so fusion scores are
+    * exact BIGINTs on both engines. This is the op a production search
+    * stack runs on every query: lexical catches exact terms, vectors
+    * catch paraphrase, RRF needs no score calibration between the two
+    * (ranks only) — which is also what makes it determinism-friendly.
+    *
+    * Both rankings go through [[graft.operators.GlobalRank]] — the
+    * distributed zipWithIndex rank, identical values to a SQL
+    * `row_number() OVER (ORDER BY ...)` at any scale — because a
+    * global window would single-partition the corpus (the anti-pattern
+    * GlobalRank exists to kill). Join of the two rank sides keys on
+    * doc_id; finish is TakeOrdered top-10.
+    *
+    * (The doc/vector fixtures share an id space — doc_id ≡ vec_id —
+    * standing in for the doc->embedding mapping a real corpus stores
+    * explicitly.) */
+  val hybridRrf = Q(
+    "q_hybrid_rrf",
+    (spark, dir) => {
+      // rank ascending on the NEGATED score: GlobalRank's narrow path
+      // projects its sort expressions, and a SortOrder (desc(...)) is
+      // not a projectable expression — (-score, id) ascending is the
+      // identical total order, in plain columns
+      val lex = graft.operators.GlobalRank.withGlobalRank(
+        TextOps.bm25Scores(spark, dir)
+          .select(col("doc_id"), (-col("bm25_ppm")).as("neg_bm25")),
+        Seq(col("neg_bm25"), col("doc_id")), "lex_rank",
+        keyCols = Seq("doc_id"))
+      val e = emb(spark, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vd").as("qv"), col("nrm").as("qn"))
+      val sem0 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          (-graft.model.Money.cents(
+            dot("vd", "qv") / (col("nrm") * col("qn")), 1000000.0))
+            .as("neg_cos"))
+      val sem = graft.operators.GlobalRank.withGlobalRank(
+        sem0, Seq(col("neg_cos"), col("doc_id")), "sem_rank",
+        keyCols = Seq("doc_id"))
+      lex.join(sem, "doc_id")
+        .withColumn("rrf_ppm", expr(
+          "1000000 div (60 + lex_rank) + 1000000 div (60 + sem_rank)"))
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf_ppm"))
+        .orderBy(desc("rrf_ppm"), asc("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH ${graft.queries.TextOps.bm25ScoresCte},
+      lr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25_ppm DESC, doc_id)
+                      AS lex_rank
+             FROM bscore),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sem AS (SELECT vec_id AS doc_id,
+                     CAST(floor((${dotSql("embedding", "qe")}
+                       / (${nrmSql("embedding")} * ${nrmSql("qe")}))
+                       * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
+              FROM embeddings, qv WHERE vec_id <> 0),
+      sr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY cos_ppm DESC, doc_id)
+                      AS sem_rank
+             FROM sem)
+      SELECT lr.doc_id, lr.lex_rank, sr.sem_rank,
+             1000000 // (60 + lr.lex_rank) + 1000000 // (60 + sr.sem_rank)
+               AS rrf_ppm
+      FROM lr JOIN sr ON lr.doc_id = sr.doc_id
+      ORDER BY rrf_ppm DESC, lr.doc_id
+      LIMIT 10
+    """))
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, embedOutliers, embedDedup, hardNegatives)
+      embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf)
 }

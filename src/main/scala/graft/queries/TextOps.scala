@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Q, Tables}
 
@@ -715,40 +716,42 @@ object TextOps {
     * the 3 dfs) are ONE 1-row aggregate broadcast back; finish is
     * TakeOrderedAndProject. The corpus never shuffles — this is the
     * classic "score-and-take" retrieval plan. */
-  val bm25 = Q(
-    "q_bm25",
-    (spark, dir) => {
-      def tf(term: String) =
-        expr(s"size(filter(toks, x -> x = '$term'))").cast("long")
-      val d = Tables.documents(spark, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("lang"),
-          size(col("toks")).cast("long").as("dl"),
-          tf("spark").as("tf1"), tf("stream").as("tf2"), tf("join").as("tf3"))
-      val g = d.agg(
-        count(lit(1)).as("nd"), sum(col("dl")).as("sl"),
-        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
-        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
-        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
-      def term(tfc: org.apache.spark.sql.Column,
-               dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val nd = col("nd").cast("double"); val sl = col("sl").cast("double")
-        val dl = col("dl").cast("double")
-        val t = tfc.cast("double"); val f = dfc.cast("double")
-        log(lit(1.0) + (nd - f + 0.5) / (f + 0.5)) * (t * 2.2) /
-          (t + lit(1.2) * (lit(0.25) + lit(0.75) * dl * nd / sl))
-      }
-      d.crossJoin(broadcast(g))
-        .select(col("doc_id"), col("lang"),
-          graft.model.Money.cents(
-            term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
-              term(col("tf3"), col("df3")),
-            1000000.0).as("bm25_ppm"))
-        .orderBy(desc("bm25_ppm"), asc("doc_id"))
-        .limit(10)
-    },
-    Some("""
-      WITH d AS (
+  /** BM25 score per document (ALL docs), shared by the [[bm25]] top-10
+    * query and [[Similarity.hybridRrf]]'s lexical side — single-
+    * sourced so the scoring formula cannot drift between the two. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    def tf(term: String) =
+      expr(s"size(filter(toks, x -> x = '$term'))").cast("long")
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("dl"),
+        tf("spark").as("tf1"), tf("stream").as("tf2"), tf("join").as("tf3"))
+    val g = d.agg(
+      count(lit(1)).as("nd"), sum(col("dl")).as("sl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    def term(tfc: org.apache.spark.sql.Column,
+             dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nd = col("nd").cast("double"); val sl = col("sl").cast("double")
+      val dl = col("dl").cast("double")
+      val t = tfc.cast("double"); val f = dfc.cast("double")
+      log(lit(1.0) + (nd - f + 0.5) / (f + 0.5)) * (t * 2.2) /
+        (t + lit(1.2) * (lit(0.25) + lit(0.75) * dl * nd / sl))
+    }
+    d.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("lang"),
+        graft.model.Money.cents(
+          term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
+            term(col("tf3"), col("df3")),
+          1000000.0).as("bm25_ppm"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25Scores]]: defines
+    * `bscore(doc_id, lang, bm25_ppm)`. */
+  private[graft] val bm25ScoresCte: String = """
+      d AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
                CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf1,
@@ -759,8 +762,8 @@ object TextOps {
                    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
                    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
                    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
-            FROM d)
-      SELECT doc_id, lang,
+            FROM d),
+      bscore AS (SELECT doc_id, lang,
         CAST(floor((
           ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
             * (CAST(tf1 AS DOUBLE) * 2.2)
@@ -772,7 +775,16 @@ object TextOps {
             * (CAST(tf3 AS DOUBLE) * 2.2)
             / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
         ) * 1000000.0 + 0.5) AS BIGINT) AS bm25_ppm
-      FROM d CROSS JOIN g
+      FROM d CROSS JOIN g)"""
+
+  val bm25 = Q(
+    "q_bm25",
+    (spark, dir) => bm25Scores(spark, dir)
+      .orderBy(desc("bm25_ppm"), asc("doc_id"))
+      .limit(10),
+    Some(s"""
+      WITH $bm25ScoresCte
+      SELECT doc_id, lang, bm25_ppm FROM bscore
       ORDER BY bm25_ppm DESC, doc_id
       LIMIT 10
     """))

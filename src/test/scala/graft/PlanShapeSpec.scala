@@ -33,7 +33,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_dsir_weights" -> "crossJoin(broadcast(64-bucket stats))",
       "q_vocab_coverage" -> "crossJoin(broadcast(1-row total))",
       "q_above_avg" -> "join(broadcast(1-row global avg)): scalar-subquery shape",
+      "q_hybrid_rrf" -> "crossJoins(broadcast(1-row bm25 stats), broadcast(1-row query vector))",
       "q_collocations" -> "crossJoin(1-row unigram total)",
+      "q_corpus_drift" -> "crossJoin(broadcast(1-row slice totals))",
       "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
