@@ -710,6 +710,72 @@ object Similarity {
       LIMIT 20
     """))
 
+  /** Embedding distribution drift between two corpus slices (even vs
+    * odd vec_id — in production, yesterday's index vs today's): per
+    * label, the squared distance between the two slices' centroids —
+    * the embedding-space counterpart of [[TextOps.corpusDrift]]'s
+    * token-frequency movers, and the alarm that catches an encoder
+    * version bump or a poisoned crawl shard before it reaches
+    * retrieval. Same determinism recipe as [[embedOutliers]]: per-dim
+    * ppm-BIGINT partial sums (exact, association-order independent),
+    * ONE deterministic double division per dim, dims folded in array
+    * order, ppm BIGINT out.
+    *
+    * 100 TB shape: ONE shuffle — groupBy (label, dim) over the
+    * exploded scan with BOTH slices' sums as conditional aggregates in
+    * the same pass (map-side partials shrink it to labels x dims rows
+    * per partition); the centroid-pair matrix is labels x dims doubles
+    * and the final fold runs on labels rows. The corpus is read once,
+    * never joined. */
+  val embedDrift = Q(
+    "q_embed_drift",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val ex = e.select(col("label"), pmod(col("vec_id"), lit(2)).as("slice"),
+          posexplode(col("vd")).as(Seq("pos", "x")))
+        .withColumn("xi", graft.model.Money.cents(col("x"), 1000000.0))
+      val p = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("slice") === 0, col("xi"))).as("sa"),
+             sum(when(col("slice") === 1, col("xi"))).as("sb"),
+             sum(when(col("slice") === 0, 1L).otherwise(0L)).as("na"),
+             sum(when(col("slice") === 1, 1L).otherwise(0L)).as("nb"))
+      p.groupBy(col("label")).agg(
+          expr("transform(array_sort(collect_list(struct(pos, sa))), t -> t.sa)").as("ssa"),
+          expr("transform(array_sort(collect_list(struct(pos, sb))), t -> t.sb)").as("ssb"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .withColumn("dist2_ppm", expr("""
+          CAST(floor(aggregate(transform(sequence(0, size(ssa) - 1), i ->
+            (ssa[i] / (na * 1000000.0D) - ssb[i] / (nb * 1000000.0D))
+            * (ssa[i] / (na * 1000000.0D) - ssb[i] / (nb * 1000000.0D))),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000.0D + 0.5D) AS BIGINT)"""))
+        .select(col("label"), col("na"), col("nb"), col("dist2_ppm"))
+    },
+    Some("""
+      WITH ex AS (
+        SELECT label, vec_id % 2 AS slice,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))) AS xi
+        FROM embeddings),
+      p AS (
+        SELECT label, pos,
+               CAST(sum(CASE WHEN slice = 0 THEN xi END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN slice = 1 THEN xi END) AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM ex GROUP BY 1, 2),
+      a AS (
+        SELECT label, list(sa ORDER BY pos) AS ssa, list(sb ORDER BY pos) AS ssb,
+               max(na) AS na, max(nb) AS nb
+        FROM p GROUP BY label)
+      SELECT label, na, nb,
+             CAST(floor(list_reduce(list_transform(range(1, len(ssa) + 1), i ->
+               (ssa[i] / (na * 1000000.0) - ssb[i] / (nb * 1000000.0))
+               * (ssa[i] / (na * 1000000.0) - ssb[i] / (nb * 1000000.0))),
+               (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT) AS dist2_ppm
+      FROM a
+    """))
+
   /** Exact-integer ppm threshold for [[embedDedup]]'s "semantic
     * duplicate" rule: cosine >= 0.35, measured on this corpus to sit
     * in the true NEAR-DUP regime — 14/26/391 pairs at
@@ -1063,5 +1129,6 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf)
+      embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf,
+      embedDrift)
 }
