@@ -808,17 +808,30 @@ object Similarity {
     * over one corpus scan each — no join, no shuffle.
     *
     * Returns (vec_id, cell). Deterministic: seeds are the k sample
-    * vectors with smallest md5(vec_id), iteration count is fixed. */
+    * vectors with smallest md5(vec_id), iteration count is fixed.
+    *
+    * Ceiling: the cell id packs into 20 bits (max packed value
+    * ~3.2e12, comfortably BIGINT), but the BINDING limit is the
+    * literal-inlined argmax itself — k columns inside one greatest()
+    * outgrow codegen in the low thousands. The require below therefore
+    * caps k at 4096 (corpus ≈ 256k vectors at the 64-vector cell
+    * target) and names the escalation: beyond it, assign cells with
+    * [[ivfTrain]]'s inverted-file JOIN path ([[ivfTop1From]]'s shape),
+    * which scales to any k but trades the SQL oracle for the
+    * [[annIvf]]-style recall contract. */
   private[queries] def semCells(e: DataFrame): DataFrame = {
     val n = e.count()
     val k = math.max(4L, math.ceil(n / semCellTarget).toLong).toInt
-    require(k <= 1024, s"semCells packs the cell id into 10 bits: k=$k > 1024")
+    require(k <= 4096,
+      s"semCells: k=$k cells — literal-inlined assignment outgrows codegen " +
+        "past ~4096 cells; assign via the ivfTrain inverted-file join " +
+        "(Similarity.ivfTop1From shape) for larger corpora")
     val u = e.select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
-    // pack = (dot_ppm + 2e6) * 1024 + (1023 - cell): argmax via a plain
+    // pack = (dot_ppm + 2e6) * 2^20 + (2^20-1 - cell): argmax via a plain
     // greatest(), ties break toward the smallest cell id on BOTH engines
     def pack(dotPpm: Column, cell: Int): Column =
-      (dotPpm + lit(2000000L)) * lit(1024L) + lit(1023L - cell)
-    val unpackCell: Column => Column = p => lit(1023L) - pmod(p, lit(1024L))
+      (dotPpm + lit(2000000L)) * lit(1048576L) + lit(1048575L - cell)
+    val unpackCell: Column => Column = p => lit(1048575L) - pmod(p, lit(1048576L))
     val seeds: Array[Array[Double]] = u
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
@@ -914,8 +927,8 @@ object Similarity {
                FROM uu)
              WHERE s < (SELECT k FROM kq)),
       a0 AS (SELECT vec_id,
-                    1023 - (max((CAST(floor($dotUU * 1000000.0 + 0.5) AS BIGINT)
-                                 + 2000000) * 1024 + (1023 - s)) % 1024) AS cell0
+                    1048575 - (max((CAST(floor($dotUU * 1000000.0 + 0.5) AS BIGINT)
+                                 + 2000000) * 1048576 + (1048575 - s)) % 1048576) AS cell0
              FROM uu, sd GROUP BY vec_id),
       xv AS (SELECT cell0,
                     unnest(range(1, len(u) + 1)) AS pos,
@@ -934,8 +947,8 @@ object Similarity {
               FROM ct),
       cf AS (SELECT cell, carr, cnrm FROM cc0 WHERE cnrm > 0),
       a1 AS (SELECT vec_id,
-                    1023 - (max((CAST(floor($dotUC / cnrm * 1000000.0 + 0.5) AS BIGINT)
-                                 + 2000000) * 1024 + (1023 - cell)) % 1024) AS cell
+                    1048575 - (max((CAST(floor($dotUC / cnrm * 1000000.0 + 0.5) AS BIGINT)
+                                 + 2000000) * 1048576 + (1048575 - cell)) % 1048576) AS cell
              FROM uu, cf GROUP BY vec_id),
       asn AS (SELECT uu.vec_id, uu.label, uu.embedding, a1.cell
               FROM uu JOIN a1 USING (vec_id))"""
