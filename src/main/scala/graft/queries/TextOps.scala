@@ -846,9 +846,107 @@ object TextOps {
       LIMIT 20
     """))
 
+  /** T5/UL2-style span-corruption LAYOUT: deterministically select
+    * ~20% of token positions as 3-token mask-span starts (md5 of
+    * (doc_id, pos) mod 5 — reproducible across runs, engines,
+    * partitionings and retries, where rand() is none of those), union
+    * overlapping spans per document, and report the per-language
+    * realized corruption rate — the preprocessing layout a span-
+    * corruption pretraining objective consumes, minus the actual
+    * sentinel-token rewrite (pure string assembly downstream of this
+    * plan). Corruption rate is exact: masked-position union via
+    * array_distinct over expanded spans (per-ROW array math), summed
+    * as integers, ppm by integral division.
+    *
+    * 100 TB shape: everything per-row on the scan (positions,
+    * hashes, span union) — embarrassingly parallel like
+    * [[qualityScore]]; the only shuffle is the per-language rollup
+    * with map-side partials. */
+  val spanCorruption = Q(
+    "q_span_corruption",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("starts", expr("""
+          filter(sequence(0, n - 1), p ->
+            conv(substring(md5(cast(concat(cast(doc_id AS STRING), ':',
+              cast(p AS STRING)) AS BINARY)), 1, 15), 16, 10) % 5 = 0)"""))
+        .withColumn("masked", expr("""
+          size(array_distinct(flatten(transform(starts, s ->
+            sequence(s, least(s + 2, n - 1))))))"""))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n").cast("long")).as("n_tokens"),
+             sum(col("masked").cast("long")).as("n_masked"),
+             sum(size(col("starts")).cast("long")).as("n_spans"))
+        .withColumn("corruption_ppm",
+          expr("n_masked * 1000000 div n_tokens"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+      sp AS (
+        SELECT lang, doc_id, n,
+               list_filter(range(0, n), p ->
+                 ${h60Sql("doc_id || ':' || p")} % 5 = 0) AS starts
+        FROM d),
+      m AS (
+        SELECT lang, n, len(starts) AS n_starts,
+               len(list_distinct(flatten(list_transform(starts, s ->
+                 range(s, least(s + 3, n)))))) AS masked
+        FROM sp)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(masked) AS BIGINT) AS n_masked,
+             CAST(sum(n_starts) AS BIGINT) AS n_spans,
+             (CAST(sum(masked) AS BIGINT) * 1000000)
+               // CAST(sum(n) AS BIGINT) AS corruption_ppm
+      FROM m
+      GROUP BY lang
+    """))
+
+  /** Join-key skew profile: the diagnostic you run BEFORE choosing
+    * between a plain shuffle join, AQE skew splitting and
+    * [[graft.operators.SaltedJoin]] — per-key frequencies of the
+    * lineitem join key, the global skew ratio (hottest key vs mean,
+    * exact ppm by integral division), and the top-5 hot keys. At
+    * 100 TB this one cheap pass decides whether the next 100-TB join
+    * needs salting; flying blind instead costs a straggler stage.
+    *
+    * Shape: per-key count (ONE shuffle, map-side partials), a 1-row
+    * stats aggregate broadcast back, TakeOrdered top-5. */
+  val skewProfile = Q(
+    "q_skew_profile",
+    (spark, dir) => {
+      val perKey = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val stats = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"))
+      perKey.crossJoin(broadcast(stats))
+        .withColumn("skew_ppm", expr("cnt * n_keys * 1000000 div total"))
+        .orderBy(desc("cnt"), asc("l_orderkey"))
+        .limit(5)
+        .select(col("l_orderkey"), col("cnt"), col("n_keys"), col("total"),
+                col("skew_ppm"))
+    },
+    Some("""
+      WITH pk AS (SELECT l_orderkey, count(*) AS cnt
+                  FROM lineitem GROUP BY l_orderkey),
+      st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
+             FROM pk)
+      SELECT l_orderkey, cnt, n_keys, total,
+             (cnt * n_keys * 1000000) // total AS skew_ppm
+      FROM pk, st
+      ORDER BY cnt DESC, l_orderkey
+      LIMIT 5
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
-    temperatureMix, bm25, corpusDrift)
+    temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile)
 }

@@ -36,6 +36,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_hybrid_rrf" -> "crossJoins(broadcast(1-row bm25 stats), broadcast(1-row query vector))",
       "q_collocations" -> "crossJoin(1-row unigram total)",
       "q_corpus_drift" -> "crossJoin(broadcast(1-row slice totals))",
+      "q_skew_profile" -> "crossJoin(broadcast(1-row key stats))",
       "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
