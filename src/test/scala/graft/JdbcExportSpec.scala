@@ -29,4 +29,43 @@ class JdbcExportSpec extends SparkSpec {
     ProductViewPipeline.exportJdbc(out.limit(1), url, "commerce")
     assert(spark.read.jdbc(url, "commerce", new java.util.Properties()).count() == 4)
   }
+
+  test("K6 streaming: update-mode windowed counts UPSERT into the JDBC table (no stale versions)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      "CREATE TABLE win_counts (start_ts TIMESTAMP, source VARCHAR(32), " +
+        "source_number BIGINT)")
+    c.close()
+
+    def rec(ts: String, source: String): String =
+      s"""{"event":"ProductView","messageid":"${java.util.UUID.randomUUID()}","userid":"user-1",""" +
+      s""""properties":{"productid":"product-1"},"context":{"source":"$source"},""" +
+      s""""timestamp":"$ts"}"""
+
+    val in = MemoryStream[String]
+    val counts = ProductViewPipeline.windowedCounts(
+      ProductViewPipeline.parse(in.toDF()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_up").toString
+    val q = ProductViewPipeline.jdbcUpsertQuery(counts, url, "win_counts", dir,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(rec("2021-03-07 19:01:00", "desktop"),
+                 rec("2021-03-07 19:02:00", "desktop"))
+      q.processAllAvailable()
+      // same window grows: update mode re-emits it; the sink must
+      // OVERWRITE the key, not append a second version
+      in.addData(rec("2021-03-07 19:03:00", "desktop"),
+                 rec("2021-03-07 19:02:30", "mobile-web"))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "win_counts", new java.util.Properties())
+        .select(col("SOURCE").as("source"), col("SOURCE_NUMBER").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(back == Map("desktop" -> 3L, "mobile-web" -> 1L),
+        s"expected upserted latest counts, got $back")
+    } finally q.stop()
+  }
 }
