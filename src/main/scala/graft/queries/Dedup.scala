@@ -489,6 +489,75 @@ object Dedup {
       GROUP BY doc_id
     """))
 
+  /** N-gram overlap PROFILE across n = 1, 2, 3 — the decontamination
+    * calibration pass: before committing to a contamination rule you
+    * measure how much of the training split shares ANY n-gram with
+    * the eval split at each n (unigram overlap is near-total noise,
+    * 3-gram overlap is signal; the profile shows where the knee is
+    * for THIS corpus). Train/eval split is the [[decontaminate]]
+    * doc_id % 97 rule; a doc counts as flagged at n if it shares at
+    * least one n-gram with the eval side.
+    *
+    * 100 TB shape: three passes of the [[decontaminate]] asymmetric
+    * semi-join — the eval n-gram sets broadcast (eval is MBs at any
+    * corpus size), the train side never shuffles, and each pass
+    * reduces to per-doc distinct flags before the 1-row count. The
+    * flag rate is ppm by integral division. */
+  val overlapProfile = Q(
+    "q_overlap_profile",
+    (spark, dir) => {
+      def atN(n: Int): DataFrame = {
+        val e = Tables.documents(spark, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= n)
+          .select(col("doc_id"),
+            explode(graft.functions.ShingleHash.shingleHashes(col("toks"), n))
+              .as("hk"))
+        val evalSh = e.filter(col("doc_id") % 97 === 0)
+          .select(col("hk")).distinct()
+        val train = e.filter(col("doc_id") % 97 =!= 0)
+        val flagged = train.join(broadcast(evalSh), Seq("hk"), "left_semi")
+          .select(col("doc_id")).distinct().withColumn("hit", lit(1L))
+        train.select(col("doc_id")).distinct()
+          .join(flagged, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_train"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_flagged"))
+          .withColumn("n", lit(n))
+      }
+      atN(1).unionByName(atN(2)).unionByName(atN(3))
+        .withColumn("flag_ppm", expr("n_flagged * 1000000 div n_train"))
+        .select(col("n"), col("n_train"), col("n_flagged"), col("flag_ppm"))
+    },
+    Some {
+      def block(n: Int): String = {
+        val lastStart = s"len(tk) - $n + 2"
+        s"""
+      s$n AS (SELECT doc_id,
+                     list_distinct([array_to_string(tk[i:i+${n - 1}], ' ')
+                                    for i in range(1, $lastStart)]) AS sh
+              FROM t0 WHERE len(tk) >= $n),
+      eh$n AS (SELECT doc_id, ${h60Sql("sh1")} AS hk
+               FROM (SELECT doc_id, unnest(sh) AS sh1 FROM s$n)),
+      ev$n AS (SELECT DISTINCT hk FROM eh$n WHERE doc_id % 97 = 0),
+      tr$n AS (SELECT DISTINCT doc_id FROM eh$n WHERE doc_id % 97 <> 0),
+      fl$n AS (SELECT DISTINCT doc_id FROM eh$n
+               WHERE doc_id % 97 <> 0 AND hk IN (SELECT hk FROM ev$n)),
+      r$n AS (SELECT $n AS n,
+                     (SELECT count(*) FROM tr$n) AS n_train,
+                     (SELECT count(*) FROM fl$n) AS n_flagged)"""
+      }
+      s"""
+      WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      ${block(1)},
+      ${block(2)},
+      ${block(3)}
+      SELECT n, n_train, n_flagged,
+             (n_flagged * 1000000) // n_train AS flag_ppm
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+    """
+    })
+
   /** Cross-document exact-substring duplication (the ExactSubstr
     * family of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better" — arXiv:2107.06499): how much of each
@@ -869,6 +938,6 @@ object Dedup {
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
-    dupPagerank, decontaminate, dedupApply, exactSubstring, fuzzy,
-    shingleNovelty, minhashEstimate)
+    dupPagerank, decontaminate, overlapProfile, dedupApply, exactSubstring,
+    fuzzy, shingleNovelty, minhashEstimate)
 }
