@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
     graft.queries.Analytics.all ++
     graft.queries.TemporalOps.all ++
+    graft.queries.Layout.all ++
     graft.queries.TextOps.all ++
     graft.queries.Curation.all ++
     graft.queries.Dedup.all ++

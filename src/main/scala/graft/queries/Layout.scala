@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{Q, Tables}
+
+/** Data-layout operators: the planning-side math behind scan pruning.
+  *
+  * At 100 TB the fastest query is the one that never reads most of the
+  * data: parquet/iceberg readers prune whole files and row groups from
+  * footer min/max statistics (zone maps), and how well that works is
+  * determined entirely by the physical sort/cluster key chosen at write
+  * time. These queries compute both halves distributed: the Z-order
+  * clustering key a writer would range-partition by, and the pruning
+  * selectivity a given layout actually buys for a given predicate —
+  * metadata-scale results from one map-side-combined aggregate each.
+  */
+object Layout {
+
+  /** Interleave the low 16 bits of `c` into even bit positions (the
+    * classic magic-number bit spread) — four shift/mask steps, all
+    * codegen'd built-ins, evaluated scan-side with zero shuffles.
+    * Long arithmetic throughout so Spark and DuckDB agree bit-exactly. */
+  private def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key over two 16-bit dimensions. */
+  private def zkey16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Z-order layout audit over orders on (customer, order-day): Morton
+    * key per row, then per 64k-key bucket the row count and the min/max
+    * extent of BOTH dimensions. Each bucket of contiguous Z values is a
+    * bounded rectangle in (custkey, day) space — exactly the property
+    * that makes min/max zone maps selective for predicates on EITHER
+    * column after a Z-order write, where a plain sort clusters only its
+    * leading column. A writer would `repartitionByRange(zkey)` +
+    * `sortWithinPartitions(zkey)` with this audit as the layout check.
+    *
+    * 100 TB shape: the key is four shift/mask built-ins inline in the
+    * scan (whole-stage codegen, no UDF), and the audit is ONE hash
+    * aggregate with map-side partials onto ~`keyspace/65536` bucket
+    * rows — the data never sorts and never moves except for that
+    * aggregate. Cross-engine exactness: pure integer bit arithmetic,
+    * identical magic constants both sides. */
+  val zorderLayout = Q(
+    "q_zorder_layout",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val x = col("o_custkey").bitwiseAND(lit(65535L))
+      val y = datediff(col("o_orderdate").cast("date"),
+                       lit("1992-01-01").cast("date"))
+        .cast("long").bitwiseAND(lit(65535L))
+      o.select(x.as("x"), y.as("y"))
+        .withColumn("zkey", zkey16(col("x"), col("y")))
+        .groupBy((col("zkey") / 65536L).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+             min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    },
+    Some("""
+      WITH b AS (SELECT o_custkey & 65535 AS x,
+                        date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) & 65535 AS y
+                 FROM orders),
+      s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+                          (y | (y << 8)) & 16711935 AS ya FROM b),
+      s2 AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+                          (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      s3 AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+                          (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      s4 AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+                          (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+      SELECT (xd | (yd << 1)) // 65536 AS bucket, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM s4 GROUP BY 1
+    """))
+
+  /** Zone-map pruning selectivity: simulate two physical layouts of
+    * lineitem — `natural` (arrival order: 512-order chunks, the shape
+    * of an unclustered ingest) and `weekly` (time-partitioned files by
+    * ship week) — build each chunk's min/max ship-date zone map, and
+    * report how many chunks a Q1 1997 date predicate prunes and how
+    * many rows the surviving chunks force the scanner to read vs the
+    * rows that actually match. The natural layout prunes ~nothing
+    * (ship dates are uncorrelated with order keys); the weekly layout
+    * reads within a chunk-width of the matching rows — the measured
+    * argument for time-partitioning fact tables.
+    *
+    * 100 TB shape: one hash aggregate per layout (map-side combined)
+    * down to per-chunk rows, then a second aggregate over the tiny
+    * chunk table; no joins, no sort, predicate math in exact integer /
+    * DATE comparisons. This is precisely the footer-stats calculation
+    * a reader does at plan time, made queryable. */
+  val zoneMapPruning = Q(
+    "q_zone_map_pruning",
+    (spark, dir) => {
+      val lo = lit("1997-01-01").cast("date")
+      val hi = lit("1997-03-31").cast("date")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+      def stats(layout: String, chunk: Column): DataFrame =
+        li.groupBy(chunk.as("chunk"))
+          .agg(min(col("ship")).as("mn"), max(col("ship")).as("mx"),
+               count(lit(1)).as("n"),
+               sum((col("ship") >= lo && col("ship") <= hi).cast("long"))
+                 .as("nm"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum((col("mx") < lo || col("mn") > hi).cast("long"))
+                 .as("n_pruned"),
+               sum(when(col("mx") < lo || col("mn") > hi, 0L)
+                 .otherwise(col("n"))).as("rows_read"),
+               sum(col("nm")).as("rows_matching"))
+          .select(lit(layout).as("layout"), col("n_chunks"),
+                  col("n_pruned"), col("rows_read"), col("rows_matching"))
+      val natural = stats("natural", expr("l_orderkey div 512"))
+      val weekly = stats("weekly",
+        expr("CAST(datediff(ship, DATE '1992-01-01') AS BIGINT) div 7"))
+      natural.unionByName(weekly)
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship
+                  FROM lineitem),
+      cn AS (SELECT l_orderkey // 512 AS chunk, min(ship) AS mn,
+                    max(ship) AS mx, count(*) AS n,
+                    CAST(sum(CASE WHEN ship BETWEEN DATE '1997-01-01'
+                                       AND DATE '1997-03-31'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nm
+             FROM li GROUP BY 1),
+      cw AS (SELECT date_diff('day', DATE '1992-01-01', ship) // 7 AS chunk,
+                    min(ship) AS mn, max(ship) AS mx, count(*) AS n,
+                    CAST(sum(CASE WHEN ship BETWEEN DATE '1997-01-01'
+                                       AND DATE '1997-03-31'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS nm
+             FROM li GROUP BY 1)
+      SELECT 'natural' AS layout, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+                                OR mn > DATE '1997-03-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+             CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+                                OR mn > DATE '1997-03-31'
+                           THEN 0 ELSE n END) AS BIGINT) AS rows_read,
+             CAST(sum(nm) AS BIGINT) AS rows_matching
+      FROM cn
+      UNION ALL
+      SELECT 'weekly', count(*),
+             CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+                                OR mn > DATE '1997-03-31'
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN mx < DATE '1997-01-01'
+                                OR mn > DATE '1997-03-31'
+                           THEN 0 ELSE n END) AS BIGINT),
+             CAST(sum(nm) AS BIGINT)
+      FROM cw
+    """))
+
+  def all: Seq[Q] = Seq(zorderLayout, zoneMapPruning)
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{Q, Tables}
 import graft.operators.AsOfJoin
@@ -169,6 +170,58 @@ object TemporalOps {
       WHERE next_date <= o_orderdate + INTERVAL 90 DAY
     """))
 
+  /** Slowly-changing-dimension Type 2 build from a change stream: per
+    * user, compress consecutive events with the same `event_type` into
+    * one version row, then stamp each version with
+    * `[valid_from, valid_to)` and `is_current` — the standard
+    * warehouse history table (Kimball SCD2), derived here from the
+    * events CDC feed the way an incremental dimension load would.
+    * Change detection is `lag`, interval close-out is `lead` over the
+    * surviving change rows, version numbers are `row_number` — all
+    * three windows share ONE partitioning (`user_id`) and ONE sort
+    * key (`ts, event_id`; `event_id` breaks timestamp ties
+    * deterministically), so the whole build is a single shuffle and a
+    * single sort, reused across the three window passes.
+    *
+    * 100 TB shape: one exchange on the dimension key — window
+    * functions never re-shuffle when the `Window` spec matches the
+    * existing partitioning — and per-key state is a single previous
+    * row, so memory is O(1) per stream. The SCD2 MERGE variant (apply
+    * today's delta to yesterday's dimension) is [[Relational
+    * .upsertSnapshot]]'s max_by shape; this is the from-scratch
+    * (re)build. */
+  val scd2History = Q(
+    "q_scd2_history",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+                col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+                col("ts").as("valid_from"), col("valid_to"),
+                col("valid_to").isNull.as("is_current"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                        event_type FROM events),
+      c AS (SELECT *, lag(event_type) OVER w AS prev_type FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      f AS (SELECT user_id, event_id, ts, event_type FROM c
+            WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id,
+             CAST(row_number() OVER w AS INT) AS version,
+             event_type, ts AS valid_from,
+             lead(ts, 1) OVER w AS valid_to,
+             lead(ts, 1) OVER w IS NULL AS is_current
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """))
+
   def all: Seq[Q] = Seq(asofPrevOrder, asofNextOrder, sessionWindows,
-    slidingWindows, rangeJoin)
+    slidingWindows, rangeJoin, scd2History)
 }

@@ -255,6 +255,35 @@ class PlanShapeSpec extends SparkSpec {
       s"Q3 fell back to all-pairs:\n$plan")
   }
 
+  test("scd2 history: three window passes over ONE exchange and ONE sort") {
+    // the whole build must partition once on user_id and sort once on
+    // (ts, event_id) — lag, row_number and lead share the spec, so a
+    // second Exchange or Sort in the plan means a window spec drifted
+    val plan = executedPlan(graft.queries.TemporalOps.scd2History.fn(spark, sf))
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected exactly one exchange, got $ex:\n$plan")
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly one sort, got $sorts:\n$plan")
+  }
+
+  test("zorder layout audit: key computed scan-side, one aggregate exchange, no join") {
+    val plan = executedPlan(graft.queries.Layout.zorderLayout.fn(spark, sf))
+    assert(!plan.contains("Join"), s"zorder audit joined:\n$plan")
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex == 1, s"expected only the bucket-agg exchange, got $ex:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"bucket agg must have a map-side partial:\n$plan")
+  }
+
+  test("zone-map pruning: two layout passes, no join, partial aggregation") {
+    val plan = executedPlan(graft.queries.Layout.zoneMapPruning.fn(spark, sf))
+    assert(!plan.contains("Join"), s"zone-map stats joined:\n$plan")
+    // per-layout: one hash exchange to chunk rows (the second agg is a
+    // single-partition rollup over the tiny chunk table)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 2, s"expected one chunk exchange per layout, got $ex:\n$plan")
+  }
+
   test("vocab stats aggregates partially at both levels") {
     val plan = executedPlan(graft.queries.TextOps.vocabStats.fn(spark, sf))
     val n = "HashAggregate".r.findAllIn(plan).size
