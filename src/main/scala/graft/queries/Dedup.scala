@@ -709,6 +709,75 @@ object Dedup {
       GROUP BY cluster_size
     """))
 
+  /** Triangle census of the duplicate graph: edges, wedges (length-2
+    * paths), triangles, and the global clustering coefficient
+    * 3·triangles/wedges as an exact-integer ppm — the structural
+    * health signal for a dedup pair set. A genuine near-dup cluster
+    * is near-clique (CC → 1); a low coefficient means the threshold
+    * has percolated into mid-similarity CHAINS (a → b → c where a and
+    * c are not duplicates), the regime [[Similarity.semanticDupPpm]]'s
+    * docstring names as the scale failure — this query is the alarm
+    * that catches it from the graph shape alone, without re-scoring a
+    * single pair.
+    *
+    * 100 TB shape: every join keys on vertex ids over the PAIR SET
+    * (bounded by banded candidate generation, not the corpus). The
+    * wedge join's per-vertex fan-out is the dup-cluster size, which
+    * thresholding into the clustered regime bounds; edges are
+    * low-id→high-id oriented so each triangle is generated exactly
+    * once (a<b<c), and the closing-edge check is a LEFT SEMI join —
+    * non-triangle wedges die at the probe instead of materializing.
+    * For a power-law graph the escalation is the classic
+    * degree-orientation (orient toward higher degree, fan-out
+    * O(arboricity)); id-orientation keeps the plan SQL-oracle-able
+    * here. All arithmetic is BIGINT; the coefficient is integer
+    * floor-division ppm — no floats anywhere. */
+  val dupTriangles = Q(
+    "q_dup_triangles",
+    (spark, dir) => {
+      // pairs (doc_a < doc_b, distinct) — reused 4x; tiny (pair set)
+      val pairs = ngramJaccard.fn(spark, dir)
+        .select(col("doc_a"), col("doc_b")).persist()
+      val wedges3 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+      val tri = wedges3
+        .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
+              Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("doc_a").as("x"))
+        .union(pairs.select(col("doc_b").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val edges = pairs.agg(count(lit(1)).as("n_edges"))
+      edges.crossJoin(wedges).crossJoin(tri)
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0,
+               expr("(n_triangles * 3000000) div n_wedges"))
+            .otherwise(lit(0L)).as("global_cc_ppm"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        WHERE EXISTS (SELECT 1 FROM pairs e3
+                      WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+      deg AS (
+        SELECT x, count(*) AS d
+        FROM (SELECT doc_a AS x FROM pairs
+              UNION ALL SELECT doc_b AS x FROM pairs)
+        GROUP BY x),
+      w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      ec AS (SELECT count(*) AS n_edges FROM pairs)
+      SELECT n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges > 0
+                  THEN (n_triangles * 3000000) // n_wedges
+                  ELSE 0 END AS global_cc_ppm
+      FROM ec, w, tri
+    """))
+
   /** Exact-INTEGER PageRank over the duplicate graph (3 fixed
     * iterations, damping 85/100): authority scoring for canonical-
     * document selection — inside a duplicate cluster, the doc most
@@ -939,5 +1008,5 @@ object Dedup {
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
     dupPagerank, decontaminate, overlapProfile, dedupApply, exactSubstring,
-    fuzzy, shingleNovelty, minhashEstimate)
+    fuzzy, shingleNovelty, minhashEstimate, dupTriangles)
 }

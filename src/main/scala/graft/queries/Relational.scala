@@ -303,6 +303,57 @@ object Relational {
       LIMIT 10
     """))
 
+  /** TPC-H Q18 shape (large-volume customers): aggregate lineitem
+    * FIRST — `sum(l_quantity) > 250` is a HAVING over the grouped
+    * scan — then join only the surviving order keys back to orders
+    * and customer for the top-10 by price.
+    *
+    * 100 TB shape: the order is the whole point. lineitem (the 100 TB
+    * fact) collapses through ONE map-side-partial aggregate before any
+    * join; the HAVING filter leaves a tiny key set, so the
+    * orders-side join probes a filtered build and the customer join
+    * sees only the survivors — AQE broadcasts both small sides at
+    * runtime. Joining first and aggregating second would shuffle the
+    * full fact table twice. Finish is TakeOrderedAndProject top-10,
+    * never a global sort. Quantities are fixed to per-row integers
+    * before summing (exact, association-order independent); money is
+    * BIGINT cents. */
+  val largeOrders = Q(
+    "q_large_orders",
+    (spark, dir) => {
+      val big = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), cents(col("l_quantity"), 1.0).as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("q")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+                col("price_cents"), col("total_qty"))
+        .orderBy(desc("price_cents"), asc("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(${centsSql("l_quantity", "1.0")}) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(sum(${centsSql("l_quantity", "1.0")}) AS BIGINT) > 250)
+      SELECT c_name, o_custkey, o_orderkey,
+             ${centsSql("o_totalprice")} AS price_cents, total_qty
+      FROM orders
+      JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY price_cents DESC, o_orderkey
+      LIMIT 10
+    """))
+
   /** JSON extraction from the events.props column (reference P2
     * from_json surface in scalar form). */
   val jsonExtract = Q(
@@ -671,5 +722,5 @@ object Relational {
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
-    shippingPriority, upsertSnapshot)
+    shippingPriority, upsertSnapshot, largeOrders)
 }

@@ -1066,6 +1066,165 @@ object Similarity {
       WHERE rn <= 3
     """))
 
+  /** Packed-long argmax over integer ppm scores per q_id — the
+    * [[top1Packed]] discipline for scores that are ALREADY exact
+    * BIGINTs (no ×1e6, no decoded double): one hash agg with map-side
+    * partials instead of a per-group sort. Scores span [-2e6, 2e6]
+    * (relevance minus penalty), so the offset is 2e6+1 and the id
+    * field is 41 bits — the pack tops out at ~8.8e18, inside Long.
+    * Input columns (q_id, `id`, `score`); output (q_id, s_id,
+    * mmr_ppm). */
+  private val mmrIdSpace = 1L << 41
+  private def argmaxPpm(df: DataFrame, score: String, id: String): DataFrame =
+    df.withColumn("pk",
+        when(col(id) >= 0 && col(id) < mmrIdSpace,
+          (col(score) + lit(2000001L)) * mmrIdSpace +
+            (lit(mmrIdSpace - 1) - col(id)))
+        .otherwise(raise_error(concat(
+          lit(s"argmaxPpm: id out of [0, $mmrIdSpace): "), col(id).cast("string")))))
+      .groupBy(col("q_id"))
+      .agg(max(col("pk")).as("pk"))
+      .select(col("q_id"),
+        (lit(mmrIdSpace - 1) - pmod(col("pk"), lit(mmrIdSpace))).as("s_id"),
+        (shiftright(col("pk"), 41) - lit(2000001L)).as("mmr_ppm"))
+
+  /** Maximal-marginal-relevance reranking (Carbonell & Goldstein '98)
+    * — the diversification pass a retrieval stack runs AFTER top-k:
+    * greedily select 3 of the top-8 candidates per query, each step
+    * maximizing `relevance(q,c) − max_{s∈S} sim(c,s)` (λ = 0.5, whose
+    * halves cancel in ppm ordering) so near-duplicate hits don't crowd
+    * the context window — retrieval's answer to the problem
+    * [[embedDedup]] solves at corpus build time.
+    *
+    * Exactness: both terms are ppm BIGINTs ([[graft.model.Money]]
+    * cents over the shared IEEE dot-product fold), the greedy is a
+    * FIXED 3-step unroll, and every argmax is [[argmaxPpm]]'s packed
+    * max with a smallest-id tie-break — so the selection path is
+    * bit-identical to the oracle's unrolled row_number() CTEs.
+    *
+    * 100 TB shape: candidates come from the [[knnQueryIdCap]]-bounded
+    * broadcast with the [[graft.functions.Aggregators.TopK]] mergeable
+    * heap (map-side partials, NO per-group window sort — at 1000
+    * queries × corpus rows a window would sort corpus-sized
+    * partitions); in production the candidate generator is the ANN
+    * index ([[annSrp]]/[[ivfTop1]]) and everything downstream of
+    * `cand` here is index-agnostic. The greedy itself touches only
+    * queries × 8 candidate rows and their 8×8 pair sims — bounded by
+    * construction at any corpus size; the embedding fetch-back join
+    * keys on vec_id with a candidate side AQE broadcasts. */
+  val mmrRerank = Q(
+    "q_mmr_rerank",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val queries = e.filter(isKnnQuery)
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                col("nrm").as("qnrm"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(8))
+      val cand0 = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rel_ppm", graft.model.Money.cents(
+          dot("vd", "qv") / (col("nrm") * col("qnrm")), 1000000.0))
+        .groupBy(col("q_id"))
+        .agg(topk(col("rel_ppm"), col("vec_id")).as("top"))
+        .select(col("q_id"), explode(col("top.items")).as("it"))
+        .select(col("q_id"), col("it._2").as("c_id"), col("it._1").as("rel_ppm"))
+      // fetch candidate vectors back for the pair sims; candidate side
+      // is queries x 8 rows — the small side at any SF
+      val cand = cand0.join(
+          e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                   col("nrm").as("cn")), "c_id")
+        .persist() // pair self-join + 3 greedy rounds read it
+      val cp = cand.select(col("q_id"), col("c_id").as("a_id"),
+                           col("cv").as("va"), col("cn").as("na"))
+        .join(cand.select(col("q_id"), col("c_id").as("b_id"),
+                          col("cv").as("vb"), col("cn").as("nb")), "q_id")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("pen_ppm", graft.model.Money.cents(
+          dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
+        .select(col("q_id"), col("a_id"), col("b_id"), col("pen_ppm"))
+      var sel = argmaxPpm(cand.withColumn("score", col("rel_ppm")),
+                          "score", "c_id")
+        .withColumn("rank", lit(1))
+      for (r <- 2 to 3) {
+        val pen = cp.join(sel.select(col("q_id"), col("s_id").as("b_id")),
+                          Seq("q_id", "b_id"))
+          .groupBy(col("q_id"), col("a_id"))
+          .agg(max(col("pen_ppm")).as("pen"))
+          .withColumnRenamed("a_id", "c_id")
+        val scored = cand
+          .join(sel.select(col("q_id"), col("s_id").as("c_id")),
+                Seq("q_id", "c_id"), "left_anti")
+          .join(pen, Seq("q_id", "c_id"))
+          .withColumn("score", col("rel_ppm") - col("pen"))
+        sel = sel.unionByName(
+          argmaxPpm(scored, "score", "c_id").withColumn("rank", lit(r)))
+      }
+      sel.select(col("q_id"), col("rank"), col("s_id"), col("mmr_ppm"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        WHERE ${knnQuerySql("vec_id")}),
+      sc AS (
+        SELECT q_id, d.vec_id AS c_id, d.embedding AS ce,
+               CAST(floor((${dotSql("d.embedding", "qe")}
+                     / (${nrmSql("d.embedding")} * ${nrmSql("qe")}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm
+        FROM embeddings d JOIN q ON d.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, c_id, ce, rel_ppm FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY rel_ppm DESC, c_id) AS rn
+          FROM sc)
+        WHERE rn <= 8),
+      cp AS (
+        SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+               CAST(floor((${dotSql("a.ce", "b.ce")}
+                     / (${nrmSql("a.ce")} * ${nrmSql("b.ce")}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS pen_ppm
+        FROM cand a JOIN cand b
+          ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+      s1 AS (
+        SELECT q_id, c_id AS s_id, rel_ppm AS mmr_ppm FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY rel_ppm DESC, c_id) AS rn
+          FROM cand)
+        WHERE rn = 1),
+      m2 AS (
+        SELECT c.q_id, c.c_id, c.rel_ppm - p.pen_ppm AS score
+        FROM cand c
+        JOIN s1 ON c.q_id = s1.q_id AND c.c_id <> s1.s_id
+        JOIN cp p ON p.q_id = c.q_id AND p.a_id = c.c_id
+                 AND p.b_id = s1.s_id),
+      s2 AS (
+        SELECT q_id, c_id AS s_id, score AS mmr_ppm FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, c_id) AS rn
+          FROM m2)
+        WHERE rn = 1),
+      sel2 AS (SELECT q_id, s_id FROM s1
+               UNION ALL SELECT q_id, s_id FROM s2),
+      m3 AS (
+        SELECT c.q_id, c.c_id, c.rel_ppm - max(p.pen_ppm) AS score
+        FROM cand c
+        JOIN cp p ON p.q_id = c.q_id AND p.a_id = c.c_id
+        JOIN sel2 s ON s.q_id = p.q_id AND s.s_id = p.b_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.q_id = c.q_id AND x.s_id = c.c_id)
+        GROUP BY c.q_id, c.c_id, c.rel_ppm),
+      s3 AS (
+        SELECT q_id, c_id AS s_id, score AS mmr_ppm FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, c_id) AS rn
+          FROM m3)
+        WHERE rn = 1)
+      SELECT q_id, 1 AS rank, s_id, mmr_ppm FROM s1
+      UNION ALL SELECT q_id, 2 AS rank, s_id, mmr_ppm FROM s2
+      UNION ALL SELECT q_id, 3 AS rank, s_id, mmr_ppm FROM s3
+      ORDER BY q_id, rank
+    """))
+
   /** Hybrid retrieval via reciprocal-rank fusion: the [[TextOps.bm25]]
     * lexical ranking and the cosine ranking against query vector 0,
     * fused as `sum_systems floor(1e6 / (60 + rank))` — RRF (Cormack et
@@ -1143,5 +1302,5 @@ object Similarity {
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
       embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf,
-      embedDrift)
+      embedDrift, mmrRerank)
 }

@@ -143,6 +143,53 @@ object TextOps {
       LIMIT 20
     """))
 
+  /** BPE tokenizer training, step one: the corpus-wide frequency of
+    * adjacent symbol pairs — the statistic a byte-pair-encoding
+    * trainer maximizes at every merge. Word tokens (the `[a-z]+`
+    * class, shared with [[regexTokens]] so both engines tokenize
+    * identically) collapse to a (word, freq) vocabulary first; each
+    * DISTINCT word then explodes into its adjacent character bigrams,
+    * weighted by the word's corpus frequency; the top-20 pairs are
+    * the candidates for the first merge.
+    *
+    * 100 TB shape: the explode runs over the DISTINCT-word vocabulary,
+    * not the corpus — Heaps' law makes that table sublinear in corpus
+    * size, so the expensive per-character fan-out touches orders of
+    * magnitude fewer rows than the scan (the same collapse a real BPE
+    * trainer does before its merge loop). Two hash aggregates with
+    * map-side partials (word count, pair sum), a TakeOrdered top-20,
+    * no joins, no windows. Counts are exact BIGINTs. */
+  val bpePairs = Q(
+    "q_bpe_pairs",
+    (spark, dir) => {
+      val vocab = Tables.documents(spark, dir)
+        .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(20)
+    },
+    Some("""
+      WITH wf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+              FROM documents)
+        GROUP BY w),
+      p AS (
+        SELECT freq,
+               unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+        FROM wf WHERE len(w) >= 2)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM p
+      GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 20
+    """))
+
   /** Document fingerprinting: md5 content fingerprint + 60-bit short
     * hash + polynomial rolling hash over character codes. */
   val fingerprint = Q(
@@ -948,5 +995,6 @@ object TextOps {
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
-    temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile)
+    temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
+    bpePairs)
 }

@@ -37,7 +37,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_collocations" -> "crossJoin(1-row unigram total)",
       "q_corpus_drift" -> "crossJoin(broadcast(1-row slice totals))",
       "q_skew_profile" -> "crossJoin(broadcast(1-row key stats))",
-      "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))")
+      "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))",
+      "q_mmr_rerank" -> "crossJoin(broadcast(queries)): capped by knnQueryIdCap; greedy rounds touch only queries x 8 candidates",
+      "q_dup_triangles" -> "crossJoins of three 1-row census aggregates")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         // pre-AQE physical plan: join strategies are chosen here, no
@@ -282,6 +284,48 @@ class PlanShapeSpec extends SparkSpec {
     // single-partition rollup over the tiny chunk table)
     val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(ex == 2, s"expected one chunk exchange per layout, got $ex:\n$plan")
+  }
+
+  test("mmr rerank: candidates via mergeable TopK heap, no window sort over the corpus join") {
+    val plan = executedPlan(graft.queries.Similarity.mmrRerank.fn(spark, sf))
+    // candidate generation must be the partial ObjectHashAggregate
+    // (TopK heap) — a row_number window here would sort corpus-sized
+    // partitions per query at scale
+    assert(plan.contains("partial_topk"),
+      s"candidate top-8 not a partial TopK aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window sort crept into the MMR plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in MMR plan:\n$plan")
+  }
+
+  test("bpe pairs: explode runs over the distinct-word vocabulary, no joins") {
+    val plan = executedPlan(graft.queries.TextOps.bpePairs.fn(spark, sf))
+    assert(!plan.contains("Join"), s"bpe pair count joined:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 not TakeOrdered:\n$plan")
+    // two shuffles: word-count agg, pair-sum agg — and no more
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 2, s"expected word + pair agg exchanges, got $ex:\n$plan")
+  }
+
+  test("dup triangles: closing edge is a semi join, wedge join keys on the shared vertex") {
+    val plan = executedPlan(graft.queries.Dedup.dupTriangles.fn(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"triangle closing check not a semi join:\n$plan")
+    // the only nested-loop joins are the three 1-row census crossJoins
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nl <= 2, s"unexpected nested-loop beyond the 1-row census joins:\n$plan")
+  }
+
+  test("large orders (Q18): lineitem aggregates BEFORE any join, top-10 TakeOrdered") {
+    val df = graft.queries.Relational.largeOrders.fn(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"quantity rollup lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q18 fell back to all-pairs:\n$plan")
   }
 
   test("vocab stats aggregates partially at both levels") {
