@@ -697,7 +697,76 @@ object Curation {
       GROUP BY lang
     """))
 
+  /** Per-source document cap — the per-domain cap every web-scale
+    * curation pipeline applies so no single crawl source dominates
+    * the mix (C4 and Gopher both cap per-domain contribution). Keeps
+    * the 5 longest documents per source (n_chars DESC, doc_id
+    * tie-break) via the mergeable bounded-heap
+    * [[graft.functions.Aggregators.TopK]] — the shuffle carries at
+    * most k rows per (source, partition) instead of sorting every
+    * group member the way the oracle's `row_number()` window does,
+    * the difference that matters when one domain holds a billion
+    * pages. Emits per source: total docs, kept docs, kept chars. */
+  val sourceCap = Q(
+    "q_source_cap",
+    (spark, dir) => {
+      val topk = udaf(new graft.functions.Aggregators.TopK(5))
+      Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             topk(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("source"), col("n_docs"),
+          size(col("top.items")).cast("long").as("n_kept"),
+          expr("aggregate(top.items, CAST(0 AS BIGINT), (a, x) -> a + x._1)")
+            .as("kept_chars"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rn <= 5 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+      FROM r GROUP BY source
+    """))
+
+  /** Length-bucket padding audit for batched training: documents land
+    * in power-of-two length buckets (bucket = 2^ceil(log2 n_chars) —
+    * the next-pow2 a fixed-shape batcher would pad to) and the query
+    * reports per bucket how many pad characters that costs. The
+    * bucket is EXACT integer bit-math on both engines —
+    * `1 << length(bin(n_chars - 1))` (NOTES: length(bin(x))-1 is
+    * floor(log2 x) in both engines; on x-1 it yields ceil) — zero
+    * transcendentals, zero floats. One scan of two pruned columns,
+    * one ~10-row aggregate: the cheapest query in the battery at any
+    * scale. */
+  val lengthBuckets = Q(
+    "q_length_buckets",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_chars - 1)))")
+                  .as("bucket"),
+                col("n_chars"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("padding_waste",
+          col("bucket") * col("n_docs") - col("sum_chars"))
+    },
+    Some("""
+      SELECT CAST(1 << length(bin(n_chars - 1)) AS BIGINT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(CAST(1 << length(bin(n_chars - 1)) AS BIGINT) * count(*)
+                  - sum(n_chars) AS BIGINT) AS padding_waste
+      FROM documents
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
     curationFunnel, piiRedact, dsirWeights, lineDedup, lmSurprisal,
-    textNormalize)
+    textNormalize, sourceCap, lengthBuckets)
 }

@@ -716,11 +716,213 @@ object Relational {
       FROM orders WHERE o_orderkey % 10 = 1
     """))
 
+  /** TPC-H Q5 shape (local supplier volume): revenue from lineitems
+    * whose supplier and ordering customer share a nation, for one
+    * region and one order-year, grouped by nation. The distinguishing
+    * plan feature vs [[joinStar]] is the EXTRA equality
+    * `c_nationkey = s_nationkey` folded into the supplier join
+    * condition (not a post-filter), which is what makes Q5 the
+    * classic join-order stress test. nation/region are bounded dims
+    * and broadcast; customer/orders/lineitem each shuffle on their
+    * join key once; supplier grows with the corpus so it is NOT
+    * hinted. Dates compare at DATE granularity (fixture timestamps
+    * are midnight-only — see [[shippingPriority]]'s TZ note). */
+  val localSupplierVolume = Q(
+    "q_local_supplier_volume",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <  lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val s = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+    },
+    Some(s"""
+      SELECT n_name,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS revenue_cents
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+      GROUP BY n_name
+    """))
+
+  /** TPC-H Q7 shape (volume shipping between nation pairs): revenue
+    * flowing supplier-nation -> customer-nation between distinct
+    * members of a nation set, per ship-year. The nation filter is
+    * applied to the TINY side first — supplier and customer each
+    * pre-join their broadcast nation slice, so the three big joins
+    * only ever carry rows that can still qualify (manual pushdown of
+    * a disjunctive cross-table predicate Catalyst cannot split on
+    * its own); the distinct-pair filter afterwards removes the
+    * same-nation combinations. The set is 5 nations (not TPC-H's 2)
+    * because the sf0.001 fixture's supplier table is so small that
+    * most single pairs have zero cross-flow. Ship-year extracts from
+    * the DATE cast (midnight-only fixture, TZ-proof). */
+  val nationVolume = Q(
+    "q_nation_volume",
+    (spark, dir) => {
+      val pair = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val n1 = Tables.nation(spark, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val s = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate").cast("date") <  lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+                year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+    },
+    Some(s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS l_year,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        AND n1.n_name <> n2.n_name
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+      GROUP BY 1, 2, 3
+    """))
+
+  /** TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    * returned the most revenue in one quarter, with their nation.
+    * Returnflag + date filters reach both scans (pushdown); the
+    * grouped sum lands in a TakeOrderedAndProject top-20 with a
+    * total tie-break, never a global sort. Account balance rides
+    * through the grouping as exact integer cents. */
+  val returnedItems = Q(
+    "q_returned_items",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <  lit("1996-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"),
+                cents(col("c_acctbal")).as("acctbal_cents"), col("c_nationkey"))
+      val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"), col("n_name"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, ${centsSql("c_acctbal")} AS acctbal_cents, n_name,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue_cents DESC, c_custkey
+      LIMIT 20
+    """))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    * quantity is below 20% of their part's average quantity, rolled
+    * up by brand — the canonical correlated-aggregate decorrelation
+    * shape, expressed as a self-aggregation + join-back so BOTH
+    * engines run the same decorrelated plan. The `qty < 0.2 * avg`
+    * comparison is exact integer cross-multiplication
+    * (5 * qty * count < sum) — quantities are integral, so no float
+    * division or rounding can disagree at a boundary. Two shuffles on
+    * l_partkey (the per-part stats and the join-back); part only
+    * supplies the brand label. */
+  val smallQtyRevenue = Q(
+    "q_small_qty_revenue",
+    (spark, dir) => {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), cents(col("l_quantity"), 1.0).as("qi"),
+                cents(col("l_extendedprice")).as("price_cents"))
+      val stats = l.groupBy(col("l_partkey"))
+        .agg(sum(col("qi")).as("sum_qi"), count(lit(1)).as("cnt"))
+      val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+      l.join(stats, "l_partkey")
+        .filter(col("qi") * lit(5L) * col("cnt") < col("sum_qi"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("price_cents")).as("revenue_cents"))
+    },
+    Some(s"""
+      WITH stats AS (
+        SELECT l_partkey,
+               CAST(sum(${centsSql("l_quantity", "1.0")}) AS BIGINT) AS sum_qi,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1)
+      SELECT p_brand, count(*) AS n_lines,
+             CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents
+      FROM lineitem
+        JOIN stats USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+      WHERE ${centsSql("l_quantity", "1.0")} * 5 * cnt < sum_qi
+      GROUP BY p_brand
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
     setOps, distinctUsers, approxDistinct, topkOrders, jsonExtract,
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
-    shippingPriority, upsertSnapshot, largeOrders)
+    shippingPriority, upsertSnapshot, largeOrders, localSupplierVolume,
+    nationVolume, returnedItems, smallQtyRevenue)
 }
