@@ -334,4 +334,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 4, s"expected partial+final at token and lang levels:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("Q5 local supplier volume: bounded dims broadcast, date filter pushes, no all-pairs") {
+    val plan = executedPlan(Relational.localSupplierVolume.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"order-date filter not pushed to the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q7 nation volume: both nation slices broadcast before the big joins") {
+    val plan = executedPlan(Relational.nationVolume.fn(spark, sf))
+    val bc = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bc >= 2, s"expected supplier+customer nation pre-joins broadcast, got $bc:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q7 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q10 returned items: returnflag pushes to the scan, top-20 TakeOrdered") {
+    val plan = executedPlan(Relational.returnedItems.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 not TakeOrdered:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q10 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q17 small-quantity revenue: per-part stats aggregate partially, equi-join-back") {
+    val plan = executedPlan(Relational.smallQtyRevenue.fn(spark, sf))
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 4, s"stats or brand rollup lost its map-side partial:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q17's correlated-aggregate decorrelation fell back to all-pairs:\n$plan")
+  }
+
+  test("source cap: bounded-heap aggregate, never a per-group window sort") {
+    val plan = executedPlan(graft.queries.Curation.sourceCap.fn(spark, sf))
+    assert(!plan.contains("Window"), s"per-source cap regressed to a window sort:\n$plan")
+    val n = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"TopK heap lost its map-side partial:\n$plan")
+  }
+
+  test("length buckets: one scan, one aggregate exchange, no join") {
+    val plan = executedPlan(graft.queries.Curation.lengthBuckets.fn(spark, sf))
+    assert(!plan.contains("Join"), s"padding audit joined:\n$plan")
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex == 1, s"expected only the bucket-agg exchange, got $ex:\n$plan")
+  }
 }
