@@ -218,6 +218,175 @@ object TextOps {
       FROM documents
     """))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide a
+    * window of w consecutive hashes, keep each window's minimum; the
+    * distinct selected hashes are the document's fingerprint set,
+    * with the guarantee that any shared substring of length >=
+    * w + k - 1 leaves at least one shared fingerprint. This is the
+    * LOCAL fingerprint family ([[fingerprint]] is whole-document):
+    * the index a plagiarism / near-dup candidate generator builds.
+    * k=8 chars, w=4.
+    *
+    * Everything is per-row array math over one pruned scan — zero
+    * shuffles, scan-bound at any corpus size. The k-gram hash is a
+    * base-131 polynomial over character codes mod 1e9+7, NOT
+    * [[h60]]: a gram hash runs per character position (n per doc,
+    * not 1), so md5 + hex-conv per gram is the constant factor that
+    * dominates the scan at scale — the poly hash is 8 codegen'd
+    * integer multiply-adds over a code array computed once per
+    * document. Both engines fold the same slice in the same order
+    * (DuckDB's init-less list_reduce starts acc at element 1, which
+    * equals Spark's 0-init fold since (0*131 + c) % p = c). Window
+    * minima are exact integer comparisons; fingerprint count needs
+    * m >= w k-grams, guaranteed by the fixture's 48-char minimum;
+    * the oracle uses DuckDB's 1-based INCLUSIVE slicing
+    * (cs[i : i+7] is 8 elements). */
+  /** Shared winnowing pipeline: per document, the base-131 poly-mod
+    * k-gram hash array (k=8) and its window-min fingerprint set
+    * (w=4), emitted as ONE struct column.
+    *
+    * Expression-shape caution, learned via jstack: spelling the
+    * stages as separate withColumn aliases lets CollapseProject
+    * INLINE each alias into every reference site in the next
+    * lambda — the char-code array was being rebuilt (split + filter
+    * + transform over the whole text) PER GRAM PER WINDOW, turning a
+    * linear scan O(n^2+) per document (16 s of work became an
+    * unbounded stall; higher-order functions are interpreted, not
+    * codegen'd, so there is no common-subexpression rescue). The fix
+    * is a real let-binding at the expression level:
+    * `transform(array(x), v -> body)[0]` evaluates x ONCE per row
+    * and binds it to a lambda VARIABLE, which no optimizer rule can
+    * inline through. Consumers must reference the struct exactly
+    * once, inside a generator (inline/explode), so the project above
+    * the Generate cannot re-trigger the collapse. */
+  private def winnowDocs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      // the per-document hash pipeline is CPU-bound (interpreted
+      // higher-order functions), so its parallelism must not be
+      // chained to input-split geometry: a small corpus arrives as
+      // ONE parquet split and would winnow on one core. The exchange
+      // moves only (doc_id, text) once and costs far less than the
+      // per-char compute it distributes.
+      .repartition(col("doc_id"))
+      .withColumn("w", expr("""
+        transform(array(transform(filter(split(text, ''), c -> c <> ''),
+                                  c -> CAST(ascii(c) AS BIGINT))), cs ->
+          transform(array(transform(sequence(1, size(cs) - 7), i ->
+              aggregate(slice(cs, i, 8), CAST(0 AS BIGINT),
+                        (a, x) -> (a * 131 + x) % 1000000007))), hs ->
+            transform(array(array_distinct(transform(sequence(1, size(hs) - 3), j ->
+                array_min(slice(hs, j, 4))))), fps ->
+              named_struct(
+                'n_grams', CAST(size(hs) AS BIGINT),
+                'n_fingerprints', CAST(size(fps) AS BIGINT),
+                'fp_min', array_min(fps),
+                'fp_sum', aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x),
+                'fps', fps))[0])[0])[0]"""))
+
+  val winnowing = Q(
+    "q_winnowing",
+    (spark, dir) => {
+      winnowDocs(spark, dir)
+        .selectExpr("doc_id", "inline(array(w))")
+        .select(col("doc_id"), col("n_grams"), col("n_fingerprints"),
+                col("fp_min"), col("fp_sum"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               (WITH x AS (
+                  SELECT list_transform(range(1, length(text) + 1),
+                           i -> CAST(ascii(text[i]) AS BIGINT)) AS cs)
+                SELECT list_transform(range(1, len(cs) - 6), i ->
+                  list_reduce(cs[i : i + 7],
+                              (a, x) -> (a * 131 + x) % 1000000007)) FROM x) AS hs
+        FROM documents),
+      f AS (
+        SELECT doc_id, hs,
+               list_distinct(list_transform(range(1, len(hs) - 2), j ->
+                 list_min(hs[j : j + 3]))) AS fps
+        FROM h)
+      SELECT doc_id,
+             CAST(len(hs) AS BIGINT) AS n_grams,
+             CAST(len(fps) AS BIGINT) AS n_fingerprints,
+             CAST(list_min(fps) AS BIGINT) AS fp_min,
+             CAST(list_sum(fps) AS BIGINT) AS fp_sum
+      FROM f
+    """))
+
+  /** Near-dup candidates from the winnowing index — why MOSS winnows
+    * at all: the fingerprint SET is ~1/w of the k-gram set, so the
+    * inverted index posting list is w× smaller than a full k-gram
+    * index at identical >= w+k-1 match guarantees. Plan: explode
+    * (fingerprint, doc) postings, ONE groupBy collects each
+    * fingerprint's posting list, lists longer than 32 docs are
+    * dropped (stop-gram cap — a fingerprint every document carries
+    * generates the quadratic hot bucket, exactly the blocking-key
+    * discipline the 100 TB design demands), and candidate pairs
+    * expand per-row from each capped list (<= C(32,2) pairs per
+    * fingerprint, bounded). Keep pairs sharing >= 3 fingerprints,
+    * top-25 with a total tie-break.
+    *
+    * Two deliberate plan choices over the textbook spelling:
+    * (1) posting-list pair expansion instead of a posting self-join —
+    * the join would recompute the whole per-document fingerprint
+    * pipeline for both sides plus the df filter (measured at 3x the
+    * scan cost); (2) the capped collect is the bounded-heap
+    * [[graft.functions.Aggregators.TopK]] (k = cap + 1, so an
+    * overflowing list is detectable and dropped), NOT collect_list +
+    * size filter: a hot fingerprint — boilerplate every page carries;
+    * this fixture's hottest is shared by 76% of all docs — would
+    * otherwise materialize a corpus-sized list in one reducer before
+    * the filter discards it. The heap keeps <= 33 entries per
+    * (fingerprint, partition) map-side, so the skewed keys never
+    * concentrate rows anywhere. */
+  val winnowCandidates = Q(
+    "q_winnow_candidates",
+    (spark, dir) => {
+      val cap33 = udaf(new graft.functions.Aggregators.TopK(33))
+      winnowDocs(spark, dir)
+        .select(col("doc_id"), explode(col("w.fps")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(cap33(col("doc_id"), col("doc_id")).as("t"))
+        .filter(size(col("t.items")).between(2, 32))
+        .select(explode(expr("""
+          flatten(transform(t.items, a ->
+            transform(filter(t.items, b -> b._1 > a._1),
+                      b -> struct(a._1 AS doc_a, b._1 AS doc_b))))""")).as("pr"))
+        .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(desc("n_shared"), asc("doc_a"), asc("doc_b"))
+        .limit(25)
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               list_distinct((
+                 WITH x AS (
+                   SELECT list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(text[i]) AS BIGINT)) AS cs),
+                 y AS (
+                   SELECT list_transform(range(1, len(cs) - 6), i ->
+                     list_reduce(cs[i : i + 7],
+                                 (a, x) -> (a * 131 + x) % 1000000007)) AS hs
+                   FROM x)
+                 SELECT list_transform(range(1, len(hs) - 2), j ->
+                   list_min(hs[j : j + 3])) FROM y)) AS fps
+        FROM documents),
+      post AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      rare AS (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 32),
+      p AS (SELECT post.fp, doc_id FROM post JOIN rare USING (fp))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+      ORDER BY n_shared DESC, doc_a, doc_b
+      LIMIT 25
+    """))
+
   /** BPE-style pre-tokenization (GPT-2-family pre-tokenizer shape:
     * letter runs | digit runs | single punctuation), counted per
     * language — the regex-class token counting a training pipeline
@@ -993,7 +1162,8 @@ object TextOps {
 
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
-    regexTokens, datasetMix, datasetSplit, packChunks, vocabStats, tfidf,
+    winnowing, winnowCandidates, regexTokens, datasetMix, datasetSplit,
+    packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
     temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
     bpePairs)
