@@ -917,6 +917,81 @@ object Relational {
       GROUP BY p_brand
     """))
 
+  /** TPC-H Q14 shape (promotion-effect revenue): one ship-month of
+    * lineitem joined to part, with the promo share emitted as TWO
+    * exact BIGINT cent sums (promo and total) rather than the
+    * benchmark's percentage — a cross-engine float division has no
+    * place in an oracle-checked output, and the consumer can divide.
+    * The conditional aggregate rides the SAME join pass (no second
+    * scan); the date filter pushes to the lineitem scan. */
+  val promoRevenue = Q(
+    "q_promo_revenue",
+    (spark, dir) => {
+      val l = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-03-01").cast("date") &&
+                col("l_shipdate").cast("date") <  lit("1996-04-01").cast("date"))
+        .select(col("l_partkey"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+               .as("promo_cents"),
+             sum(col("rev")).as("total_cents"),
+             count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN ${centsSql("l_extendedprice * (1.0 - l_discount)")}
+                           ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS total_cents,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    """))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * an OR of three (brand, size-range, quantity-range) conjunctions
+    * that couples columns from BOTH join sides — the classic test of
+    * Catalyst's disjunction handling: the common single-table
+    * disjuncts (brand/size for part, quantity for lineitem) must be
+    * extracted and pushed below the join so each scan prunes, while
+    * the cross-table residual evaluates post-join. Grouped by brand
+    * so each arm of the disjunction is visible in the output. */
+  val brandRevenue = Q(
+    "q_brand_revenue",
+    (spark, dir) => {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), cents(col("l_quantity"), 1.0).as("qty"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val p = Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+             col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+             col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+             col("qty").between(20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("revenue_cents"))
+    },
+    Some(s"""
+      SELECT p_brand, count(*) AS n_lines,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND ${centsSql("l_quantity", "1.0")} BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             AND ${centsSql("l_quantity", "1.0")} BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND ${centsSql("l_quantity", "1.0")} BETWEEN 20 AND 30)
+      GROUP BY p_brand
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
@@ -924,5 +999,5 @@ object Relational {
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
     shippingPriority, upsertSnapshot, largeOrders, localSupplierVolume,
-    nationVolume, returnedItems, smallQtyRevenue)
+    nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue)
 }

@@ -376,6 +376,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 2, s"TopK heap lost its map-side partial:\n$plan")
   }
 
+  test("winnowing: per-row pipeline, no join; candidates never self-join postings") {
+    val p1 = executedPlan(graft.queries.TextOps.winnowing.fn(spark, sf))
+    assert(!p1.contains("Join"), s"winnowing joined:\n$p1")
+    // the pair generator expands posting lists in place — a Join here
+    // means the self-join (3x pipeline recompute) crept back
+    val p2 = executedPlan(graft.queries.TextOps.winnowCandidates.fn(spark, sf))
+    assert(!p2.contains("Join"), s"candidates regressed to a posting self-join:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"), s"top-25 not TakeOrdered:\n$p2")
+    val heaps = "ObjectHashAggregate".r.findAllIn(p2).size
+    assert(heaps >= 2, s"capped posting collect lost its map-side partial:\n$p2")
+  }
+
+  test("Q14 promo revenue: one join pass, conditional agg, pushed date filter") {
+    val plan = executedPlan(Relational.promoRevenue.fn(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected one lineitem + one part scan, got $scans:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"ship-date filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q14 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q19 brand revenue: single-table disjuncts extracted and pushed to both scans") {
+    val plan = executedPlan(Relational.brandRevenue.fn(spark, sf))
+    // Catalyst must derive p_brand IN (...) for the part scan from the
+    // OR of conjunctions — if extraction breaks, the filter evaluates
+    // only post-join and the part scan reads every row group
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand disjunction not pushed to the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q19 fell back to all-pairs:\n$plan")
+  }
+
   test("length buckets: one scan, one aggregate exchange, no join") {
     val plan = executedPlan(graft.queries.Curation.lengthBuckets.fn(spark, sf))
     assert(!plan.contains("Join"), s"padding audit joined:\n$plan")
