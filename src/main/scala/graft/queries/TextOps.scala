@@ -219,14 +219,18 @@ object TextOps {
     """))
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
-    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram, slide a
-    * window of w consecutive hashes, keep each window's minimum; the
-    * distinct selected hashes are the document's fingerprint set,
-    * with the guarantee that any shared substring of length >=
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-shingle, slide
+    * a window of w consecutive hashes, keep each window's minimum;
+    * the distinct selected hashes are the document's fingerprint
+    * set, with the guarantee that any shared token run of length >=
     * w + k - 1 leaves at least one shared fingerprint. This is the
     * LOCAL fingerprint family ([[fingerprint]] is whole-document):
     * the index a plagiarism / near-dup candidate generator builds.
-    * k=8 chars, w=4.
+    * Shingles are k=4 WORDS (w=4 windows — shared runs of >= 7
+    * words are guaranteed): word shingles are what web-corpus
+    * near-dup pipelines key on, and each word is char-hashed ONCE so
+    * total hash work stays O(chars) with ~6x fewer shingle folds
+    * than char-gram winnowing.
     *
     * Everything is per-row array math over one pruned scan — zero
     * shuffles, scan-bound at any corpus size. The k-gram hash is a
@@ -269,14 +273,26 @@ object TextOps {
       // moves only (doc_id, text) once and costs far less than the
       // per-char compute it distributes.
       .repartition(col("doc_id"))
+      // shingle WORDS, not chars: each word is char-hashed ONCE
+      // (total work stays O(chars)), then a shingle hash is a 4-term
+      // fold of word hashes — ~6x fewer gram folds than 8-char
+      // grams at the same winnowing guarantee, and word shingles are
+      // what web-corpus near-dup pipelines key on
+      // degenerate-doc guard: Spark's sequence(1, n) DESCENDS when
+      // n < 1, so a doc under 4 words (or 7, for the window pass)
+      // must short-circuit to an empty array — slice(x, 1, 0) spells
+      // "empty, same element type as x"
       .withColumn("w", expr("""
-        transform(array(transform(filter(split(text, ''), c -> c <> ''),
-                                  c -> CAST(ascii(c) AS BIGINT))), cs ->
-          transform(array(transform(sequence(1, size(cs) - 7), i ->
-              aggregate(slice(cs, i, 8), CAST(0 AS BIGINT),
-                        (a, x) -> (a * 131 + x) % 1000000007))), hs ->
-            transform(array(array_distinct(transform(sequence(1, size(hs) - 3), j ->
-                array_min(slice(hs, j, 4))))), fps ->
+        transform(array(transform(filter(split(text, ' '), t -> t <> ''), wd ->
+            aggregate(filter(split(wd, ''), c -> c <> ''), CAST(7 AS BIGINT),
+                      (a, x) -> (a * 131 + ascii(x)) % 1000000007))), whs ->
+          transform(array(IF(size(whs) < 4, slice(whs, 1, 0),
+              transform(sequence(1, size(whs) - 3), i ->
+                aggregate(slice(whs, i, 4), CAST(0 AS BIGINT),
+                          (a, x) -> (a * 1000003 + x) % 1000000007)))), hs ->
+            transform(array(IF(size(hs) < 4, slice(hs, 1, 0),
+                array_distinct(transform(sequence(1, size(hs) - 3), j ->
+                  array_min(slice(hs, j, 4)))))), fps ->
               named_struct(
                 'n_grams', CAST(size(hs) AS BIGINT),
                 'n_fingerprints', CAST(size(fps) AS BIGINT),
@@ -293,14 +309,24 @@ object TextOps {
                 col("fp_min"), col("fp_sum"))
     },
     Some("""
+      -- init-less list_reduce starts acc at element 1, which equals
+      -- Spark's 0-init shingle fold ((0*M + e1) % p = e1); the word
+      -- hash's init of 7 is spelled by PREPENDING 7 to the code list
       WITH h AS (
         SELECT doc_id,
-               (WITH x AS (
-                  SELECT list_transform(range(1, length(text) + 1),
-                           i -> CAST(ascii(text[i]) AS BIGINT)) AS cs)
-                SELECT list_transform(range(1, len(cs) - 6), i ->
-                  list_reduce(cs[i : i + 7],
-                              (a, x) -> (a * 131 + x) % 1000000007)) FROM x) AS hs
+               (WITH wx AS (
+                  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ws),
+                wh AS (
+                  SELECT list_transform(ws, wd ->
+                    list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(range(1, length(wd) + 1),
+                                       i -> CAST(ascii(wd[i]) AS BIGINT))),
+                      (a, x) -> (a * 131 + x) % 1000000007)) AS whs
+                  FROM wx)
+                SELECT list_transform(range(1, len(whs) - 2), i ->
+                  list_reduce(whs[i : i + 3],
+                              (a, x) -> (a * 1000003 + x) % 1000000007)) FROM wh) AS hs
         FROM documents),
       f AS (
         SELECT doc_id, hs,
@@ -311,7 +337,7 @@ object TextOps {
              CAST(len(hs) AS BIGINT) AS n_grams,
              CAST(len(fps) AS BIGINT) AS n_fingerprints,
              CAST(list_min(fps) AS BIGINT) AS fp_min,
-             CAST(list_sum(fps) AS BIGINT) AS fp_sum
+             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
       FROM f
     """))
 
@@ -365,14 +391,21 @@ object TextOps {
       WITH f AS (
         SELECT doc_id,
                list_distinct((
-                 WITH x AS (
-                   SELECT list_transform(range(1, length(text) + 1),
-                            i -> CAST(ascii(text[i]) AS BIGINT)) AS cs),
+                 WITH wx AS (
+                   SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ws),
+                 wh AS (
+                   SELECT list_transform(ws, wd ->
+                     list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                         list_transform(range(1, length(wd) + 1),
+                                        i -> CAST(ascii(wd[i]) AS BIGINT))),
+                       (a, x) -> (a * 131 + x) % 1000000007)) AS whs
+                   FROM wx),
                  y AS (
-                   SELECT list_transform(range(1, len(cs) - 6), i ->
-                     list_reduce(cs[i : i + 7],
-                                 (a, x) -> (a * 131 + x) % 1000000007)) AS hs
-                   FROM x)
+                   SELECT list_transform(range(1, len(whs) - 2), i ->
+                     list_reduce(whs[i : i + 3],
+                                 (a, x) -> (a * 1000003 + x) % 1000000007)) AS hs
+                   FROM wh)
                  SELECT list_transform(range(1, len(hs) - 2), j ->
                    list_min(hs[j : j + 3])) FROM y)) AS fps
         FROM documents),
