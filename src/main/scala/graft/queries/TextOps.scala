@@ -265,7 +265,12 @@ object TextOps {
     * once, inside a generator (inline/explode), so the project above
     * the Generate cannot re-trigger the collapse. */
   private def winnowDocs(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(spark, dir)
+    winnowFromText(Tables.documents(spark, dir))
+
+  /** [[winnowDocs]] over any (doc_id, text) frame — package-visible
+    * so the spec can drive the w+k-1 guarantee on crafted documents. */
+  private[graft] def winnowFromText(docs: org.apache.spark.sql.DataFrame) =
+    docs
       // the per-document hash pipeline is CPU-bound (interpreted
       // higher-order functions), so its parallelism must not be
       // chained to input-split geometry: a small corpus arrives as

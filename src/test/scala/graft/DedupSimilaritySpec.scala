@@ -213,4 +213,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp.select("fp_roll").distinct().count() >= n - 2) // rolling-hash collisions possible but rare
     fp.unpersist()
   }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 words leaves a shared fingerprint") {
+    import spark.implicits._
+    // A and B embed the SAME 7-word run (k=4 shingles, w=4 windows:
+    // 7 = w+k-1 is the guarantee threshold) inside totally different
+    // surroundings; C shares no vocabulary with either
+    val run = "alpha bravo charlie delta echo foxtrot golf"
+    val docs = Seq(
+      (1L, s"red green blue $run purple orange yellow pink"),
+      (2L, s"north south east west $run up down left right"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFromText(docs)
+      .select($"doc_id", explode($"w.fps").as("fp"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      s"docs sharing a ${run.split(' ').length}-word run must share a fingerprint: ${fps(1L)} vs ${fps(2L)}")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint-vocabulary docs should share no fingerprints")
+  }
 }
