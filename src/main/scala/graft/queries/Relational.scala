@@ -992,6 +992,94 @@ object Relational {
       GROUP BY p_brand
     """))
 
+  /** TPC-H Q4 shape (order-priority checking): orders in one quarter
+    * with AT LEAST ONE slow lineitem, counted per priority — the
+    * grouped-EXISTS shape. The reference predicate (commit vs
+    * receipt date) uses columns this schema lacks, so "slow" is
+    * re-expressed as shipped more than 90 days after the order date;
+    * the correlated EXISTS decorrelates to a LEFT SEMI join on
+    * o_orderkey, which is the plan feature Q4 exists to test (the
+    * probe side deduplicates inside the join — no distinct pass).
+    * The date arithmetic stays at DATE granularity (TZ-proof). */
+  val priorityCheck = Q(
+    "q_priority_check",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <  lit("1996-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                col("o_orderpriority"))
+      val slow = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(slow,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 90),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+      GROUP BY o_orderpriority
+    """))
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with an
+    * above-average account balance and no RECENT orders (the fixture
+    * generator gives virtually every customer at least one order
+    * ever, so "never ordered" is empty by construction — lapsed
+    * customers keep the semantics non-trivial), rolled up by nation.
+    * The plan composition is what Q22 exists to test: a scalar
+    * subquery (1-row global average, broadcast) feeding a LEFT ANTI
+    * join whose build side is date-filtered at the scan. The
+    * average-balance threshold compares in exact integer cents
+    * cross-multiplied by the customer count (bal * n > sum ⟺
+    * bal > avg), so no float division enters the predicate on
+    * either engine. */
+  val idleRich = Q(
+    "q_idle_rich",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+                cents(col("c_acctbal")).as("bal"))
+      val stats = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
+        .select(col("o_custkey"))
+      val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      c.join(broadcast(stats))
+        .filter(col("bal") * col("n") > col("s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("bal")).as("total_bal_cents"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey, ${centsSql("c_acctbal")} AS bal
+        FROM customer),
+      stats AS (
+        SELECT CAST(sum(bal) AS BIGINT) AS s, count(*) AS n
+        FROM c WHERE bal > 0)
+      SELECT n_name, count(*) AS n_customers,
+             CAST(sum(bal) AS BIGINT) AS total_bal_cents
+      FROM c, stats
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE bal * n > s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+      GROUP BY n_name
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
@@ -999,5 +1087,6 @@ object Relational {
     ordersByMonth, stringOps, caseWhen, aboveAvg, timestampParse,
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
     shippingPriority, upsertSnapshot, largeOrders, localSupplierVolume,
-    nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue)
+    nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue,
+    priorityCheck, idleRich)
 }
