@@ -73,7 +73,10 @@ object Bench {
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0).sorted
+        // keep EXECUTION order (median() sorts its own copy): the detail
+        // file must show warmup-vs-steady structure, which sorted raws
+        // hid in round 8's drift investigation
+        name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
       }
     val results = raw.map { case (name, runs) =>
       name -> (if (runs.isEmpty) -1.0 else median(runs))
@@ -99,7 +102,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    // Per-rep raw times (sorted ascending), for spread/regression calls —
+    // Per-rep raw times in EXECUTION order, for spread/regression calls —
     // NOT part of the driver's one-line contract.
     val detail = raw.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(f3).mkString(",") + "]"

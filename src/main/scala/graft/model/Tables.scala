@@ -24,21 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to microsecond
-    * TimestampType (matches DuckDB's CAST(ts AS TIMESTAMP)).
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (rounds ≤8) — which Spark's
+    * vectorized reader rejects, so we read raw nanos via the legacy
+    * conf and truncate to microseconds — and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (round 9+), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to microsecond TimestampType: under
+    * the engine-wide UTC session timezone the NTZ→TZ cast re-labels
+    * the same wall-clock instant, matching DuckDB's naive TIMESTAMP.
     *
-    * KNOWN SIDE EFFECT: `nanosAsLong` is a session-wide SQL conf (no
-    * per-read option exists) and the scan is lazy, so it cannot be
-    * set-and-restored here — it stays on for the session. That is
-    * acceptable in this engine because events is the only nanos table
-    * and every consumer loads it through this method; a future nanos
-    * column elsewhere would silently arrive as raw longs, which is why
-    * this note exists. */
+    * KNOWN SIDE EFFECT (nanos form only): `nanosAsLong` is a
+    * session-wide SQL conf (no per-read option exists) and the scan is
+    * lazy, so it cannot be set-and-restored here — it stays on for the
+    * session. That is acceptable in this engine because events is the
+    * only nanos table and every consumer loads it through this method;
+    * a future nanos column elsewhere would silently arrive as raw
+    * longs, which is why this note exists. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df // already session-TZ TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
