@@ -73,12 +73,17 @@ object Relational {
     * integer arithmetic; partial aggregation map-side, 2-col scan.
     * Money columns are BIGINT cents (disc price: 1e-4 units); quantity
     * is a COUNT (integral-valued double), so it casts straight to
-    * BIGINT — scaling it by 100 would silently change its meaning. */
+    * BIGINT — scaling it by 100 would silently change its meaning.
+    * The cutoff compares at DATE granularity (the
+    * [[shippingPriority]] TZ-independence pattern: a timestamp
+    * literal parses in the session TZ, a date cast round-trips the
+    * fixture's naive midnight values through any fixed TZ unchanged —
+    * midnight-only invariant re-verified on the round-9 fixture). */
   val pricingSummary = Q(
     "q_pricing_summary",
     (spark, dir) => {
       Tables.lineitem(spark, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -95,7 +100,7 @@ object Relational {
              CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus
     """))
@@ -1054,7 +1059,7 @@ object Relational {
         .filter(col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date"))
         .select(col("o_custkey"))
       val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
-      c.join(broadcast(stats))
+      c.crossJoin(broadcast(stats))
         .filter(col("bal") * col("n") > col("s"))
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -1080,6 +1085,213 @@ object Relational {
       GROUP BY n_name
     """))
 
+  /** TPC-H Q2 shape (min-cost supplier): the classic correlated scalar
+    * subquery — "the supplier offering each part at its minimum cost
+    * within a region" — expressed as aggregate-then-rejoin on the
+    * group key, the distributed form of a correlated MIN: per-part
+    * minimum cost among EUROPE suppliers, joined back on
+    * (part, cost == min). The fixture has no partsupp table, so
+    * lineitem rows act as the supplier offers (cost = the exact-cents
+    * line price; reference data model per TESTDATA.md). Supplier and
+    * nation/region dims broadcast (100 / 25 / 5 rows); the size filter
+    * prunes the part probe side at the scan. Ties (several suppliers
+    * at the min) keep ALL rows, like Q2 itself — deterministic set
+    * semantics, no arbitrary pick. */
+  val minCostSupplier = Q(
+    "q_min_cost_supplier",
+    (spark, dir) => {
+      val eu = Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val offers = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+                cents(col("l_extendedprice")).as("cost_cents"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      val mn = offers.groupBy(col("l_partkey"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      val p = Tables.part(spark, dir)
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_type"))
+      offers.join(mn, Seq("l_partkey"))
+        .filter(col("cost_cents") === col("min_cost"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        // a part's min offer can appear on several lineitems of the
+        // same supplier — Q2 reports the supplier once per part
+        .select(col("p_partkey"), col("p_type"), col("s_name"),
+                col("n_name"), col("cost_cents")).distinct()
+    },
+    Some(s"""
+      WITH eu AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      offers AS (
+        SELECT l_partkey, s_name, n_name,
+               ${centsSql("l_extendedprice")} AS cost_cents
+        FROM lineitem JOIN eu ON l_suppkey = s_suppkey),
+      mn AS (
+        SELECT l_partkey, min(cost_cents) AS min_cost
+        FROM offers GROUP BY 1)
+      SELECT DISTINCT p_partkey, p_type, s_name, n_name, cost_cents
+      FROM offers
+        JOIN mn USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+      WHERE cost_cents = min_cost AND p_size <= 10
+    """))
+
+  /** TPC-H Q11 shape (important stock): per-part value held by one
+    * region's suppliers, filtered to parts above a threshold derived
+    * from a SCALAR subquery over the same aggregate. The threshold is
+    * scale-invariant — value > 2x the mean per-part value — compared
+    * by exact integer cross-multiplication (value * n_parts >
+    * 2 * total), so no float division enters the predicate and the
+    * selected fraction stays stable as the corpus grows (a fixed
+    * fraction-of-total threshold like Q11's 0.0001 selects ~nothing
+    * once the part count scales up). The 1-row totals broadcast back
+    * via crossJoin — the audited q_above_avg scalar-subquery pattern. */
+  val importantParts = Q(
+    "q_important_parts",
+    (spark, dir) => {
+      val asia = Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+                cents(col("l_extendedprice")).as("pc"))
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("pc")).as("value_cents"))
+      val tot = perPart.agg(sum(col("value_cents")).as("total"),
+                            count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("n_parts") > col("total") * lit(2L))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+    },
+    Some(s"""
+      WITH asia AS (
+        SELECT s_suppkey
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      per_part AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS value_cents
+        FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+        GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+               count(*) AS n_parts
+        FROM per_part)
+      SELECT p_partkey, value_cents
+      FROM per_part, tot
+      WHERE value_cents * n_parts > total * 2
+    """))
+
+  /** TPC-H Q15 shape (top supplier): revenue per supplier over one
+    * ship-year, returning the supplier(s) whose revenue EQUALS the
+    * maximum — the scalar-MAX subquery shape. The 1-row max broadcasts
+    * back over the 100-row per-supplier aggregate (crossJoin, audited
+    * scalar pattern); exact-cents revenue makes the equality
+    * cross-engine safe where Q15's float SUM comparison would not be.
+    * Date bounds compare at DATE granularity (TZ-independent, the
+    * [[shippingPriority]] pattern). */
+  val topSupplier = Q(
+    "q_top_supplier",
+    (spark, dir) => {
+      val rev = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+                       10000.0)).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT)
+                 AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1),
+      mx AS (SELECT max(total_revenue) AS max_revenue FROM rev)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev, mx
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = max_revenue
+    """))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * multi-EXISTS curriculum piece — one EXISTS (another supplier
+    * contributed to the same order) and one NOT EXISTS (no other
+    * supplier shipped later), both over self-joins of the same fact
+    * table. The fixture has no receipt/commit dates, so "kept the
+    * order waiting" = shipped strictly last among multi-supplier
+    * finished ('F') orders, on l_shipdate. Spark-first: EXISTS is a
+    * LEFT SEMI join and NOT EXISTS a LEFT ANTI join, both equi-keyed
+    * on l_orderkey with the supplier/date inequality as the residual
+    * condition — shuffle-hash/SMJ on the order key, never a
+    * nested-loop. Finish is TakeOrderedAndProject with a total
+    * tie-break (count desc, name asc) over the 100-supplier rollup. */
+  val waitingSupplier = Q(
+    "q_waiting_supplier",
+    (spark, dir) => {
+      val fOrders = Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val l1 = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = l1.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"),
+                         col("l_shipdate").as("sd3"))
+      l1.join(l2, col("l_orderkey") === col("ok2") &&
+                  col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") &&
+                  col("l_suppkey") =!= col("sk3") &&
+                  col("sd3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(10)
+    },
+    Some("""
+      WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+      l AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate
+        FROM lineitem JOIN f ON l_orderkey = o_orderkey)
+      SELECT s_name, count(*) AS numwait
+      FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
@@ -1088,5 +1300,6 @@ object Relational {
     saltedJoin, udafRevenue, fullOuterJoin, setOpsAll, arrayAgg,
     shippingPriority, upsertSnapshot, largeOrders, localSupplierVolume,
     nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue,
-    priorityCheck, idleRich)
+    priorityCheck, idleRich, minCostSupplier, importantParts, topSupplier,
+    waitingSupplier)
 }

@@ -1111,29 +1111,43 @@ object Similarity {
     * `cand` here is index-agnostic. The greedy itself touches only
     * queries × 8 candidate rows and their 8×8 pair sims — bounded by
     * construction at any corpus size; the embedding fetch-back join
-    * keys on vec_id with a candidate side AQE broadcasts. */
+    * keys on vec_id with a candidate side AQE broadcasts.
+    *
+    * [[mmrCandidates]] is the un-checkpointed candidate generator,
+    * exposed so PlanShapeSpec can pin its shape (partial TopK, no
+    * window) — the registered query checkpoints it, which makes the
+    * final plan opaque to plan-string assertions by design. */
+  private[graft] def mmrCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.filter(isKnnQuery)
+      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+              col("nrm").as("qnrm"))
+    val topk = udaf(new graft.functions.Aggregators.TopK(8))
+    val cand0 = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel_ppm", graft.model.Money.cents(
+        dot("vd", "qv") / (col("nrm") * col("qnrm")), 1000000.0))
+      .groupBy(col("q_id"))
+      .agg(topk(col("rel_ppm"), col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top.items")).as("it"))
+      .select(col("q_id"), col("it._2").as("c_id"), col("it._1").as("rel_ppm"))
+    // fetch candidate vectors back for the pair sims; candidate side
+    // is queries x 8 rows — the small side at any SF
+    cand0.join(
+      e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+               col("nrm").as("cn")), "c_id")
+  }
+
   val mmrRerank = Q(
     "q_mmr_rerank",
     (spark, dir) => {
-      val e = emb(spark, dir)
-      val queries = e.filter(isKnnQuery)
-        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-                col("nrm").as("qnrm"))
-      val topk = udaf(new graft.functions.Aggregators.TopK(8))
-      val cand0 = e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("rel_ppm", graft.model.Money.cents(
-          dot("vd", "qv") / (col("nrm") * col("qnrm")), 1000000.0))
-        .groupBy(col("q_id"))
-        .agg(topk(col("rel_ppm"), col("vec_id")).as("top"))
-        .select(col("q_id"), explode(col("top.items")).as("it"))
-        .select(col("q_id"), col("it._2").as("c_id"), col("it._1").as("rel_ppm"))
-      // fetch candidate vectors back for the pair sims; candidate side
-      // is queries x 8 rows — the small side at any SF
-      val cand = cand0.join(
-          e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
-                   col("nrm").as("cn")), "c_id")
-        .persist() // pair self-join + 3 greedy rounds read it
+      // queries x 8 rows by construction: eagerly materialize ONCE.
+      // A lazy persist here is a stampede trap — the pair self-join
+      // plus three greedy rounds reference this 8+ ways, and
+      // concurrent stages can each recompute the corpus-sized
+      // crossJoin before the cache fills (r8 bench: 9.6-66.6 s reps).
+      val cand = mmrCandidates(spark, dir)
+        .localCheckpoint() // eager: lineage ends here
       val cp = cand.select(col("q_id"), col("c_id").as("a_id"),
                            col("cv").as("va"), col("cn").as("na"))
         .join(cand.select(col("q_id"), col("c_id").as("b_id"),
@@ -1142,9 +1156,14 @@ object Similarity {
         .withColumn("pen_ppm", graft.model.Money.cents(
           dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
         .select(col("q_id"), col("a_id"), col("b_id"), col("pen_ppm"))
+      // each round's sel is re-read three ways by the next round
+      // (penalty join, anti-join, union): checkpoint per round so the
+      // iterative lineage stays flat (the ConnectedComponents gotcha).
+      // All checkpointed frames are queries x (<=8 or <=3) rows.
       var sel = argmaxPpm(cand.withColumn("score", col("rel_ppm")),
                           "score", "c_id")
         .withColumn("rank", lit(1))
+        .localCheckpoint()
       for (r <- 2 to 3) {
         val pen = cp.join(sel.select(col("q_id"), col("s_id").as("b_id")),
                           Seq("q_id", "b_id"))
@@ -1158,6 +1177,7 @@ object Similarity {
           .withColumn("score", col("rel_ppm") - col("pen"))
         sel = sel.unionByName(
           argmaxPpm(scored, "score", "c_id").withColumn("rank", lit(r)))
+          .localCheckpoint()
       }
       sel.select(col("q_id"), col("rank"), col("s_id"), col("mmr_ppm"))
         .orderBy(col("q_id"), col("rank"))

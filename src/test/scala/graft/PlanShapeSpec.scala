@@ -39,7 +39,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_skew_profile" -> "crossJoin(broadcast(1-row key stats))",
       "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))",
       "q_mmr_rerank" -> "crossJoin(broadcast(queries)): capped by knnQueryIdCap; greedy rounds touch only queries x 8 candidates",
-      "q_dup_triangles" -> "crossJoins of three 1-row census aggregates")
+      "q_dup_triangles" -> "crossJoins of three 1-row census aggregates",
+      "q_idle_rich" -> "crossJoin(broadcast(1-row global sum/count stats)): scalar-subquery shape, q_above_avg pattern",
+      "q_important_parts" -> "crossJoin(broadcast(1-row total/n_parts)): scalar-subquery shape, q_above_avg pattern",
+      "q_top_supplier" -> "crossJoin(broadcast(1-row max revenue)): scalar-MAX subquery shape")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         // pre-AQE physical plan: join strategies are chosen here, no
@@ -287,7 +290,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("mmr rerank: candidates via mergeable TopK heap, no window sort over the corpus join") {
-    val plan = executedPlan(graft.queries.Similarity.mmrRerank.fn(spark, sf))
+    // the registered query localCheckpoints the candidates (lineage
+    // must END there so the greedy rounds can't stampede-recompute the
+    // corpus crossJoin — the r8 9.6-66.6 s bench pathology), so its
+    // final plan is an opaque ExistingRDD scan; assert the shape on
+    // the exposed un-checkpointed candidate generator instead
+    val plan = executedPlan(graft.queries.Similarity.mmrCandidates(spark, sf))
     // candidate generation must be the partial ObjectHashAggregate
     // (TopK heap) — a row_number window here would sort corpus-sized
     // partitions per query at scale
@@ -414,5 +422,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"padding audit joined:\n$plan")
     val ex = "Exchange".r.findAllIn(plan).size
     assert(ex == 1, s"expected only the bucket-agg exchange, got $ex:\n$plan")
+  }
+
+  test("Q2 min-cost supplier: dims broadcast, correlated MIN is aggregate-then-rejoin") {
+    val plan = executedPlan(Relational.minCostSupplier.fn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$plan")
+    // the min-per-part aggregate must come back as an equi-join on the
+    // group key, never a per-part window sort or a nested loop
+    assert(!plan.contains("Window"), s"correlated MIN became a window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q2 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q21 waiting supplier: EXISTS/NOT EXISTS are semi/anti equi-joins on the order key") {
+    val plan = executedPlan(Relational.waitingSupplier.fn(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q21 fell back to all-pairs:\n$plan")
   }
 }
