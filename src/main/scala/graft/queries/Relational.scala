@@ -1292,6 +1292,250 @@ object Relational {
       LIMIT 10
     """))
 
+  /** TPC-H Q6 shape (forecast-revenue change): the pure scan-side
+    * query — conjunctive range predicates on ONE table, no join, one
+    * global aggregate. The whole point at 100 TB is that every
+    * predicate reaches the parquet scan (row-group pruning does the
+    * work; the executors see a fraction of the table) and the
+    * aggregate is a partial-final pair over a 1-row exchange. Revenue
+    * is the per-row float product floored to exact 1e-4 dollar units
+    * BEFORE the sum — one IEEE multiply is deterministic cross-engine,
+    * a float SUM is not. */
+  val forecastRevenue = Q(
+    "q_forecast_revenue",
+    (spark, dir) => {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+             sum(cents(col("l_extendedprice") * col("l_discount"), 10000.0))
+               .as("revenue_units"))
+    },
+    Some(s"""
+      SELECT count(*) AS n_lines,
+             CAST(sum(${centsSql("l_extendedprice * l_discount", "10000.0")}) AS BIGINT)
+               AS revenue_units
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """))
+
+  /** TPC-H Q12 shape (shipping modes / priority split): fact-to-fact
+    * equi-join with a date-arithmetic residual filter, finishing in a
+    * TWO-WAY conditional aggregate on one pass (no second scan for
+    * the second count). The fixture has no l_shipmode, so the group
+    * key is l_returnflag and "late" = shipped more than 60 days after
+    * the order date. */
+  val lateLines = Q(
+    "q_late_lines",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+                date_add(col("o_orderdate").cast("date"), 60))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+      GROUP BY l_returnflag
+    """))
+
+  /** TPC-H Q16 shape (supplier counts by part attribute): DISTINCT
+    * supplier count per (p_type, p_size) with a NOT-IN exclusion
+    * subquery — expressed Spark-first as a LEFT ANTI join (never a
+    * driver-side collect of the exclusion set). "Suppliers with
+    * complaints" = negative account balance in the fixture. The
+    * distinct-count shuffles on the group key; the part dimension
+    * broadcast-prunes at the scan (p_size <= 5). */
+  val supplierCounts = Q(
+    "q_supplier_counts",
+    (spark, dir) => {
+      val excluded = Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = Tables.part(spark, dir)
+        .filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_type"), col("p_size"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+              "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""
+      SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_type, p_size
+    """))
+
+  /** TPC-H Q20 shape (excess stock / dominant supplier): the nested
+    * correlated-aggregate curriculum piece — per (part, supplier)
+    * year-volume compared against the SAME aggregate rolled up per
+    * part, joined back on the part key with an exact integer
+    * cross-multiplied threshold (2*own > total ⟺ own > 50%), then a
+    * supplier rollup. Quantities are integral-valued doubles → exact
+    * BIGINT units; no partsupp table in the fixture, so shipped
+    * volume stands in for stock. */
+  val dominantSupplier = Q(
+    "q_dominant_supplier",
+    (spark, dir) => {
+      val y = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select(col("l_partkey"), col("l_suppkey"),
+                col("l_quantity").cast("long").as("qty"))
+      val ps = y.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("own_qty"))
+      val pt = ps.groupBy(col("l_partkey"))
+        .agg(sum(col("own_qty")).as("total_qty"))
+      ps.join(pt, "l_partkey")
+        .filter(col("own_qty") * lit(2L) > col("total_qty"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"), sum(col("own_qty")).as("sum_qty"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominated"),
+                col("sum_qty"))
+    },
+    Some("""
+      WITH y AS (
+        SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'),
+      ps AS (
+        SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS own_qty
+        FROM y GROUP BY 1, 2),
+      pt AS (
+        SELECT l_partkey, CAST(sum(own_qty) AS BIGINT) AS total_qty
+        FROM ps GROUP BY 1)
+      SELECT s_suppkey, s_name, count(*) AS n_dominated,
+             CAST(sum(own_qty) AS BIGINT) AS sum_qty
+      FROM ps JOIN pt USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE own_qty * 2 > total_qty
+      GROUP BY s_suppkey, s_name
+    """))
+
+  /** TPC-H Q8 shape (national market share): revenue in one REGION's
+    * market per order year, emitted as the focal nation's share
+    * numerator and the market denominator — two exact cent sums off
+    * ONE join pass and one aggregate (the promoRevenue discipline: a
+    * cross-engine float division has no place in an oracled output).
+    * Customer nation scopes the market (AMERICA); supplier nation
+    * (NATION_3) is the share numerator. All dims broadcast. */
+  val marketShare = Q(
+    "q_market_share",
+    (spark, dir) => {
+      val n = Tables.nation(spark, dir)
+      val cNat = n.join(Tables.region(spark, dir)
+          .filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_natkey"))
+      val c = Tables.customer(spark, dir)
+        .join(broadcast(cNat), col("c_nationkey") === col("c_natkey"))
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+                year(col("o_orderdate").cast("date")).as("o_year"))
+      val s = Tables.supplier(spark, dir)
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+                cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+                      10000.0).as("vol"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("vol"))
+               .otherwise(0L)).as("nation_volume"),
+             sum(col("vol")).as("market_volume"))
+    },
+    Some(s"""
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN ${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}
+                      ELSE 0 END) AS BIGINT) AS nation_volume,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT)
+               AS market_volume
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA')
+      GROUP BY 1
+    """))
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): the
+    * classic multi-way star join (lineitem ⋈ part ⋈ supplier ⋈
+    * nation) with a computed per-row margin, grouped by (nation,
+    * year). Margin = line revenue minus 80% of catalog cost
+    * (p_retailprice × quantity — the fixture has no ps_supplycost),
+    * each term floored to exact 1e-4 dollar units per row BEFORE the
+    * subtraction and sum. Dims broadcast; the fact table never
+    * shuffles until the final (nation, year) aggregate. */
+  val nationProfit = Q(
+    "q_nation_profit",
+    (spark, dir) => {
+      val p = Tables.part(spark, dir)
+        .filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val s = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate").cast("date")).as("o_year"))
+        .agg(sum(
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000.0)
+            - cents(col("p_retailprice") * col("l_quantity") * lit(0.8), 10000.0))
+          .as("profit_units"))
+    },
+    Some(s"""
+      SELECT n_name, CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS o_year,
+             CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}
+                      - ${centsSql("p_retailprice * l_quantity * 0.8", "10000.0")}) AS BIGINT)
+               AS profit_units
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+      GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
@@ -1301,5 +1545,6 @@ object Relational {
     shippingPriority, upsertSnapshot, largeOrders, localSupplierVolume,
     nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue,
     priorityCheck, idleRich, minCostSupplier, importantParts, topSupplier,
-    waitingSupplier)
+    waitingSupplier, forecastRevenue, lateLines, supplierCounts,
+    dominantSupplier, marketShare, nationProfit)
 }

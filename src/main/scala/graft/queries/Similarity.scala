@@ -296,97 +296,99 @@ object Similarity {
     * DedupSimilaritySpec measures recall vs the exact q_cosine_knn
     * (floor 0.6).
     */
-  val annSrp = Q(
-    "q_ann_srp",
-    (spark, dir) => {
-      val nTables = 8
-      val nBits = 5
-      val planes = srpPlanes(nTables, nBits)
-      val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      // per-table plane dots computed ONCE per vector; buckets and
-      // flipped probes derive from them columnar (no plane-table join)
-      val withDots = e.withColumn("ds", array(planes.toSeq.map(tp =>
-        array(tp.toSeq.map(p => dotp(col("vd"), typedLit(p.toSeq))): _*)): _*))
-      val bkCols = (0 until nTables).map { t =>
-        (0 until nBits).map(p =>
-          when(col("ds")(t)(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-      }
-      val base = withDots
-        .withColumn("bks", array(bkCols: _*))
-        // weakest plane per table = first argmin |dot| (array_position
-        // returns the FIRST index of the min — deterministic ties)
-        .withColumn("wks", expr(
-          s"""transform(sequence(0, ${nTables - 1}),
-                t -> array_position(transform(ds[t], x -> abs(x)),
-                                    array_min(transform(ds[t], x -> abs(x)))) - 1)"""))
-        .withColumn("fps", expr(
-          s"""transform(sequence(0, ${nTables - 1}),
-                t -> bks[t] ^ shiftleft(cast(1 AS bigint), cast(wks[t] AS int)))"""))
-        .select(col("vec_id"), col("bks"), col("fps"))
-      // query side: 2 probes per table (true bucket j=0, flipped j=1)
-      val xs = base.select(col("vec_id").as("q_id"), col("bks").as("xbks"),
-          col("fps").as("xfps"),
-          explode(expr(
-            s"""flatten(transform(sequence(0, ${nTables - 1}),
-                  t -> array(named_struct('t', t, 'j', 0, 'pb', bks[t]),
-                             named_struct('t', t, 'j', 1, 'pb', fps[t]))))""")).as("p"))
-        .select(col("q_id"), col("xbks"), col("xfps"),
-          col("p.t").as("t"), col("p.j").as("j"), col("p.pb").as("pb"))
-      // index side: true buckets only (multi-probe is query-side)
-      val ys = base.select(col("vec_id").as("c_id"), col("bks").as("ybks"),
-        posexplode(col("bks")).as(Seq("yt", "bucket")))
-      // keep each colliding (q, c) pair exactly once — at its FIRST
-      // colliding (table, probe) in (t asc, j asc) order: every earlier
-      // table's BOTH probes must miss. Within one table no extra guard
-      // is needed: a j=1 (flipped-probe) collision means fps[t] ==
-      // ybks[t], and fps differs from bks in exactly one bit, so the
-      // j=0 probe missed automatically. A bitwise post-filter, no
-      // shuffled DISTINCT over the candidate set (generalizes
-      // firstEqualTable to the probe sequence).
-      val earlierTablesMiss = (0 until nTables).map { tp =>
-        when(col("t") > tp,
-          element_at(col("xbks"), tp + 1) =!= element_at(col("ybks"), tp + 1) &&
-          element_at(col("xfps"), tp + 1) =!= element_at(col("ybks"), tp + 1))
-          .otherwise(lit(true))
-      }.reduce(_ && _)
-      val cand = xs
-        .join(ys.hint("shuffle_hash"),
-          col("t") === col("yt") && col("pb") === col("bucket") &&
-          col("q_id") =!= col("c_id"))
-        .filter(earlierTablesMiss)
-        .select(col("q_id"), col("c_id"))
+  /** Multi-probe SRP collision pairs (q_id, c_id) — the candidate
+    * generator behind [[annSrp]] and [[mmrRerankAnn]]. Each vector is
+    * indexed under its per-table sign-bit bucket; the query side
+    * additionally probes the bucket with its weakest sign bit flipped.
+    * `queryPred` (on `vec_id`) restricts the QUERY side BEFORE the
+    * collision join — at 100 TB the query set is the small side and
+    * pruning it pre-join is the difference between probing an index
+    * and self-joining the corpus. Pairs are emitted exactly once (at
+    * their first colliding (table, probe); see the in-line proof). */
+  private[graft] def srpProbePairs(spark: SparkSession, dir: String,
+                                   queryPred: Option[Column] = None): DataFrame = {
+    val nTables = 8
+    val nBits = 5
+    val planes = srpPlanes(nTables, nBits)
+    val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+    // per-table plane dots computed ONCE per vector; buckets and
+    // flipped probes derive from them columnar (no plane-table join)
+    val withDots = e.withColumn("ds", array(planes.toSeq.map(tp =>
+      array(tp.toSeq.map(p => dotp(col("vd"), typedLit(p.toSeq))): _*)): _*))
+    val bkCols = (0 until nTables).map { t =>
+      (0 until nBits).map(p =>
+        when(col("ds")(t)(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    }
+    val base = withDots
+      .withColumn("bks", array(bkCols: _*))
+      // weakest plane per table = first argmin |dot| (array_position
+      // returns the FIRST index of the min — deterministic ties)
+      .withColumn("wks", expr(
+        s"""transform(sequence(0, ${nTables - 1}),
+              t -> array_position(transform(ds[t], x -> abs(x)),
+                                  array_min(transform(ds[t], x -> abs(x)))) - 1)"""))
+      .withColumn("fps", expr(
+        s"""transform(sequence(0, ${nTables - 1}),
+              t -> bks[t] ^ shiftleft(cast(1 AS bigint), cast(wks[t] AS int)))"""))
+      .select(col("vec_id"), col("bks"), col("fps"))
+    // query side: 2 probes per table (true bucket j=0, flipped j=1)
+    val xs = queryPred.fold(base)(base.filter)
+      .select(col("vec_id").as("q_id"), col("bks").as("xbks"),
+        col("fps").as("xfps"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, ${nTables - 1}),
+                t -> array(named_struct('t', t, 'j', 0, 'pb', bks[t]),
+                           named_struct('t', t, 'j', 1, 'pb', fps[t]))))""")).as("p"))
+      .select(col("q_id"), col("xbks"), col("xfps"),
+        col("p.t").as("t"), col("p.j").as("j"), col("p.pb").as("pb"))
+    // index side: true buckets only (multi-probe is query-side)
+    val ys = base.select(col("vec_id").as("c_id"), col("bks").as("ybks"),
+      posexplode(col("bks")).as(Seq("yt", "bucket")))
+    // keep each colliding (q, c) pair exactly once — at its FIRST
+    // colliding (table, probe) in (t asc, j asc) order: every earlier
+    // table's BOTH probes must miss. Within one table no extra guard
+    // is needed: a j=1 (flipped-probe) collision means fps[t] ==
+    // ybks[t], and fps differs from bks in exactly one bit, so the
+    // j=0 probe missed automatically. A bitwise post-filter, no
+    // shuffled DISTINCT over the candidate set (generalizes
+    // firstEqualTable to the probe sequence).
+    val earlierTablesMiss = (0 until nTables).map { tp =>
+      when(col("t") > tp,
+        element_at(col("xbks"), tp + 1) =!= element_at(col("ybks"), tp + 1) &&
+        element_at(col("xfps"), tp + 1) =!= element_at(col("ybks"), tp + 1))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    xs.join(ys.hint("shuffle_hash"),
+        col("t") === col("yt") && col("pb") === col("bucket") &&
+        col("q_id") =!= col("c_id"))
+      .filter(earlierTablesMiss)
+      .select(col("q_id"), col("c_id"))
+  }
 
-      // rerank: exact cosine per candidate, then per-query packed argmax
-      top1Packed(
-        cand
-          .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
-                         col("nrm").as("qnrm")), "q_id")
-          .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
-                         col("nrm").as("cnrm")), "c_id")
-          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
-        "q_id", "c_id")
-    },
-    Some {
-      val nT = 8; val nB = 5
-      val dotDefs = (for { t <- 0 until nT; p <- 0 until nB }
-        yield s"${planeDotSql("embedding", t, p)} AS d${t}_$p").mkString(",\n               ")
-      val bDefs = (0 until nT).map(t =>
-        (0 until nB).map(p => s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)")
-          .mkString(" + ") + s" AS b$t").mkString(",\n               ")
-      // first argmin |dot|: branch p wins when abs(d_p) <= every LATER
-      // abs — exactly array_position's first-min under earlier-branch
-      // failure
-      val wDefs = (0 until nT).map { t =>
-        val cases = (0 until nB - 1).map { p =>
-          "WHEN " + (p + 1 until nB).map(q => s"abs(d${t}_$p) <= abs(d${t}_$q)")
-            .mkString(" AND ") + s" THEN $p"
-        }.mkString(" ")
-        s"(CASE $cases ELSE ${nB - 1} END) AS w$t"
-      }.mkString(",\n               ")
-      val fDefs = (0 until nT).map(t =>
-        s"xor(b$t, (CAST(1 AS BIGINT) << w$t)) AS f$t").mkString(",\n               ")
-      s"""
-      WITH d AS (
+  /** DuckDB replica of [[srpProbePairs]]' bucket/flip derivation: the
+    * d → b → bk CTE chain (plane dots, sign buckets b0..b7, weakest-bit
+    * flips f0..f7) over `embeddings`. Shared by the [[annSrp]] and
+    * [[mmrRerankAnn]] oracles so the two spell the identical index. */
+  private def srpBkCtesSql: String = {
+    val nT = 8; val nB = 5
+    val dotDefs = (for { t <- 0 until nT; p <- 0 until nB }
+      yield s"${planeDotSql("embedding", t, p)} AS d${t}_$p").mkString(",\n               ")
+    val bDefs = (0 until nT).map(t =>
+      (0 until nB).map(p => s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ") + s" AS b$t").mkString(",\n               ")
+    // first argmin |dot|: branch p wins when abs(d_p) <= every LATER
+    // abs — exactly array_position's first-min under earlier-branch
+    // failure
+    val wDefs = (0 until nT).map { t =>
+      val cases = (0 until nB - 1).map { p =>
+        "WHEN " + (p + 1 until nB).map(q => s"abs(d${t}_$p) <= abs(d${t}_$q)")
+          .mkString(" AND ") + s" THEN $p"
+      }.mkString(" ")
+      s"(CASE $cases ELSE ${nB - 1} END) AS w$t"
+    }.mkString(",\n               ")
+    val fDefs = (0 until nT).map(t =>
+      s"xor(b$t, (CAST(1 AS BIGINT) << w$t)) AS f$t").mkString(",\n               ")
+    s"""d AS (
         SELECT vec_id, embedding,
                $dotDefs
         FROM embeddings),
@@ -399,22 +401,45 @@ object Similarity {
         SELECT vec_id, embedding,
                ${(0 until nT).map(t => s"b$t").mkString(", ")},
                $fDefs
-        FROM b),
+        FROM b)"""
+  }
+
+  /** The SRP collision condition between bk rows x (query) and y
+    * (index): any table's true bucket or flipped probe matches. */
+  private def srpCollideSql: String =
+    (0 until 8).map(t => s"y.b$t = x.b$t OR y.b$t = x.f$t").mkString(" OR ")
+
+  val annSrp = Q(
+    "q_ann_srp",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+      val cand = srpProbePairs(spark, dir)
+      // rerank: exact cosine per candidate, then per-query packed argmax
+      top1Packed(
+        cand
+          .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                         col("nrm").as("qnrm")), "q_id")
+          .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                         col("nrm").as("cnrm")), "c_id")
+          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+        "q_id", "c_id")
+    },
+    Some(s"""
+      WITH $srpBkCtesSql,
       cand AS (
         SELECT x.vec_id AS q_id, y.vec_id AS c_id,
                round(${dotSql("x.embedding", "y.embedding")}
                      / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim
         FROM bk x JOIN bk y
           ON x.vec_id <> y.vec_id
-         AND (${(0 until nT).map(t => s"y.b$t = x.b$t OR y.b$t = x.f$t").mkString(" OR ")}))
+         AND ($srpCollideSql))
       SELECT q_id, c_id AS nn_id, sim FROM (
         SELECT q_id, c_id, sim,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY sim DESC, c_id) AS rn
         FROM cand)
       WHERE rn = 1
-    """
-    })
+    """))
 
   // ---------------------------------------------------------------- IVF
 
@@ -1138,6 +1163,49 @@ object Similarity {
                col("nrm").as("cn")), "c_id")
   }
 
+  /** The MMR greedy over an ALREADY-CHECKPOINTED candidate set
+    * (q_id, c_id, rel_ppm, cv, cn) — shared by [[mmrRerank]]
+    * (brute-force candidates) and [[mmrRerankAnn]] (SRP-index
+    * candidates): pair sims, then 3 rounds of penalized argmax.
+    * The caller MUST localCheckpoint the input: this body references
+    * it 8+ ways and a live lineage would stampede-recompute the
+    * candidate generation (the r8 23 s pathology). */
+  private def mmrGreedy(cand: DataFrame): DataFrame = {
+    val cp = cand.select(col("q_id"), col("c_id").as("a_id"),
+                         col("cv").as("va"), col("cn").as("na"))
+      .join(cand.select(col("q_id"), col("c_id").as("b_id"),
+                        col("cv").as("vb"), col("cn").as("nb")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("pen_ppm", graft.model.Money.cents(
+        dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("pen_ppm"))
+    // each round's sel is re-read three ways by the next round
+    // (penalty join, anti-join, union): checkpoint per round so the
+    // iterative lineage stays flat (the ConnectedComponents gotcha).
+    // All checkpointed frames are queries x (<=8 or <=3) rows.
+    var sel = argmaxPpm(cand.withColumn("score", col("rel_ppm")),
+                        "score", "c_id")
+      .withColumn("rank", lit(1))
+      .localCheckpoint()
+    for (r <- 2 to 3) {
+      val pen = cp.join(sel.select(col("q_id"), col("s_id").as("b_id")),
+                        Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("pen_ppm")).as("pen"))
+        .withColumnRenamed("a_id", "c_id")
+      val scored = cand
+        .join(sel.select(col("q_id"), col("s_id").as("c_id")),
+              Seq("q_id", "c_id"), "left_anti")
+        .join(pen, Seq("q_id", "c_id"))
+        .withColumn("score", col("rel_ppm") - col("pen"))
+      sel = sel.unionByName(
+        argmaxPpm(scored, "score", "c_id").withColumn("rank", lit(r)))
+        .localCheckpoint()
+    }
+    sel.select(col("q_id"), col("rank"), col("s_id"), col("mmr_ppm"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val mmrRerank = Q(
     "q_mmr_rerank",
     (spark, dir) => {
@@ -1146,41 +1214,7 @@ object Similarity {
       // plus three greedy rounds reference this 8+ ways, and
       // concurrent stages can each recompute the corpus-sized
       // crossJoin before the cache fills (r8 bench: 9.6-66.6 s reps).
-      val cand = mmrCandidates(spark, dir)
-        .localCheckpoint() // eager: lineage ends here
-      val cp = cand.select(col("q_id"), col("c_id").as("a_id"),
-                           col("cv").as("va"), col("cn").as("na"))
-        .join(cand.select(col("q_id"), col("c_id").as("b_id"),
-                          col("cv").as("vb"), col("cn").as("nb")), "q_id")
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("pen_ppm", graft.model.Money.cents(
-          dot("va", "vb") / (col("na") * col("nb")), 1000000.0))
-        .select(col("q_id"), col("a_id"), col("b_id"), col("pen_ppm"))
-      // each round's sel is re-read three ways by the next round
-      // (penalty join, anti-join, union): checkpoint per round so the
-      // iterative lineage stays flat (the ConnectedComponents gotcha).
-      // All checkpointed frames are queries x (<=8 or <=3) rows.
-      var sel = argmaxPpm(cand.withColumn("score", col("rel_ppm")),
-                          "score", "c_id")
-        .withColumn("rank", lit(1))
-        .localCheckpoint()
-      for (r <- 2 to 3) {
-        val pen = cp.join(sel.select(col("q_id"), col("s_id").as("b_id")),
-                          Seq("q_id", "b_id"))
-          .groupBy(col("q_id"), col("a_id"))
-          .agg(max(col("pen_ppm")).as("pen"))
-          .withColumnRenamed("a_id", "c_id")
-        val scored = cand
-          .join(sel.select(col("q_id"), col("s_id").as("c_id")),
-                Seq("q_id", "c_id"), "left_anti")
-          .join(pen, Seq("q_id", "c_id"))
-          .withColumn("score", col("rel_ppm") - col("pen"))
-        sel = sel.unionByName(
-          argmaxPpm(scored, "score", "c_id").withColumn("rank", lit(r)))
-          .localCheckpoint()
-      }
-      sel.select(col("q_id"), col("rank"), col("s_id"), col("mmr_ppm"))
-        .orderBy(col("q_id"), col("rank"))
+      mmrGreedy(mmrCandidates(spark, dir).localCheckpoint())
     },
     Some(s"""
       WITH q AS (
@@ -1198,7 +1232,14 @@ object Similarity {
                       ORDER BY rel_ppm DESC, c_id) AS rn
           FROM sc)
         WHERE rn <= 8),
-      cp AS (
+      $mmrGreedySqlTail
+    """))
+
+  /** DuckDB replica of [[mmrGreedy]]: the cp + 3-round greedy CTE
+    * chain and final projection, over any preceding `cand(q_id, c_id,
+    * ce, rel_ppm)` CTE. Shared by both MMR oracles so the greedy is
+    * spelled ONCE. */
+  private def mmrGreedySqlTail: String = s"""cp AS (
         SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
                CAST(floor((${dotSql("a.ce", "b.ce")}
                      / (${nrmSql("a.ce")} * ${nrmSql("b.ce")}))
@@ -1242,7 +1283,65 @@ object Similarity {
       SELECT q_id, 1 AS rank, s_id, mmr_ppm FROM s1
       UNION ALL SELECT q_id, 2 AS rank, s_id, mmr_ppm FROM s2
       UNION ALL SELECT q_id, 3 AS rank, s_id, mmr_ppm FROM s3
-      ORDER BY q_id, rank
+      ORDER BY q_id, rank"""
+
+  /** [[mmrRerank]] with the PRODUCTION candidate source: the
+    * multi-probe SRP-LSH index ([[srpProbePairs]]) generates the
+    * candidates instead of the brute-force corpus×queries crossJoin —
+    * the seam the mmr docstring promises, now a registered plan. At
+    * 100 TB the brute-force generator is the dominant term; this
+    * variant probes the index (bucket equi-join, query side pruned
+    * BEFORE the join) and pays only collision-sized work. Still fully
+    * DuckDB-hash-oracled — the SRP "randomness" is md5-derived and
+    * mirrored exactly in SQL ([[srpBkCtesSql]]), so even the ANN
+    * candidate set is deterministic; the greedy is the SHARED
+    * [[mmrGreedy]]/[[mmrGreedySqlTail]], spelled once for both
+    * variants. Candidates per query are whatever the index returns
+    * (recall < 1 vs brute force — DedupSimilaritySpec pins the
+    * floor); top-8 selection uses the same mergeable TopK heap. */
+  val mmrRerankAnn = Q(
+    "q_mmr_rerank_ann",
+    (spark, dir) => {
+      val e = emb(spark, dir)
+      val queries = e.filter(isKnnQuery)
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                col("nrm").as("qnrm"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(8))
+      val pairs = srpProbePairs(spark, dir, Some(isKnnQuery))
+      val cand0 = pairs
+        .join(queries, "q_id")
+        .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv0"),
+                       col("nrm").as("cn0")), "c_id")
+        .withColumn("rel_ppm", graft.model.Money.cents(
+          dot("cv0", "qv") / (col("cn0") * col("qnrm")), 1000000.0))
+        .groupBy(col("q_id"))
+        .agg(topk(col("rel_ppm"), col("c_id")).as("top"))
+        .select(col("q_id"), explode(col("top.items")).as("it"))
+        .select(col("q_id"), col("it._2").as("c_id"), col("it._1").as("rel_ppm"))
+      val cand = cand0.join(
+          e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                   col("nrm").as("cn")), "c_id")
+        .localCheckpoint() // eager — see mmrGreedy's contract
+      mmrGreedy(cand)
+    },
+    Some(s"""
+      WITH $srpBkCtesSql,
+      sc AS (
+        SELECT x.vec_id AS q_id, y.vec_id AS c_id, y.embedding AS ce,
+               CAST(floor((${dotSql("y.embedding", "x.embedding")}
+                     / (${nrmSql("y.embedding")} * ${nrmSql("x.embedding")}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm
+        FROM bk x JOIN bk y
+          ON x.vec_id <> y.vec_id
+         AND ${knnQuerySql("x.vec_id")}
+         AND ($srpCollideSql)),
+      cand AS (
+        SELECT q_id, c_id, ce, rel_ppm FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY rel_ppm DESC, c_id) AS rn
+          FROM sc)
+        WHERE rn <= 8),
+      $mmrGreedySqlTail
     """))
 
   /** Hybrid retrieval via reciprocal-rank fusion: the [[TextOps.bm25]]
@@ -1322,5 +1421,5 @@ object Similarity {
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
       embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf,
-      embedDrift, mmrRerank)
+      embedDrift, mmrRerank, mmrRerankAnn)
 }

@@ -51,6 +51,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below the SRP floor")
   }
 
+  test("ANN-candidate MMR agrees with brute-force MMR on most selections") {
+    // the production-seam contract: swapping the brute-force candidate
+    // generator for the SRP index must leave MOST of the greedy's
+    // selections intact (it can't be all — index recall < 1). Compared
+    // as (q_id, rank) -> s_id maps.
+    def selections(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "s_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = selections(Similarity.mmrRerank.fn(spark, sf))
+    val ann = selections(Similarity.mmrRerankAnn.fn(spark, sf))
+    assert(ann.keySet == brute.keySet, "ANN variant lost whole queries")
+    // SET overlap per query, not positional agreement: the greedy
+    // CASCADES a single candidate miss (a different rank-1 changes the
+    // penalty set, so ranks 2-3 legitimately differ) — positional
+    // agreement measures the cascade, set overlap measures whether the
+    // index surfaced the same material (measured: 0.49 positional vs
+    // 0.60 set overlap at sf0.001 with the 0.70-recall SRP index)
+    val overlap = brute.map { case (q, s) => (s & ann(q)).size.toDouble / s.size }
+    val mean = overlap.sum / overlap.size
+    info(s"ANN-vs-brute MMR mean per-query selection overlap: $mean")
+    // floor below the measurement so a legit param tweak doesn't flap
+    assert(mean >= 0.5, s"overlap $mean below floor")
+  }
+
   test("IVF ANN recall vs exact knn beats the SRP floor") {
     val exact = Similarity.cosineKnn.fn(spark, sf)
       .select("q_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -75,4 +75,42 @@ class FormatsSpec extends SparkSpec {
       s"ORC schema drifted: ${back.schema}")
     assert(canon(back).sameElements(canon(src)), "ORC round-trip diverged")
   }
+
+  /** The driver REGENERATES testdata between rounds and the physical
+    * timestamp type has already changed once (TIMESTAMP(NANOS) ≤ r8 →
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false in r9). Tables.events
+    * must normalize every generation to µs TimestampType with the
+    * same values — this pins all three forms so the next regeneration
+    * fails HERE, loudly, instead of as a fleet-wide
+    * DATATYPE_MISMATCH. */
+  test("Tables.events normalizes all three ts generations to identical µs timestamps") {
+    val cur = graft.model.Tables.events(spark, sf).limit(200)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+    assert(cur.schema("ts").dataType == TimestampType,
+      s"current fixture did not normalize: ${cur.schema("ts").dataType}")
+    val want = cur.select(col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(_.mkString("|")).sorted
+
+    def loaderSees(transformed: DataFrame): Array[String] = {
+      val dir = tmp()
+      transformed.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val back = graft.model.Tables.events(spark, dir)
+      assert(back.schema("ts").dataType == TimestampType,
+        s"loader emitted ${back.schema("ts").dataType}")
+      back.select(col("event_id"), expr("unix_micros(ts)"))
+        .collect().map(_.mkString("|")).sorted
+    }
+    // ≤r8 generation: raw int64 nanoseconds (what TIMESTAMP(NANOS)
+    // surfaces as under the legacy nanosAsLong conf)
+    val nanos = loaderSees(cur.withColumn("ts", expr("unix_micros(ts) * 1000")))
+    assert(nanos.sameElements(want), "nanos-as-long generation diverged")
+    // r9 generation: TIMESTAMP_NTZ micros (isAdjustedToUTC=false)
+    val ntzed = loaderSees(cur.withColumn("ts", col("ts").cast("timestamp_ntz")))
+    assert(ntzed.sameElements(want), "NTZ-micros generation diverged")
+    // hypothetical future generation: instant-semantics micros
+    // (isAdjustedToUTC=true) — the pass-through arm
+    val tzed = loaderSees(cur)
+    assert(tzed.sameElements(want), "TZ-micros generation diverged")
+  }
 }

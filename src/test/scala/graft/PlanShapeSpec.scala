@@ -434,6 +434,34 @@ class PlanShapeSpec extends SparkSpec {
       s"Q2 fell back to all-pairs:\n$plan")
   }
 
+  test("Q6 forecast revenue: single scan, range predicates pushed, no join") {
+    val plan = executedPlan(Relational.forecastRevenue.fn(spark, sf))
+    assert(!plan.contains("Join"), s"Q6 joined:\n$plan")
+    assert(plan.contains("PushedFilters: [") &&
+      (plan.contains("LessThan(l_quantity") || plan.contains("l_discount")),
+      s"range predicates not pushed to the scan:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final aggregate pair:\n$plan")
+  }
+
+  test("Q16 supplier counts: NOT IN is a broadcast anti join, never a collected set") {
+    val plan = executedPlan(Relational.supplierCounts.fn(spark, sf))
+    assert(plan.contains("LeftAnti"), s"exclusion not an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q16 fell back to all-pairs:\n$plan")
+  }
+
+  test("Q9 nation profit: star dims broadcast, fact shuffles only for the final aggregate") {
+    val plan = executedPlan(Relational.nationProfit.fn(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected part+supplier broadcast joins, got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact-side sort-merge crept into the star join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"fact should shuffle ONCE (the group-by), got $ex:\n$plan")
+  }
+
   test("Q21 waiting supplier: EXISTS/NOT EXISTS are semi/anti equi-joins on the order key") {
     val plan = executedPlan(Relational.waitingSupplier.fn(spark, sf))
     assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
