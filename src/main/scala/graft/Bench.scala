@@ -107,9 +107,16 @@ object Bench {
     val detail = raw.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // box load (1/5/15-min averages) at run end: the r8 "+27% fleet
+    // drift" took a round to attribute to a loaded box — record the
+    // evidence in the artifact so the next drift call is one read
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "null" }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out.replaceAll("\\.json$", "") + "_detail.json"),
-      s"""{"reps":$reps,"sf":"$sfDir","runs":$detail}""" + "\n")
+      s"""{"reps":$reps,"sf":"$sfDir","loadavg_end":$loadavg,"runs":$detail}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }
