@@ -1004,9 +1004,52 @@ object Dedup {
                     JOIN sig b ON pr.doc_b = b.doc_id
     """))
 
+  /** Cross-SOURCE contamination matrix: near-dup pair counts between
+    * document sources — the dataset-governance view of the pair set
+    * ("how much does crawlA duplicate crawlB?" drives dataset mixing
+    * and dedup-order decisions in an LLM pipeline). Composes the
+    * verified [[jaccardPairs]] generator (single-sourced — threshold
+    * and rounding cannot drift from the dedup queries) with two
+    * doc→source lookups; the (least, greatest) normalization makes
+    * the matrix upper-triangular so each unordered source pair counts
+    * once. The similarity mass is an exact BIGINT ppm sum. At 100 TB
+    * the pair set is orders smaller than the corpus, so the two
+    * source joins shuffle pair-sized data; the matrix itself is
+    * #sources² rows. */
+  val sourceOverlap = Q(
+    "q_source_overlap",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val e = withShingles(docs)
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val src = docs.select(col("doc_id"), col("source"))
+      jaccardPairs(e)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+                greatest(col("sa"), col("sb")).as("src_b"),
+                col("jaccard"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("jaccard")).as("sum_jaccard_ppm"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")}
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b,
+             count(*) AS n_pairs,
+             CAST(sum(jaccard) AS BIGINT) AS sum_jaccard_ppm
+      FROM pairs
+        JOIN documents da ON doc_a = da.doc_id
+        JOIN documents db ON doc_b = db.doc_id
+      GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
     dupPagerank, decontaminate, overlapProfile, dedupApply, exactSubstring,
-    fuzzy, shingleNovelty, minhashEstimate, dupTriangles)
+    fuzzy, shingleNovelty, minhashEstimate, dupTriangles, sourceOverlap)
 }
