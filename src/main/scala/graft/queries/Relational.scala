@@ -14,8 +14,9 @@ import graft.model.Money.{cents, centsSql}
   *  - money is emitted as BIGINT integer cents ([[graft.model.Money]]) —
   *    exact, association-order independent, and free of the cross-engine
   *    DECIMAL representation divergence that plagued decimal outputs;
-  *  - raw event timestamps are nanosecond parquet; oracles CAST to
-  *    microsecond TIMESTAMP to match Spark's TimestampType;
+  *  - event timestamps normalize to microsecond TimestampType via
+  *    [[graft.model.Tables.events]] (the physical parquet type varies
+  *    by testdata generation); oracles CAST to TIMESTAMP to match;
   *  - every top-k has a total tie-break order.
   */
 object Relational {
