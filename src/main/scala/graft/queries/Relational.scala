@@ -1537,6 +1537,43 @@ object Relational {
       GROUP BY 1, 2
     """))
 
+  /** TPC-H Q13 shape (customer order-count distribution): the LEFT
+    * OUTER join whose right-side predicate lives INSIDE the join
+    * condition — the NOT LIKE must filter orders without dropping
+    * order-less customers (moving it to a WHERE turns the outer join
+    * inner and silently loses the zero-order bucket, the classic Q13
+    * trap). The fixture has no o_comment, so the NOT LIKE runs on
+    * o_orderpriority (excludes '4-NOT SPECIFIED'). Spark-first:
+    * Catalyst pushes the single-side join condition below the outer
+    * join into the orders scan, both sides shuffle once on the
+    * customer key, and both aggregations are partial+final hash-agg
+    * pairs — the second over at most max-orders-per-customer rows.
+    * Completes the 22-shape classic join-plan curriculum. */
+  val orderCountDist = Q(
+    "q_order_count_dist",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir).select(col("c_custkey"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+                !col("o_orderpriority").like("%SPECIFIED%"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority NOT LIKE '%SPECIFIED%'
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """))
+
   def all: Seq[Q] = Seq(
     windowCount, windowDistinctUsers, pricingSummary, filterPushdown,
     joinStar, broadcastBrand, semiJoin, antiJoin, outerJoinHistogram,
@@ -1547,5 +1584,5 @@ object Relational {
     nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue,
     priorityCheck, idleRich, minCostSupplier, importantParts, topSupplier,
     waitingSupplier, forecastRevenue, lateLines, supplierCounts,
-    dominantSupplier, marketShare, nationProfit)
+    dominantSupplier, marketShare, nationProfit, orderCountDist)
 }

@@ -687,6 +687,138 @@ object Similarity {
       FROM ve GROUP BY label
     """))
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: pqM subspaces of dim/pqM dims, pqK codebook entries
+    * per subspace — a vector stores as pqM 4-bit codes (2 bytes at
+    * 4x16) instead of 64 float doubles, the ~256x compression the
+    * serving tier of an ANN index needs at 100 TB. */
+  private val pqM = 4
+  private val pqK = 16
+  /** Subspace width. The oracle SQL bakes this in (range bounds,
+    * slice offsets), so the Spark side REQUIRES dim == pqM * pqSub
+    * instead of silently adapting to a different embedding width. */
+  private val pqSub = 16
+
+  /** The PQ codebook: per subspace, the [[pqK]] seed unit-vector
+    * SLICES, seeds = the pqK corpus vectors with smallest
+    * md5(vec_id) — the same deterministic seeding [[semCells]] and
+    * [[ivfTrain]] use. Seed-only (no Lloyd refinement) is a
+    * deliberate trade: codebook QUALITY improves with per-subspace
+    * Lloyd steps (the [[ivfTrain]] recipe applied slice-wise — the
+    * production upgrade seam, exactly like [[semCells]]' one exact
+    * step), but the contract under test is the ENCODE/serving path —
+    * code assignment, exact error accounting, ADC lookups — and
+    * seed-only keeps every arithmetic step cheaply SQL-mirrorable so
+    * that path stays hash-oracled instead of settling for a recall
+    * contract. Only pqK x dim doubles (a few KB) reach the driver. */
+  private def pqSeeds(u: DataFrame): Array[Array[Double]] = {
+    val seeds = u
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(pqK)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == pqK,
+      s"pqSeeds: corpus holds ${seeds.length} vectors but pqK=$pqK codes requested")
+    seeds
+  }
+
+  /** Squared L2 distance (ppm BIGINT) between subspace `s` of the unit
+    * column `u` and the same slice of codebook seed `j`: per-dim
+    * products reduce in a LEFT fold in array order — the same order as
+    * the oracle's list_reduce — and the subspace sum ppm-floors ONCE,
+    * so the BIGINT is bit-identical cross-engine. */
+  private def pqDist2Ppm(seeds: Array[Array[Double]], sub: Int, s: Int, j: Int): Column = {
+    val terms = (0 until sub).map { i =>
+      val d = element_at(col("u"), s * sub + i + 1) - lit(seeds(j)(s * sub + i))
+      d * d
+    }
+    floor(terms.reduce(_ + _) * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** Per-subspace assignment as a packed-long argmin:
+    * pk = d2ppm * pqK + j, min over j — ties break toward the
+    * smallest code id on both engines. d2ppm <= 4e6 (unit-vector
+    * slices), so the pack stays far inside BIGINT. */
+  private def pqCodePack(seeds: Array[Array[Double]], sub: Int, s: Int): Column =
+    least((0 until pqK).map(j => pqDist2Ppm(seeds, sub, s, j) * pqK + lit(j)): _*)
+
+  /** PQ encode + exact reconstruction accounting (Jégou, Douze,
+    * Schmid 2011, "Product quantization for nearest neighbor search",
+    * IEEE TPAMI 33(1)): every unit vector is assigned its nearest
+    * codebook entry per subspace; the query reports, per label, the
+    * corpus size, how many DISTINCT packed codes the label occupies
+    * (the collision structure — how much of the 16^4 code space this
+    * data actually uses), and the total/max per-vector squared
+    * reconstruction error in exact ppm BIGINTs.
+    *
+    * 100 TB shape: the codebook is LITERAL-INLINED (pqM x pqK x
+    * dim/pqM doubles — a true constant), so encoding is one
+    * codegen'd map-side pass over one corpus scan — NO join, no
+    * shuffle before the final per-label aggregate; candidate plans
+    * that join a codebook table per (vector, subspace, code) pay a
+    * pqM*pqK-way row explosion for nothing. Same argmin-pack
+    * discipline as [[semCells]]; same literal-inlining ceiling
+    * (pqM*pqK = 64 packed exprs, far under the ~4096 codegen limit).
+    * Per-vector ppm error arithmetic is exact, so cross-row sums are
+    * association-order independent — oracle-safe at any parallelism. */
+  val pqEncode = Q(
+    "q_pq_encode",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val u = e.select(col("vec_id"), col("label"),
+        expr("transform(vd, x -> x / nrm)").as("u"))
+      val seeds = pqSeeds(u)
+      require(seeds(0).length == pqM * pqSub,
+        s"q_pq_encode: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
+          s"embedding dim is ${seeds(0).length}")
+      val packs = (0 until pqM).map(s => pqCodePack(seeds, pqSub, s).as(s"pk$s"))
+      val enc = u.select(col("vec_id") +: col("label") +: packs: _*)
+      // pk div pqK recovers the subspace error; remainders concatenate
+      // into the 16-bit packed code (4 bits per subspace, s=0 highest)
+      val recon = (0 until pqM).map(s => shiftright(col(s"pk$s"), 4)).reduce(_ + _)
+      val code = (0 until pqM).map(s =>
+        pmod(col(s"pk$s"), lit(pqK.toLong)) * lit(1L << (4 * (pqM - 1 - s)))).reduce(_ + _)
+      enc
+        .withColumn("recon_ppm", recon)
+        .withColumn("code_id", code)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             countDistinct(col("code_id")).as("n_codes"),
+             sum(col("recon_ppm")).as("total_recon_ppm"),
+             max(col("recon_ppm")).as("max_recon_ppm"))
+    },
+    Some(s"""
+      WITH uu AS (
+        SELECT vec_id, label,
+               list_transform(range(1, len(embedding) + 1),
+                              i -> embedding[i]::DOUBLE / nr) AS u
+        FROM (SELECT vec_id, label, embedding, ${nrmSql("embedding")} AS nr
+              FROM embeddings)),
+      sd AS (SELECT u AS su, s FROM (
+               SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
+               FROM uu)
+             WHERE s < $pqK),
+      d AS (SELECT vec_id, label, sp.s AS sp, sd.s AS j,
+              CAST(floor(list_reduce(
+                     list_transform(range(1, ${pqSub + 1}),
+                       i -> (u[sp.s * $pqSub + i] - su[sp.s * $pqSub + i])
+                          * (u[sp.s * $pqSub + i] - su[sp.s * $pqSub + i])),
+                     (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT) AS d2ppm
+            FROM uu, sd, (SELECT unnest(range(0, $pqM)) AS s) sp),
+      ck AS (SELECT vec_id, label, sp, min(d2ppm * $pqK + j) AS pk
+             FROM d GROUP BY 1, 2, 3),
+      v AS (SELECT vec_id, label,
+              CAST(sum(pk // $pqK) AS BIGINT) AS recon_ppm,
+              CAST(sum((pk % $pqK) * CASE sp WHEN 0 THEN 4096 WHEN 1 THEN 256
+                                             WHEN 2 THEN 16 ELSE 1 END) AS BIGINT) AS code_id
+            FROM ck GROUP BY 1, 2)
+      SELECT label, count(*) AS n_vecs,
+             count(DISTINCT code_id) AS n_codes,
+             CAST(sum(recon_ppm) AS BIGINT) AS total_recon_ppm,
+             max(recon_ppm) AS max_recon_ppm
+      FROM v GROUP BY label
+    """))
+
   /** SemDeDup-style embedding outliers (Abbas et al. 2023 use
     * centroid distance WITHIN clusters to drop semantic duplicates
     * near the centroid / keep informative outliers): distance of each
@@ -1430,6 +1562,6 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, embedOutliers, embedDedup, hardNegatives, hybridRrf,
+      embedQuantize, pqEncode, embedOutliers, embedDedup, hardNegatives, hybridRrf,
       embedDrift, mmrRerank, mmrRerankAnn)
 }

@@ -462,6 +462,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex == 1, s"fact should shuffle ONCE (the group-by), got $ex:\n$plan")
   }
 
+  test("pq encode: literal codebook, map-only assignment — no join before the label agg") {
+    val plan = executedPlan(graft.queries.Similarity.pqEncode.fn(spark, sf))
+    // a codebook JOINED per (vector, subspace, code) would explode the
+    // corpus 64x; the literal-inlined argmin keeps encoding map-side
+    assert(!plan.contains("Join"), s"pq encode joined a codebook table:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final aggregate:\n$plan")
+  }
+
+  test("Q13 order-count distribution: ON-clause filter pushed below the outer join") {
+    val plan = executedPlan(Relational.orderCountDist.fn(spark, sf))
+    // the right-side NOT LIKE must sink below the LEFT join into the
+    // orders scan (filtering there is free; filtering after the join
+    // would also be WRONG — it drops the zero-order customers)
+    // matches both the parquet PushedFilters spelling
+    // (Not(StringContains(...))) and a scan-side Filter (NOT Contains(...))
+    assert(plan.contains("Contains(o_orderpriority"),
+      s"priority NOT LIKE not pushed below the join to the orders side:\n$plan")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"outer join lost:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q13 fell back to all-pairs:\n$plan")
+    // both aggregations partial+final
+    val n = "HashAggregate".r.findAllIn(plan).size
+    assert(n >= 4, s"expected two partial+final aggregate pairs, got $n:\n$plan")
+  }
+
   test("Q21 waiting supplier: EXISTS/NOT EXISTS are semi/anti equi-joins on the order key") {
     val plan = executedPlan(Relational.waitingSupplier.fn(spark, sf))
     assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
