@@ -26,6 +26,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_cosine_topk" -> "crossJoin(broadcast(single query vector)): 1-row build side",
       "q_ann_ivf" -> "exact-kNN reference side: crossJoin capped by knnQueryIdCap",
       "q_hard_negatives" -> "crossJoin(broadcast(queries)): capped query side",
+      "q_ann_pq" -> "crossJoins(broadcast(queries)): both the ADC rescan and the exact-kNN reference side are capped by knnQueryIdCap",
       "q_embed_neardup" -> "label-blocked pair join (fixture variant; _lsh sibling is the scale path)",
       "q_bm25" -> "crossJoin(broadcast(1-row corpus stats))",
       "q_chunk_overlap" -> "crossJoin(broadcast(1-row layout params))",
@@ -469,6 +470,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"pq encode joined a codebook table:\n$plan")
     val n = "HashAggregate".r.findAllIn(plan).size
     assert(n >= 2, s"expected partial+final aggregate:\n$plan")
+  }
+
+  test("ann pq: ADC shortlist via partial TopK heap, no window sort, no codebook join") {
+    val plan = executedPlan(graft.queries.Similarity.annPq.fn(spark, sf))
+    // the 64-deep shortlist must be the mergeable heap (map-side
+    // partials), never a per-query row_number window over the rescan
+    assert(plan.contains("partial_topk"),
+      s"ADC shortlist not a partial TopK aggregation:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window sort crept into the PQ serving plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in PQ serving plan:\n$plan")
   }
 
   test("Q13 order-count distribution: ON-clause filter pushed below the outer join") {
