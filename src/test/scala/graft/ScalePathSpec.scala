@@ -59,6 +59,56 @@ class ScalePathSpec extends SparkSpec {
       "pruned listing still contains non-en files")
   }
 
+  test("AQE splits a skewed join partition at runtime (the built-in complement to salting)") {
+    // q_salted_join spreads a hot key MANUALLY (compile-time salt);
+    // AQE's skew-join is the runtime complement: after the shuffle,
+    // one oversized partition is split into multiple tasks and the
+    // other side's matching partition is replicated. Thresholds are
+    // lowered so fixture-scale skew triggers the same mechanism a hot
+    // key would at 100 TB — what's under test is that the engine's
+    // session leaves AQE ON and the mechanism actually fires, not the
+    // thresholds themselves.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force a shuffle join: a broadcast dim would dodge the skew path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      // 150k of 200k fact rows land on key 0, with an INCOMPRESSIBLE
+      // ~96-byte payload (md5 hex — repeated literals would lz4 away
+      // under the size threshold): one shuffle partition carries ~10
+      // MB while the median carries a few hundred KB
+      val fact = spark.range(0, 200000).select(
+        when($"id" < 150000, 0L).otherwise(pmod($"id", lit(100L))).as("k"),
+        concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+               md5(($"id" + 2).cast("string"))).as("payload"))
+      val dim = spark.range(0, 100).select($"id".as("k"),
+        concat(lit("name_"), $"id".cast("string")).as("name"))
+      val j = fact.join(dim, "k")
+      // collect() executes THIS frame's QueryExecution (a write or
+      // count() builds a fresh one whose adaptive plan never
+      // finalizes), so the skew markers are visible afterwards
+      assert(j.collect().length === 200000, "skew-split join lost or duplicated rows")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("windowed aggregation runs on the RocksDB state store") {
     val in = MemoryStream[String]
     val counts = P.windowedCounts(P.parse(in.toDF()))
