@@ -722,25 +722,48 @@ object Similarity {
     seeds
   }
 
+  /** Pre-projects the per-subspace slices (`us0..`) and their squared
+    * norms (`usq0..`) in two selects, so every one of the pqK codebook
+    * distances reuses them instead of re-deriving 16 element lookups
+    * per (subspace, code). The first unrolled formulation — 64 inline
+    * 16-term (u-c)^2 chains — built a ~5k-node Catalyst tree whose
+    * analysis + janino compile dominated the query (16 s first rep,
+    * 3.5 s steady at sf0.1, all plan-time); with slices + the
+    * codegen'd [[graft.functions.DotProduct]] the tree is ~10x
+    * smaller and the per-pair kernel is a tight primitive loop. */
+  private def pqSlices(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val sl = (0 until pqM).map(s => slice(col("u"), s * pqSub + 1, pqSub).as(s"us$s"))
+    val d1 = df.select(keep.map(col) ++ Seq(col("u")) ++ sl: _*)
+    val sq = (0 until pqM).map(s => dotp(col(s"us$s"), col(s"us$s")).as(s"usq$s"))
+    d1.select(keep.map(col) ++ Seq(col("u")) ++
+      (0 until pqM).map(n => col(s"us$n")) ++ sq: _*)
+  }
+
   /** Squared L2 distance (ppm BIGINT) between subspace `s` of the unit
-    * column `u` and the same slice of codebook seed `j`: per-dim
-    * products reduce in a LEFT fold in array order — the same order as
-    * the oracle's list_reduce — and the subspace sum ppm-floors ONCE,
-    * so the BIGINT is bit-identical cross-engine. */
-  private def pqDist2Ppm(seeds: Array[Array[Double]], sub: Int, s: Int, j: Int): Column = {
-    val terms = (0 until sub).map { i =>
-      val d = element_at(col("u"), s * sub + i + 1) - lit(seeds(j)(s * sub + i))
-      d * d
-    }
-    floor(terms.reduce(_ + _) * lit(1000000.0) + lit(0.5)).cast("long")
+    * vector (as its [[pqSlices]] columns) and the same slice of
+    * codebook seed `j`, via the dot identity d2 = |u|^2 - 2 u.c +
+    * |c|^2: the row-side |u|^2 is computed once per (row, subspace),
+    * the codebook-side |c|^2 folds DRIVER-side in the same left fold
+    * as the oracle's list_reduce, and the cross term is one codegen'd
+    * dot. The ppm floor happens ONCE per subspace on the identical
+    * double both engines derive, so the BIGINT stays bit-identical
+    * cross-engine (the oracle spells the same identity — both sides
+    * changed together when the unrolled (u-c)^2 form was retired). */
+  private def pqDist2Ppm(seeds: Array[Array[Double]], s: Int, j: Int): Column = {
+    val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
+    // 0.0 + x1 == x1 exactly, so the init matches list_reduce's
+    // first-element start
+    val csq = cs.foldLeft(0.0)((a, x) => a + x * x)
+    floor((col(s"usq$s") - lit(2.0) * dotp(col(s"us$s"), typedLit(cs.toSeq)) + lit(csq))
+      * lit(1000000.0) + lit(0.5)).cast("long")
   }
 
   /** Per-subspace assignment as a packed-long argmin:
     * pk = d2ppm * pqK + j, min over j — ties break toward the
     * smallest code id on both engines. d2ppm <= 4e6 (unit-vector
     * slices), so the pack stays far inside BIGINT. */
-  private def pqCodePack(seeds: Array[Array[Double]], sub: Int, s: Int): Column =
-    least((0 until pqK).map(j => pqDist2Ppm(seeds, sub, s, j) * pqK + lit(j)): _*)
+  private def pqCodePack(seeds: Array[Array[Double]], s: Int): Column =
+    least((0 until pqK).map(j => pqDist2Ppm(seeds, s, j) * pqK + lit(j)): _*)
 
   /** DuckDB CTE chain mirroring [[pqSeeds]] + [[pqCodePack]] exactly:
     * defines `ck(vec_id, label, sp, pk)` — per (vector, subspace) the
@@ -758,13 +781,22 @@ object Similarity {
                SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
                FROM uu)
              WHERE s < $pqK),
-      d AS (SELECT vec_id, label, sp.s AS sp, sd.s AS j,
-              CAST(floor(list_reduce(
+      uq AS (SELECT vec_id, label, u, sp.s AS sp,
+                    list_reduce(list_transform(range(1, ${pqSub + 1}),
+                      i -> u[sp.s * $pqSub + i] * u[sp.s * $pqSub + i]),
+                      (x, y) -> x + y) AS usq
+             FROM uu, (SELECT unnest(range(0, $pqM)) AS s) sp),
+      sq AS (SELECT sd.s AS j, sp.s AS sp, su,
+                    list_reduce(list_transform(range(1, ${pqSub + 1}),
+                      i -> su[sp.s * $pqSub + i] * su[sp.s * $pqSub + i]),
+                      (x, y) -> x + y) AS csq
+             FROM sd, (SELECT unnest(range(0, $pqM)) AS s) sp),
+      d AS (SELECT vec_id, label, uq.sp AS sp, j,
+              CAST(floor((usq - 2.0 * list_reduce(
                      list_transform(range(1, ${pqSub + 1}),
-                       i -> (u[sp.s * $pqSub + i] - su[sp.s * $pqSub + i])
-                          * (u[sp.s * $pqSub + i] - su[sp.s * $pqSub + i])),
-                     (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT) AS d2ppm
-            FROM uu, sd, (SELECT unnest(range(0, $pqM)) AS s) sp),
+                       i -> u[uq.sp * $pqSub + i] * su[uq.sp * $pqSub + i]),
+                     (x, y) -> x + y) + csq) * 1000000.0 + 0.5) AS BIGINT) AS d2ppm
+            FROM uq JOIN sq ON uq.sp = sq.sp),
       ck AS (SELECT vec_id, label, sp, min(d2ppm * $pqK + j) AS pk
              FROM d GROUP BY 1, 2, 3)"""
 
@@ -797,8 +829,9 @@ object Similarity {
       require(seeds(0).length == pqM * pqSub,
         s"q_pq_encode: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
           s"embedding dim is ${seeds(0).length}")
-      val packs = (0 until pqM).map(s => pqCodePack(seeds, pqSub, s).as(s"pk$s"))
-      val enc = u.select(col("vec_id") +: col("label") +: packs: _*)
+      val packs = (0 until pqM).map(s => pqCodePack(seeds, s).as(s"pk$s"))
+      val enc = pqSlices(u, Seq("vec_id", "label"))
+        .select(col("vec_id") +: col("label") +: packs: _*)
       // pk div pqK recovers the subspace error; remainders concatenate
       // into the 16-bit packed code (4 bits per subspace, s=0 highest)
       val recon = (0 until pqM).map(s => shiftright(col(s"pk$s"), 4)).reduce(_ + _)
@@ -874,19 +907,27 @@ object Similarity {
       require(seeds(0).length == pqM * pqSub,
         s"q_ann_pq: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
           s"embedding dim is ${seeds(0).length}")
-      // the compressed corpus: pqM 4-bit codes per vector, map-only
-      val codes = u.select(col("vec_id").as("c_id") +:
+      val up = pqSlices(u, Seq("vec_id"))
+      // the compressed corpus: pqM 4-bit codes per vector, map-only.
+      // MATERIALIZED (eager checkpoint): in production the codes table
+      // IS the stored index, not a per-query computation — and live,
+      // its 64-dot projection sits on the stream side of the
+      // BroadcastNestedLoopJoin below, whose codegen defers non-
+      // condition stream variables into the per-build-row loop: the
+      // encode ran once per PAIR, 90 s instead of ~2 s at sf0.1
+      // (measured; the srpProbePairs lesson in its BNLJ guise)
+      val codes = up.select(col("vec_id").as("c_id") +:
         (0 until pqM).map(s =>
-          pmod(pqCodePack(seeds, pqSub, s), lit(pqK.toLong)).as(s"c$s")): _*)
+          pmod(pqCodePack(seeds, s), lit(pqK.toLong)).as(s"c$s")): _*)
+        .localCheckpoint(true)
       // per-query LUT: ppm dot of query slice s with codebook entry j,
       // laid out s-major so the lookup index is s*pqK + code + 1
       def lutPpm(s: Int, j: Int): Column = {
-        val terms = (0 until pqSub).map { i =>
-          element_at(col("u"), s * pqSub + i + 1) * lit(seeds(j)(s * pqSub + i))
-        }
-        floor(terms.reduce(_ + _) * lit(1000000.0) + lit(0.5)).cast("long")
+        val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
+        floor(dotp(col(s"us$s"), typedLit(cs.toSeq)) * lit(1000000.0) + lit(0.5))
+          .cast("long")
       }
-      val qs = u.filter(isKnnQuery)
+      val qs = up.filter(isKnnQuery)
         .select(col("vec_id").as("q_id"),
           array((for (s <- 0 until pqM; j <- 0 until pqK) yield lutPpm(s, j)): _*).as("lut"))
       val adc = (0 until pqM).map(s =>
