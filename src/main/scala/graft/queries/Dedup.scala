@@ -802,9 +802,14 @@ object Dedup {
     "q_dup_pagerank",
     (spark, dir) => {
       val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      // EAGER checkpoint, not lazy persist: the one action's DAG reads
+      // edges 4 ways (degree pass + 3 iterations) and the scheduler
+      // races them against the cache fill — the lazy form recomputed
+      // the Jaccard pair generator up to 4x, a 2.6 s / 9.6 s bimodal
+      // bench (the mmr/PQ stampede class). Tiny frame (pair set).
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist() // 3 iterations + degree pass read it; tiny (pair set)
+        .localCheckpoint(true)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
