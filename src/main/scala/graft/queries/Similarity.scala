@@ -41,16 +41,20 @@ object Similarity {
     * of the same 6dp decimal. Input needs columns (grp, id, sim);
     * output is (grp, nn_id, sim). */
   private val idSpace = 1L << 42
+  /** The packed (sim, id) long behind [[top1Packed]], exposed so
+    * multi-argmax aggregates ([[matryoshka]]: four widths in ONE
+    * groupBy) can share the exact same encoding and guard. */
+  private def packSimId(sim: Column, id: Column): Column =
+    // loud guard instead of silent wrap: an id outside [0, 2^42) would
+    // corrupt the packed argmax (nn_id aliases another vector); the
+    // branch is codegen'd and costs one comparison per row
+    when(id >= 0 && id < idSpace,
+      (round(sim * 1e6).cast("long") + 1000000L) * idSpace +
+      (lit(idSpace - 1) - id))
+    .otherwise(raise_error(concat(
+      lit(s"top1Packed: id out of [0, $idSpace): "), id.cast("string"))))
   private def top1Packed(df: DataFrame, grp: String, id: String): DataFrame =
-    df.withColumn("pack",
-        // loud guard instead of silent wrap: an id outside [0, 2^42) would
-        // corrupt the packed argmax (nn_id aliases another vector); the
-        // branch is codegen'd and costs one comparison per row
-        when(col(id) >= 0 && col(id) < idSpace,
-          (round(col("sim") * 1e6).cast("long") + 1000000L) * idSpace +
-          (lit(idSpace - 1) - col(id)))
-        .otherwise(raise_error(concat(
-          lit(s"top1Packed: id out of [0, $idSpace): "), col(id).cast("string")))))
+    df.withColumn("pack", packSimId(col("sim"), col(id)))
       .groupBy(col(grp))
       .agg(max(col("pack")).as("pack"))
       .select(col(grp),
@@ -1742,8 +1746,110 @@ object Similarity {
       LIMIT 10
     """))
 
+  /** Matryoshka truncation audit: does the exact nearest neighbor
+    * survive truncating embeddings to their first 8/16/32 of 64
+    * dimensions? MRL-trained encoders (Kusupati et al. 2022) order
+    * information so dim-prefixes remain usable — serving then stores
+    * and searches the prefix at a fraction of the cost. This query
+    * measures what that buys on THIS corpus: per truncation width, how
+    * many of the capped kNN query subset keep their full-dim top-1
+    * under prefix cosine, and the summed 6dp prefix similarity of the
+    * winners (the margin mass). On the uniform-random fixture the hit
+    * counts are fixture constants (like [[annPq]]'s) — random vectors
+    * have no dim ordering, so recall is the noise floor a real MRL
+    * encoder must beat.
+    *
+    * Scale design: the prefix slices and their norms are computed once
+    * per vector and eagerly materialized ([[DataFrame.localCheckpoint]])
+    * BEFORE the pair join — at serving scale the truncated vectors ARE
+    * the stored index, and materializing dodges the BNLJ stream-side
+    * deferral that would re-slice per PAIR (the q_ann_pq lesson,
+    * NOTES.md). Pair scan is one crossJoin against the broadcast
+    * [[knnQueryIdCap]]-bounded query side computing all four widths per
+    * pair (120 mults, codegen'd [[graft.functions.DotProduct]]); the
+    * per-(query, width) argmax is the [[top1Packed]] hash aggregate on
+    * a packed group key, so the whole audit is scan → generate → one
+    * map-side-combined aggregate. */
+  private val mrlDims = Seq(8, 16, 32, 64)
+
+  val matryoshka = Q(
+    "q_matryoshka",
+    (spark, dir) => {
+      // per-vector prefix slices + norms, materialized once (the
+      // "stored truncated index"); n64/v64 reuse the full-width cols
+      val base = mrlDims.init.foldLeft(
+          emb(spark, dir).select(col("vec_id"), col("vd").as("v64"),
+                                 col("nrm").as("n64"))) { (d, k) =>
+          d.withColumn(s"v$k", slice(col("v64"), 1, k))
+           .withColumn(s"n$k", l2norm(col(s"v$k")))
+        }.localCheckpoint()
+      val queries = broadcast(base.filter(isKnnQuery).select(
+        col("vec_id").as("q_id") +: mrlDims.flatMap(k =>
+          Seq(col(s"v$k").as(s"qv$k"), col(s"n$k").as(s"qn$k"))): _*))
+      // all four widths argmax in ONE groupBy over the pair scan: four
+      // packed (sim, id) max columns instead of a 4x explode + regroup
+      // + winners self-join (which would rescan the pairs or need its
+      // own checkpoint) — the pair set is touched exactly once
+      val packs = mrlDims.map { k =>
+        max(packSimId(
+          round(dotp(col(s"v$k"), col(s"qv$k")) / (col(s"n$k") * col(s"qn$k")), 6),
+          col("vec_id"))).as(s"p$k") }
+      val winners = base.crossJoin(queries)
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"))
+        .agg(packs.head, packs.tail: _*)
+      // decode: low 42 bits carry (2^42-1 - nn_id); high bits carry
+      // round(sim*1e6)+1e6 — the ppm integer the output sums directly
+      def nnAt(k: Int): Column = lit(idSpace - 1) - pmod(col(s"p$k"), lit(idSpace))
+      def ppmAt(k: Int): Column = shiftright(col(s"p$k"), 42) - 1000000L
+      winners.select(explode(array(mrlDims.init.map(k => struct(
+          lit(k).as("dim"),
+          (nnAt(k) === nnAt(64)).cast("long").as("hit"),
+          ppmAt(k).as("ppm"))): _*)).as("x"))
+        .select(col("x.dim").as("dim"), col("x.hit").as("hit"),
+                col("x.ppm").as("ppm"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hit")).as("n_hits"),
+             sum(col("ppm")).as("sum_sim_ppm"))
+        .orderBy(col("dim"))
+    },
+    Some {
+      def simAt(k: Int) =
+        s"""round(${dotSql(s"v$k", s"qv$k")} / (n$k * qn$k), 6)"""
+      val prefixCols = mrlDims.map(k =>
+        if (k == 64) "embedding AS v64"
+        else s"embedding[1:$k] AS v$k").mkString(", ")
+      val normCols = mrlDims.map(k =>
+        s"${nrmSql(s"v$k")} AS n$k").mkString(", ")
+      val qCols = mrlDims.map(k => s"v$k AS qv$k, n$k AS qn$k").mkString(", ")
+      val simSelects = mrlDims.map(k => s"""
+        SELECT q.q_id, n.vec_id, $k AS dim, ${simAt(k)} AS sim
+        FROM n, q WHERE n.vec_id <> q.q_id""").mkString(" UNION ALL")
+      s"""
+      WITH b AS (SELECT vec_id, $prefixCols FROM embeddings),
+      n AS (SELECT *, $normCols FROM b),
+      q AS (SELECT vec_id AS q_id, $qCols FROM n
+            WHERE ${knnQuerySql("vec_id")}),
+      sims AS ($simSelects),
+      top AS (
+        SELECT q_id, dim, vec_id AS nn_id, sim FROM (
+          SELECT q_id, dim, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id, dim
+                                    ORDER BY sim DESC, vec_id) AS rn
+          FROM sims) WHERE rn = 1)
+      SELECT t.dim, count(*) AS n_queries,
+             CAST(sum(CASE WHEN t.nn_id = f.nn_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+             CAST(sum(CAST(floor(t.sim * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_sim_ppm
+      FROM top t JOIN top f ON f.q_id = t.q_id AND f.dim = 64
+      WHERE t.dim < 64
+      GROUP BY t.dim ORDER BY t.dim
+      """
+    })
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
       embedQuantize, pqEncode, annPq, embedOutliers, embedDedup, hardNegatives, hybridRrf,
-      embedDrift, mmrRerank, mmrRerankAnn)
+      embedDrift, mmrRerank, mmrRerankAnn, matryoshka)
 }

@@ -257,4 +257,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
       "disjoint-vocabulary docs should share no fingerprints")
   }
+
+  test("matryoshka audit: one row per truncation, full query coverage, hits bounded") {
+    val rows = Similarity.matryoshka.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 16, 32),
+      "expected exactly the 8/16/32 truncation rows in order")
+    // every truncation judges the identical query subset (vec_id % 10
+    // under the cap) — a width that loses queries means the per-width
+    // argmax dropped groups, not that recall changed
+    val nq = rows.map(_.getLong(1)).distinct
+    assert(nq.length == 1 && nq.head == 50,
+      s"query coverage differs across widths: ${rows.map(_.getLong(1)).toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1),
+        s"hits out of [0, n_queries] at dim ${r.getInt(0)}")
+    }
+  }
 }

@@ -43,7 +43,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_dup_triangles" -> "crossJoins of three 1-row census aggregates",
       "q_idle_rich" -> "crossJoin(broadcast(1-row global sum/count stats)): scalar-subquery shape, q_above_avg pattern",
       "q_important_parts" -> "crossJoin(broadcast(1-row total/n_parts)): scalar-subquery shape, q_above_avg pattern",
-      "q_top_supplier" -> "crossJoin(broadcast(1-row max revenue)): scalar-MAX subquery shape")
+      "q_top_supplier" -> "crossJoin(broadcast(1-row max revenue)): scalar-MAX subquery shape",
+      "q_matryoshka" -> "crossJoin(broadcast(queries)): query side capped by knnQueryIdCap")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         // pre-AQE physical plan: join strategies are chosen here, no
