@@ -851,6 +851,95 @@ object Dedup {
       LIMIT 20
     """))
 
+  /** Synchronous label propagation (LPA), `rounds` fixed iterations
+    * over symmetrized `pairs(doc_a, doc_b)`: each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * toward the SMALLEST label — both resolved in one integer argmax
+    * (`max(count * 2^40 + (2^40-1 - label))`), so the fixed-round
+    * result is bit-deterministic on any engine (asynchronous LPA is
+    * order-dependent; this is the synchronous variant). Returns
+    * `(id, label)`. Factored out so the spec can drive it with a
+    * constructed graph — communities are only distinguishable from
+    * connected components on a graph with a weak bridge, which the
+    * fixture's dup graph may not provide at every SF.
+    *
+    * 100 TB shape: the iteration is |pairs|-sized join+agg rounds on
+    * the same id key over the eagerly-checkpointed edge list — the
+    * [[dupPagerank]] discipline exactly (tiny bounded state, one
+    * hash-exchange lineage, no driver-side anything). The packed
+    * argmax needs `count < 2^23` per (node, label) — a per-node
+    * degree bound far above any near-dup graph's banded degree. */
+  def lpaCommunities(pairs: DataFrame, rounds: Int): DataFrame = {
+    val T = 1099511627776L // 2^40
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // read by every round: the stampede class
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(col("c") * T + (lit(T - 1L) - col("label"))).as("p"))
+        .select(col("dst").as("id"), (lit(T - 1L) - col("p") % T).as("label"))
+    }
+    labels
+  }
+
+  /** Community detection over the duplicate graph — 3 rounds of
+    * synchronous [[lpaCommunities]] on the verified near-dup pairs,
+    * reported as a community-size histogram. Where connected
+    * components ([[dedupClusters]]) merge everything reachable —
+    * one boilerplate sentence chaining otherwise-unrelated docs into
+    * a giant cluster — LPA keeps densely-linked groups separate
+    * unless the bridge carries real weight, which is the right
+    * granularity for choosing dedup survivors per TEMPLATE rather
+    * than per reachable blob. Output stays bounded at any corpus
+    * size (histogram over sizes, never the label list). */
+  val dupCommunities = Q(
+    "q_dup_communities",
+    (spark, dir) => {
+      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      lpaCommunities(pairs, 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members")).agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("n_members"))
+    },
+    Some(s"""
+      WITH $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION ALL
+             SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
+      c1 AS (SELECT ed.dst AS dst, l0.label AS label, count(*) AS c
+             FROM ed JOIN l0 ON l0.id = ed.src GROUP BY 1, 2),
+      l1 AS (SELECT dst AS id, 1099511627775 -
+               (max(c * 1099511627776 + (1099511627775 - label)) % 1099511627776)
+               AS label
+             FROM c1 GROUP BY dst),
+      c2 AS (SELECT ed.dst AS dst, l1.label AS label, count(*) AS c
+             FROM ed JOIN l1 ON l1.id = ed.src GROUP BY 1, 2),
+      l2 AS (SELECT dst AS id, 1099511627775 -
+               (max(c * 1099511627776 + (1099511627775 - label)) % 1099511627776)
+               AS label
+             FROM c2 GROUP BY dst),
+      c3 AS (SELECT ed.dst AS dst, l2.label AS label, count(*) AS c
+             FROM ed JOIN l2 ON l2.id = ed.src GROUP BY 1, 2),
+      l3 AS (SELECT dst AS id, 1099511627775 -
+               (max(c * 1099511627776 + (1099511627775 - label)) % 1099511627776)
+               AS label
+             FROM c3 GROUP BY dst),
+      m AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY label)
+      SELECT CAST(n_members AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_communities
+      FROM m GROUP BY 1 ORDER BY 1
+    """))
+
   /** Edit-distance rerank of near-dup candidates — the character-level
     * confirmation pass behind shingle-level Jaccard: two documents can
     * share most 3-gram shingles while differing by scattered
@@ -1055,6 +1144,7 @@ object Dedup {
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
-    dupPagerank, decontaminate, overlapProfile, dedupApply, exactSubstring,
-    fuzzy, shingleNovelty, minhashEstimate, dupTriangles, sourceOverlap)
+    dupPagerank, dupCommunities, decontaminate, overlapProfile, dedupApply,
+    exactSubstring, fuzzy, shingleNovelty, minhashEstimate, dupTriangles,
+    sourceOverlap)
 }

@@ -226,5 +226,142 @@ object Layout {
         .mkString("", " UNION ALL", "\n      ORDER BY col_name")
     })
 
-  def all: Seq[Q] = Seq(zorderLayout, zoneMapPruning, columnProfile)
+  /** Core of [[integrityAudit]], parameterized over the input frames so
+    * the spec can drive it with INJECTED violations (the fixture star
+    * schema is referentially clean, so the registered query's
+    * violation counts are all zero — the spec proves the counting path
+    * actually counts). Emits one row per constraint check:
+    * `(check_name, n_violations, n_checked)`.
+    *
+    * 100 TB shape: each base table is scanned ONCE. All three lineitem
+    * FK checks ride a single fact pass — one shuffle join against the
+    * deduped orders key, two broadcast left joins against the part /
+    * supplier key sets — then a 1-row aggregate; orders' PK
+    * uniqueness, custkey null-rate and customer FK share one pass the
+    * same way (`count - countDistinct` gives duplicate-PK extra rows
+    * without a second groupBy). Dim key sets are deduped pre-join so a
+    * violated PK cannot inflate `n_checked` on the fact side. The
+    * per-branch 1-row aggregates explode into check rows and union —
+    * no crossJoin, nothing driver-side. */
+  def integrityChecks(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame,
+                      part: DataFrame, supplier: DataFrame): DataFrame = {
+    val nBad = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val li = lineitem
+      .join(orders.select(col("o_orderkey")).distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(part.select(col("p_partkey")).distinct()),
+            col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(supplier.select(col("s_suppkey")).distinct()),
+            col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           nBad(col("o_orderkey").isNull).as("fk_o"),
+           nBad(col("p_partkey").isNull).as("fk_p"),
+           nBad(col("s_suppkey").isNull).as("fk_s"))
+      .select(explode(array(
+        struct(lit("lineitem_fk_orders").as("check_name"),
+               col("fk_o").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("lineitem_fk_part").as("check_name"),
+               col("fk_p").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("lineitem_fk_supplier").as("check_name"),
+               col("fk_s").as("n_violations"), col("n").as("n_checked"))))
+        .as("r"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(customer.select(col("c_custkey")).distinct(),
+            col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("o_orderkey")).as("nd"),
+           nBad(col("o_custkey").isNull).as("null_ck"),
+           nBad(col("o_custkey").isNotNull && col("c_custkey").isNull)
+             .as("fk_c"))
+      .select(explode(array(
+        struct(lit("orders_fk_customer").as("check_name"),
+               col("fk_c").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("orders_null_custkey").as("check_name"),
+               col("null_ck").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("orders_pk_duplicate_rows").as("check_name"),
+               (col("n") - col("nd")).as("n_violations"),
+               col("n").as("n_checked"))))
+        .as("r"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey")).distinct()),
+            col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(count(lit(1)).as("n"),
+           nBad(col("c_nationkey").isNotNull && col("n_nationkey").isNull)
+             .as("fk_n"))
+      .select(explode(array(
+        struct(lit("customer_fk_nation").as("check_name"),
+               col("fk_n").as("n_violations"), col("n").as("n_checked"))))
+        .as("r"))
+    li.unionByName(ord).unionByName(cust)
+      .select(col("r.check_name"), col("r.n_violations"), col("r.n_checked"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Referential-integrity / data-quality audit of the star schema —
+    * the Deequ-style constraint suite (FK orphans, PK uniqueness,
+    * null rates) a pipeline runs before promoting a snapshot. See
+    * [[integrityChecks]] for the one-scan-per-table plan argument;
+    * the spec injects orphans/dup keys/nulls to prove the counters. */
+  val integrityAudit = Q(
+    "q_integrity_audit",
+    (spark, dir) =>
+      integrityChecks(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+                      Tables.customer(spark, dir), Tables.nation(spark, dir),
+                      Tables.part(spark, dir), Tables.supplier(spark, dir)),
+    Some("""
+      WITH l AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_o,
+               sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS fk_p,
+               sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS fk_s
+        FROM lineitem li
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON li.l_orderkey = o.o_orderkey
+        LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON li.l_partkey = p.p_partkey
+        LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+          ON li.l_suppkey = s.s_suppkey),
+      o AS (
+        SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+               sum(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                        THEN 1 ELSE 0 END) AS fk_c
+        FROM orders
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o_custkey = c.c_custkey),
+      cu AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+                        THEN 1 ELSE 0 END) AS fk_n
+        FROM customer
+        LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+          ON c_nationkey = n.n_nationkey)
+      SELECT * FROM (
+        SELECT 'lineitem_fk_orders' AS check_name,
+               CAST(fk_o AS BIGINT) AS n_violations,
+               CAST(n AS BIGINT) AS n_checked FROM l
+        UNION ALL
+        SELECT 'lineitem_fk_part', CAST(fk_p AS BIGINT),
+               CAST(n AS BIGINT) FROM l
+        UNION ALL
+        SELECT 'lineitem_fk_supplier', CAST(fk_s AS BIGINT),
+               CAST(n AS BIGINT) FROM l
+        UNION ALL
+        SELECT 'orders_fk_customer', CAST(fk_c AS BIGINT),
+               CAST(n AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'orders_null_custkey', CAST(null_ck AS BIGINT),
+               CAST(n AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'orders_pk_duplicate_rows', CAST(n - nd AS BIGINT),
+               CAST(n AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'customer_fk_nation', CAST(fk_n AS BIGINT),
+               CAST(n AS BIGINT) FROM cu)
+      ORDER BY check_name
+    """))
+
+  def all: Seq[Q] = Seq(zorderLayout, zoneMapPruning, columnProfile,
+    integrityAudit)
 }

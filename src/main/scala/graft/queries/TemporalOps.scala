@@ -222,6 +222,60 @@ object TemporalOps {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """))
 
+  /** Gap-filled time series: the reference's windowed count view
+    * (SURVEY §2.3 A1) densified onto a complete 5-minute grid — every
+    * (bucket, event_type) cell between the corpus' first and last
+    * bucket exists, zero-filled when no event landed there. Dashboards
+    * and downstream anomaly detectors (q_error_anomaly) need the dense
+    * form: a missing row and a zero-count row mean different things to
+    * a chart or a diff. Buckets are epoch-second BIGINTs
+    * (`epoch div 300 * 300`), the TZ-proof integer image of
+    * `window(ts, "5 minutes").start`.
+    *
+    * 100 TB shape: ONE fact scan — the grouped count. Grid bounds and
+    * the source dimension both derive from the POST-AGGREGATE frame
+    * (bounded: buckets x types), never from a second raw scan; the
+    * counts frame is eagerly checkpointed because one action reads it
+    * three ways (bounds, sources, probe side) — the lazy-persist
+    * stampede class (NOTES Gotchas). The grid crossJoin is
+    * span/300 x |event types| rows, both factors bounded and
+    * corpus-independent (time span, type vocabulary); final assembly
+    * is a broadcast-able left join of grid onto counts. */
+  val gapfill = Q(
+    "q_gapfill",
+    (spark, dir) => {
+      val counts = Tables.events(spark, dir)
+        .select(expr("(cast(ts as long) div 300) * 300").as("bucket"),
+                col("event_type"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val bounds = counts.agg(min(col("bucket")).as("lo"),
+                              max(col("bucket")).as("hi"))
+      val grid = bounds
+        .select(explode(expr("sequence(lo, hi, 300)")).as("bucket_start"))
+      val sources = counts.select(col("event_type").as("source")).distinct()
+      grid.crossJoin(broadcast(sources))
+        .join(counts,
+              col("bucket_start") === col("bucket") &&
+              col("source") === col("event_type"), "left")
+        .select(col("bucket_start"), col("source"),
+                coalesce(col("n"), lit(0L)).as("n"))
+    },
+    Some("""
+      WITH c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 300 * 300
+                          AS bucket,
+                        event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+      g AS (SELECT unnest(generate_series(lo, hi, 300)) AS bucket_start
+            FROM b),
+      s AS (SELECT DISTINCT event_type AS source FROM c)
+      SELECT g.bucket_start, s.source, coalesce(c.n, 0) AS n
+      FROM g CROSS JOIN s
+      LEFT JOIN c ON c.bucket = g.bucket_start AND c.event_type = s.source
+    """))
+
   def all: Seq[Q] = Seq(asofPrevOrder, asofNextOrder, sessionWindows,
-    slidingWindows, rangeJoin, scd2History)
+    slidingWindows, rangeJoin, scd2History, gapfill)
 }

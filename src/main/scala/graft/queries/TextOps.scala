@@ -1198,11 +1198,102 @@ object TextOps {
       LIMIT 5
     """))
 
+  /** BPE tokenizer TRAINING, the full loop [[bpePairs]] only scores:
+    * three greedy merge rounds, each picking the globally most
+    * frequent adjacent token pair (ties broken lexicographically) and
+    * applying it to the vocabulary by the standard left-to-right
+    * non-overlapping fold ('aaa' under merge (a,a) → ['aa','a'], and
+    * a just-merged token never cascades within its round). Emits the
+    * learned merge table `(rank, pa, pb, n)` — the artifact a real
+    * tokenizer ships. Every step is exact-integer or byte-equal
+    * string work, so the whole trainer is hash-oracled: the apply
+    * fold is Spark `aggregate` with an empty-array init, mirrored in
+    * DuckDB as `list_reduce` over singleton lists (no-init gotcha,
+    * NOTES) — both fold sequentially in array order.
+    *
+    * 100 TB shape: ONE corpus scan collapses text to the distinct-
+    * word (word, freq) vocabulary (Heaps-sublinear — the same
+    * collapse a production BPE trainer does); every round after that
+    * touches only vocab-sized frames: pair-sum hash agg with map-side
+    * partials, a 1-row TakeOrdered argmax broadcast back as a
+    * crossJoin, and a map-side fold to re-tokenize. Each round's
+    * vocab and best-pair are eagerly checkpointed — one action reads
+    * them several ways (the lazy-persist stampede class, NOTES). */
+  val bpeTrain = Q(
+    "q_bpe_train",
+    (spark, dir) => {
+      var vocab = Tables.documents(spark, dir)
+        .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), expr("filter(split(w, ''), c -> c <> '')").as("toks"))
+        .localCheckpoint(true)
+      var merges: Seq[DataFrame] = Nil
+      for (r <- 1 to 3) {
+        val best = vocab
+          // sequence(1, 0) DESCENDS in Spark (NOTES gotcha): guard 1-token words
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), col("toks"),
+                  explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+          .select(col("freq"), expr("element_at(toks, cast(i AS int))").as("pa"),
+                  expr("element_at(toks, cast(i AS int) + 1)").as("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(desc("n"), asc("pa"), asc("pb")).limit(1)
+          .localCheckpoint(true)
+        merges = merges :+ best.select(lit(r).as("rank"), col("pa"), col("pb"), col("n"))
+        vocab = vocab.crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+          .select(col("freq"), expr(
+            """aggregate(toks, cast(array() AS array<string>),
+                 (acc, x) -> CASE
+                   WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb
+                   THEN concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
+                   ELSE concat(acc, array(x)) END)""").as("toks"))
+          .localCheckpoint(true)
+      }
+      merges.reduce(_ unionByName _).orderBy(col("rank"))
+    },
+    Some("""
+      WITH wf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+              FROM documents)
+        GROUP BY w),
+      v0 AS (SELECT freq, [ w[i:i] for i in range(1, len(w)+1) ] AS toks FROM wf),
+      p1 AS (SELECT toks[i] AS pa, toks[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS n
+             FROM (SELECT freq, toks,
+                          unnest([ i for i in range(1, len(toks)) ]) AS i FROM v0)
+             GROUP BY 1, 2),
+      b1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+      v1 AS (SELECT freq, list_reduce(list_transform(toks, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = b1.pa AND x[1] = b1.pb
+                           THEN acc[1:-2] || [b1.pa || b1.pb] ELSE acc || x END) AS toks
+             FROM v0, b1),
+      p2 AS (SELECT toks[i] AS pa, toks[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS n
+             FROM (SELECT freq, toks,
+                          unnest([ i for i in range(1, len(toks)) ]) AS i FROM v1)
+             GROUP BY 1, 2),
+      b2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
+      v2 AS (SELECT freq, list_reduce(list_transform(toks, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = b2.pa AND x[1] = b2.pb
+                           THEN acc[1:-2] || [b2.pa || b2.pb] ELSE acc || x END) AS toks
+             FROM v1, b2),
+      p3 AS (SELECT toks[i] AS pa, toks[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS n
+             FROM (SELECT freq, toks,
+                          unnest([ i for i in range(1, len(toks)) ]) AS i FROM v2)
+             GROUP BY 1, 2),
+      b3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)
+      SELECT * FROM (
+        SELECT 1 AS rank, pa, pb, n FROM b1
+        UNION ALL SELECT 2, pa, pb, n FROM b2
+        UNION ALL SELECT 3, pa, pb, n FROM b3)
+      ORDER BY rank
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     winnowing, winnowCandidates, regexTokens, datasetMix, datasetSplit,
     packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
     temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
-    bpePairs)
+    bpePairs, bpeTrain)
 }

@@ -273,4 +273,22 @@ class DedupSimilaritySpec extends SparkSpec {
         s"hits out of [0, n_queries] at dim ${r.getInt(0)}")
     }
   }
+
+  test("LPA separates two triangles across a bridge where connected components merge them") {
+    import spark.implicits._
+    // two 3-cliques joined by one bridge edge 3-4: one CC, two communities
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                    (4L, 5L), (4L, 6L), (5L, 6L),
+                    (3L, 4L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.lpaCommunities(pairs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // hand-simulated synchronous rounds: {1,2,3} -> 1, {4,5,6} -> 3
+    assert(Set(1L, 2L, 3L).map(labels) == Set(1L), s"left clique: $labels")
+    assert(Set(4L, 5L, 6L).map(labels) == Set(3L), s"right clique: $labels")
+    val cc = graft.operators.ConnectedComponents
+      .minLabel(pairs, "doc_a", "doc_b")
+      .select("lbl").distinct().count()
+    assert(cc == 1L, "bridge graph should be ONE connected component")
+  }
 }

@@ -44,7 +44,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_idle_rich" -> "crossJoin(broadcast(1-row global sum/count stats)): scalar-subquery shape, q_above_avg pattern",
       "q_important_parts" -> "crossJoin(broadcast(1-row total/n_parts)): scalar-subquery shape, q_above_avg pattern",
       "q_top_supplier" -> "crossJoin(broadcast(1-row max revenue)): scalar-MAX subquery shape",
-      "q_matryoshka" -> "crossJoin(broadcast(queries)): query side capped by knnQueryIdCap")
+      "q_matryoshka" -> "crossJoin(broadcast(queries)): query side capped by knnQueryIdCap",
+      "q_gapfill" -> "crossJoin(broadcast(distinct event types)): both sides post-aggregate bounded — grid = time-span/300 rows, types = event vocabulary; corpus-size independent",
+      "q_bpe_train" -> "crossJoin(broadcast(1-row best merge pair)) x3 rounds against the vocab-sized frame")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         // pre-AQE physical plan: join strategies are chosen here, no

@@ -370,4 +370,35 @@ class PropertySpec extends SparkSpec {
       assert(out === expected)
     }
   }
+
+  test("BPE merge fold equals reference greedy left-to-right on random words (incl. overlaps)") {
+    import spark.implicits._
+    // the exact expr q_bpe_train applies each round, parameterized on
+    // literal pa/pb so the property drives it standalone
+    def sparkMerge(words: Seq[String], pa: String, pb: String): Seq[Seq[String]] = {
+      words.toDF("w")
+        .select(expr("filter(split(w, ''), c -> c <> '')").as("toks"))
+        .select(expr(
+          s"""aggregate(toks, cast(array() AS array<string>),
+               (acc, x) -> CASE
+                 WHEN size(acc) > 0 AND element_at(acc, -1) = '$pa' AND x = '$pb'
+                 THEN concat(slice(acc, 1, size(acc) - 1), array(concat('$pa', '$pb')))
+                 ELSE concat(acc, array(x)) END)""").as("m"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    def refMerge(w: String, pa: String, pb: String): Seq[String] =
+      w.map(_.toString).foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == pa && x == pb)
+          acc.init :+ (pa + pb)
+        else acc :+ x
+      }
+    // adversarial fixed cases: self-pair overlap runs + no-op merges
+    val fixed = Seq("aaa", "aaaa", "abab", "aab", "a", "bb")
+    assert(sparkMerge(fixed, "a", "a") == fixed.map(refMerge(_, "a", "a")))
+    assert(sparkMerge(fixed, "a", "b") == fixed.map(refMerge(_, "a", "b")))
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)), n = 5) { ws =>
+      assert(sparkMerge(ws, "a", "b") == ws.map(refMerge(_, "a", "b")))
+      assert(sparkMerge(ws, "b", "b") == ws.map(refMerge(_, "b", "b")))
+    }
+  }
 }

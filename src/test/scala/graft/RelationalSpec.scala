@@ -46,4 +46,35 @@ class RelationalSpec extends SparkSpec {
   test("queries and oracleSql keys line up") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("integrity audit counts injected violations (fixture is clean, so prove the counters)") {
+    import spark.implicits._
+    // orders: dup PK (2), null custkey (3,NULL), orphan custkey (4,99)
+    val orders = Seq((1L, Some(10L)), (2L, Some(10L)), (2L, Some(20L)),
+                     (3L, Option.empty[Long]), (4L, Some(99L)))
+      .toDF("o_orderkey", "o_custkey")
+    // customer 20 -> nation 200 which does not exist
+    val customer = Seq((10L, 100L), (20L, 200L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq(Tuple1(100L)).toDF("n_nationkey")
+    // lineitem: orphan order 9, orphan part 8, orphan supplier 6
+    val lineitem = Seq((1L, 7L, 5L), (9L, 7L, 5L), (1L, 8L, 5L), (1L, 7L, 6L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val part = Seq(Tuple1(7L)).toDF("p_partkey")
+    val supplier = Seq(Tuple1(5L)).toDF("s_suppkey")
+    val got = graft.queries.Layout
+      .integrityChecks(lineitem, orders, customer, nation, part, supplier)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "lineitem_fk_orders" -> ((1L, 4L)),
+      "lineitem_fk_part" -> ((1L, 4L)),
+      "lineitem_fk_supplier" -> ((1L, 4L)),
+      "orders_fk_customer" -> ((1L, 5L)),
+      "orders_null_custkey" -> ((1L, 5L)),
+      "orders_pk_duplicate_rows" -> ((1L, 5L)),
+      "customer_fk_nation" -> ((1L, 2L))), s"got $got")
+    // and the registered query over the fixture star schema is clean
+    val reg = graft.queries.Layout.integrityAudit.fn(spark, sf)
+      .filter($"n_violations" > 0L).count()
+    assert(reg == 0L, "fixture unexpectedly has integrity violations")
+  }
 }
