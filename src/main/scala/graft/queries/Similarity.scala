@@ -769,19 +769,53 @@ object Similarity {
   private def pqCodePack(seeds: Array[Array[Double]], s: Int): Column =
     least((0 until pqK).map(j => pqDist2Ppm(seeds, s, j) * pqK + lit(j)): _*)
 
+  /** The compressed corpus over [[pqSlices]] rows: pqM 4-bit codes per
+    * vector (`c_id, c0..c{pqM-1}`), map-only — single-sourced for
+    * [[annPq]] and [[annIvfPq]] so the stored-index encode cannot
+    * drift between the flat and cell-probed serving paths. */
+  private def pqCodes(up: DataFrame, seeds: Array[Array[Double]]): DataFrame =
+    up.select(col("vec_id").as("c_id") +:
+      (0 until pqM).map(s =>
+        pmod(pqCodePack(seeds, s), lit(pqK.toLong)).as(s"c$s")): _*)
+
+  /** Per-query ADC lookup table: ppm dot of query slice `s` with
+    * codebook entry `j`, laid out s-major so the probe index is
+    * `s*pqK + code + 1` ([[pqAdc]]). */
+  private def pqLutArray(seeds: Array[Array[Double]]): Column =
+    array((for (s <- 0 until pqM; j <- 0 until pqK) yield {
+      val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
+      floor(dotp(col(s"us$s"), typedLit(cs.toSeq)) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+    }): _*)
+
+  /** ADC similarity of one (query, code-row) pair: pqM array lookups
+    * into the query's `lut`, summed. */
+  private def pqAdc: Column =
+    (0 until pqM).map(s =>
+      element_at(col("lut"), (col(s"c$s") + lit(s * pqK + 1)).cast("int")))
+      .reduce(_ + _)
+
   /** DuckDB CTE chain mirroring [[pqSeeds]] + [[pqCodePack]] exactly:
     * defines `ck(vec_id, label, sp, pk)` — per (vector, subspace) the
     * packed argmin, with `sd(su, s)` (the codebook seeds) left in
     * scope for downstream LUT math. Shared by [[pqEncode]] and
     * [[annPq]] so the encode arithmetic cannot drift between them. */
-  private def pqCodesCtes: String = s"""
-      uu AS (
+  private def pqCodesCtes: String = pqCodesCtesFrom(withUu = true, sd = "sd")
+
+  /** Same chain, composable: `withUu = false` skips the `uu` CTE (for
+    * oracles that already define it — [[semCellsCtes]] emits an
+    * identically-shaped `uu`), and `sd` renames the codebook-seed CTE
+    * (semCells also claims the name `sd` for its CELL seeds). */
+  private def pqCodesCtesFrom(withUu: Boolean, sd: String): String = {
+    val uuCte = s"""uu AS (
         SELECT vec_id, label,
                list_transform(range(1, len(embedding) + 1),
                               i -> embedding[i]::DOUBLE / nr) AS u
         FROM (SELECT vec_id, label, embedding, ${nrmSql("embedding")} AS nr
               FROM embeddings)),
-      sd AS (SELECT u AS su, s FROM (
+      """
+    s"""
+      ${if (withUu) uuCte else ""}$sd AS (SELECT u AS su, s FROM (
                SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
                FROM uu)
              WHERE s < $pqK),
@@ -790,11 +824,11 @@ object Similarity {
                       i -> u[sp.s * $pqSub + i] * u[sp.s * $pqSub + i]),
                       (x, y) -> x + y) AS usq
              FROM uu, (SELECT unnest(range(0, $pqM)) AS s) sp),
-      sq AS (SELECT sd.s AS j, sp.s AS sp, su,
+      sq AS (SELECT $sd.s AS j, sp.s AS sp, su,
                     list_reduce(list_transform(range(1, ${pqSub + 1}),
                       i -> su[sp.s * $pqSub + i] * su[sp.s * $pqSub + i]),
                       (x, y) -> x + y) AS csq
-             FROM sd, (SELECT unnest(range(0, $pqM)) AS s) sp),
+             FROM $sd, (SELECT unnest(range(0, $pqM)) AS s) sp),
       d AS (SELECT vec_id, label, uq.sp AS sp, j,
               CAST(floor((usq - 2.0 * list_reduce(
                      list_transform(range(1, ${pqSub + 1}),
@@ -803,6 +837,7 @@ object Similarity {
             FROM uq JOIN sq ON uq.sp = sq.sp),
       ck AS (SELECT vec_id, label, sp, min(d2ppm * $pqK + j) AS pk
              FROM d GROUP BY 1, 2, 3)"""
+  }
 
   /** PQ encode + exact reconstruction accounting (Jégou, Douze,
     * Schmid 2011, "Product quantization for nearest neighbor search",
@@ -920,26 +955,13 @@ object Similarity {
       // condition stream variables into the per-build-row loop: the
       // encode ran once per PAIR, 90 s instead of ~2 s at sf0.1
       // (measured; the srpProbePairs lesson in its BNLJ guise)
-      val codes = up.select(col("vec_id").as("c_id") +:
-        (0 until pqM).map(s =>
-          pmod(pqCodePack(seeds, s), lit(pqK.toLong)).as(s"c$s")): _*)
-        .localCheckpoint(true)
-      // per-query LUT: ppm dot of query slice s with codebook entry j,
-      // laid out s-major so the lookup index is s*pqK + code + 1
-      def lutPpm(s: Int, j: Int): Column = {
-        val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
-        floor(dotp(col(s"us$s"), typedLit(cs.toSeq)) * lit(1000000.0) + lit(0.5))
-          .cast("long")
-      }
+      val codes = pqCodes(up, seeds).localCheckpoint(true)
       val qs = up.filter(isKnnQuery)
-        .select(col("vec_id").as("q_id"),
-          array((for (s <- 0 until pqM; j <- 0 until pqK) yield lutPpm(s, j)): _*).as("lut"))
-      val adc = (0 until pqM).map(s =>
-        element_at(col("lut"), (col(s"c$s") + lit(s * pqK + 1)).cast("int"))).reduce(_ + _)
+        .select(col("vec_id").as("q_id"), pqLutArray(seeds).as("lut"))
       val topk = udaf(new graft.functions.Aggregators.TopK(pqShortlist))
       val shortlist = codes.crossJoin(broadcast(qs))
         .filter(col("q_id") =!= col("c_id"))
-        .withColumn("adc_ppm", adc)
+        .withColumn("adc_ppm", pqAdc)
         .groupBy(col("q_id"))
         .agg(topk(col("adc_ppm"), col("c_id")).as("top"))
         .select(col("q_id"), explode(col("top.items")).as("it"))
@@ -1003,6 +1025,142 @@ object Similarity {
       SELECT rr.q_id, rr.nn_id, rr.sim,
              (exact_nn IS NULL OR exact_nn = rr.nn_id) AS hit
       FROM rr LEFT JOIN exact ON rr.q_id = exact.q_id
+    """))
+
+  private val ivfpqShortlist = 8
+
+  /** IVF-PQ serving, end to end (Jégou, Douze, Schmid 2011 §V: inverted
+    * file + asymmetric distance computation) — the composition
+    * [[annPq]]'s docstring names as the production path, registered as
+    * a real plan: the coarse quantizer is [[semCells]]' trained
+    * k-means (k grows with the corpus), the stored index is the
+    * per-cell posting lists of 2-byte PQ codes, and a query probes its
+    * nearest cell (nprobe=1), prices only that cell's candidates by
+    * ADC lookups, exact-reranks the shortlist-[[ivfpqShortlist]], and
+    * reports whether the answer matches the full-corpus exact top-1.
+    * Deterministic throughout (md5 seeding, ppm integers), so the
+    * whole index+serve pipeline is hash-oracled — the oracle spells
+    * the probe as `codes JOIN asn` posting lists and ADC relationally.
+    *
+    * Honest quality note: codes use the GLOBAL seed codebook
+    * ([[pqSeeds]]), not per-cell residual codebooks — residual
+    * encoding is the quality upgrade seam (FAISS's IVFPQ default), but
+    * on this structureless uniform-random fixture a residual codebook
+    * cannot improve top-1 hits ([[annPq]]'s measured 0/200 Lloyd
+    * result), so the SQL-mirrorable global codebook stays. Hit rates
+    * are fixture constants (nprobe=1 bounds recall by the probability
+    * the true NN shares the query's cell).
+    *
+    * 100 TB shape: the SERVING path has no crossJoin at all — probe =
+    * equi-join on the trained cell key, candidates per query ≈ the
+    * 64-vector cell target regardless of corpus size, LUTs are
+    * map-side literal math, rerank touches shortlist rows only. The
+    * index (codes ⋈ cells) is eagerly checkpointed because it IS the
+    * stored artifact ([[annPq]]'s BNLJ-deferral lesson). Only the
+    * hit-contract's exact reference side keeps the audited capped
+    * crossJoin ([[exactKnnTop1]]) — it is the measurement, not the
+    * serving plan. */
+  val annIvfPq = Q(
+    "q_ann_ivfpq",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("label"), col("vd"), col("nrm"))
+      val u = e.select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+      val seeds = pqSeeds(u)
+      require(seeds(0).length == pqM * pqSub,
+        s"q_ann_ivfpq: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
+          s"embedding dim is ${seeds(0).length}")
+      val up = pqSlices(u, Seq("vec_id"))
+      // the stored IVF-PQ index: per-cell posting lists of 2-byte codes
+      val index = pqCodes(up, seeds)
+        .join(semCells(e).select(col("vec_id").as("c_id"), col("cell")), "c_id")
+        .localCheckpoint(true)
+      // query side: ADC LUT + own-cell probe; checkpointed because the
+      // one action reads it twice (shortlist broadcast + final cell col)
+      val qs = up.filter(isKnnQuery)
+        .select(col("vec_id").as("q_id"), pqLutArray(seeds).as("lut"))
+        .join(index.select(col("c_id").as("q_id"), col("cell")), "q_id")
+        .localCheckpoint(true)
+      val topk = udaf(new graft.functions.Aggregators.TopK(ivfpqShortlist))
+      val shortlist = index.join(broadcast(qs), Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("adc_ppm", pqAdc)
+        .groupBy(col("q_id"))
+        .agg(topk(col("adc_ppm"), col("c_id")).as("top"))
+        .select(col("q_id"), explode(col("top.items")).as("it"))
+        .select(col("q_id"), col("it._2").as("c_id"))
+      val queries = e.filter(isKnnQuery)
+        .select(col("vec_id").as("q_id"), col("vd").as("qv"), col("nrm").as("qnrm"))
+      val reranked = top1Packed(
+        shortlist
+          .join(broadcast(queries), "q_id")
+          .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                         col("nrm").as("cnrm")), "c_id")
+          .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+        "q_id", "c_id")
+      // probe_ok = exact NN shares the query's cell: the nprobe=1
+      // recall CEILING. hit <= probe_ok always — emitting both shows
+      // whether ADC+rerank saturates the ceiling or loses more on top
+      val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
+        .join(index.select(col("c_id").as("exact_nn"), col("cell").as("nn_cell")),
+              Seq("exact_nn"), "left")
+      reranked.join(exact, Seq("q_id"), "left")
+        .join(qs.select(col("q_id"), col("cell")), Seq("q_id"))
+        .select(col("q_id"), col("cell"), col("nn_id"), col("sim"),
+          (col("exact_nn").isNull || col("exact_nn") === col("nn_id")).as("hit"),
+          coalesce(col("nn_cell") === col("cell"), lit(false)).as("probe_ok"))
+    },
+    Some(s"""
+      WITH $semCellsCtes,
+      ${pqCodesCtesFrom(withUu = false, sd = "sdp")},
+      codes AS (SELECT ck.vec_id AS c_id, asn.cell AS cell, sp, pk % $pqK AS cj
+                FROM ck JOIN asn ON ck.vec_id = asn.vec_id),
+      q AS (SELECT vec_id AS q_id, u AS qu FROM uu
+            WHERE ${knnQuerySql("vec_id")}),
+      qc AS (SELECT q.q_id, asn.cell FROM q JOIN asn ON q.q_id = asn.vec_id),
+      lut AS (SELECT q_id, sp.s AS sp, sdp.s AS j,
+                CAST(floor(list_reduce(
+                       list_transform(range(1, ${pqSub + 1}),
+                         i -> qu[sp.s * $pqSub + i] * su[sp.s * $pqSub + i]),
+                       (x, y) -> x + y) * 1000000.0 + 0.5) AS BIGINT) AS dppm
+              FROM q, sdp, (SELECT unnest(range(0, $pqM)) AS s) sp),
+      adc AS (SELECT qc.q_id, codes.c_id, CAST(sum(dppm) AS BIGINT) AS adc_ppm
+              FROM qc JOIN codes ON codes.cell = qc.cell
+                      JOIN lut ON lut.q_id = qc.q_id
+                              AND codes.sp = lut.sp AND codes.cj = lut.j
+              WHERE qc.q_id <> codes.c_id
+              GROUP BY 1, 2),
+      short AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY adc_ppm DESC, c_id) AS rn
+                  FROM adc) WHERE rn <= $ivfpqShortlist),
+      rr AS (SELECT q_id, c_id AS nn_id, sim FROM (
+               SELECT s.q_id, s.c_id,
+                      round(${dotSql("c.embedding", "qe.embedding")}
+                            / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) AS sim,
+                      row_number() OVER (PARTITION BY s.q_id
+                         ORDER BY round(${dotSql("c.embedding", "qe.embedding")}
+                           / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC,
+                           s.c_id) AS rn
+               FROM short s
+                 JOIN embeddings qe ON s.q_id = qe.vec_id
+                 JOIN embeddings c ON s.c_id = c.vec_id)
+             WHERE rn = 1),
+      exact AS (SELECT q_id, nn_id AS exact_nn FROM (
+                  SELECT qx.vec_id AS q_id, dx.vec_id AS nn_id,
+                         row_number() OVER (PARTITION BY qx.vec_id
+                            ORDER BY round(${dotSql("dx.embedding", "qx.embedding")}
+                              / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC,
+                            dx.vec_id) AS rn
+                  FROM embeddings qx JOIN embeddings dx ON dx.vec_id <> qx.vec_id
+                  WHERE ${knnQuerySql("qx.vec_id")})
+                WHERE rn = 1)
+      SELECT rr.q_id, qc.cell, rr.nn_id, rr.sim,
+             (exact_nn IS NULL OR exact_nn = rr.nn_id) AS hit,
+             coalesce(nc.cell = qc.cell, false) AS probe_ok
+      FROM rr LEFT JOIN exact ON rr.q_id = exact.q_id
+              JOIN qc ON rr.q_id = qc.q_id
+              LEFT JOIN asn nc ON exact.exact_nn = nc.vec_id
     """))
 
   /** SemDeDup-style embedding outliers (Abbas et al. 2023 use
@@ -1146,7 +1304,13 @@ object Similarity {
     * within-cell pair join stays O(n · semCellTarget) instead of
     * O(n²/blocks). 64 keeps the fixture in the multi-cell regime at
     * every SF (k = 8/8/32 at sf0.001/0.01/0.1). */
-  private val semCellTarget = 64.0
+  // final + literal = a COMPILE-TIME CONSTANT, inlined at use sites:
+  // a plain val here is object-init-ordered, and a query `val` declared
+  // EARLIER in this object that interpolates [[semCellsCtes]] would see
+  // the uninitialized 0.0 — q_ann_ivfpq shipped a `ceil(count(*)/0.0)`
+  // oracle exactly that way (k silently degenerated to 4 in DuckDB
+  // while Spark trained 8 cells). OracleSanitySpec guards the class.
+  private final val semCellTarget = 64.0
 
   /** SemDeDup cell assignment: spherical k-means over the unit
     * embeddings, md5-seeded + ONE Lloyd refinement — [[ivfTrain]]'s
@@ -1850,6 +2014,6 @@ object Similarity {
 
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
-      embedQuantize, pqEncode, annPq, embedOutliers, embedDedup, hardNegatives, hybridRrf,
+      embedQuantize, pqEncode, annPq, annIvfPq, embedOutliers, embedDedup, hardNegatives, hybridRrf,
       embedDrift, mmrRerank, mmrRerankAnn, matryoshka)
 }

@@ -1,0 +1,35 @@
+package graft
+
+/** Static sanity over every registered oracle's SQL text.
+  *
+  * Scala object vals initialize in declaration order: a query `val`
+  * that interpolates a shared CTE def BEFORE the constants that def
+  * references are initialized bakes default values (0.0, 0, null)
+  * into its oracle string — silently, at class-load time, with no
+  * runtime error on either engine (q_ann_ivfpq's first build shipped
+  * `ceil(count(*) / 0.0)` this way; DuckDB folded it to NULL and the
+  * k-means cell count quietly degenerated to the `greatest` floor).
+  * These checks catch the degenerate-interpolation class before an
+  * oracle run has to.
+  */
+class OracleSanitySpec extends SparkSpec {
+
+  test("no oracle contains a divide-by-literal-zero (uninitialized interpolation)") {
+    val bad = SparkEntry.oracleSql.filter { case (_, sql) =>
+      sql.contains("/ 0.0") || sql.contains("/ 0)") || sql.contains("% 0")
+    }
+    assert(bad.isEmpty,
+      s"degenerate literal arithmetic in oracles: ${bad.keys.mkString(", ")}")
+  }
+
+  test("no oracle interpolated a lowercase 'null' token (uninitialized String val)") {
+    // intended SQL nulls in this codebase are uppercase (IS NULL,
+    // IFNULL); a lowercase bare `null` is Scala's uninitialized
+    // String rendered into the interpolation
+    val word = "(?<![A-Za-z_])null(?![A-Za-z_])".r
+    val bad = SparkEntry.oracleSql.filter { case (_, sql) =>
+      word.findFirstIn(sql).isDefined
+    }
+    assert(bad.isEmpty, s"lowercase null token in: ${bad.keys.mkString(", ")}")
+  }
+}
