@@ -531,10 +531,87 @@ object Analytics {
                AS BIGINT) * 4 > count(*)
     """))
 
+  /** Robust per-metric anomaly detection: median / MAD (median
+    * absolute deviation) per event type, and the count of events
+    * whose deviation exceeds 6×MAD — the outlier rule that, unlike
+    * mean/stddev z-scores ([[errorAnomaly]]'s integer-threshold
+    * sibling), a handful of extreme values cannot drag.
+    *
+    * Cross-engine determinism: both medians are RANK-based (the
+    * ⌈n/2⌉-th smallest under a totally ordered row_number — value,
+    * then event_id), never an interpolated percentile, so the
+    * reported med/MAD are actual input doubles, |x−med| is one IEEE
+    * subtraction and 6×MAD one IEEE multiply — all bit-identical in
+    * DuckDB. No float is ever summed across rows.
+    *
+    * 100 TB shape: two ordered-window passes partitioned by
+    * event_type (each ONE exchange; the count rides the same
+    * partition), medians flow back as a broadcast hash join on the
+    * few-row per-type frame, and the finish is a map-side-partial
+    * agg. Skewed types are exactly what AQE's skew split handles
+    * (ScalePathSpec); at petabyte scale the window passes would swap
+    * for the approx-percentile sketch, documented here as the seam. */
+  val madOutliers = Q(
+    "q_mad_outliers",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val part = Window.partitionBy("event_type")
+      val byVal = part.orderBy(col("value"), col("event_id"))
+      val med = ev
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(part))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val byDev = part.orderBy(col("dev"), col("value"), col("event_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(byDev))
+        .withColumn("n", count(lit(1)).over(part))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             max(col("med")).as("med"),
+             max(col("mad")).as("mad"),
+             sum(when(col("dev") > col("mad") * lit(6.0), 1L).otherwise(0L))
+               .as("n_outliers"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, event_id, value FROM events),
+      st AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+      m AS (
+        SELECT event_type, value AS med FROM (
+          SELECT e.event_type, e.value, st.n,
+                 row_number() OVER (PARTITION BY e.event_type
+                                    ORDER BY e.value, e.event_id) AS rn
+          FROM ev e JOIN st USING (event_type))
+        WHERE rn = (n + 1) // 2),
+      d AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS dev
+        FROM ev e JOIN m USING (event_type)),
+      md AS (
+        SELECT event_type, dev AS mad FROM (
+          SELECT d.event_type, d.dev, d.value, d.event_id, st.n,
+                 row_number() OVER (PARTITION BY d.event_type
+                                    ORDER BY d.dev, d.value, d.event_id) AS rn
+          FROM d JOIN st USING (event_type))
+        WHERE rn = (n + 1) // 2)
+      SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+             max(md.mad) AS mad,
+             CAST(sum(CASE WHEN d.dev > md.mad * 6.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM d JOIN md USING (event_type)
+      GROUP BY d.event_type
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
     unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
-    errorAnomaly)
+    errorAnomaly, madOutliers)
 }

@@ -766,7 +766,68 @@ object Curation {
       GROUP BY 1
     """))
 
+  /** Per-source dataset card — the governance rollup a dataset ships
+    * with (Datasheets for Datasets, Gebru et al. 2018): for every
+    * source, document/token/char volume, language breadth, the
+    * exact-duplicate rate and a simple length-window quality pass
+    * rate, each rate an exact integral ppm. One view a data steward
+    * reads before mixing the source into a 100-TB training run; the
+    * per-metric deep dives ([[gopherRules]], [[Dedup]]'s funnel,
+    * q_source_overlap) hang off its rows.
+    *
+    * 100 TB shape: ONE corpus scan derives per-doc metrics map-side
+    * (md5 content hash, split token count); the duplicate rate rides
+    * a hash agg on the content hash joined back by hash (both
+    * shuffles on high-cardinality keys, map-side partials); the final
+    * per-source agg is a handful of keys. count(DISTINCT lang) plans
+    * as Spark's two-phase expand — exact, no sketch — because the
+    * lang domain is tiny; at a larger domain it would swap for
+    * approx_count_distinct (the [[Relational]] A2 pattern). */
+  val datasetCard = Q(
+    "q_dataset_card",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+                md5(col("text").cast("binary")).as("h"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val copies = d.groupBy(col("h")).agg(count(lit(1)).as("copies"))
+      d.join(copies, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("n_tokens"),
+             sum(col("n_chars")).as("n_chars"),
+             countDistinct(col("lang")).as("n_langs"),
+             sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+             sum(when(col("n_chars").between(200, 20000), 1L).otherwise(0L))
+               .as("quality_pass"))
+        .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
+        .withColumn("pass_ppm", expr("quality_pass * 1000000 div n_docs"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (SELECT h, count(*) AS copies FROM d GROUP BY 1),
+      s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 20000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass
+        FROM d JOIN c USING (h)
+        GROUP BY source)
+      SELECT source, n_docs, n_tokens, n_chars, n_langs, dup_docs,
+             quality_pass,
+             (dup_docs * 1000000) // n_docs AS dup_ppm,
+             (quality_pass * 1000000) // n_docs AS pass_ppm
+      FROM s
+    """))
+
   def all: Seq[Q] = Seq(gopherRules, repetition, tokenRarity, decontaminateBloom,
     curationFunnel, piiRedact, dsirWeights, lineDedup, lmSurprisal,
-    textNormalize, sourceCap, lengthBuckets)
+    textNormalize, sourceCap, lengthBuckets, datasetCard)
 }

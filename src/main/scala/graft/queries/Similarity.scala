@@ -2012,8 +2012,81 @@ object Similarity {
       """
     })
 
+  /** Mutual-kNN graph over the SRP-LSH candidate pairs — the
+    * neighborhood graph semantic clustering / diversity analysis
+    * builds on (a mutual edge = each endpoint ranks the other in its
+    * own top-4, a much stronger tie than one-directional kNN). Emits
+    * the degree histogram of the mutual graph — the corpus-level
+    * connectivity profile (a heavy high-degree tail = semantic
+    * near-dup clumps; mass at degree 0..1 = healthy diversity).
+    *
+    * Deterministic despite "approximate": candidates come from the
+    * md5-derived [[srpProbePairs]] index (mirrored plane-by-plane in
+    * SQL), similarity is the exact ppm integer, and per-node top-4
+    * uses the mergeable bounded-heap TopK (sim DESC, id ASC) — the
+    * same order the oracle's row_number spells. So the whole graph is
+    * hash-oracled, not recall-bounded.
+    *
+    * 100 TB shape: the candidate generator is the audited banded SRP
+    * collision join (never all-pairs); per-node top-4 is the TopK
+    * aggregate (≤4 rows per node per partition in the shuffle — no
+    * per-node window sort); mutuality is a self-semi-join of the
+    * (n×4)-bounded edge list on its swapped key; the histogram is two
+    * map-side-partial aggs. */
+  val knnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) => {
+      val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+      val topk = udaf(new graft.functions.Aggregators.TopK(4))
+      val nn = srpProbePairs(spark, dir)
+        .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                       col("nrm").as("qn")), "q_id")
+        .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                       col("nrm").as("cn")), "c_id")
+        .withColumn("sim_ppm", graft.model.Money.cents(
+          dot("qv", "cv") / (col("qn") * col("cn")), 1000000.0))
+        .groupBy(col("q_id"))
+        .agg(topk(col("sim_ppm"), col("c_id")).as("top"))
+        .select(col("q_id").as("a"), explode(col("top.items")).as("it"))
+        .select(col("a"), col("it._2").as("b"))
+      val mutual = nn
+        .join(nn.select(col("b").as("a"), col("a").as("b")),
+              Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      mutual.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""
+      WITH $srpBkCtesSql,
+      cand AS (
+        SELECT x.vec_id AS q_id, y.vec_id AS c_id,
+               CAST(floor((${dotSql("x.embedding", "y.embedding")}
+                     / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS sim_ppm
+        FROM bk x JOIN bk y
+          ON x.vec_id <> y.vec_id
+         AND ($srpCollideSql)),
+      nn AS (
+        SELECT q_id AS a, c_id AS b FROM (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim_ppm DESC, c_id) AS rn
+          FROM cand) WHERE rn <= 4),
+      mu AS (
+        SELECT n1.a, n1.b FROM nn n1
+        WHERE n1.a < n1.b
+          AND EXISTS (SELECT 1 FROM nn n2
+                      WHERE n2.a = n1.b AND n2.b = n1.a)),
+      deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT unnest([a, b]) AS node FROM mu)
+        GROUP BY 1)
+      SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
       embedQuantize, pqEncode, annPq, annIvfPq, embedOutliers, embedDedup, hardNegatives, hybridRrf,
-      embedDrift, mmrRerank, mmrRerankAnn, matryoshka)
+      embedDrift, mmrRerank, mmrRerankAnn, matryoshka, knnGraph)
 }

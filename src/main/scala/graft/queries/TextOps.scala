@@ -1219,9 +1219,13 @@ object TextOps {
     * crossJoin, and a map-side fold to re-tokenize. Each round's
     * vocab and best-pair are eagerly checkpointed — one action reads
     * them several ways (the lazy-persist stampede class, NOTES). */
-  val bpeTrain = Q(
-    "q_bpe_train",
-    (spark, dir) => {
+  /** The shared trainer loop behind [[bpeTrain]] and [[bpeApply]]:
+    * returns the per-round merge frames `(rank, pa, pb, n)` AND the
+    * final `(freq, toks)` vocabulary after all rounds — single-sourced
+    * so the apply query tokenizes with exactly the merges the trainer
+    * emits (the jaccardPairs no-drift discipline). */
+  private def bpeTrainLoop(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
       var vocab = Tables.documents(spark, dir)
         .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1250,10 +1254,13 @@ object TextOps {
                    ELSE concat(acc, array(x)) END)""").as("toks"))
           .localCheckpoint(true)
       }
-      merges.reduce(_ unionByName _).orderBy(col("rank"))
-    },
-    Some("""
-      WITH wf AS (
+      (merges, vocab)
+  }
+
+  /** The b1/v1 … b3 DuckDB CTE chain mirroring [[bpeTrainLoop]],
+    * shared verbatim by the [[bpeTrain]] and [[bpeApply]] oracles
+    * (ends at `b3`; apply extends it with the round-3 vocab `v3`). */
+  private val bpeChainSql = """wf AS (
         SELECT w, count(*) AS freq
         FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
               FROM documents)
@@ -1281,12 +1288,149 @@ object TextOps {
              FROM (SELECT freq, toks,
                           unnest([ i for i in range(1, len(toks)) ]) AS i FROM v2)
              GROUP BY 1, 2),
-      b3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)
+      b3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)"""
+
+  val bpeTrain = Q(
+    "q_bpe_train",
+    (spark, dir) => {
+      val (merges, _) = bpeTrainLoop(spark, dir)
+      merges.reduce(_ unionByName _).orderBy(col("rank"))
+    },
+    Some(s"""
+      WITH $bpeChainSql
       SELECT * FROM (
         SELECT 1 AS rank, pa, pb, n FROM b1
         UNION ALL SELECT 2, pa, pb, n FROM b2
         UNION ALL SELECT 3, pa, pb, n FROM b3)
       ORDER BY rank
+    """))
+
+  /** BPE tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize
+    * the corpus with the trained merge table and report, per language,
+    * the words/chars/tokens and the achieved compression (tokens per
+    * character, exact integral ppm). This is the number a tokenizer
+    * ships with ("X.XX chars/token") and the acceptance gate for a
+    * merge table before a 100-TB re-tokenization run.
+    *
+    * The apply itself happens on the DISTINCT-WORD vocabulary (the
+    * same Heaps-sublinear collapse the trainer uses — each distinct
+    * word is folded once, not once per occurrence), then fans back to
+    * corpus scale by a hash join on the reconstructed word
+    * (`array_join(toks, '')` is the word itself: merges only ever
+    * concatenate adjacent pieces). Per-language attribution rides the
+    * corpus side of that join.
+    *
+    * 100 TB shape: one corpus scan to (lang, word) pairs; the vocab
+    * side is Heaps-sublinear and the join is a plain hash join on the
+    * word key (unhinted — vocab grows with the corpus, so no forced
+    * broadcast); one final map-side-partial agg on ~5 language keys.
+    * All counters are exact BIGINTs; compression is integral ppm. */
+  val bpeApply = Q(
+    "q_bpe_apply",
+    (spark, dir) => {
+      val (_, vocab) = bpeTrainLoop(spark, dir)
+      val wt = vocab.select(expr("array_join(toks, '')").as("w"),
+                            size(col("toks")).cast("long").as("n_toks"))
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+                explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+        .join(wt, "w")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(length(col("w")).cast("long")).as("n_chars"),
+             sum(col("n_toks")).as("n_tokens"))
+        .withColumn("compression_ppm", expr("n_tokens * 1000000 div n_chars"))
+    },
+    Some(s"""
+      WITH $bpeChainSql,
+      v3 AS (SELECT freq, list_reduce(list_transform(toks, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = b3.pa AND x[1] = b3.pb
+                           THEN acc[1:-2] || [b3.pa || b3.pb] ELSE acc || x END) AS toks
+             FROM v2, b3),
+      wt AS (SELECT list_reduce(toks, (a, b) -> a || b) AS w,
+                    len(toks) AS n_toks
+             FROM v3),
+      wd AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z]+')) AS w
+             FROM documents)
+      SELECT lang, count(*) AS n_words,
+             CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             (CAST(sum(n_toks) AS BIGINT) * 1000000)
+               // CAST(sum(length(w)) AS BIGINT) AS compression_ppm
+      FROM wd JOIN wt USING (w)
+      GROUP BY lang
+    """))
+
+  /** Bigram-LM perplexity filter (the CCNet/Gopher "LM quality" gate,
+    * one modeling order up from [[q_lm_surprisal]]'s unigram): score
+    * every document by its mean conditional bigram surprisal
+    * -log2 P(w2|w1) = floor_log2 count(w1) - floor_log2 count(w1 w2),
+    * in the EXACT integer floor-log2 surrogate (`length(bin(x))`
+    * binary digit counts — zero transcendentals, both engines
+    * bit-agree; the lm_surprisal discipline). High mean surprisal =
+    * improbable word transitions = boilerplate/garbled text — the
+    * top-20 emitted here are the removal candidates.
+    *
+    * 100 TB shape: one scan explodes per-doc DISTINCT bigrams with
+    * their in-doc counts (hash agg, map-side partials); the corpus
+    * bigram table derives from THAT frame by re-aggregation (no
+    * second corpus scan); the unigram table is a second pruned scan
+    * of one string column. Both model joins are plain hash joins on
+    * vocabulary-sized keys (unhinted — Heaps growth, never forced
+    * broadcast), and the finish is TakeOrdered(20), never a global
+    * sort. Docs with <2 tokens have no bigrams and drop out (the
+    * sequence(1,0)-descends guard). */
+  val bigramSurprisal = Q(
+    "q_bigram_surprisal",
+    (spark, dir) => {
+      val tk = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+                regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)).as("tk"))
+      val cd = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+               i -> struct(element_at(tk, cast(i AS int)) AS pa,
+                           element_at(tk, cast(i AS int) + 1) AS pb))""")).as("p"))
+        .select(col("doc_id"), col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("doc_id"), col("pa"), col("pb"))
+        .agg(count(lit(1)).as("cnt"))
+      val cb = cd.groupBy(col("pa"), col("pb")).agg(sum(col("cnt")).as("cb"))
+      val cu = tk.select(explode(col("tk")).as("pa"))
+        .groupBy(col("pa")).agg(count(lit(1)).as("cu"))
+      cd.join(cb, Seq("pa", "pb")).join(cu, Seq("pa"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") *
+               (length(expr("bin(cu)")) - length(expr("bin(cb)"))).cast("long"))
+               .as("bits"),
+             sum(col("cnt")).as("n_bigrams"))
+        .withColumn("mean_bits_ppm", expr("bits * 1000000 div n_bigrams"))
+        .orderBy(desc("mean_bits_ppm"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("n_bigrams"), col("bits"), col("mean_bits_ppm"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS tk FROM documents),
+      cd AS (
+        SELECT doc_id, pa, pb, count(*) AS cnt
+        FROM (SELECT doc_id, tk[i] AS pa, tk[i+1] AS pb
+              FROM (SELECT doc_id, tk,
+                           unnest([ i for i in range(1, len(tk)) ]) AS i
+                    FROM tk WHERE len(tk) >= 2))
+        GROUP BY 1, 2, 3),
+      cb AS (SELECT pa, pb, CAST(sum(cnt) AS BIGINT) AS cb FROM cd GROUP BY 1, 2),
+      cu AS (SELECT pa, count(*) AS cu
+             FROM (SELECT unnest(tk) AS pa FROM tk) GROUP BY 1),
+      pd AS (
+        SELECT doc_id,
+               CAST(sum(cnt * (length(bin(cu.cu)) - length(bin(cb.cb)))) AS BIGINT) AS bits,
+               CAST(sum(cnt) AS BIGINT) AS n_bigrams
+        FROM cd JOIN cb USING (pa, pb) JOIN cu USING (pa)
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, bits,
+             (bits * 1000000) // n_bigrams AS mean_bits_ppm
+      FROM pd
+      ORDER BY mean_bits_ppm DESC, doc_id
+      LIMIT 20
     """))
 
   def all: Seq[Q] = Seq(
@@ -1295,5 +1439,5 @@ object TextOps {
     packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
     temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
-    bpePairs, bpeTrain)
+    bpePairs, bpeTrain, bpeApply, bigramSurprisal)
 }

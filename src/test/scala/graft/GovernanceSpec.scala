@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytics, Curation, Similarity, TextOps}
+
+/** Invariant tests for the round-9 governance/modeling additions —
+  * properties the DuckDB hash oracle cannot express (cross-query
+  * consistency, mathematical bounds).
+  */
+class GovernanceSpec extends SparkSpec {
+
+  test("q_bpe_apply: compression never exceeds 1 token/char and " +
+       "re-tokenized char mass equals the corpus char mass") {
+    val rows = TextOps.bpeApply.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nChars = r.getAs[Long]("n_chars")
+      val nToks = r.getAs[Long]("n_tokens")
+      val nWords = r.getAs[Long]("n_words")
+      // each token holds >= 1 char, each word >= 1 token
+      assert(nToks <= nChars, s"more tokens than chars: $r")
+      assert(nWords <= nToks, s"more words than tokens: $r")
+      assert(r.getAs[Long]("compression_ppm") <= 1000000L)
+    }
+    // the vocab join must lose no corpus word: total words here ==
+    // corpus [a-z]+ token occurrences counted directly
+    val direct = graft.model.Tables.documents(spark, sf)
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("w"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_words")).sum === direct)
+  }
+
+  test("q_bigram_surprisal: bits are non-negative and bounded by " +
+       "n_bigrams * corpus log2-range") {
+    val rows = TextOps.bigramSurprisal.fn(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val bits = r.getAs[Long]("bits")
+      val nb = r.getAs[Long]("n_bigrams")
+      assert(bits >= 0L, s"negative surprisal (cb > cu?): $r")
+      assert(bits <= nb * 63L)
+      assert(r.getAs[Long]("mean_bits_ppm") === bits * 1000000L / nb)
+    }
+    // ranked output: mean descending, doc_id tiebreak ascending
+    val means = rows.map(r => (-r.getAs[Long]("mean_bits_ppm"), r.getAs[Long]("doc_id")))
+    assert(means.sameElements(means.sorted))
+  }
+
+  test("q_mad_outliers: MAD-based outliers are a subset of the type " +
+       "population and med/mad are actual data points") {
+    val rows = Analytics.madOutliers.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, vs) => k -> vs.map(_.getDouble(1)) }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vals = ev(t)
+      assert(r.getAs[Long]("n") === vals.length.toLong)
+      val med = r.getAs[Double]("med")
+      assert(vals.contains(med), s"median is not a data point: $r")
+      val mad = r.getAs[Double]("mad")
+      assert(vals.exists(v => math.abs(v - med) == mad),
+        s"MAD is not an observed deviation: $r")
+      val nOut = vals.count(v => math.abs(v - med) > 6.0 * mad)
+      assert(r.getAs[Long]("n_outliers") === nOut.toLong)
+    }
+  }
+
+  test("q_knn_graph: histogram masses are consistent and bounded by k") {
+    val rows = Similarity.knnGraph.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("degree")
+      assert(deg >= 1L && deg <= 4L,
+        s"mutual degree outside [1, k=4]: $r")
+    }
+    // sum(degree * n_nodes) = 2 * |edges| (handshake): even
+    val mass = rows.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(mass % 2 === 0L, s"odd edge-endpoint mass $mass")
+  }
+
+  test("q_dataset_card: volumes reconcile with the raw corpus") {
+    val rows = Curation.datasetCard.fn(spark, sf).collect()
+    val d = graft.model.Tables.documents(spark, sf)
+    val total = d.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val totalChars = d.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum === totalChars)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("quality_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
+}

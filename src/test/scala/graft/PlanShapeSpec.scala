@@ -47,6 +47,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_matryoshka" -> "crossJoin(broadcast(queries)): query side capped by knnQueryIdCap",
       "q_gapfill" -> "crossJoin(broadcast(distinct event types)): both sides post-aggregate bounded — grid = time-span/300 rows, types = event vocabulary; corpus-size independent",
       "q_bpe_train" -> "crossJoin(broadcast(1-row best merge pair)) x3 rounds against the vocab-sized frame",
+      "q_bpe_apply" -> "crossJoin(broadcast(1-row best merge pair)) x3 rounds: the shared bpeTrainLoop behind q_bpe_train",
       "q_ann_ivfpq" -> "exact-kNN hit-contract reference side only (capped by knnQueryIdCap); the serving path probes via an equi-join on the trained cell key")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
