@@ -55,6 +55,73 @@ object ProductViewPipeline {
         graft.functions.WireTimestamp.wireTimestamp(col("value.timestamp"))
           .as("timestamp"))
 
+  /** [[parse]] variant that PRESERVES the raw wire bytes and parse
+    * provenance alongside the typed fields — the input
+    * [[deadLetterQuery]] quarantines from. `json_ok` distinguishes a
+    * wholly unparseable payload from a parseable record whose fields
+    * fail validation, via PERMISSIVE mode's corrupt-record channel
+    * (from_json does NOT null the struct on malformed JSON — it yields
+    * an all-null row, so struct-null is not a usable signal). */
+  def parseWithRaw(raw: DataFrame): DataFrame =
+    raw
+      .select(col("value").cast("string").as("raw_value"))
+      .withColumn("v", from_json(col("raw_value"),
+        productViewSchema.add("_corrupt_record", StringType),
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .select(
+        col("raw_value"),
+        col("v._corrupt_record").isNull.as("json_ok"),
+        col("v.event").as("event"),
+        col("v.messageid").as("messageid"),
+        col("v.userid").as("userid"),
+        col("v.properties.productid").as("productid"),
+        col("v.context.source").as("source"),
+        graft.functions.WireTimestamp.wireTimestamp(col("v.timestamp"))
+          .as("timestamp"))
+
+  /** Dead-letter routing — the production answer to "what happens to
+    * the malformed 0.01%": one foreachBatch pass per micro-batch
+    * splits [[parseWithRaw]] rows into the good path (typed, raw bytes
+    * dropped) and a quarantine path carrying the ORIGINAL payload plus
+    * a failure reason (`malformed_json` / `no_source` /
+    * `bad_timestamp`) — nothing is silently discarded, and replaying
+    * the quarantine after an upstream fix is a batch job over its
+    * parquet, not an ops incident. [[withWireMetrics]] is the alarm;
+    * this is the recovery path.
+    *
+    * Exactly-once across epoch replay: each epoch OVERWRITES its own
+    * `epoch=<id>` partition directory on both paths, so a
+    * checkpoint-recovery re-run rewrites identical files instead of
+    * appending duplicates (the idempotent-sink recipe
+    * [[jdbcUpsertQuery]] applies key-wise, applied dir-wise). The
+    * batch is persisted so the two writes share one parse. */
+  def deadLetterQuery(
+      withRaw: DataFrame,
+      goodDir: String,
+      deadDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): StreamingQuery =
+    withRaw.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        df.persist()
+        try {
+          val bad = !col("json_ok") || col("source").isNull || col("timestamp").isNull
+          df.filter(bad)
+            .select(col("raw_value"),
+              when(!col("json_ok"), lit("malformed_json"))
+                .when(col("source").isNull, lit("no_source"))
+                .otherwise(lit("bad_timestamp")).as("reason"))
+            .write.mode("overwrite").parquet(s"$deadDir/epoch=$epochId")
+          df.filter(!bad)
+            .drop("raw_value", "json_ok")
+            .write.mode("overwrite").parquet(s"$goodDir/epoch=$epochId")
+        } finally df.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Windowed count per source (reference v1:45-55): watermark ->
     * tumbling window -> count -> flat rename. Watermark applies only
     * on streaming input (batch parity path skips it). */

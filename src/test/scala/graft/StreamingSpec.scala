@@ -190,6 +190,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dead-letter split quarantines malformed payloads with reason, raw preserved") {
+    val in = MemoryStream[String]
+    val goodDir = tmp(); val deadDir = tmp()
+    val q = P.deadLetterQuery(P.parseWithRaw(in.toDF()), goodDir, deadDir,
+      tmp(), Trigger.ProcessingTime(0))
+    try {
+      in.addData(
+        rec("2021-03-07 19:01:00", "desktop", "m1"),
+        rec("2021-03-07 19:02:00", "mobile-web", "m2"),
+        "this is not json at all",
+        // parseable JSON but no context.source field
+        """{"event":"ProductView","messageid":"m4","timestamp":"2021-03-07 19:03:00"}""",
+        rec("not-a-timestamp", "desktop", "m5"))
+      q.processAllAvailable()
+      val good = spark.read.parquet(goodDir)
+      assert(good.count() == 2L)
+      assert(good.select("messageid").as[String].collect().toSet == Set("m1", "m2"))
+      assert(!good.columns.contains("raw_value"), "raw bytes leaked to the good path")
+      val dead = spark.read.parquet(deadDir)
+      val reasons = dead.select("reason").as[String].collect().sorted.toSeq
+      assert(reasons == Seq("bad_timestamp", "malformed_json", "no_source"), s"got $reasons")
+      // quarantine preserves the exact original payload for replay
+      val raws = dead.select("raw_value").as[String].collect()
+      assert(raws.contains("this is not json at all"))
+      assert(raws.exists(_.contains("\"m5\"")))
+    } finally q.stop()
+  }
+
   test("foreachBatch emits each micro-batch globally sorted descending (v2 parity)") {
     val in = MemoryStream[String]
     val counts = P.windowedCounts(P.parse(in.toDF()))
