@@ -1433,11 +1433,56 @@ object TextOps {
       LIMIT 20
     """))
 
+  /** Deterministic per-epoch training-order shuffle — the "reshuffle
+    * the corpus differently every epoch, reproducibly" primitive a
+    * training pipeline needs (repeating one order overfits batch
+    * composition; an RNG order is unreproducible across reruns and
+    * workers). Position of a document in epoch e is its md5-derived
+    * rank h60(e || ':' || doc_id): a total order that every worker can
+    * compute independently, no coordination, different per epoch,
+    * identical across reruns. Emitted here per (epoch, 16-way position
+    * bucket): the doc count (uniformity audit — a skewed bucket means
+    * a skewed shard) and the min/max rank hash (the shard's key range,
+    * i.e. exactly the split bounds a range-partitioned write would
+    * use).
+    *
+    * 100 TB shape: the rank is map-side arithmetic on the doc id; the
+    * actual shuffle is `repartitionByRange(h)` + in-partition sort —
+    * embarrassingly parallel, one exchange, no global sort bottleneck
+    * (the GlobalRank path if exact positions are needed). This audit
+    * itself is ONE map-side-partial agg over 32 keys. */
+  val epochShuffle = Q(
+    "q_epoch_shuffle",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+                explode(array(lit(0L), lit(1L))).as("epoch"))
+        .withColumn("h", h60(concat(col("epoch").cast("string"), lit(":"),
+                                    col("doc_id").cast("string"))))
+        .withColumn("bucket", pmod(col("h"), lit(16L)))
+        .groupBy(col("epoch"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("h")).as("min_h"),
+             max(col("h")).as("max_h"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+      h AS (
+        SELECT epoch, doc_id,
+               ${h60Sql("epoch || ':' || doc_id")} AS h
+        FROM e)
+      SELECT epoch, h % 16 AS bucket, count(*) AS n_docs,
+             min(h) AS min_h, max(h) AS max_h
+      FROM h
+      GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] = Seq(
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     winnowing, winnowCandidates, regexTokens, datasetMix, datasetSplit,
     packChunks, vocabStats, tfidf,
     heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
     temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
-    bpePairs, bpeTrain, bpeApply, bigramSurprisal)
+    bpePairs, bpeTrain, bpeApply, bigramSurprisal, epochShuffle)
 }

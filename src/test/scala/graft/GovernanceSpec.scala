@@ -80,6 +80,28 @@ class GovernanceSpec extends SparkSpec {
     assert(mass % 2 === 0L, s"odd edge-endpoint mass $mass")
   }
 
+  test("q_epoch_shuffle: per-epoch assignment is uniform-ish, complete " +
+       "and differs across epochs") {
+    val rows = TextOps.epochShuffle.fn(spark, sf).collect()
+    val total = graft.model.Tables.documents(spark, sf).count()
+    Seq(0L, 1L).foreach { e =>
+      val er = rows.filter(_.getAs[Long]("epoch") == e)
+      assert(er.length === 16, s"epoch $e has ${er.length} buckets")
+      val counts = er.map(_.getAs[Long]("n_docs"))
+      assert(counts.sum === total)
+      // md5 uniformity: no bucket more than 3x the mean (loose, but a
+      // broken hash or a modulo bias fails it immediately)
+      assert(counts.max <= 3 * (total / 16).max(1),
+        s"epoch $e skewed: ${counts.toSeq}")
+    }
+    // different epochs really are different orders: the per-bucket
+    // lead hashes cannot all coincide
+    val lead = rows.groupBy(_.getAs[Long]("epoch"))
+      .map { case (e, rs) =>
+        e -> rs.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Long]("min_h")).toSeq }
+    assert(lead(0L) != lead(1L), "epoch 0 and 1 produced identical orders")
+  }
+
   test("q_dataset_card: volumes reconcile with the raw corpus") {
     val rows = Curation.datasetCard.fn(spark, sf).collect()
     val d = graft.model.Tables.documents(spark, sf)
