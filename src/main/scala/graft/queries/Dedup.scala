@@ -1141,10 +1141,81 @@ object Dedup {
       GROUP BY 1, 2
     """))
 
+  /** Bounded-depth BFS "blast radius" through the near-dup graph via
+    * Spark 4's RECURSIVE CTE — the governance question behind
+    * decontamination: if these seed documents are bad (contaminated /
+    * poisoned / license-revoked), how far does the taint spread
+    * through near-duplicate copies? Emits, per hop distance 0‥3, how
+    * many docs are first reached at that depth.
+    *
+    * Engine surface: this is the declarative spelling — Spark's
+    * recursive CTE supports UNION ALL only, so the walk enumerates
+    * bounded-depth PATHS and a min() aggregate collapses them to hop
+    * distances; identical text (modulo the pairs source) runs in
+    * DuckDB. Termination is by the explicit depth bound, never by
+    * fixpoint.
+    *
+    * 100 TB shape: each recursion level is one equi hash join of the
+    * CURRENT FRONTIER against the banded pair set — frontier-sized,
+    * not corpus-sized, and blast-radius audits have few seeds by
+    * construction. The depth bound caps walk multiplicity on the
+    * df-capped graph (max degree ~25). For UNBOUNDED reachability the
+    * iterative [[graft.operators.ConnectedComponents]] (localCheckpoint
+    * per round) remains the scale path — a recursive CTE keeps every
+    * level's lineage live.
+    *
+    * The pair set is eagerly localCheckpoint'ed before the walk: each
+    * recursion level re-reads the edges view, and a lazy lineage would
+    * re-run the whole shingle+inverted-index pair generation once PER
+    * LEVEL (first measured at 6.9 s; checkpointed: ~1.5 s — the
+    * srpProbePairs / PQ-codes lesson in its recursive-CTE guise). */
+  val blastRadius = Q(
+    "q_dup_blast_radius",
+    (spark, dir) => {
+      val e = withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_blast_pairs")
+      spark.sql("""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM graft_blast_pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM graft_blast_pairs),
+        seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed LIMIT 5),
+        walk(doc, depth) AS (
+          SELECT seed, 0 FROM seeds
+          UNION ALL
+          SELECT e.b, w.depth + 1 FROM walk w JOIN edges e ON e.a = w.doc
+          WHERE w.depth < 3),
+        reached AS (SELECT doc, min(depth) AS depth FROM walk GROUP BY doc)
+        SELECT depth, count(*) AS n_docs, min(doc) AS min_doc, max(doc) AS max_doc
+        FROM reached GROUP BY depth
+      """)
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleCte,
+      eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
+      ${jaccardPairsCte("eh")},
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed LIMIT 5),
+      walk(doc, depth) AS (
+        SELECT seed, 0 FROM seeds
+        UNION ALL
+        SELECT e.b, w.depth + 1 FROM walk w JOIN edges e ON e.a = w.doc
+        WHERE w.depth < 3),
+      reached AS (SELECT doc, min(depth) AS depth FROM walk GROUP BY doc)
+      SELECT depth, count(*) AS n_docs, min(doc) AS min_doc, max(doc) AS max_doc
+      FROM reached GROUP BY depth
+    """))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, containment, minhashSignatures,
     minhashLsh, simhash, simhashPairs, dedupClusters, dupGraphStats,
     dupPagerank, dupCommunities, decontaminate, overlapProfile, dedupApply,
     exactSubstring, fuzzy, shingleNovelty, minhashEstimate, dupTriangles,
-    sourceOverlap)
+    sourceOverlap, blastRadius)
 }

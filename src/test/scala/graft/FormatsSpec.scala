@@ -113,4 +113,23 @@ class FormatsSpec extends SparkSpec {
     val tzed = loaderSees(cur)
     assert(tzed.sameElements(want), "TZ-micros generation diverged")
   }
+
+  /** Several oracles (multimodal features/resize, padding buckets)
+    * equate characters with BYTES — valid only while documents.text is
+    * pure ASCII. The assumption has held across every generation but
+    * was only re-verified by hand (NOTES); this pins it so a non-ASCII
+    * regeneration fails ONE focused test instead of hash-diverging a
+    * scattered subset of the battery. */
+  test("fixture contract: documents.text is pure ASCII, ids unique, keys non-null") {
+    val d = graft.model.Tables.documents(spark, sf)
+    val nonAscii = d.filter(expr("text RLIKE '[^\\\\x00-\\\\x7F]'")).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii docs carry non-ASCII text — byte==char oracles are now wrong")
+    assert(d.filter(col("lang").isNull || col("source").isNull ||
+      col("text").isNull).count() == 0L)
+    val n = d.count()
+    assert(d.select(col("doc_id")).distinct().count() == n, "doc_id not unique")
+    // n_chars really is the text length (padding/layout oracles rely on it)
+    assert(d.filter(length(col("text")) =!= col("n_chars")).count() == 0L)
+  }
 }
