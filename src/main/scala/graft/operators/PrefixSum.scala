@@ -60,4 +60,41 @@ object PrefixSum {
     }
     spark.createDataFrame(out, sorted.schema.add(outCol, LongType, nullable = false))
   }
+
+  /** Adds `outCol` = min of `valueCol` over all rows strictly before
+    * this row in the global `sortCols` order (`Long.MaxValue` when no
+    * row precedes). Same one-RDD, range-partitioned discipline as
+    * [[exclusive]] — min is associative and commutative, so the
+    * per-partition fold + scanLeft merge is exact. Building block for
+    * dominance tests (Pareto frontier / skyline: a point is dominated
+    * iff some point earlier in the (x, y) order has a smaller-or-equal
+    * y), monotone envelope extraction, and record-so-far audits. */
+  def exclusiveMin(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                   outCol: String = "prefix_min",
+                   numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.LongType,
+      s"$valueCol must be LongType, got ${df.schema(valueCol).dataType}")
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd // ONE RDD: both jobs reuse its shuffle output
+    val partMins = spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      var m = Long.MaxValue
+      while (it.hasNext) m = math.min(m, it.next().getLong(idx))
+      m
+    })
+    val offsets = partMins.scanLeft(Long.MaxValue)(math.min)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row =>
+        val r = Row.fromSeq(row.toSeq :+ acc)
+        acc = math.min(acc, row.getLong(idx))
+        r
+      }
+    }
+    spark.createDataFrame(out, sorted.schema.add(outCol, LongType, nullable = false))
+  }
 }

@@ -608,10 +608,122 @@ object Analytics {
       GROUP BY d.event_type
     """))
 
+  /** Market-basket association mining: the top-20 part pairs most
+    * often bought together in one order, with exact-integer lift — the
+    * classic co-occurrence/recommendation query over the clickstream's
+    * relational shadow (the reference counts views per source,
+    * v2:64-65; the natural next question a commerce pipeline asks is
+    * "which products co-occur").
+    *
+    * 100 TB shape: the pair generator is a self equi-join on
+    * l_orderkey — both sides hash to the SAME exchange (Catalyst plans
+    * a ReusedExchange), and fan-out per order is C(k,2) with k bounded
+    * by order size (≤ 7 lineitems in TPC-H-shaped data), so the
+    * expansion is linear in the fact table, never all-pairs over the
+    * catalog. Lift is cross-multiplied in exact BIGINTs
+    * (ppm = 1e6·n_both·N div (n_a·n_b)) — no float division — and the
+    * finish is a TakeOrdered top-20, not a global sort. */
+  val basketPairs = Q(
+    "q_basket_pairs",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = li.select(col("l_orderkey")).distinct().count()
+      val support = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+      // support grows with the catalog — a forced broadcast would be
+      // wrong at 100 TB; plain equi-joins let AQE pick the strategy
+      pairs
+        .join(support.withColumnRenamed("l_partkey", "part_a")
+          .withColumnRenamed("n_item", "n_a"), "part_a")
+        .join(support.withColumnRenamed("l_partkey", "part_b")
+          .withColumnRenamed("n_item", "n_b"), "part_b")
+        .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          expr(s"(1000000L * n_both * ${nOrders}L) div (n_a * n_b)")
+            .as("lift_ppm"))
+        .orderBy(desc("n_both"), asc("part_a"), asc("part_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      support AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM li GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2)
+      SELECT part_a, part_b, n_both, sa.n_item AS n_a, sb.n_item AS n_b,
+             (1000000 * n_both * n.n_orders) // (sa.n_item * sb.n_item)
+               AS lift_ppm
+      FROM pairs
+      JOIN support sa ON sa.l_partkey = part_a
+      JOIN support sb ON sb.l_partkey = part_b
+      CROSS JOIN n
+      ORDER BY n_both DESC, part_a, part_b
+      LIMIT 20
+    """))
+
+  /** 2-D Pareto frontier (skyline) of parts minimizing
+    * (retail price, size): the classic "cheap AND small" multi-criteria
+    * query (Börzsönyi et al., ICDE'01 — the operator class the SURVEY
+    * §2.7 capability list leaves to us; absent from the reference,
+    * which has no predicates at all).
+    *
+    * Naive skyline is an all-pairs dominance test — quadratic and
+    * banned by this repo's fleet guard. The 2-D case collapses to a
+    * prefix-min: after deduplicating to distinct (price, size) points,
+    * a point is dominated iff some point strictly earlier in the
+    * (price asc, size asc) total order has size ≤ its size — i.e. iff
+    * exclusive-prefix-min(size) ≤ size. Spark side runs the
+    * distributed [[graft.operators.PrefixSum.exclusiveMin]] (range
+    * partition + two co-scheduled jobs on ONE RDD — no single-reducer
+    * global window); the DuckDB oracle spells the same prefix-min as a
+    * window function. Exact integers throughout (cents, int sizes). */
+  val paretoFrontier = Q(
+    "q_pareto_frontier",
+    (spark, dir) => {
+      import graft.operators.PrefixSum
+      val pts = Tables.part(spark, dir)
+        .groupBy(cents(col("p_retailprice")).as("price_c"),
+                 col("p_size").cast("long").as("size"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+      PrefixSum.exclusiveMin(pts, Seq(col("price_c"), col("size")), "size", "pm")
+        .filter(col("pm") > col("size"))
+        .select(col("price_c"), col("size").as("p_size"),
+                col("n_parts"), col("min_partkey"))
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT ${centsSql("p_retailprice")} AS price_c,
+               CAST(p_size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               min(p_partkey) AS min_partkey
+        FROM part GROUP BY 1, 2),
+      pm AS (
+        SELECT *, min(size) OVER (ORDER BY price_c, size
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM pts)
+      SELECT price_c, size AS p_size, n_parts, min_partkey
+      FROM pm WHERE m IS NULL OR m > size
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
     unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
-    errorAnomaly, madOutliers)
+    errorAnomaly, madOutliers, paretoFrontier, basketPairs)
 }

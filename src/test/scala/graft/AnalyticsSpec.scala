@@ -45,4 +45,19 @@ class AnalyticsSpec extends SparkSpec {
     val tiles = q.select("quartile").collect().map(_.getLong(0)).toSet
     assert(tiles == Set(1L, 2L, 3L, 4L))
   }
+
+  test("basket pairs: canonical order, support floor, and lift consistency") {
+    val rows = Analytics.basketPairs.fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val (nb, na, nB) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(a < b, "pair not canonical")
+      assert(nb >= 2, "support floor violated")
+      // a pair can't co-occur more often than either item occurs
+      assert(nb <= math.min(na, nB))
+      assert(r.getAs[Long]("lift_ppm") > 0L)
+    }
+  }
 }
