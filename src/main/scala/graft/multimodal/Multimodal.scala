@@ -266,6 +266,90 @@ object Multimodal {
     }
   }
 
+  /** One perceptual hash: 16-bit aHash over the 4x4 thumbnail. */
+  final case class MediaHash(doc_id: Long, fmt: String, phash: Long)
+
+  /** Perceptual (average) hash over the [[resizeNearest]] pixel grid:
+    * bit i of the 16-bit hash is set iff thumbnail pixel i is STRICTLY
+    * above the thumbnail mean — compared in exact integers
+    * (px*16 > sum, never a float mean), so the SQL oracle mirrors it
+    * bit for bit. aHash is the classic near-duplicate IMAGE
+    * fingerprint (same content re-encoded PNG/BMP/JPEG-lossless hashes
+    * identically because the hash sees decoded pixels, not container
+    * bytes — [[perceptualHashImage]] + MultimodalSpec prove that on
+    * real javax.imageio payloads). Empty payloads get sentinel -1.
+    *
+    * 100 TB shape: one batched partition-local pass (decode seam),
+    * then dedup is hash-groupBy on the 16-bit key — the exact-dedup
+    * plan class, no pair expansion. Hamming-tolerant matching would
+    * band the hash (the SimHash pigeonhole pattern, Dedup.scala). */
+  def perceptualHash(media: Dataset[MediaRecord], dstW: Int = 4, dstH: Int = 4)
+      : Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { m =>
+          val n = m.payload.length
+          if (n == 0) MediaHash(m.doc_id, m.fmt, -1L)
+          else {
+            val px = new Array[Long](dstW * dstH)
+            var r = 0
+            while (r < dstH) {
+              val sr = r * m.height / dstH
+              var c = 0
+              while (c < dstW) {
+                val sc = c * m.width / dstW
+                px(r * dstW + c) = (m.payload((sr * m.width + sc) % n) & 0xff).toLong
+                c += 1
+              }
+              r += 1
+            }
+            val tot = px.sum
+            val k = px.length
+            var bits = 0L
+            var i = 0
+            while (i < k) {
+              if (px(i) * k > tot) bits |= (1L << i)
+              i += 1
+            }
+            MediaHash(m.doc_id, m.fmt, bits)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL-image aHash: the [[perceptualHash]] bit rule over a decoded
+    * `BufferedImage` — NN-resample to dstW x dstH, per-pixel integer
+    * Rec.601 luminance (299r+587g+114b, NOT divided — exact), bit set
+    * iff lum*k > sum. Container-invariant by construction: PNG and BMP
+    * encodings of the same pixels hash identically (spec-driven). */
+  def perceptualHashImage(img: java.awt.image.BufferedImage,
+                          dstW: Int = 4, dstH: Int = 4): Long = {
+    val k = dstW * dstH
+    val lum = new Array[Long](k)
+    var r = 0
+    while (r < dstH) {
+      val sr = r * img.getHeight / dstH
+      var c = 0
+      while (c < dstW) {
+        val p = img.getRGB(c * img.getWidth / dstW, sr)
+        lum(r * dstW + c) =
+          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    val tot = lum.sum
+    var bits = 0L
+    var i = 0
+    while (i < k) {
+      if (lum(i) * k > tot) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** REAL nearest-neighbor image resize (the [[resizeNearest]] index
     * map over a decoded `BufferedImage`) — spec-driven with
     * `javax.imageio` payloads, same seam contract as
@@ -386,5 +470,54 @@ object Multimodal {
       GROUP BY fmt
     """))
 
-  def all: Seq[Q] = Seq(featuresQuery, framesQuery, resizeQuery)
+  /** Q: perceptual-hash image dedup profile — every media record
+    * aHashed ([[perceptualHash]]), then the bucket-size histogram of
+    * the 16-bit hash space: how many hash buckets hold 1, 2, 3…
+    * records. Bucket size > 1 = perceptual near-duplicate group (the
+    * image twin of exact content dedup; same-hash grouping, no pair
+    * expansion). The oracle replays the 16 sampled bytes and the
+    * integer bit rule in SQL. */
+  val phashQuery = Q(
+    "q_multimodal_phash",
+    (spark, dir) => {
+      perceptualHash(mediaTable(spark, dir)).toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_media"))
+        .groupBy(col("n_media").as("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"),
+             min(col("phash")).as("min_phash"),
+             max(col("phash")).as("max_phash"))
+    },
+    Some("""
+      -- character==byte because the documents fixture is all-ASCII
+      -- (same assumption as the features/resize oracles; pinned by
+      -- FormatsSpec's fixture-contract test)
+      WITH m AS (
+        SELECT doc_id,
+               CAST(16 + doc_id % 16 AS BIGINT) AS w,
+               CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
+               CAST(length(text) AS BIGINT) AS n, text
+        FROM documents),
+      v AS (
+        SELECT doc_id, n,
+               [CAST(ascii(text[
+                   CAST(((((i // 4) * h) // 4) * w + (((i % 4) * w) // 4)) % n + 1 AS BIGINT)
+                 ]) AS BIGINT) for i in range(0, 16)] AS px
+        FROM m WHERE n > 0),
+      hashed AS (
+        SELECT doc_id,
+               CAST(list_sum([CASE WHEN px[i + 1] * 16 > list_sum(px)
+                         THEN 1 << i ELSE 0 END for i in range(0, 16)]) AS BIGINT) AS phash
+        FROM v
+        UNION ALL
+        SELECT doc_id, CAST(-1 AS BIGINT) AS phash FROM m WHERE n = 0),
+      buckets AS (
+        SELECT phash, CAST(count(*) AS BIGINT) AS n_media
+        FROM hashed GROUP BY phash)
+      SELECT n_media AS bucket_size, count(*) AS n_buckets,
+             min(phash) AS min_phash, max(phash) AS max_phash
+      FROM buckets GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(featuresQuery, framesQuery, resizeQuery, phashQuery)
 }

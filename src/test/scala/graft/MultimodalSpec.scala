@@ -196,4 +196,49 @@ class MultimodalSpec extends SparkSpec {
     val neg = frames.filter(col("frame_len") < 0).count()
     assert(neg == 0)
   }
+
+  test("perceptual hash: container-invariant on real images, content-sensitive") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    // a gradient-ish image with clear above/below-mean structure
+    def mkImage(shift: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = ((x + shift) * 8) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def roundTrip(img: BufferedImage, fmt: String): BufferedImage = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+    }
+    val base = mkImage(0)
+    val hPng = Multimodal.perceptualHashImage(roundTrip(base, "png"))
+    val hBmp = Multimodal.perceptualHashImage(roundTrip(base, "bmp"))
+    // the hash sees decoded pixels — lossless containers are invisible
+    assert(hPng == hBmp, "aHash differs across lossless containers")
+    assert(hPng == Multimodal.perceptualHashImage(base))
+    // a shifted gradient flips above/below-mean cells -> different hash
+    val hShift = Multimodal.perceptualHashImage(mkImage(16))
+    assert(hShift != hPng, "aHash blind to content change")
+    // 16-bit range, not degenerate all-zero/all-one
+    assert(hPng >= 0L && hPng < 65536L && hPng != 0L && hPng != 65535L)
+  }
+
+  test("perceptual hash over the media table: deterministic, 16-bit, total") {
+    val mt = Multimodal.mediaTable(spark, sf)
+    val hashes = Multimodal.perceptualHash(mt).toDF()
+    val n = mt.count()
+    assert(hashes.count() == n, "hash must be total over the media table")
+    val bad = hashes.filter(col("phash") < -1L || col("phash") > 65535L).count()
+    assert(bad == 0L)
+    // two runs agree bit for bit (pure integer pipeline)
+    val a = hashes.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Multimodal.perceptualHash(mt).toDF()
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
 }
