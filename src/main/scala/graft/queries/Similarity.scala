@@ -2033,32 +2033,32 @@ object Similarity {
     * per-node window sort); mutuality is a self-semi-join of the
     * (n×4)-bounded edge list on its swapped key; the histogram is two
     * map-side-partial aggs. */
-  val knnGraph = Q(
-    "q_knn_graph",
-    (spark, dir) => {
-      val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val topk = udaf(new graft.functions.Aggregators.TopK(4))
-      val nn = srpProbePairs(spark, dir)
-        .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
-                       col("nrm").as("qn")), "q_id")
-        .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
-                       col("nrm").as("cn")), "c_id")
-        .withColumn("sim_ppm", graft.model.Money.cents(
-          dot("qv", "cv") / (col("qn") * col("cn")), 1000000.0))
-        .groupBy(col("q_id"))
-        .agg(topk(col("sim_ppm"), col("c_id")).as("top"))
-        .select(col("q_id").as("a"), explode(col("top.items")).as("it"))
-        .select(col("a"), col("it._2").as("b"))
-      val mutual = nn
-        .join(nn.select(col("b").as("a"), col("a").as("b")),
-              Seq("a", "b"), "left_semi")
-        .filter(col("a") < col("b"))
-      mutual.select(explode(array(col("a"), col("b"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-    },
-    Some(s"""
-      WITH $srpBkCtesSql,
+  /** The mutual-kNN edge list (a < b) shared by [[knnGraph]] and
+    * [[knnLinkPrediction]]: per-node top-4 SRP-candidate neighbors via
+    * the bounded TopK heap, kept only when BOTH endpoints rank each
+    * other. */
+  private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+    val topk = udaf(new graft.functions.Aggregators.TopK(4))
+    val nn = srpProbePairs(spark, dir)
+      .join(e.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+                     col("nrm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+                     col("nrm").as("cn")), "c_id")
+      .withColumn("sim_ppm", graft.model.Money.cents(
+        dot("qv", "cv") / (col("qn") * col("cn")), 1000000.0))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim_ppm"), col("c_id")).as("top"))
+      .select(col("q_id").as("a"), explode(col("top.items")).as("it"))
+      .select(col("a"), col("it._2").as("b"))
+    nn.join(nn.select(col("b").as("a"), col("a").as("b")),
+            Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+  }
+
+  /** The DuckDB CTE chain mirroring [[mutualKnnEdges]]: defines
+    * `mu(a, b)` (plus its `cand`/`nn` intermediates). */
+  private def mutualKnnCtesSql: String = s"""$srpBkCtesSql,
       cand AS (
         SELECT x.vec_id AS q_id, y.vec_id AS c_id,
                CAST(floor((${dotSql("x.embedding", "y.embedding")}
@@ -2077,7 +2077,18 @@ object Similarity {
         SELECT n1.a, n1.b FROM nn n1
         WHERE n1.a < n1.b
           AND EXISTS (SELECT 1 FROM nn n2
-                      WHERE n2.a = n1.b AND n2.b = n1.a)),
+                      WHERE n2.a = n1.b AND n2.b = n1.a))"""
+
+  val knnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) => {
+      val mutual = mutualKnnEdges(spark, dir)
+      mutual.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""
+      WITH $mutualKnnCtesSql,
       deg AS (
         SELECT node, count(*) AS degree
         FROM (SELECT unnest([a, b]) AS node FROM mu)
@@ -2085,8 +2096,66 @@ object Similarity {
       SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
     """))
 
+  /** Link prediction over the mutual-kNN graph: for vector pairs NOT
+    * currently mutual neighbors, count shared neighbors and score with
+    * the resource-allocation index (Zhou et al. 2009 — Adamic-Adar's
+    * log-free sibling): RA(a,b) = Σ_z 1/deg(z) over common neighbors
+    * z. Each 1/deg term is fixed to exact integer ppm
+    * (1000000 div deg) BEFORE the sum, so the BIGINT aggregate is
+    * association-order independent — the money-cents discipline, and
+    * why RA beats Adamic-Adar's 1/ln(deg) here (transcendental,
+    * cross-engine ulp class). Retrieval read: a high-RA non-edge is a
+    * semantic neighbor the k=4 cut likely truncated — candidate
+    * expansion for the ANN index without touching raw vectors.
+    *
+    * 100 TB shape: wedge enumeration self-joins the symmetrized edge
+    * list on the shared endpoint — Σ_z deg(z)² work, bounded because
+    * mutual-kNN degree is ≤ k = 4 by construction (≤ 16 wedges per
+    * node, unconditionally — tighter than any df cap). The edge list
+    * is eagerly checkpointed: FOUR consumers (two wedge sides, the
+    * anti-join, degrees) would otherwise stampede the SRP+TopK
+    * derivation (the lazy-persist gotcha, fifth sighting). Finish is
+    * TakeOrdered top-20, never a global sort. */
+  val knnLinkPrediction = Q(
+    "q_knn_link_prediction",
+    (spark, dir) => {
+      val pr = mutualKnnEdges(spark, dir).localCheckpoint(true)
+      val sym = pr.union(pr.select(col("b"), col("a"))).toDF("a", "b")
+      val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.as("x")
+        .join(sym.as("y"), col("x.b") === col("y.a") && col("x.a") < col("y.b"))
+        .select(col("x.a").as("ca"), col("y.b").as("cb"), col("x.b").as("z"))
+      val cand0 = wedges.join(pr,
+        wedges("ca") === pr("a") && wedges("cb") === pr("b"), "left_anti")
+      cand0.join(deg, "z")
+        .groupBy(col("ca").as("vec_a"), col("cb").as("vec_b"))
+        .agg(count(lit(1)).as("n_common"),
+             sum(expr("1000000L div deg")).as("ra_ppm"))
+        .orderBy(desc("n_common"), desc("ra_ppm"), asc("vec_a"), asc("vec_b"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH $mutualKnnCtesSql,
+      sym AS (SELECT a, b FROM mu UNION ALL SELECT b, a FROM mu),
+      deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+      wedges AS (
+        SELECT x.a AS ca, y.b AS cb, x.b AS z
+        FROM sym x JOIN sym y ON x.b = y.a AND x.a < y.b),
+      lcand AS (
+        SELECT w.ca, w.cb, w.z FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM mu
+                          WHERE mu.a = w.ca AND mu.b = w.cb))
+      SELECT ca AS vec_a, cb AS vec_b, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+      FROM lcand JOIN deg USING (z)
+      GROUP BY 1, 2
+      ORDER BY n_common DESC, ra_ppm DESC, vec_a, vec_b
+      LIMIT 20
+    """))
+
   def all: Seq[Q] =
     Seq(cosineTopk, cosineKnn, nearDupPairs, nearDupPairsLsh, annSrp, annIvf,
       embedQuantize, pqEncode, annPq, annIvfPq, embedOutliers, embedDedup, hardNegatives, hybridRrf,
-      embedDrift, mmrRerank, mmrRerankAnn, matryoshka, knnGraph)
+      embedDrift, mmrRerank, mmrRerankAnn, matryoshka, knnGraph,
+      knnLinkPrediction)
 }

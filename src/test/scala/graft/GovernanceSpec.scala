@@ -80,6 +80,23 @@ class GovernanceSpec extends SparkSpec {
     assert(mass % 2 === 0L, s"odd edge-endpoint mass $mass")
   }
 
+  test("q_knn_link_prediction: predictions are non-edges with bounded scores") {
+    val rows = Similarity.knnLinkPrediction.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      val nc = r.getAs[Long]("n_common")
+      val ra = r.getAs[Long]("ra_ppm")
+      assert(a < b, "pair not canonical")
+      // mutual-kNN degree is ≤ k=4, so common-neighbor count is too
+      assert(nc >= 1L && nc <= 4L, s"n_common out of [1,4]: $r")
+      // every common neighbor touches both endpoints, so its degree is
+      // in [2, 4] -> each RA term is in [250000, 500000] ppm
+      assert(ra >= nc * 250000L && ra <= nc * 500000L,
+        s"ra_ppm inconsistent with $nc common neighbors: $r")
+    }
+  }
+
   test("q_epoch_shuffle: per-epoch assignment is uniform-ish, complete " +
        "and differs across epochs") {
     val rows = TextOps.epochShuffle.fn(spark, sf).collect()
