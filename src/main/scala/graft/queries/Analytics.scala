@@ -615,12 +615,16 @@ object Analytics {
     * v2:64-65; the natural next question a commerce pipeline asks is
     * "which products co-occur").
     *
-    * 100 TB shape: the pair generator is a self equi-join on
-    * l_orderkey — both sides hash to the SAME exchange (Catalyst plans
-    * a ReusedExchange), and fan-out per order is C(k,2) with k bounded
-    * by order size (≤ 7 lineitems in TPC-H-shaped data), so the
-    * expansion is linear in the fact table, never all-pairs over the
-    * catalog. Lift is cross-multiplied in exact BIGINTs
+    * 100 TB shape: the deduped (order, part) set is eagerly
+    * checkpointed — FOUR consumers (two pair-join sides, two item
+    * supports) would otherwise each re-scan and re-shuffle the fact
+    * table (verified in the physical plan before the fix: four
+    * separate hashpartitioning(l_orderkey, l_partkey) exchanges). The
+    * pair generator is then a self equi-join on l_orderkey whose
+    * fan-out per order is C(k,2) with k bounded by order size (≤ 7
+    * lineitems in TPC-H-shaped data) — expansion linear in the fact
+    * table, never all-pairs over the catalog. Lift is
+    * cross-multiplied in exact BIGINTs
     * (ppm = 1e6·n_both·N div (n_a·n_b)) — no float division — and the
     * finish is a TakeOrdered top-20, not a global sort. */
   val basketPairs = Q(
@@ -628,6 +632,7 @@ object Analytics {
     (spark, dir) => {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true)
       val nOrders = li.select(col("l_orderkey")).distinct().count()
       val support = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_item"))
