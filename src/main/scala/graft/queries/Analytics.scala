@@ -608,6 +608,50 @@ object Analytics {
       GROUP BY d.event_type
     """))
 
+  /** Peak trailing-30-day spend per customer — the RANGE-frame
+    * (value-based) window the §2.7 surface lists beside the rows-based
+    * frames every other window query here uses: the frame is "orders
+    * within 29 days BEFORE mine" (range on epoch days), not "29 rows
+    * before mine" — same-day orders fall into each other's frames, and
+    * gaps in the order history shrink the frame, both of which a rows
+    * frame gets wrong. Revenue is summed as exact integer cents inside
+    * the frame (association-order-proof), the per-customer peak is a
+    * plain max, and the finish is TakeOrdered top-20. The window is
+    * hash-partitioned by customer — fully distributed, no global-order
+    * reducer. */
+  val trailingRevenue = Q(
+    "q_trailing_revenue",
+    (spark, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-29, 0)
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), day.as("day"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("trail_c", sum(col("price_c")).over(w))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("trail_c")).as("peak_30d_cents"))
+        .orderBy(desc("peak_30d_cents"), asc("o_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               ${centsSql("o_totalprice")} AS price_c
+        FROM orders),
+      t AS (
+        SELECT o_custkey,
+               CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_c
+        FROM o)
+      SELECT o_custkey, max(trail_c) AS peak_30d_cents
+      FROM t GROUP BY 1
+      ORDER BY peak_30d_cents DESC, o_custkey
+      LIMIT 20
+    """))
+
   /** Market-basket association mining: the top-20 part pairs most
     * often bought together in one order, with exact-integer lift — the
     * classic co-occurrence/recommendation query over the clickstream's
@@ -730,5 +774,6 @@ object Analytics {
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
     unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
-    errorAnomaly, madOutliers, paretoFrontier, basketPairs)
+    errorAnomaly, madOutliers, paretoFrontier, basketPairs,
+    trailingRevenue)
 }

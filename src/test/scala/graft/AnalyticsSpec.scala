@@ -46,6 +46,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(tiles == Set(1L, 2L, 3L, 4L))
   }
 
+  test("trailing revenue: peak bounded by single-order max and customer total") {
+    import graft.model.Money.cents
+    val rows = Analytics.trailingRevenue.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(cents(col("o_totalprice"))).as("mx"),
+           sum(cents(col("o_totalprice"))).as("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (c, peak) = (r.getAs[Long]("o_custkey"), r.getAs[Long]("peak_30d_cents"))
+      val (mx, tot) = bounds(c)
+      // a 30-day window contains at least the order itself, at most all
+      assert(peak >= mx && peak <= tot, s"peak $peak outside [$mx, $tot] for $c")
+    }
+  }
+
   test("basket pairs: canonical order, support floor, and lift consistency") {
     val rows = Analytics.basketPairs.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
