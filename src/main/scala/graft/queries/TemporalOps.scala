@@ -276,6 +276,54 @@ object TemporalOps {
       LEFT JOIN c ON c.bucket = g.bucket_start AND c.event_type = s.source
     """))
 
+  /** Event-sequence transition matrix — the Markov view of the
+    * clickstream: for each user's time-ordered event stream, count
+    * (previous event type → this event type) transitions, with the
+    * per-source-state transition probability in exact integer ppm
+    * (1e6·n div row_total — integer division, no float). The natural
+    * next analytics step after the reference's per-type counts
+    * (v2:64-65): not just HOW MANY views, but what users do NEXT.
+    *
+    * 100 TB shape: lag() is partitioned by user_id — a hash-partition
+    * window, no global-order reducer; transition counting is one
+    * map-side-partial agg over at most |event| rows; the matrix is
+    * |types|² ≤ tiny. Ties on identical timestamps break on event_id
+    * so the transition sequence is total-ordered and deterministic. */
+  val eventTransitions = Q(
+    "q_event_transitions",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000000L * n) div row_total").as("p_ppm"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+               event_type AS to_type
+        FROM events),
+      trans AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE from_type IS NOT NULL
+        GROUP BY 1, 2),
+      totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        FROM trans GROUP BY 1)
+      SELECT from_type, to_type, n, (1000000 * n) // row_total AS p_ppm
+      FROM trans JOIN totals USING (from_type)
+    """))
+
   def all: Seq[Q] = Seq(asofPrevOrder, asofNextOrder, sessionWindows,
-    slidingWindows, rangeJoin, scd2History, gapfill)
+    slidingWindows, rangeJoin, scd2History, gapfill, eventTransitions)
 }

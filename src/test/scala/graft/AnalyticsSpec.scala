@@ -63,6 +63,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("event transitions: mass balances and rows sum to ~1e6 ppm") {
+    val rows = graft.queries.TemporalOps.eventTransitions.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every event except each user's first contributes one transition
+    val ev = graft.model.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+    // per source state the floored ppm row sums to (1e6 - residue),
+    // residue < number of target states
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val s = rs.map(_.getAs[Long]("p_ppm")).sum
+      assert(s > 1000000L - rs.length && s <= 1000000L,
+        s"row $from ppm mass $s")
+    }
+  }
+
   test("basket pairs: canonical order, support floor, and lift consistency") {
     val rows = Analytics.basketPairs.fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
