@@ -291,6 +291,46 @@ object Relational {
       GROUP BY event_type
     """))
 
+  /** Mergeable-sketch distinct counting — the Datasketches HLL surface
+    * (SURVEY §7.3 named mergeable sketch columns as the one aggregate
+    * class beyond `approx_count_distinct`; Spark 4 ships it built-in):
+    * per (event_type, day) the user stream is sketched ONCE
+    * (`hll_sketch_agg`), and the per-type total comes from UNIONING
+    * the daily sketches (`hll_union_agg`) — never re-touching raw
+    * events. That union-of-partials is the 100 TB pattern: daily
+    * sketch columns persist at ingest (a few KB each), and any
+    * rollup — per week, per type, fleet-wide — is a sketch merge, not
+    * a re-scan. The union is order-independent (slot-max lattice), so
+    * the estimate is deterministic; the oracle-checkable surface is
+    * the exact count plus the accuracy contract (lgK=12 ⇒ rsd ≈ 1.6%,
+    * bound at 5% with floor 3 — the q_approx_distinct_users pattern):
+    * `merge_ok` hash-compares against literal `true`, and a sketch
+    * regression flips it and fails the gate. */
+  val hllMerge = Q(
+    "q_hll_merge",
+    (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("event_type"), window(col("ts"), "1 day").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+             hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          (abs(col("est") - col("exact_users")).cast("double") <=
+            greatest(lit(3.0), col("exact_users") * 0.05)).as("merge_ok"))
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_days,
+             true AS merge_ok
+      FROM events
+      GROUP BY event_type
+    """))
+
   /** Global top-k with total tie-break order; price in BIGINT cents. */
   val topkOrders = Q(
     "q_topk_orders",
@@ -1584,5 +1624,5 @@ object Relational {
     nationVolume, returnedItems, smallQtyRevenue, promoRevenue, brandRevenue,
     priorityCheck, idleRich, minCostSupplier, importantParts, topSupplier,
     waitingSupplier, forecastRevenue, lateLines, supplierCounts,
-    dominantSupplier, marketShare, nationProfit, orderCountDist)
+    dominantSupplier, marketShare, nationProfit, orderCountDist, hllMerge)
 }

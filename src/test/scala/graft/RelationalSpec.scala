@@ -77,4 +77,19 @@ class RelationalSpec extends SparkSpec {
       .filter($"n_violations" > 0L).count()
     assert(reg == 0L, "fixture unexpectedly has integrity violations")
   }
+
+  test("hll merge: union-of-daily-sketches estimate is deterministic and in contract") {
+    val a = Relational.hllMerge.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(a.nonEmpty)
+    a.values.foreach { case (exact, nDays, ok) =>
+      assert(ok, "sketch estimate outside the 5% contract")
+      assert(exact > 0L && nDays > 0L)
+    }
+    // slot-max lattice: a second independent sketch+union pass lands on
+    // the identical booleans and counts
+    val b = Relational.hllMerge.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(a == b)
+  }
 }
