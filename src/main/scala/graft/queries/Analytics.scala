@@ -769,11 +769,55 @@ object Analytics {
       FROM pm WHERE m IS NULL OR m > size
     """))
 
+  /** Per-brand Pareto frontier — the PARTITIONED skyline: within each
+    * brand, the (price, size)-minimal parts. Where [[paretoFrontier]]
+    * needs the distributed PrefixSum.exclusiveMin because its order is
+    * GLOBAL, the grouped variant's prefix-min is a plain window
+    * partitioned by brand — hash-distributed by Spark already, no
+    * custom operator needed. The pair shows the altitude rule: reach
+    * for the RDD operator only when no partition key exists. Emits
+    * per-brand frontier sizes plus the frontier's price span. */
+  val brandFrontier = Q(
+    "q_brand_frontier",
+    (spark, dir) => {
+      val pts = Tables.part(spark, dir)
+        .groupBy(col("p_brand"), cents(col("p_retailprice")).as("price_c"),
+                 col("p_size").cast("long").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price_c"), col("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("pm", coalesce(min(col("size")).over(w), lit(Long.MaxValue)))
+        .filter(col("pm") > col("size"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("frontier_size"),
+             sum(col("n_parts")).as("n_parts"),
+             min(col("price_c")).as("min_price_c"),
+             max(col("price_c")).as("max_price_c"))
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT p_brand, ${centsSql("p_retailprice")} AS price_c,
+               CAST(p_size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2, 3),
+      pm AS (
+        SELECT *, min(size) OVER (PARTITION BY p_brand
+                 ORDER BY price_c, size
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM pts)
+      SELECT p_brand, count(*) AS frontier_size,
+             CAST(sum(n_parts) AS BIGINT) AS n_parts,
+             min(price_c) AS min_price_c, max(price_c) AS max_price_c
+      FROM pm WHERE m IS NULL OR m > size
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
     unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
     errorAnomaly, madOutliers, paretoFrontier, basketPairs,
-    trailingRevenue)
+    trailingRevenue, brandFrontier)
 }
