@@ -87,7 +87,83 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd intersection SIZE of two SORTED distinct
+  * `array<long>` columns — the verification kernel of the prefix-filter
+  * similarity join (Dedup.prefixFilter): a two-pointer merge over the
+  * pre-sorted shingle-hash arrays, no per-row hash-set build, no
+  * intermediate array materialization (`array_intersect` + `size`
+  * allocates the intersection and hashes every element; this runs in
+  * whole-stage codegen as a primitive-long loop).
+  *
+  * CALLER CONTRACT: both arrays sorted ascending with distinct,
+  * non-null elements (`sort_array` over the distinct shingle set). On
+  * unsorted input the count is silently wrong — this is a kernel for
+  * engine-internal plans, registered for SQL parity but not a
+  * general-purpose set function. Null ARRAY inputs return null. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires (array<bigint>, array<bigint>), got " +
+      s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u < v) i += 1
+      else if (u > v) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  final long $u = $a.getLong($i);
+         |  final long $v = $b.getLong($j);
+         |  if ($u < $v) { $i++; }
+         |  else if ($u > $v) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
+
+  /** Column-level sorted-intersection count (codegen'd; see
+    * [[SortedIntersectCount]] for the sortedness caller contract). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column-level dot product (codegen'd). */
   def dotp(a: Column, b: Column): Column =
@@ -160,6 +236,14 @@ object GraftFunctions {
             boolLit(d, "shingle_hash distinct"))
         case other => throw new IllegalArgumentException(
           s"shingle_hash requires (tokens, n[, distinct]); got ${other.length} args")
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+                         "sorted_intersect_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_count requires exactly 2 arguments; got ${other.length}")
       }),
     (FunctionIdentifier("wire_timestamp"),
       new ExpressionInfo(classOf[WireTimestamp].getName, "wire_timestamp"),

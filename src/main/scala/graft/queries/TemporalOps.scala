@@ -324,6 +324,72 @@ object TemporalOps {
       FROM trans JOIN totals USING (from_type)
     """))
 
+  /** Exponentially-weighted moving average of per-user inter-event
+    * gaps (alpha = 1/2) — the smoothing primitive behind activity-decay
+    * features and cadence anomaly detection: s_1 = g_1,
+    * s_i = (g_i + s_{i-1}) / 2, folded over each user's time-ordered
+    * gap sequence.
+    *
+    * Determinism contract: alpha = 1/2 makes every step an IEEE-exact
+    * halving plus one correctly-rounded addition, applied in a FIXED
+    * per-user array order (sorted struct collect, ties broken on
+    * event_id) — both engines run the identical sequential fold, so the
+    * result is bit-identical even after the dyadic denominators exceed
+    * the 53-bit mantissa (same rounding sequence on both sides). DuckDB
+    * mirrors with `list_reduce`, whose no-init first-element seed IS
+    * this recurrence. Emitted as ppm BIGINT.
+    *
+    * 100 TB shape: one hash shuffle on user_id; per-user state is the
+    * user's own event list (bounded by per-user activity, the same
+    * contract as sessionization); the fold is per-row array work, no
+    * window over a global order, no second exchange. */
+  val ewmaGaps = Q(
+    "q_ewma_gaps",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+                struct(col("ts").cast("long").as("t"),
+                       col("event_id").as("e")).as("s"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("s"))).as("a"))
+        .filter(size(col("a")) >= 2)
+        .withColumn("gaps", expr(
+          "transform(sequence(2, size(a)), i -> cast(element_at(a, i).t - element_at(a, i-1).t as double))"))
+        .select(
+          col("user_id"),
+          size(col("gaps")).cast("long").as("n_gaps"),
+          expr("""cast(floor(aggregate(slice(gaps, 2, size(gaps) - 1),
+                                       element_at(gaps, 1),
+                                       (acc, g) -> (acc + g) / 2.0)
+                          * 1000000.0 + 0.5) as bigint)""").as("ewma_ppm"))
+    },
+    Some("""
+      WITH g AS (
+        -- order by FLOOR-seconds then event_id: the exact struct sort
+        -- key the Spark side folds in (full-precision ts order could
+        -- break same-second ties differently)
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
+                                  event_id) AS gap,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, event_id
+        FROM events),
+      l AS (
+        SELECT user_id,
+               list_transform(list(gap ORDER BY tsec, event_id),
+                              x -> CAST(x AS DOUBLE)) AS gaps
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id,
+             CAST(len(gaps) AS BIGINT) AS n_gaps,
+             CAST(floor(list_reduce(gaps, (acc, x) -> (acc + x) / 2.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS ewma_ppm
+      FROM l
+    """))
+
   def all: Seq[Q] = Seq(asofPrevOrder, asofNextOrder, sessionWindows,
-    slidingWindows, rangeJoin, scd2History, gapfill, eventTransitions)
+    slidingWindows, rangeJoin, scd2History, gapfill, eventTransitions,
+    ewmaGaps)
 }

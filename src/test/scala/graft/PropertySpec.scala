@@ -401,4 +401,30 @@ class PropertySpec extends SparkSpec {
       assert(sparkMerge(ws, "b", "b") == ws.map(refMerge(_, "b", "b")))
     }
   }
+
+  test("prefix filtering (q_dedup_prefix_filter) is COMPLETE: every J>=0.5 pair shares a prefix token") {
+    // pure-Scala mirror of the Spark plan's candidate rule, checked
+    // against brute-force Jaccard on random universes — the formula
+    // `prefixLen = n div 2 + 1` under the global (df asc, token asc)
+    // order must never lose a qualifying pair, independent of the
+    // documents fixture (the 3-SF oracle checks only that corpus).
+    val setsGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.choose(0, 24)).map(_.toSet))
+    forAll(setsGen, n = 40) { sets =>
+      val docs = sets.toVector
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[Int]): Set[Int] = {
+        val n = s.size
+        s.toVector.sortBy(t => (df(t), t)).take(n / 2 + 1).toSet
+      }
+      for (i <- docs.indices; j <- docs.indices if i < j) {
+        val (a, b) = (docs(i), docs(j))
+        val shared = (a & b).size
+        if (2 * shared >= a.size + b.size - shared) { // J >= 0.5 exact
+          assert((prefix(a) & prefix(b)).nonEmpty,
+            s"prefix filter lost a J>=0.5 pair: $a vs $b (df=$df)")
+        }
+      }
+    }
+  }
 }

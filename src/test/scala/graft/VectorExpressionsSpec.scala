@@ -78,6 +78,48 @@ class VectorExpressionsSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2021-03-07 19:01:23.456"))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted real shingle arrays") {
+    val d = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shs", sort_array(
+        graft.functions.ShingleHash.shingleHashes(col("toks"), 3)))
+    // all (i, i+1) consecutive doc pairs + self-pairs: covers disjoint,
+    // partial-overlap and identical-array cases on real data
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val pairs = d.select(col("doc_id"), col("shs"))
+      .withColumn("nxt", lead(col("shs"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val both = pairs.select(
+      VectorFunctions.sortedIntersectCount(col("shs"), col("nxt")).as("native"),
+      size(array_intersect(col("shs"), col("nxt"))).as("builtin"),
+      VectorFunctions.sortedIntersectCount(col("shs"), col("shs")).as("self"),
+      size(col("shs")).as("n"))
+    assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+    assert(both.filter(col("self") =!= col("n")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("sorted_intersect_count: null/empty arrays, SQL registration, codegen span") {
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.registerAll(s2)
+    val row = s2.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 7L), array(2L, 3L, 7L, 9L)) AS c,
+                sorted_intersect_count(array(1L), CAST(NULL AS ARRAY<BIGINT>)) AS n,
+                sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e""").head
+    assert(row.getInt(0) === 2)
+    assert(row.isNullAt(1))
+    assert(row.getInt(2) === 0)
+    val d = Tables.documents(spark, sf)
+      .withColumn("shs", sort_array(graft.functions.ShingleHash.shingleHashes(
+        split(col("text"), " "), 3)))
+      .select(VectorFunctions.sortedIntersectCount(col("shs"), col("shs")).as("c"))
+    val planLine = d.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("sorted_intersect_count")).getOrElse("")
+    assert(planLine.trim.startsWith("*("),
+      s"sorted_intersect_count not in a codegen span: $planLine")
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
