@@ -267,6 +267,9 @@ object GraftFunctions {
   * native graft function as a plain SQL function with no per-query
   * registration. Same builders as [[GraftFunctions.registerAll]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
+    // HOF dot-product pattern -> codegen'd DotProduct kernel
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }

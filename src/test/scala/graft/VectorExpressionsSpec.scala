@@ -120,6 +120,44 @@ class VectorExpressionsSpec extends SparkSpec {
       s"sorted_intersect_count not in a codegen span: $planLine")
   }
 
+  test("RewriteHofDotProduct: HOF pattern becomes the kernel; near-misses are left alone") {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.plans.RewriteHofDotProduct)
+    // range-derived (non-foldable — a literal LocalRelation gets
+    // whole-plan constant-folded before the plan can be inspected):
+    // row 0 = normal, row 1 = ragged, row 2 = both empty, row 3 = null array
+    def src(s: org.apache.spark.sql.SparkSession) = s.range(4).selectExpr(
+      """CASE WHEN id = 0 THEN array(1.0D, 2.0D, 3.0D)
+              WHEN id = 1 THEN array(1.0D, 2.0D)
+              WHEN id = 2 THEN cast(array() AS array<double>)
+              ELSE cast(NULL AS array<double>) END AS a""",
+      """CASE WHEN id = 0 THEN array(4.0D, 5.0D, 6.0D)
+              WHEN id = 1 THEN array(4.0D, 5.0D, 6.0D)
+              WHEN id = 2 THEN cast(array() AS array<double>)
+              ELSE array(1.0D) END AS b""",
+      "id")
+    val hof = """aggregate(zip_with(a, b, (x, y) -> x * y),
+                           cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+    val q = src(s2).selectExpr(s"$hof AS d", "id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      s"pattern not rewritten:\n${q.queryExecution.optimizedPlan}")
+    // identical results to the un-rewritten session (null cases included)
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.orderBy("id").collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(vals(q) == vals(src(spark).selectExpr(s"$hof AS d", "id")))
+    assert(vals(q) == Seq(32.0, null, 0.0, null))
+    // near-misses must NOT fire: reversed multiply operands, wrong zero,
+    // an extra term in the merge
+    for (miss <- Seq(
+      "aggregate(zip_with(a, b, (x, y) -> y * x), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(1.0 AS DOUBLE), (acc, v) -> acc + v)",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v + 0.0)")) {
+      val p = src(s2).selectExpr(s"$miss AS d")
+      assert(!p.queryExecution.optimizedPlan.toString.contains("dot_product"),
+        s"near-miss was wrongly rewritten: $miss")
+    }
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
