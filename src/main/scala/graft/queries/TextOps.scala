@@ -736,6 +736,47 @@ object TextOps {
       GROUP BY lang
     """))
 
+  /** Weighted (length-proportional) priority sample — the
+    * probability-proportional-to-size companion of
+    * [[stratifiedSample]]'s uniform per-stratum draw: long documents
+    * carry more training tokens, so a token-budget subsample should
+    * prefer them in proportion. Priority sampling (Duffield, Lund,
+    * Thorup, JACM '07): each item draws u ~ U(0,1] and the k smallest
+    * u/w ranks win. Here u is the md5-derived 30-bit integer
+    * `h60(doc_id) % 2^30 + 1` and the rank is the exact integer
+    * `u * 1_000_000 div n_chars` — deterministic, seed-stable
+    * ("wsamp1_" namespace), no float anywhere, ties broken on doc_id.
+    *
+    * 100 TB shape: rank is map-side literal math on an unshuffled
+    * scan; the k-smallest selection is TakeOrderedAndProject — a
+    * bounded per-partition heap merged on the driver, never a global
+    * sort (the [[graft.queries.Relational]] top-k plan class). One
+    * pass, O(k) driver memory, any corpus size. */
+  val weightedSample = Q(
+    "q_weighted_sample",
+    (spark, dir) => {
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("w_chars"),
+          ((h60(concat(lit("wsamp1_"), col("doc_id").cast("string")))
+             % 1073741824L) + 1L).as("u"))
+        .withColumn("rank", expr("u * 1000000L div w_chars"))
+        .orderBy(col("rank"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("w_chars"), col("rank"))
+    },
+    Some(s"""
+      SELECT doc_id, w_chars, rank FROM (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS w_chars,
+               ((${h60Sql("'wsamp1_' || CAST(doc_id AS VARCHAR)")} % 1073741824)
+                 + 1) * 1000000
+                 // CAST(length(text) AS BIGINT) AS rank
+        FROM documents WHERE length(text) > 0)
+      ORDER BY rank, doc_id LIMIT 100
+    """))
+
   /** Nucleus vocabulary coverage — the tokenizer-design diagnostic:
     * per language, the smallest top-frequency vocabulary whose
     * cumulative mass reaches 50% / 90% of all token occurrences
@@ -1482,7 +1523,8 @@ object TextOps {
     tokenStats, qualityScore, langIdConfusion, termFreq, fingerprint,
     winnowing, winnowCandidates, regexTokens, datasetMix, datasetSplit,
     packChunks, vocabStats, tfidf,
-    heavyHitters, stratifiedSample, vocabCoverage, collocations, chunkOverlap,
+    heavyHitters, stratifiedSample, weightedSample, vocabCoverage,
+    collocations, chunkOverlap,
     temperatureMix, bm25, corpusDrift, spanCorruption, skewProfile,
     bpePairs, bpeTrain, bpeApply, bigramSurprisal, epochShuffle)
 }

@@ -92,6 +92,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
   }
 
+  test("weighted priority sample: map-side rank + TakeOrdered, no exchange before the heap") {
+    val plan = executedPlan(graft.queries.TextOps.weightedSample.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"k-smallest not TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"priority sample must not shuffle before the heap:\n$plan")
+  }
+
   test("salted join partitions on (key, salt) — hot keys spread across tasks") {
     val plan = executedPlan(Relational.saltedJoin.fn(spark, sf))
     assert(plan.contains("__salt"), s"salt column absent from exchange:\n$plan")
