@@ -14,6 +14,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
   }
 
+  test("prefix-filter join returns EXACTLY the inverted-index exact pair set (lossless)") {
+    val exact = Dedup.ngramJaccard.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pf = Dedup.prefixFilter.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    assert(pf == exact,
+      s"prefix filter diverged: missing=${exact -- pf}, extra=${pf -- exact}")
+  }
+
   test("df-capped jaccard finds a subset of the uncapped pairs (cap only drops evidence)") {
     // shared_capped <= shared while denominators keep full counts, so
     // jaccard_capped <= jaccard: every capped pair must also pass 0.5
