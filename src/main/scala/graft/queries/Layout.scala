@@ -298,6 +298,78 @@ object Layout {
       .orderBy(col("check_name"))
   }
 
+  /** Content-addressed DATASET FINGERPRINT — the reproducibility
+    * primitive a training pipeline pins before a run: per table, an
+    * order-independent checksum of every row's canonical serialization
+    * (md5-derived 60-bit row hash folded mod 1e9+7, summed), plus row
+    * count and hash min/max. Two snapshots with equal fingerprints are
+    * content-identical regardless of file layout, partition order or
+    * row order; a single flipped byte moves the checksum. Canonical
+    * serialization pins the cross-engine-stable forms: BIGINT decimal
+    * strings, money as integer cents, timestamps as floor-epoch
+    * seconds, dates as yyyy-MM-dd.
+    *
+    * 100 TB shape: pure map-side hashing on unshuffled scans, one
+    * 1-row partial+final aggregate per table — the cheapest possible
+    * full-table pass (same class as count(*)). The mod-1e9+7 fold
+    * keeps each row term < 2^30, so the BIGINT sum holds to ~9e9 rows
+    * per table; beyond that, fold partial sums mod 1e9+7 again (the
+    * sum is associative either way). */
+  /** One table's fingerprint row from a canonical row serialization —
+    * see [[tableFingerprint]]. Exposed for the sensitivity spec. */
+  private[graft] def fingerprintOf(df: DataFrame, name: String,
+                                     ser: Column): DataFrame =
+    df.select((TextOps.h60(ser) % 1000000007L).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("h")).as("hash_checksum"),
+           min(col("h")).as("hash_min"),
+           max(col("h")).as("hash_max"))
+      .select(lit(name).as("table_name"), col("n_rows"),
+              col("hash_checksum"), col("hash_min"), col("hash_max"))
+
+  val tableFingerprint = Q(
+    "q_table_fingerprint",
+    (spark, dir) => {
+      import graft.model.Money.cents
+      val fp = fingerprintOf _
+      val o = Tables.orders(spark, dir)
+      val e = Tables.events(spark, dir)
+      val d = Tables.documents(spark, dir)
+      fp(o, "orders", concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")),
+          col("o_orderdate").cast("date").cast("string"),
+          col("o_orderpriority")))
+        .unionAll(fp(e, "events", concat_ws("|",
+          col("event_id"), col("ts").cast("long"), col("user_id"),
+          col("event_type"), cents(col("value")), col("props"))))
+        .unionAll(fp(d, "documents", concat_ws("|",
+          col("doc_id"), col("lang"), col("source"), col("text"))))
+    },
+    Some(s"""
+      SELECT 'orders' AS table_name, count(*) AS n_rows,
+             CAST(sum(h) AS BIGINT) AS hash_checksum,
+             min(h) AS hash_min, max(h) AS hash_max
+      FROM (SELECT ${TextOps.h60Sql(
+              """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)""")}
+               % 1000000007 AS h FROM orders)
+      UNION ALL
+      SELECT 'events', count(*), CAST(sum(h) AS BIGINT), min(h), max(h)
+      FROM (SELECT ${TextOps.h60Sql(
+              """concat_ws('|', event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, user_id,
+                 event_type, CAST(floor("value" * 100.0 + 0.5) AS BIGINT),
+                 props)""")}
+               % 1000000007 AS h FROM events)
+      UNION ALL
+      SELECT 'documents', count(*), CAST(sum(h) AS BIGINT), min(h), max(h)
+      FROM (SELECT ${TextOps.h60Sql(
+              "concat_ws('|', doc_id, lang, source, text)")}
+               % 1000000007 AS h FROM documents)
+    """))
+
   /** Referential-integrity / data-quality audit of the star schema —
     * the Deequ-style constraint suite (FK orphans, PK uniqueness,
     * null rates) a pipeline runs before promoting a snapshot. See
@@ -363,5 +435,5 @@ object Layout {
     """))
 
   def all: Seq[Q] = Seq(zorderLayout, zoneMapPruning, columnProfile,
-    integrityAudit)
+    integrityAudit, tableFingerprint)
 }

@@ -132,4 +132,27 @@ class GovernanceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_langs") >= 1L)
     }
   }
+
+  test("q_table_fingerprint: order-independent, byte-sensitive, count-faithful") {
+    import graft.queries.Layout
+    def fp(rows: Seq[String]) = {
+      import spark.implicits._
+      Layout.fingerprintOf(
+        rows.toDF("s").repartition(4), "t", col("s")).collect()(0)
+    }
+    val base = (1 to 100).map(i => s"row|$i|payload")
+    val a = fp(base)
+    // row order and physical partitioning must not matter
+    assert(a == fp(scala.util.Random.shuffle(base)))
+    // one flipped byte in one row must move the checksum
+    val b = fp(base.updated(42, "row|43|paylNad"))
+    assert(a.getAs[Long]("hash_checksum") != b.getAs[Long]("hash_checksum"))
+    assert(a.getAs[Long]("n_rows") === 100L)
+    // and the registered query's fingerprint reconciles with count(*)
+    val reg = Layout.tableFingerprint.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reg("documents") ===
+      graft.model.Tables.documents(spark, sf).count())
+    assert(reg("orders") === graft.model.Tables.orders(spark, sf).count())
+  }
 }
