@@ -813,11 +813,94 @@ object Analytics {
       GROUP BY 1
     """))
 
+  /** Hour-of-day seasonality profile per event type — the baseline an
+    * alerting system normalizes against before calling something an
+    * anomaly (the seasonal complement of [[errorAnomaly]]'s absolute
+    * threshold): per (type, hour-of-day) event share as an exact
+    * integer lift vs a flat 24-hour profile, lift_ppm =
+    * 1e6·24·n_hour div n_type (1e6 = exactly flat; integer division,
+    * no float). Hour buckets from floor-epoch seconds — the
+    * cross-engine-stable timestamp arithmetic every temporal query
+    * here uses.
+    *
+    * 100 TB shape: one unshuffled scan into a (type × 24)-row
+    * map-side-partial aggregate; the per-type totals ride a second
+    * tiny aggregate off the SAME grouped frame and return via a
+    * broadcast join. Output is metadata-sized at any corpus size. */
+  val hourlySeasonality = Q(
+    "q_hourly_seasonality",
+    (spark, dir) => {
+      val byHour = Tables.events(spark, dir)
+        .select(col("event_type"),
+                expr("(cast(ts as long) div 3600) % 24").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val totals = byHour.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      byHour.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("hour"), col("n"),
+                expr("(1000000L * 24 * n) div n_type").as("lift_ppm"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type,
+               (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) % 24
+                 AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+            FROM h GROUP BY 1)
+      SELECT event_type, hour, n, (1000000 * 24 * n) // n_type AS lift_ppm
+      FROM h JOIN t USING (event_type)
+    """))
+
+  /** Behavioral diversity per user — Gini impurity of the user's
+    * event-type distribution, the log-free stand-in for Shannon
+    * entropy (ranks near-identically; EXACT in integers where entropy
+    * would be a transcendental ulp risk): gini_ppm =
+    * 1e6 − (1e6·Σn_i²) div (Σn_i)². 0 = every event the same type,
+    * →1e6·(1−1/k) = maximally spread over k types. The
+    * feature-engineering view of the clickstream the reference only
+    * counts: WHO explores vs repeats. Top-20 most diverse users,
+    * ties on user_id.
+    *
+    * 100 TB shape: one hash aggregate to (user, type) with map-side
+    * partials, a second to per-user Σn/Σn², TakeOrdered finish —
+    * no window, no join, O(k) driver memory. */
+  val clickDiversity = Q(
+    "q_click_diversity",
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+             sum(col("n")).as("n_events"),
+             sum(col("n") * col("n")).as("ss"))
+        .select(col("user_id"), col("n_types"), col("n_events"),
+          (lit(1000000L) - expr("(1000000L * ss) div (n_events * n_events)"))
+            .as("gini_ppm"))
+        .orderBy(col("gini_ppm").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      SELECT user_id, n_types, n_events,
+             1000000 - (1000000 * ss) // (n_events * n_events) AS gini_ppm
+      FROM (
+        SELECT user_id, count(*) AS n_types,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(n * n) AS BIGINT) AS ss
+        FROM (SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+        GROUP BY 1)
+      ORDER BY gini_ppm DESC, user_id LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(
     topPerCustomer, rankFunctions, runningSum, lagLead, movingSum,
     firstLast, ntileQuartiles, rollupRegionNation, cubeFlagStatus,
     groupingSets, percentiles, approxPercentiles, pivotStatus,
     unpivotStatus, percentRank, topkAgg, funnelStages, cohortRetention,
     errorAnomaly, madOutliers, paretoFrontier, basketPairs,
-    trailingRevenue, brandFrontier)
+    trailingRevenue, brandFrontier, hourlySeasonality, clickDiversity)
 }
