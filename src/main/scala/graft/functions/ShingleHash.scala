@@ -78,7 +78,10 @@ object ShingleHash {
       i += 1
     }
     if (!distinct) return new GenericArrayData(out)
-    // distinct (order irrelevant downstream: consumers min/explode/set)
+    // distinct AND sorted ascending — the sortedness is CONTRACT, not
+    // incidental: Dedup.prefixFilter's sorted_intersect_count verify
+    // kernel two-pointer-merges these arrays without re-sorting
+    // (ShingleHashSpec pins it)
     java.util.Arrays.sort(out)
     var w = 1
     var r = 1

@@ -95,15 +95,27 @@ case class DotProduct(left: Expression, right: Expression)
   * allocates the intersection and hashes every element; this runs in
   * whole-stage codegen as a primitive-long loop).
   *
-  * CALLER CONTRACT: both arrays sorted ascending with distinct,
-  * non-null elements (`sort_array` over the distinct shingle set). On
-  * unsorted input the count is silently wrong — this is a kernel for
+  * CALLER CONTRACT: both arrays sorted ascending with distinct
+  * elements. On unsorted input the count is silently wrong — that is
+  * the one inherently uncheckable precondition (verifying sortedness
+  * would cost the scan this kernel avoids); this is a kernel for
   * engine-internal plans, registered for SQL parity but not a
-  * general-purpose set function. Null ARRAY inputs return null. */
+  * general-purpose set function. Null ARRAY inputs return null, and —
+  * unlike sortedness — null ELEMENTS are cheap to detect along the
+  * merge walk, so they null-poison the result (the [[DotProduct]]
+  * contract; its scaladoc cites the SQL-registered reachability as
+  * exactly why): a SQL caller passing `[1, NULL, 5]` gets NULL, never
+  * a plausible wrong count read off a raw null slot. (A null sitting
+  * past the point where the walk exhausts the other array is not
+  * visited — detecting it would cost the full scan the kernel
+  * avoids; the walk never reads such a slot, so no wrong value can
+  * come from it.) */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // nullable even over non-null inputs: a null ELEMENT poisons the count
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -123,6 +135,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
+      // ArrayData.getLong on a null slot reads the raw slot (usually
+      // 0) — guard, or a SQL caller gets a plausible wrong count
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val u = x.getLong(i); val v = y.getLong(j)
       if (u < v) i += 1
       else if (u > v) j += 1
@@ -142,13 +157,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  final long $u = $a.getLong($i);
          |  final long $v = $b.getLong($j);
          |  if ($u < $v) { $i++; }
          |  else if ($u > $v) { $j++; }
          |  else { $c++; $i++; $j++; }
          |}
-         |${ev.value} = $c;
+         |if (!${ev.isNull}) { ${ev.value} = $c; }
        """.stripMargin
     })
 

@@ -823,6 +823,13 @@ object Analytics {
     * cross-engine-stable timestamp arithmetic every temporal query
     * here uses.
     *
+    * Overflow bound (documented, not defended — the [[Layout]]
+    * tableFingerprint contract style): `1000000L * 24 * n` overflows
+    * int64 once a single (type, hour) bucket exceeds ~3.8e11 rows —
+    * ~38% of a trillion-event corpus landing in ONE type-hour cell.
+    * Spark (non-ANSI) would wrap silently there while DuckDB errors;
+    * below the bound both engines agree exactly.
+    *
     * 100 TB shape: one unshuffled scan into a (type × 24)-row
     * map-side-partial aggregate; the per-type totals ride a second
     * tiny aggregate off the SAME grouped frame and return via a
@@ -864,6 +871,18 @@ object Analytics {
     * counts: WHO explores vs repeats. Top-20 most diverse users,
     * ties on user_id.
     *
+    * Overflow-safe by restructuring, not by a documented bound: the
+    * naive `(1e6·ss) div n²` wraps int64 once one user has ≳3.0e6
+    * events (ss reaches n² and 1e6·n² > 2^63). Both engines instead
+    * evaluate the exact floor-division decomposition
+    * `floor(1e6·ss/n²) = (1e6·(ss div n) + (1e6·(ss mod n)) div n)
+    * div n` — identical value wherever the naive form didn't
+    * overflow (the identity floor(x/(mn)) = floor(floor(x/m)/n) plus
+    * ss = (ss div n)·n + ss mod n), and in range until a single user
+    * holds ~9.2e12 events, past any per-user reality. Rounding
+    * contract: truncation toward zero at the final div, same as the
+    * naive form.
+    *
     * 100 TB shape: one hash aggregate to (user, type) with map-side
     * partials, a second to per-user Σn/Σn², TakeOrdered finish —
     * no window, no join, O(k) driver memory. */
@@ -878,14 +897,17 @@ object Analytics {
              sum(col("n")).as("n_events"),
              sum(col("n") * col("n")).as("ss"))
         .select(col("user_id"), col("n_types"), col("n_events"),
-          (lit(1000000L) - expr("(1000000L * ss) div (n_events * n_events)"))
+          (lit(1000000L) - expr(
+            "(1000000L * (ss div n_events) + (1000000L * (ss % n_events)) div n_events) div n_events"))
             .as("gini_ppm"))
         .orderBy(col("gini_ppm").desc, col("user_id"))
         .limit(20)
     },
     Some("""
       SELECT user_id, n_types, n_events,
-             1000000 - (1000000 * ss) // (n_events * n_events) AS gini_ppm
+             1000000 - (1000000 * (ss // n_events)
+                        + (1000000 * (ss % n_events)) // n_events) // n_events
+               AS gini_ppm
       FROM (
         SELECT user_id, count(*) AS n_types,
                CAST(sum(n) AS BIGINT) AS n_events,

@@ -283,41 +283,68 @@ object Dedup {
     * never with the n^2 pair space. PrefixFilterProperty (ScalaTest)
     * pins the completeness invariant on random sets independently of
     * the fixture. */
+  /** The prefix-filter pipeline's shared pieces, exposed for the
+    * scaling-curve property test: (base = per-doc sorted shingle
+    * arrays, eagerly checkpointed; cand = the DISTINCT candidate pair
+    * set after prefix collision + All-Pairs length filter, BEFORE
+    * exact verification). Candidate cardinality must grow ~linearly
+    * with the corpus — ScalingCurveSpec measures it at three SFs. */
+  private[graft] def prefixFilterParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    // materialize the shingle scan ONCE (eager — a lazy persist lets
+    // concurrent stages stampede-recompute it, the q_mmr_rerank /
+    // q_dup_pagerank lesson); both the inverted index and the
+    // verification arrays derive from this checkpoint
+    // shs arrive SORTED from ShingleHash ("DISTINCT (sorted) by
+    // default" — its documented output contract, which the
+    // sorted_intersect_count verify kernel's two-pointer merge
+    // depends on; no re-sort here, same reliance as jaccardPairs).
+    // ShingleHashSpec pins the sortedness so a producer ordering
+    // change fails a test, not the merge silently.
+    val base = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_sh"), col("shs"))
+      .localCheckpoint(true)
+    val e = base.select(col("doc_id"), col("n_sh"),
+                        explode(col("shs")).as("hk"))
+    // global doc frequency per shingle: the canonical rarest-first order
+    val dfc = e.groupBy(col("hk")).agg(count(lit(1)).as("df"))
+    val ranked = e.join(dfc, "hk")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("hk"))))
+    val prefix = ranked.filter(col("rn") <= expr("n_sh div 2 + 1"))
+      .select(col("doc_id"), col("n_sh"), col("hk"), col("rn"))
+    val a = prefix.select(col("doc_id").as("doc_a"),
+                          col("n_sh").as("na"), col("hk"), col("rn").as("pa"))
+    val b = prefix.select(col("doc_id").as("doc_b"),
+                          col("n_sh").as("nb"), col("hk"), col("rn").as("pb"))
+      .hint("shuffle_hash")
+    // Two collision-time prunes before the distinct (both lossless):
+    // (1) All-Pairs length filter — J >= 1/2 forces
+    //     min(na, nb) >= max(na, nb) / 2;
+    // (2) PPJoin positional filter (Xiao, Wang, Lin, Yu 2008 §4.1) —
+    //     at a pair's FIRST common element in the canonical
+    //     (df, hk) order, every other shared element ranks later in
+    //     BOTH rings, so overlap <= min(na-pa, nb-pb) + 1; J >= 1/2
+    //     needs 3*overlap >= na+nb. A later collision of the same
+    //     pair may be pruned by this bound, but the pair already
+    //     survived via its first collision — the distinct dedupes.
+    //     On the fixed-vocab fixture this cuts candidates ~2x at
+    //     sf0.1 (ScalingCurveSpec records the selectivity).
+    val cand = a.join(b, "hk")
+      .filter(col("doc_a") < col("doc_b") &&
+              least(col("na"), col("nb")) * 2 >=
+                greatest(col("na"), col("nb")) &&
+              (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) * 3 >=
+                col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    (base, cand)
+  }
+
   val prefixFilter = Q(
     "q_dedup_prefix_filter",
     (spark, dir) => {
-      // materialize the shingle scan ONCE (eager — a lazy persist lets
-      // concurrent stages stampede-recompute it, the q_mmr_rerank /
-      // q_dup_pagerank lesson); both the inverted index and the
-      // verification arrays derive from this checkpoint
-      // shs sorted ONCE here: the verification kernel below is a
-      // codegen'd two-pointer merge over sorted arrays
-      val base = withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("n_sh"), sort_array(col("shs")).as("shs"))
-        .localCheckpoint(true)
-      val e = base.select(col("doc_id"), col("n_sh"),
-                          explode(col("shs")).as("hk"))
-      // global doc frequency per shingle: the canonical rarest-first order
-      val dfc = e.groupBy(col("hk")).agg(count(lit(1)).as("df"))
-      val ranked = e.join(dfc, "hk")
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id")).orderBy(col("df"), col("hk"))))
-      val prefix = ranked.filter(col("rn") <= expr("n_sh div 2 + 1"))
-        .select(col("doc_id"), col("n_sh"), col("hk"))
-      val a = prefix.select(col("doc_id").as("doc_a"),
-                            col("n_sh").as("na"), col("hk"))
-      val b = prefix.select(col("doc_id").as("doc_b"),
-                            col("n_sh").as("nb"), col("hk"))
-        .hint("shuffle_hash")
-      // All-Pairs length filter alongside the prefix collision:
-      // J >= 1/2 forces min(na, nb) >= max(na, nb) / 2 — prunes
-      // size-mismatched collisions before the distinct
-      val cand = a.join(b, "hk")
-        .filter(col("doc_a") < col("doc_b") &&
-                least(col("na"), col("nb")) * 2 >=
-                  greatest(col("na"), col("nb")))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val (base, cand) = prefixFilterParts(spark, dir)
       // exact verification on the per-doc shingle ARRAYS (bounded per
       // row): set intersection per candidate, never an exploded
       // pairs-x-shingles join — the profiled double-join verify spent
@@ -381,30 +408,45 @@ object Dedup {
     * happens, the escalation is r=1 x 16 bands (P[miss] = (1-j)^16,
     * 1.5e-5 at the boundary) at a higher candidate budget — or drop
     * the oracle back to spec-only parity. */
+  /** MinHash-LSH banded candidate pair generation (DISTINCT pairs
+    * colliding on any of the 8 band buckets, before exact Jaccard
+    * verification) over `s` = (doc_id, shs, n_sh). Exposed for the
+    * scaling-curve property test — candidate cardinality must grow
+    * ~linearly with the corpus. */
+  private[graft] def lshCandidates(s: DataFrame): DataFrame = {
+    val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
+      .groupBy(col("doc_id"))
+      .agg(mh(0), (1 until 16).map(mh): _*)
+    // packed-long band key: both minhashes are < P < 2^30, so the
+    // pair packs exactly into one long — an 8-byte shuffle/join key
+    // with a long equality instead of a concat'd UTF8 string with a
+    // byte-wise compare (same principle as the shingle hash keys)
+    val bandCols = (0 until 8).map(i =>
+      struct(lit(i).as("band"),
+             (col(s"mh${2 * i}") * (1L << 30) + col(s"mh${2 * i + 1}")).as("key")))
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bands.alias("x")
+      .join(bands.alias("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[lshCandidates]] over a fixture directory — the scaling-curve
+    * test's entry point. */
+  private[graft] def lshCandidatesFor(spark: SparkSession, dir: String): DataFrame =
+    lshCandidates(withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shs"), col("n_sh")))
+
   val minhashLsh = Q(
     "q_dedup_minhash_lsh",
     (spark, dir) => {
       val s = withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("shs"), col("n_sh"))
-      val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
-        .groupBy(col("doc_id"))
-        .agg(mh(0), (1 until 16).map(mh): _*)
-      // packed-long band key: both minhashes are < P < 2^30, so the
-      // pair packs exactly into one long — an 8-byte shuffle/join key
-      // with a long equality instead of a concat'd UTF8 string with a
-      // byte-wise compare (same principle as the shingle hash keys)
-      val bandCols = (0 until 8).map(i =>
-        struct(lit(i).as("band"),
-               (col(s"mh${2 * i}") * (1L << 30) + col(s"mh${2 * i + 1}")).as("key")))
-      val bands = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-      val cand = bands.alias("x")
-        .join(bands.alias("y").hint("shuffle_hash"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandidates(s)
       cand
         .join(s.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"),
                        col("n_sh").as("na")), "doc_a")
@@ -541,6 +583,14 @@ object Dedup {
     * overlap. Asymmetry is the scale lever: the eval set is tiny
     * (benchmarks are MBs) while the corpus is the 100 TB side, so the
     * eval shingle set BROADCASTS and the corpus is only ever scanned —
+    *
+    * BOUNDEDNESS CONTRACT (why the hint is safe where q_dedup_apply's
+    * was not): the broadcast side here is the EVAL BENCHMARK's shingle
+    * set, fixed by an external artifact whose size does not grow with
+    * the corpus — the `doc_id % 97` fixture derivation stands in for
+    * that external set only so the oracle can reproduce it. The dup
+    * drop set, by contrast, is corpus-proportional and is never
+    * hinted. Same argument as the crossJoin allowlist's 1-row sides.
     * its semi-join against the broadcast is map-side, no corpus
     * shuffle; only the matched shingles (<= eval size) are
     * distinct-shuffled and broadcast back. The integer 2*shared >=
@@ -731,18 +781,19 @@ object Dedup {
   /** Dedup application — the step that actually shrinks the corpus:
     * every document whose cluster label differs from its own id (a
     * non-canonical duplicate) is dropped; survivors are counted per
-    * language. The drop set is tiny relative to the corpus (only
-    * members of dup clusters), so it broadcasts and the corpus-side
-    * anti-join is map-side — the corpus never shuffles, mirroring the
-    * decontamination shape. Oracle reuses the recursive-CTE cluster
-    * computation. */
+    * language. The drop set is small relative to the corpus but
+    * CORPUS-PROPORTIONAL (a 10-30% dup rate at 100 TB is billions of
+    * ids), so it carries NO broadcast hint: AQE broadcasts it at small
+    * scale and degrades to a shuffled anti-join once it outgrows the
+    * broadcast limit, instead of dying on a forced hint. Oracle reuses
+    * the recursive-CTE cluster computation. */
   val dedupApply = Q(
     "q_dedup_apply",
     (spark, dir) => {
       val drop = nonCanonical(
         ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b")))
       Tables.documents(spark, dir)
-        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .join(drop, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))
     },

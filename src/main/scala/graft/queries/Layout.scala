@@ -309,6 +309,17 @@ object Layout {
     * strings, money as integer cents, timestamps as floor-epoch
     * seconds, dates as yyyy-MM-dd.
     *
+    * The serialization is INJECTIVE, which is what makes the
+    * content-identity claim true rather than merely probable: every
+    * field is NULL-coalesced to a sentinel containing the '|'
+    * delimiter (impossible in any delimiter-free field, so (a, NULL)
+    * never collides with (a, "NULL")), and the free-text fields
+    * (events.props, documents.text — each the last field of its row)
+    * are length-prefixed so an embedded '|' cannot shift field
+    * boundaries. Precondition, asserted by fixture shape: the
+    * non-free-text fields are numeric casts, dates, or enumerated
+    * codes that cannot contain '|'.
+    *
     * 100 TB shape: pure map-side hashing on unshuffled scans, one
     * 1-row partial+final aggregate per table — the cheapest possible
     * full-table pass (same class as count(*)). The mod-1e9+7 fold
@@ -327,6 +338,27 @@ object Layout {
       .select(lit(name).as("table_name"), col("n_rows"),
               col("hash_checksum"), col("hash_min"), col("hash_max"))
 
+  /** NULL-coalesce a delimiter-free field to a sentinel that CONTAINS
+    * the delimiter — unreachable by any legal field value, so the
+    * serialization stays injective (concat_ws would otherwise SKIP the
+    * null and (a, NULL, b) would collide with (a, b, NULL)). */
+  private def fpField(c: Column): Column =
+    coalesce(c.cast("string"), lit("|NULL"))
+
+  /** Length-prefix a free-text field (`n:text`) so an embedded '|'
+    * cannot shift field boundaries; NULL takes the same '|NULL'
+    * sentinel (a length-prefixed value always starts with a digit, so
+    * the two forms cannot collide). Explicit CASE, not concat-of-null:
+    * DuckDB's concat() skips NULL arguments where Spark's propagates —
+    * the exact cross-engine trap this query exists to pin down. */
+  private def fpText(c: Column): Column =
+    when(c.isNull, lit("|NULL"))
+      .otherwise(concat(length(c).cast("string"), lit(":"), c))
+  private def fpFieldSql(x: String): String =
+    s"coalesce(CAST($x AS VARCHAR), '|NULL')"
+  private def fpTextSql(x: String): String =
+    s"CASE WHEN $x IS NULL THEN '|NULL' ELSE CAST(length($x) AS VARCHAR) || ':' || $x END"
+
   val tableFingerprint = Q(
     "q_table_fingerprint",
     (spark, dir) => {
@@ -336,37 +368,44 @@ object Layout {
       val e = Tables.events(spark, dir)
       val d = Tables.documents(spark, dir)
       fp(o, "orders", concat_ws("|",
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          cents(col("o_totalprice")),
-          col("o_orderdate").cast("date").cast("string"),
-          col("o_orderpriority")))
+          fpField(col("o_orderkey")), fpField(col("o_custkey")),
+          fpField(col("o_orderstatus")),
+          fpField(cents(col("o_totalprice"))),
+          fpField(col("o_orderdate").cast("date").cast("string")),
+          fpField(col("o_orderpriority"))))
         .unionAll(fp(e, "events", concat_ws("|",
-          col("event_id"), col("ts").cast("long"), col("user_id"),
-          col("event_type"), cents(col("value")), col("props"))))
+          fpField(col("event_id")), fpField(col("ts").cast("long")),
+          fpField(col("user_id")), fpField(col("event_type")),
+          fpField(cents(col("value"))), fpText(col("props")))))
         .unionAll(fp(d, "documents", concat_ws("|",
-          col("doc_id"), col("lang"), col("source"), col("text"))))
+          fpField(col("doc_id")), fpField(col("lang")),
+          fpField(col("source")), fpText(col("text")))))
     },
     Some(s"""
       SELECT 'orders' AS table_name, count(*) AS n_rows,
              CAST(sum(h) AS BIGINT) AS hash_checksum,
              min(h) AS hash_min, max(h) AS hash_max
       FROM (SELECT ${TextOps.h60Sql(
-              """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
-                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)""")}
+              s"""concat_ws('|', ${fpFieldSql("o_orderkey")},
+                 ${fpFieldSql("o_custkey")}, ${fpFieldSql("o_orderstatus")},
+                 ${fpFieldSql("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")},
+                 ${fpFieldSql("CAST(CAST(o_orderdate AS DATE) AS VARCHAR)")},
+                 ${fpFieldSql("o_orderpriority")})""")}
                % 1000000007 AS h FROM orders)
       UNION ALL
       SELECT 'events', count(*), CAST(sum(h) AS BIGINT), min(h), max(h)
       FROM (SELECT ${TextOps.h60Sql(
-              """concat_ws('|', event_id,
-                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000, user_id,
-                 event_type, CAST(floor("value" * 100.0 + 0.5) AS BIGINT),
-                 props)""")}
+              s"""concat_ws('|', ${fpFieldSql("event_id")},
+                 ${fpFieldSql("epoch_us(CAST(ts AS TIMESTAMP)) // 1000000")},
+                 ${fpFieldSql("user_id")}, ${fpFieldSql("event_type")},
+                 ${fpFieldSql("CAST(floor(\"value\" * 100.0 + 0.5) AS BIGINT)")},
+                 ${fpTextSql("props")})""")}
                % 1000000007 AS h FROM events)
       UNION ALL
       SELECT 'documents', count(*), CAST(sum(h) AS BIGINT), min(h), max(h)
       FROM (SELECT ${TextOps.h60Sql(
-              "concat_ws('|', doc_id, lang, source, text)")}
+              s"""concat_ws('|', ${fpFieldSql("doc_id")}, ${fpFieldSql("lang")},
+                 ${fpFieldSql("source")}, ${fpTextSql("text")})""")}
                % 1000000007 AS h FROM documents)
     """))
 

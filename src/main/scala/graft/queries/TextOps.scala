@@ -372,22 +372,32 @@ object TextOps {
     * the filter discards it. The heap keeps <= 33 entries per
     * (fingerprint, partition) map-side, so the skewed keys never
     * concentrate rows anywhere. */
+  /** Winnowing candidate pairs with shared-fingerprint counts, BEFORE
+    * the n_shared/top-25 cuts — posting-list expansion under the
+    * df<=32 cap. Exposed for the scaling-curve property test:
+    * candidate cardinality must grow ~linearly with the corpus (the
+    * cap bounds per-fingerprint fan-out by construction; the test
+    * turns that plan-shape fact into a measured output fact). */
+  private[graft] def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cap33 = udaf(new graft.functions.Aggregators.TopK(33))
+    winnowDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w.fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(cap33(col("doc_id"), col("doc_id")).as("t"))
+      .filter(size(col("t.items")).between(2, 32))
+      .select(explode(expr("""
+        flatten(transform(t.items, a ->
+          transform(filter(t.items, b -> b._1 > a._1),
+                    b -> struct(a._1 AS doc_a, b._1 AS doc_b))))""")).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val winnowCandidates = Q(
     "q_winnow_candidates",
     (spark, dir) => {
-      val cap33 = udaf(new graft.functions.Aggregators.TopK(33))
-      winnowDocs(spark, dir)
-        .select(col("doc_id"), explode(col("w.fps")).as("fp"))
-        .groupBy(col("fp"))
-        .agg(cap33(col("doc_id"), col("doc_id")).as("t"))
-        .filter(size(col("t.items")).between(2, 32))
-        .select(explode(expr("""
-          flatten(transform(t.items, a ->
-            transform(filter(t.items, b -> b._1 > a._1),
-                      b -> struct(a._1 AS doc_a, b._1 AS doc_b))))""")).as("pr"))
-        .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
+      winnowPairs(spark, dir)
         .filter(col("n_shared") >= 3)
         .orderBy(desc("n_shared"), asc("doc_a"), asc("doc_b"))
         .limit(25)

@@ -93,6 +93,29 @@ object Stateful {
       }
   }
 
+  /** Built-in streaming sessionization — the `session_window`
+    * aggregation (MergingSessionsExec + state store) as the native
+    * complement of [[userSessions]]' custom flatMapGroupsWithState:
+    * identical [ts, ts+gap) semantics (two events exactly `gap` apart
+    * are separate sessions), append mode finalizes a session when the
+    * watermark passes its window END (= lastTs + gap, where
+    * [[userSessions]] reports lastTs — the spec reconciles the two).
+    * Prefer this one when the per-session output is a plain aggregate
+    * (counts/sums): the state merge is engine-managed and codegen'd;
+    * [[userSessions]] remains for session bodies the built-in can't
+    * express (per-session event lists, custom finalization). The
+    * BATCH twin with its DuckDB gap-and-islands oracle is
+    * [[graft.queries.TemporalOps.sessionWindows]]. */
+  def sessionWindowCounts(parsed: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    parsed.select(col("userid"), col("timestamp"))
+      .filter(col("timestamp").isNotNull)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(col("userid"), session_window(col("timestamp"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("userid"), col("session_window.start").as("start"),
+              col("session_window.end").as("end"), col("n_events"))
+
   case class UserProfile(userid: String, lifetime_views: Long)
   implicit private val profileEnc: Encoder[UserProfile] = Encoders.product[UserProfile]
 

@@ -402,27 +402,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("prefix filtering (q_dedup_prefix_filter) is COMPLETE: every J>=0.5 pair shares a prefix token") {
-    // pure-Scala mirror of the Spark plan's candidate rule, checked
-    // against brute-force Jaccard on random universes — the formula
-    // `prefixLen = n div 2 + 1` under the global (df asc, token asc)
-    // order must never lose a qualifying pair, independent of the
-    // documents fixture (the 3-SF oracle checks only that corpus).
+  test("prefix filtering (q_dedup_prefix_filter) is COMPLETE: every J>=0.5 pair survives prefix + positional filters") {
+    // pure-Scala mirror of the Spark plan's FULL candidate rule —
+    // prefix membership (`prefixLen = n div 2 + 1`) AND the PPJoin
+    // positional bound `3 * (min(na-pa, nb-pb) + 1) >= na + nb` under
+    // the global (df asc, token asc) order — checked against
+    // brute-force Jaccard on random universes: the composed filters
+    // must never lose a qualifying pair, independent of the documents
+    // fixture (the 3-SF oracle checks only that corpus). The proof
+    // obligation is the first-common-element argument: at the pair's
+    // first shared token every other shared token ranks later in BOTH
+    // rings, so the positional bound holds there even when it prunes
+    // the same pair's later collisions.
     val setsGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.choose(0, 24)).map(_.toSet))
     forAll(setsGen, n = 40) { sets =>
       val docs = sets.toVector
       val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
-      def prefix(s: Set[Int]): Set[Int] = {
-        val n = s.size
-        s.toVector.sortBy(t => (df(t), t)).take(n / 2 + 1).toSet
-      }
+      def ring(s: Set[Int]): Vector[Int] =
+        s.toVector.sortBy(t => (df(t), t))
       for (i <- docs.indices; j <- docs.indices if i < j) {
         val (a, b) = (docs(i), docs(j))
         val shared = (a & b).size
         if (2 * shared >= a.size + b.size - shared) { // J >= 0.5 exact
-          assert((prefix(a) & prefix(b)).nonEmpty,
-            s"prefix filter lost a J>=0.5 pair: $a vs $b (df=$df)")
+          val (ra, rb) = (ring(a), ring(b))
+          val (na, nb) = (a.size, b.size)
+          val pa = ra.zipWithIndex.toMap // 0-based; +1 below
+          val pb = rb.zipWithIndex.toMap
+          val hit = (a & b).exists { t =>
+            pa(t) + 1 <= na / 2 + 1 && pb(t) + 1 <= nb / 2 + 1 &&
+            (math.min(na - (pa(t) + 1), nb - (pb(t) + 1)) + 1) * 3 >= na + nb
+          }
+          assert(hit,
+            s"prefix/positional filter lost a J>=0.5 pair: $a vs $b (df=$df)")
         }
       }
     }

@@ -71,6 +71,64 @@ class StatefulSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("built-in streaming session_window agrees with the custom fMGWS sessionization and its batch twin") {
+    // the native MergingSessionsExec path: same [ts, ts+gap) semantics
+    // as Stateful.userSessions (window end = lastTs + gap where
+    // userSessions reports lastTs), finalized in append mode when the
+    // watermark passes the window END. Three-way parity: streaming
+    // session_window == streaming fMGWS == batch session_window over
+    // the same events.
+    val in = MemoryStream[String]
+    val events = Seq(
+      rec("user-sw", "2021-03-07 19:00:00"), rec("user-sw", "2021-03-07 19:02:00"),
+      rec("user-sw", "2021-03-07 19:30:00"), // 28 min > 5 min gap: new session
+      rec("user-sw2", "2021-03-07 19:01:00"))
+    val gap = "5 minutes"
+    val native = Stateful.sessionWindowCounts(P.parse(in.toDF()),
+      gap = gap, watermarkDelay = "1 minute")
+    val q = native.writeStream.outputMode("append").format("memory")
+      .queryName("sess_native").option("checkpointLocation", tmp()).start()
+    val inF = MemoryStream[String]
+    val fmgws = Stateful.userSessions(P.parse(inF.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+    val qF = fmgws.writeStream.outputMode("append").format("memory")
+      .queryName("sess_fmgws").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(events: _*); inF.addData(events: _*)
+      q.processAllAvailable(); qF.processAllAvailable()
+      // advance both watermarks far past every session end
+      val closer = rec("user-adv", "2021-03-07 21:00:00")
+      val closer2 = rec("user-adv", "2021-03-07 22:00:00")
+      in.addData(closer); inF.addData(closer)
+      q.processAllAvailable(); qF.processAllAvailable()
+      in.addData(closer2); inF.addData(closer2)
+      q.processAllAvailable(); qF.processAllAvailable()
+      val nat = spark.table("sess_native")
+        .filter(col("userid").startsWith("user-sw"))
+        .select(col("userid"), col("start").cast("long"),
+                col("end").cast("long"), col("n_events"))
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val fm = spark.table("sess_fmgws")
+        .filter(col("userid").startsWith("user-sw"))
+        .select(col("userid"), col("start").cast("long"),
+                // fMGWS end = lastTs; native end = lastTs + gap
+                (col("end").cast("long") + 300L), col("nEvents"))
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(nat.nonEmpty && nat === fm,
+        s"native session_window $nat != fMGWS-derived $fm")
+      // batch twin over the same parsed rows (the q_session_windows
+      // lineage, which the DuckDB gap-and-islands oracle checks)
+      val batch = P.parse(events.toDF("value"))
+        .groupBy(col("userid"), session_window(col("timestamp"), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("userid"), col("session_window.start").cast("long"),
+                col("session_window.end").cast("long"), col("n_events"))
+        .filter(col("userid").startsWith("user-sw"))
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(nat === batch, s"streaming $nat != batch $batch")
+    } finally { q.stop(); qF.stop() }
+  }
+
   test("in-batch gap splits into two sessions; only the watermark-finalized one emits") {
     val in = MemoryStream[String]
     val sessions = Stateful.userSessions(P.parse(in.toDF()),

@@ -100,16 +100,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
-  test("sorted_intersect_count: null/empty arrays, SQL registration, codegen span") {
+  test("shingle_hash distinct output is sorted ascending — the prefix-filter kernel's contract") {
+    // Dedup.prefixFilter feeds these arrays to sorted_intersect_count
+    // WITHOUT re-sorting, relying on ShingleHash's documented
+    // "DISTINCT (sorted)" output; a producer ordering change must fail
+    // here, not corrupt the two-pointer merge silently
+    val d = Tables.documents(spark, sf)
+      .withColumn("shs", graft.functions.ShingleHash.shingleHashes(
+        split(col("text"), " "), 3))
+    assert(d.filter(col("shs") =!= array_sort(col("shs"))).count() === 0)
+    assert(d.count() > 0)
+  }
+
+  test("sorted_intersect_count: null/empty arrays, null ELEMENTS, SQL registration, codegen span") {
     val s2 = spark.newSession()
     graft.functions.GraftFunctions.registerAll(s2)
     val row = s2.sql(
       """SELECT sorted_intersect_count(array(1L, 3L, 7L), array(2L, 3L, 7L, 9L)) AS c,
                 sorted_intersect_count(array(1L), CAST(NULL AS ARRAY<BIGINT>)) AS n,
-                sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e""").head
+                sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e,
+                sorted_intersect_count(array(1L, CAST(NULL AS BIGINT), 5L),
+                                       array(1L, 5L)) AS ne""").head
     assert(row.getInt(0) === 2)
     assert(row.isNullAt(1))
     assert(row.getInt(2) === 0)
+    // a null ELEMENT must null-poison (DotProduct's contract), never
+    // read the raw slot as 0 and return a plausible wrong count
+    assert(row.isNullAt(3))
     val d = Tables.documents(spark, sf)
       .withColumn("shs", sort_array(graft.functions.ShingleHash.shingleHashes(
         split(col("text"), " "), 3)))
