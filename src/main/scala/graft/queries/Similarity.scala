@@ -1036,10 +1036,12 @@ object Similarity {
     * k-means (k grows with the corpus), the stored index is the
     * per-cell posting lists of 2-byte PQ codes, and a query probes its
     * nearest cell (nprobe=1), prices only that cell's candidates by
-    * ADC lookups, exact-reranks the shortlist-[[ivfpqShortlist]], and
-    * reports whether the answer matches the full-corpus exact top-1.
-    * Deterministic throughout (md5 seeding, ppm integers), so the
-    * whole index+serve pipeline is hash-oracled — the oracle spells
+    * ADC lookups, and exact-reranks the shortlist-[[ivfpqShortlist]].
+    * Split since r10 (pricing serving honestly): [[annIvfPq]]
+    * registers the pure serving plan; [[annIvfPqRecall]] joins the
+    * full-corpus exact top-1 reference on top and reports hit /
+    * probe_ok per query. Deterministic throughout (md5 seeding, ppm
+    * integers), so BOTH plans are hash-oracled — the oracle spells
     * the probe as `codes JOIN asn` posting lists and ADC relationally.
     *
     * Honest quality note: codes use the GLOBAL seed codebook
