@@ -721,11 +721,14 @@ object Dedup {
       // reusable for the join's; like dedupClusters, the cached block
       // outlives the query — battery callers clear cache between
       // queries (Bench does).
+      // eager localCheckpoint: dupWh and the covered semi-join read
+      // this concurrently in one action — the lazy-persist stampede
+      // shape (SourceAuditSpec pins the site)
       val wins = d.filter(col("n") >= W)
         .select(col("doc_id"), posexplode(
           graft.functions.ShingleHash.windowHashes(col("toks"), W))
           .as(Seq("pos", "wh")))
-        .persist()
+        .localCheckpoint(true)
       val dupWh = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
@@ -872,9 +875,12 @@ object Dedup {
   val dupTriangles = Q(
     "q_dup_triangles",
     (spark, dir) => {
-      // pairs (doc_a < doc_b, distinct) — reused 4x; tiny (pair set)
+      // pairs (doc_a < doc_b, distinct) — reused 4x in ONE action;
+      // eager localCheckpoint so the four consumers read a
+      // materialized pair set instead of stampede-recomputing the
+      // whole ngramJaccard pipeline (SourceAuditSpec pins the site)
       val pairs = ngramJaccard.fn(spark, dir)
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val wedges3 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
       val tri = wedges3

@@ -1439,11 +1439,12 @@ object Similarity {
     * trained, corpus-scaled blocking key — never on a fixed-
     * cardinality column. */
   private def embedDedupPairsFrom(e: DataFrame): DataFrame = {
-    // persisted: the assignment feeds BOTH sides of the pair join and
-    // the final keep/drop join — without it the k-way argmax scan runs
-    // three times (persist-internally pattern, cf. dedupClusters;
-    // Bench clearCache()s between queries)
-    val cells = semCells(e).persist()
+    // EAGER localCheckpoint, not lazy persist: the assignment feeds
+    // BOTH sides of the pair join and the final keep/drop join in ONE
+    // action — the concurrent-consumer shape where a lazy persist
+    // stampedes (every consumer recomputes the k-way argmax scan; the
+    // seventh sighting of the gotcha, caught by SourceAuditSpec)
+    val cells = semCells(e).localCheckpoint(true)
     val a = e.join(cells, "vec_id")
       .select(col("cell"), col("vec_id").as("doc_a"),
               col("vd").as("va"), col("nrm").as("na"))
@@ -1534,10 +1535,12 @@ object Similarity {
     * funnel's reporting dimension. 100 TB shape: cell blocking bounds
     * the pair join (equi-join on cell — never all-pairs), the CC loop
     * is the co-partitioned [[graft.operators.ConnectedComponents]],
-    * and the drop set (bounded by the duplicate count, small relative
-    * to the corpus by construction) broadcasts onto one unshuffled
-    * corpus scan — the same funnel discipline as
-    * [[Curation.curationFunnel]]. */
+    * and the drop set carries NO broadcast hint: like
+    * [[Dedup.dedupApply]]'s lexical twin it is small relative to the
+    * corpus but CORPUS-PROPORTIONAL (a 10-30% near-dup rate at 100 TB
+    * is billions of ids), so AQE picks the join — broadcast while it
+    * fits, shuffled left join at scale — the same funnel discipline
+    * as [[Curation.curationFunnel]]. */
   val embedDedup = Q(
     "q_embed_dedup",
     (spark, dir) => {
@@ -1546,7 +1549,7 @@ object Similarity {
       val dropSet = Dedup.nonCanonical(pairs)
         .withColumnRenamed("doc_id", "vec_id").withColumn("dup", lit(true))
       Tables.embeddings(spark, dir)
-        .join(broadcast(dropSet), Seq("vec_id"), "left")
+        .join(dropSet, Seq("vec_id"), "left")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
