@@ -44,7 +44,13 @@ object TemporalOps {
 
   /** Session windows: per-user sessions with a 30-minute inactivity
     * gap (Spark `session_window`; DuckDB mirrors with gaps-and-islands
-    * over lag + cumulative sum). */
+    * over lag + cumulative sum). Boundary semantics: the built-in
+    * MERGES two events exactly `gap` apart (inclusive boundary,
+    * verified empirically — StatefulSpec's gap-boundary test), so the
+    * oracle's island break is strictly-greater (`> INTERVAL`), not
+    * `>=`. The `>=` this oracle carried until r10 was a latent
+    * divergence the µs-precision fixture could never trip: no two
+    * consecutive fixture events land exactly 30:00.000000 apart. */
   val sessionWindows = Q(
     "q_session_windows",
     (spark, dir) => {
@@ -61,7 +67,7 @@ object TemporalOps {
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                         >= INTERVAL '30 minutes'
+                         > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),

@@ -28,8 +28,13 @@ object Stateful {
   implicit private val stringEnc: Encoder[String] = Encoders.STRING
 
   /** Event-time sessionization: one session per user while gaps stay
-    * under `gapMs` (strict, matching `session_window`'s [ts, ts+gap)
-    * semantics: two events exactly gapMs apart are separate sessions).
+    * within `gapMs` — INCLUSIVE at the boundary, matching the built-in
+    * `session_window` exactly: two events exactly gapMs apart MERGE
+    * into one session (verified empirically against MergingSessions in
+    * StatefulSpec's gap-boundary test; this scaladoc claimed the
+    * opposite until r10, and the DuckDB gaps-and-islands oracle
+    * encoded the same wrong `>=` break — a latent divergence the
+    * µs-precision fixture could never trip).
     * A session emits exactly when the event-time watermark passes its
     * lastTs + gap — append-mode results are FINAL: no above-watermark
     * event can change an emitted session, because every interval the
@@ -74,14 +79,20 @@ object Stateful {
             .sortBy(iv => (iv.start.getTime, iv.lastTs.getTime))
             .foldLeft(List.empty[SessionState]) { (acc, iv) =>
               acc match {
-                case h :: t if iv.start.getTime - h.lastTs.getTime < gapMs =>
+                // <= : the boundary is inclusive (built-in parity) —
+                // an event exactly gapMs after lastTs extends the session
+                case h :: t if iv.start.getTime - h.lastTs.getTime <= gapMs =>
                   val last = if (iv.lastTs.after(h.lastTs)) iv.lastTs else h.lastTs
                   SessionState(h.start, last, h.nEvents + iv.nEvents) :: t
                 case _ => iv :: acc
               }
             }.reverse // chronological, disjoint, gap-separated
+          // strict <: with the inclusive merge rule an event at exactly
+          // lastTs + gap still merges, and such an event at exactly the
+          // current watermark is NOT late — the session may only
+          // finalize once the watermark is strictly past its horizon
           val (done, open) =
-            merged.partition(s => s.lastTs.getTime + gapMs <= wm)
+            merged.partition(s => s.lastTs.getTime + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsState(open))
@@ -96,10 +107,12 @@ object Stateful {
   /** Built-in streaming sessionization — the `session_window`
     * aggregation (MergingSessionsExec + state store) as the native
     * complement of [[userSessions]]' custom flatMapGroupsWithState:
-    * identical [ts, ts+gap) semantics (two events exactly `gap` apart
-    * are separate sessions), append mode finalizes a session when the
-    * watermark passes its window END (= lastTs + gap, where
-    * [[userSessions]] reports lastTs — the spec reconciles the two).
+    * identical merge semantics (INCLUSIVE at the gap boundary — two
+    * events exactly `gap` apart merge into one session; see
+    * [[userSessions]]' scaladoc for the r10 history of that
+    * boundary), append mode finalizes a session when the watermark
+    * passes its window END (= lastTs + gap, where [[userSessions]]
+    * reports lastTs — the spec reconciles the two).
     * Prefer this one when the per-session output is a plain aggregate
     * (counts/sums): the state merge is engine-managed and codegen'd;
     * [[userSessions]] remains for session bodies the built-in can't

@@ -600,6 +600,32 @@ class PlanShapeSpec extends SparkSpec {
         s"justification, or remove the hint): ${offenders.mkString("; ")}")
   }
 
+  test("de-hinted drop-set joins: AQE still broadcasts at fixture scale (adaptivity preserved)") {
+    // the r10 hint removals must cost NOTHING at small scale: with no
+    // forced hint, AQE/stats pick a broadcast join for the tiny drop
+    // sets here, and would degrade to a shuffled join at 100 TB where
+    // the same sets are corpus-proportional. This pins the first half
+    // of that claim; the fleet hint audit pins the second (no hint to
+    // forbid the planner from degrading).
+    for (q <- Seq(graft.queries.Dedup.dedupApply,
+                  graft.queries.Similarity.embedDedup)) {
+      val df = q.fn(spark, sf)
+      val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!logical.contains("strategy=broadcast"),
+        s"${q.name}: drop-set join regained a forced hint:\n$logical")
+      // the drop side is RDD-backed (CC output, no stats), so the
+      // STATIC plan is a SortMergeJoin — the broadcast here is AQE's
+      // runtime conversion, visible only on the dataframe's OWN
+      // executed plan after an action (the noop-write helper finalizes
+      // a separate QueryExecution and would read isFinalPlan=false)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"${q.name}: AQE not finalized:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"${q.name}: AQE/stats no longer broadcast the tiny drop set at test SF:\n$plan")
+    }
+  }
+
   test("Q21 waiting supplier: EXISTS/NOT EXISTS are semi/anti equi-joins on the order key") {
     val plan = executedPlan(Relational.waitingSupplier.fn(spark, sf))
     assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")

@@ -129,6 +129,48 @@ class StatefulSpec extends SparkSpec {
     } finally { q.stop(); qF.stop() }
   }
 
+  test("session gap boundary: events EXACTLY gap apart MERGE in both engines (inclusive boundary)") {
+    // writing this test found a real bug: the built-in session_window
+    // MERGES an event landing exactly on lastTs + gap (inclusive
+    // boundary — batch-verified too), while userSessions' fold and
+    // the q_session_windows DuckDB oracle both encoded the opposite
+    // strict boundary. Both were fixed to the built-in's semantics in
+    // r10; this test pins the reconciled boundary so a strictness
+    // regression on any of the three surfaces flips it.
+    val events = Seq(
+      rec("user-gb", "2021-03-07 19:00:00"),
+      rec("user-gb", "2021-03-07 19:05:00"), // exactly gap later: merges
+      rec("user-gb", "2021-03-07 19:07:00")) // 2 min after: merges
+    val in = MemoryStream[String]
+    val native = Stateful.sessionWindowCounts(P.parse(in.toDF()),
+      gap = "5 minutes", watermarkDelay = "1 minute")
+    val q = native.writeStream.outputMode("append").format("memory")
+      .queryName("sess_gb").option("checkpointLocation", tmp()).start()
+    val inF = MemoryStream[String]
+    val fmgws = Stateful.userSessions(P.parse(inF.toDF()),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "1 minute")
+    val qF = fmgws.writeStream.outputMode("append").format("memory")
+      .queryName("sess_gbf").option("checkpointLocation", tmp()).start()
+    try {
+      in.addData(events: _*); inF.addData(events: _*)
+      q.processAllAvailable(); qF.processAllAvailable()
+      for (closer <- Seq(rec("user-adv2", "2021-03-07 21:00:00"),
+                         rec("user-adv2", "2021-03-07 22:00:00"))) {
+        in.addData(closer); inF.addData(closer)
+        q.processAllAvailable(); qF.processAllAvailable()
+      }
+      val nat = spark.table("sess_gb").filter(col("userid") === "user-gb")
+        .select(col("start").cast("long"), col("n_events"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val fm = spark.table("sess_gbf").filter(col("userid") === "user-gb")
+        .select(col("start").cast("long"), col("nEvents"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      // ONE session of all three events: the exact-gap event extends it
+      assert(nat.map(_._2) === Seq(3L), s"native sessions: $nat")
+      assert(nat === fm, s"native $nat != fMGWS $fm at the gap boundary")
+    } finally { q.stop(); qF.stop() }
+  }
+
   test("in-batch gap splits into two sessions; only the watermark-finalized one emits") {
     val in = MemoryStream[String]
     val sessions = Stateful.userSessions(P.parse(in.toDF()),
