@@ -696,7 +696,16 @@ object Analytics {
           .withColumnRenamed("n_item", "n_b"), "part_b")
         .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
           col("n_b"),
-          expr(s"(1000000L * n_both * ${nOrders}L) div (n_a * n_b)")
+          // exact WIDE-integer lift: 1e6*n_both*N wraps int64 once
+          // n_both*N_baskets > 9.2e12 (a pair co-occurring in 10k
+          // baskets of a trillion-basket corpus — realistic at
+          // 100 TB, unlike the documented-remote hourly-lift bound).
+          // DECIMAL(38,0) intermediates are exact to 1e38 and `div`
+          // floors them to BIGINT; the oracle mirrors with HUGEINT —
+          // both exact, so values are identical wherever the old
+          // int64 form didn't wrap
+          expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_both * ${nOrders}L)" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
             .as("lift_ppm"))
         .orderBy(desc("n_both"), asc("part_a"), asc("part_b"))
         .limit(20)
@@ -715,7 +724,8 @@ object Analytics {
         GROUP BY 1, 2
         HAVING count(*) >= 2)
       SELECT part_a, part_b, n_both, sa.n_item AS n_a, sb.n_item AS n_b,
-             (1000000 * n_both * n.n_orders) // (sa.n_item * sb.n_item)
+             CAST((1000000::HUGEINT * n_both * n.n_orders)
+                  // (sa.n_item::HUGEINT * sb.n_item) AS BIGINT)
                AS lift_ppm
       FROM pairs
       JOIN support sa ON sa.l_partkey = part_a

@@ -1125,9 +1125,15 @@ object TextOps {
       counts.crossJoin(broadcast(totals))
         // integral `div`, NOT `/`: the products reach ~4e16 at sf0.1,
         // past double's 2^53 exact-integer range — a float quotient
-        // here would diverge from the oracle's BIGINT floor division
+        // here would diverge from the oracle's BIGINT floor division.
+        // And WIDE-integer, not int64: (fb+1)*ta*1e6 already sits at
+        // 4e16 for a 270k-token fixture slice, so int64 wraps around
+        // sf100 and is hopeless at a 1e13-token corpus. DECIMAL(38,0)
+        // intermediates (oracle: HUGEINT) are exact to 1e38; values
+        // identical wherever the old form didn't wrap
         .withColumn("lift_ppm",
-          expr("((fb + 1) * ta * 1000000) div ((fa + 1) * tb)"))
+          expr("CAST((CAST(fb + 1 AS DECIMAL(38,0)) * ta * 1000000)" +
+            " div (CAST(fa + 1 AS DECIMAL(38,0)) * tb) AS BIGINT)"))
         .orderBy(desc("lift_ppm"), asc("token"))
         .limit(20)
         .select(col("token"), col("fa"), col("fb"), col("lift_ppm"))
@@ -1145,7 +1151,8 @@ object TextOps {
       t AS (SELECT CAST(sum(fa) AS BIGINT) AS ta, CAST(sum(fb) AS BIGINT) AS tb
             FROM c)
       SELECT token, fa, fb,
-             ((fb + 1) * ta * 1000000) // ((fa + 1) * tb) AS lift_ppm
+             CAST(((fb + 1)::HUGEINT * ta * 1000000)
+                  // ((fa + 1)::HUGEINT * tb) AS BIGINT) AS lift_ppm
       FROM c, t
       ORDER BY lift_ppm DESC, token
       LIMIT 20
@@ -1231,7 +1238,13 @@ object TextOps {
       val stats = perKey.agg(count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("total"))
       perKey.crossJoin(broadcast(stats))
-        .withColumn("skew_ppm", expr("cnt * n_keys * 1000000 div total"))
+        // WIDE-integer: cnt*n_keys*1e6 wraps int64 once a key holding
+        // ~10 rows meets ~1e12 distinct keys — the normal shape of a
+        // 100 TB fact table. DECIMAL(38,0)/HUGEINT intermediates are
+        // exact; values identical wherever int64 didn't wrap
+        .withColumn("skew_ppm",
+          expr("CAST((CAST(cnt AS DECIMAL(38,0)) * n_keys * 1000000)" +
+            " div total AS BIGINT)"))
         .orderBy(desc("cnt"), asc("l_orderkey"))
         .limit(5)
         .select(col("l_orderkey"), col("cnt"), col("n_keys"), col("total"),
@@ -1243,7 +1256,8 @@ object TextOps {
       st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
              FROM pk)
       SELECT l_orderkey, cnt, n_keys, total,
-             (cnt * n_keys * 1000000) // total AS skew_ppm
+             CAST((cnt::HUGEINT * n_keys * 1000000) // total AS BIGINT)
+               AS skew_ppm
       FROM pk, st
       ORDER BY cnt DESC, l_orderkey
       LIMIT 5
