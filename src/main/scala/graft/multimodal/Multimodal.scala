@@ -8,7 +8,7 @@ import graft.model.{Q, Tables}
   * as opaque `binary` columns with typed metadata, decoded/featurized
   * in batched partition-local passes.
   *
-  * Three decoders ship behind the [[Decoder]] seam:
+  * Four decoders ship behind the [[Decoder]] seam:
   *   - [[imageIoDecoder]] — a REAL image decoder over the JDK's
   *     `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, no external library),
   *     emitting per-channel pixel means. MultimodalSpec drives it over
@@ -17,16 +17,23 @@ import graft.model.{Q, Tables}
   *     `javax.sound.sampled` (WAV/PCM, no external library), emitting
   *     duration + per-channel RMS + peak. MultimodalSpec drives it
   *     over actual encoded WAV payloads with known signal shapes.
+  *   - [[aviMjpegDecoder]] — a REAL video decoder for AVI/MJPEG
+  *     (RIFF container walked directly — a public chunk format — and
+  *     every Motion-JPEG frame is a complete JPEG `javax.imageio`
+  *     decodes), emitting frame count, fps and first/last-frame
+  *     luminance. MultimodalSpec drives it over a spec-compliant AVI
+  *     it writes itself. Inter-frame codecs (H.26x-class) remain out
+  *     of scope: THOSE need an ffmpeg-class library this sandbox
+  *     doesn't have.
   *   - [[fakeDecoder]] — a clearly-marked DETERMINISTIC FAKE
   *     (chunk-mean "pixels" over the payload bytes), used by the
   *     REGISTERED queries because the `documents` fixture carries text
   *     bytes, not encoded media, and the DuckDB oracle must be able to
-  *     recompute the features in SQL. Video (ffmpeg-class) remains the
-  *     fake: no decoder for it ships in the JDK or this sandbox.
+  *     recompute the features in SQL.
   * Everything around the seam — schema, Dataset encoders, batch shape,
   * partition balancing — is shared: [[decodeFeatures]] takes the
-  * decoder as an argument, so audio/video (ffmpeg-class) decoders are
-  * the same one-argument swap.
+  * decoder as an argument, so a further codec is the same
+  * one-argument swap.
   */
 object Multimodal {
 
@@ -186,6 +193,91 @@ object Multimodal {
         nFrames / fmt.getFrameRate.toDouble,
         math.sqrt(s2First / nFrames), math.sqrt(s2Last / nFrames), peak)
     } finally in.close()
+  }
+
+  /** Rec.601 mean luminance of a decoded frame — the shared pixel
+    * fold of [[imageIoDecoder]] (integer weights 299/587/114, exact
+    * in doubles for 8-bit channels). */
+  private def lumaMean(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * w.toLong * h)
+  }
+
+  /** REAL video decoder: AVI/MJPEG, pure JVM. The AVI container is a
+    * public RIFF chunk format — `fourcc | u32le size | body`, bodies
+    * word-aligned, `LIST` chunks nesting a type fourcc plus
+    * sub-chunks — and Motion-JPEG stores every frame as a complete
+    * baseline JPEG, which the JDK's `javax.imageio` decodes. So for
+    * THIS codec no ffmpeg-class library is needed: the decoder walks
+    * the RIFF tree, reads `avih.dwMicroSecPerFrame` from the header
+    * list, collects the `##dc` frame chunks under `movi`, and decodes
+    * the first and last frames. Features:
+    *   f0 = frame count (parsed `##dc` chunks),
+    *   f1 = frames per second (1e6 / dwMicroSecPerFrame),
+    *   f2 = mean Rec.601 luminance of the FIRST frame,
+    *   f3 = mean Rec.601 luminance of the LAST frame —
+    * f2 vs f3 is the cheap scene-change/static-clip curation signal.
+    * Fails loudly on a malformed container, a frameless stream or an
+    * undecodable frame (the [[imageIoDecoder]] no-silent-zeros
+    * contract). Inter-frame codecs (H.26x/VP9/AV1) remain the
+    * ffmpeg-class seam documented at [[fakeDecoder]]; MJPEG is
+    * intra-only, which is exactly why a container parser suffices.
+    * MultimodalSpec drives this over a spec-compliant AVI it writes
+    * itself (RIFF/hdrl/avih/strl/movi) with ImageIO-encoded JPEG
+    * frames of known luminance. */
+  val aviMjpegDecoder: Decoder = (m: MediaRecord) => {
+    val b = m.payload
+    def u32(off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(b.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"aviMjpegDecoder: not a RIFF/AVI payload for doc_id=${m.doc_id} " +
+        s"(${b.length} bytes)")
+    val riffEnd = math.min(b.length.toLong, 8L + u32(4)).toInt
+    var microSecPerFrame = 0L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = u32(off + 4).toInt
+        val body = off + 8
+        require(body + sz <= end,
+          s"aviMjpegDecoder: chunk '$id' at $off overruns its parent " +
+            s"(size $sz, parent end $end) for doc_id=${m.doc_id}")
+        if (id == "LIST") walk(body + 4, body + sz) // skip the list-type fourcc
+        else if (id == "avih") microSecPerFrame = u32(body)
+        else if (sz > 0 && id.endsWith("dc")) frames += ((body, sz))
+        off = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, riffEnd)
+    require(frames.nonEmpty,
+      s"aviMjpegDecoder: no '##dc' frame chunks for doc_id=${m.doc_id}")
+    def frameLuma(f: (Int, Int)): Double = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b, f._1, f._2))
+      require(img != null,
+        s"aviMjpegDecoder: undecodable frame at offset ${f._1} " +
+          s"(${f._2} bytes) for doc_id=${m.doc_id}")
+      lumaMean(img)
+    }
+    val fps = if (microSecPerFrame > 0) 1.0e6 / microSecPerFrame else 0.0
+    MediaFeatures(m.doc_id, m.fmt, b.length,
+      frames.size.toDouble, fps, frameLuma(frames.head), frameLuma(frames.last))
   }
 
   /** Batched partition-local decode: the distributed shape is

@@ -241,4 +241,80 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a == b)
   }
+
+  test("real video decoder: pure-JVM AVI/MJPEG container parse + per-frame JPEG decode") {
+    import graft.multimodal.Multimodal.MediaRecord
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    // --- a spec-compliant AVI writer: RIFF('AVI ') > LIST(hdrl):
+    // avih + LIST(strl): strh('vids'/'MJPG') + strf(BITMAPINFOHEADER)
+    // > LIST(movi): one '00dc' chunk per ImageIO-encoded JPEG frame.
+    // Little-endian u32 sizes, word-aligned chunk bodies — the real
+    // container layout, so the decoder under test is parsing the
+    // public format, not a convenient invention.
+    def u32(v: Long): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def u16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(tp: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(tp) ++ body)
+
+    val w = 16; val h = 16; val nFrames = 5; val fps = 10
+    def jpegGray(level: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos), "no jpg writer in this JDK")
+      bos.toByteArray
+    }
+    val grays = Seq(20, 60, 100, 140, 180)
+    val avih = chunk("avih",
+      u32(1000000L / fps) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(nFrames.toLong) ++
+        u32(0) ++ u32(1) ++ u32(0) ++ u32(w.toLong) ++ u32(h.toLong) ++
+        Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++ u32(0) ++
+        u32(1) ++ u32(fps.toLong) ++ u32(0) ++ u32(nFrames.toLong) ++ u32(0) ++
+        u32(0xFFFFFFFFL) ++ u32(0) ++ u16(0) ++ u16(0) ++ u16(w) ++ u16(h))
+    val strf = chunk("strf",
+      u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++ u16(24) ++
+        fcc("MJPG") ++ u32(w.toLong * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      grays.map(g => chunk("00dc", jpegGray(g))).reduce(_ ++ _))
+    val content = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ u32(content.length.toLong) ++ content
+
+    import spark.implicits._
+    val out = Multimodal.decodeFeatures(
+        spark.createDataset(Seq(MediaRecord(42L, avi, w, h, "avi"))),
+        Multimodal.aviMjpegDecoder)
+      .collect().head
+    assert(out.f0 == nFrames.toDouble, s"frame count: ${out.f0}")
+    assert(out.f1 == fps.toDouble, s"fps from avih: ${out.f1}")
+    // JPEG is lossy, but a uniform-gray frame is DC-only: the decoded
+    // level lands within DC quantization of the original, and for
+    // R=G=B the Rec.601 luma equals the gray level
+    assert(math.abs(out.f2 - grays.head) <= 3.0, s"first-frame luma: ${out.f2}")
+    assert(math.abs(out.f3 - grays.last) <= 3.0, s"last-frame luma: ${out.f3}")
+    assert(out.f3 - out.f2 > 100.0,
+      "scene-change signal (last-first luma delta) lost in decode")
+    // malformed container fails loudly — the no-silent-zeros contract
+    val e = intercept[Exception] {
+      Multimodal.decodeFeatures(
+        spark.createDataset(Seq(MediaRecord(43L, Array[Byte](1, 2, 3, 4, 5), 0, 0, "avi"))),
+        Multimodal.aviMjpegDecoder).collect()
+    }
+    assert(e.getMessage.contains("RIFF") || e.getMessage.contains("aviMjpeg"),
+      s"unexpected failure shape: ${e.getMessage}")
+  }
 }
