@@ -173,6 +173,105 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd k-means cell assignment over a unit-vector
+  * `array<double>` column: argmax over k centroids of
+  * `floor(dot(u, cent_c) / norm_c * 1e6 + 0.5)` with ties broken
+  * toward the SMALLEST cell id — bit-for-bit the semantics of
+  * `Similarity.semCells`' packed-long `greatest()` spelling
+  * ((ppm + 2e6)·2^20 + (2^20-1-cell): max pack ⇔ max ppm then min
+  * cell), with the dot folded left-to-right in IEEE order like
+  * [[DotProduct]] and the division-by-norm applied before the ppm
+  * floor (`norm = 1.0` for unit seed centroids — /1.0 is an exact
+  * identity).
+  *
+  * Why an Expression and not `greatest(k literal packs)`: at k = 79
+  * (sf0.1's corpus-scaled cell count) the literal spelling builds 79
+  * nested expression trees of 64-double `typedLit`s — measured
+  * ~1.2-1.5 s PER PASS of analysis + codegen for ~25 ms of actual
+  * arithmetic. Here the centroid matrix rides along as one reference
+  * object (k×dim flattened) and the compiled loop is the whole plan.
+  * Rows with a null array, a null element, or a length mismatch
+  * against the centroid dim return null (the [[DotProduct]]
+  * null-poison contract). */
+case class CellArgMax(child: Expression, cents: Array[Double],
+                      norms: Array[Double], ids: Array[Long], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim > 0 && cents.length == norms.length * dim &&
+      ids.length == norms.length,
+    s"CellArgMax: ${cents.length} centroid doubles / ${norms.length} norms / " +
+      s"${ids.length} ids inconsistent with dim=$dim")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_argmax requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    CellArgMax.eval(u, cents, norms, ids, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, u => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.CellArgMax.eval(
+         |  $u, $centsRef, $normsRef, $idsRef, $dim);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $boxed).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellArgMax =
+    copy(child = newChild)
+}
+
+object CellArgMax {
+  /** Shared by interpreted eval and generated code — one tight loop,
+    * no per-row allocation. Returns java.lang.Long or null. */
+  def eval(u: ArrayData, cents: Array[Double], norms: Array[Double],
+           ids: Array[Long], dim: Int): java.lang.Long = {
+    if (u.numElements() != dim) return null
+    // one null-scan + local copy, then the k x dim loop runs on a
+    // primitive array (no per-element null checks inside the hot loop)
+    val arr = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (u.isNullAt(j)) return null
+      arr(j) = u.getDouble(j)
+      j += 1
+    }
+    var bestP = Long.MinValue
+    var bestCell = -1
+    var c = 0
+    val k = norms.length
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) { acc += arr(i) * cents(base + i); i += 1 }
+      val p = math.floor(acc / norms(c) * 1000000.0 + 0.5).toLong
+      if (p > bestP) { bestP = p; bestCell = c }
+      c += 1
+    }
+    // entries arrive sorted by cell id, so first-wins strict `>`
+    // reproduces the packed-long smallest-cell tie-break; ids maps the
+    // dense index back to the ORIGINAL cell id (degenerate cells are
+    // filtered out upstream, leaving gaps)
+    java.lang.Long.valueOf(ids(bestCell))
+  }
+}
+
 object VectorFunctions {
 
   /** Column-level sorted-intersection count (codegen'd; see
@@ -185,6 +284,16 @@ object VectorFunctions {
   def dotp(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level k-means cell assignment (codegen'd; see
+    * [[CellArgMax]] for the exact-ppm argmax semantics). `cents` is
+    * the k×dim centroid matrix flattened row-major; `norms` the
+    * per-centroid divisors (1.0 for unit centroids); `ids` maps the
+    * dense index back to original cell ids. */
+  def cellArgMax(u: Column, cents: Array[Double], norms: Array[Double],
+                 ids: Array[Long], dim: Int): Column =
+    ColumnBridge.column(
+      CellArgMax(ColumnBridge.expression(u), cents, norms, ids, dim))
 
   /** Column-level L2 norm (codegen'd, same fold order as sum-of-squares). */
   def l2norm(a: Column): Column =

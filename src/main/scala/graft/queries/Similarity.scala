@@ -1385,25 +1385,32 @@ object Similarity {
     val n = e.count()
     val k = math.max(4L, math.ceil(n / semCellTarget).toLong).toInt
     require(k <= 4096,
-      s"semCells: k=$k cells — literal-inlined assignment outgrows codegen " +
-        "past ~4096 cells; assign via the ivfTrain inverted-file join " +
+      s"semCells: k=$k cells — the ids/argmax contract is audited to " +
+        "4096 cells (corpus ~256k vectors at the 64-vector target); " +
+        "assign via the ivfTrain inverted-file join " +
         "(Similarity.ivfTop1From shape) for larger corpora")
+    // eager checkpoint: FOUR passes read the normalized vectors (seed
+    // sort, Lloyd sums, final assignment, plus the count above on e) —
+    // without it each pays the parquet scan + per-row normalize again
     val u = e.select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
-    // pack = (dot_ppm + 2e6) * 2^20 + (2^20-1 - cell): argmax via a plain
-    // greatest(), ties break toward the smallest cell id on BOTH engines
-    def pack(dotPpm: Column, cell: Int): Column =
-      (dotPpm + lit(2000000L)) * lit(1048576L) + lit(1048575L - cell)
-    val unpackCell: Column => Column = p => lit(1048575L) - pmod(p, lit(1048576L))
+      .localCheckpoint(true)
     val seeds: Array[Array[Double]] = u
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == k,
       s"semCells: corpus holds ${seeds.length} vectors but k=$k cells requested")
-    val a0 = u.withColumn("cell0", unpackCell(greatest(
-      seeds.toSeq.zipWithIndex.map { case (s, i) =>
-        pack(graft.model.Money.cents(dotp(col("u"), typedLit(s.toSeq)), 1000000.0), i)
-      }: _*)))
+    val dim = seeds(0).length
+    // assignment = the codegen'd CellArgMax kernel: bit-identical to
+    // the previous packed-long greatest() spelling ((ppm + 2e6)*2^20 +
+    // (2^20-1-cell): max pack <=> max ppm then min cell) but the k x
+    // dim centroid matrix rides as ONE reference object instead of k
+    // nested typedLit trees — the literal spelling cost ~1.2-1.5 s of
+    // analysis+codegen PER PASS at k=79 (sf0.1) for ~25 ms of math.
+    // The oracle's SQL keeps the packed spelling; values are equal.
+    val a0 = u.withColumn("cell0",
+      graft.functions.VectorFunctions.cellArgMax(col("u"), seeds.flatten,
+        Array.fill(k)(1.0), Array.tabulate(k)(_.toLong), dim))
     // one exact Lloyd step: per-(cell, dim) ppm-BIGINT partial sums —
     // association-order independent, so the k×dim centroid matrix the
     // driver sees is bit-identical to the oracle's SQL aggregation
@@ -1418,8 +1425,8 @@ object Similarity {
     val byCell = sums.groupBy(_.getLong(0).toInt)
     val cents: Seq[(Int, Array[Double], Double)] = byCell.toSeq.map {
       case (cell, rows) =>
-        val dim = rows.length
-        val comps = Array.ofDim[Double](dim)
+        val cdim = rows.length
+        val comps = Array.ofDim[Double](cdim)
         for (r <- rows)
           comps(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1000000.0)
         // same left fold as the oracle's list_reduce (squares >= 0, so
@@ -1427,10 +1434,10 @@ object Similarity {
         (cell, comps, math.sqrt(comps.foldLeft(0.0)((acc, x) => acc + x * x)))
     }.filter(_._3 > 0).sortBy(_._1)
     require(cents.nonEmpty, "semCells: every refined centroid degenerate")
-    u.select(col("vec_id"), unpackCell(greatest(cents.map { case (cell, c, nrm) =>
-      pack(graft.model.Money.cents(
-        dotp(col("u"), typedLit(c.toSeq)) / lit(nrm), 1000000.0), cell)
-    }: _*)).as("cell"))
+    u.select(col("vec_id"),
+      graft.functions.VectorFunctions.cellArgMax(col("u"),
+        cents.flatMap(_._2).toArray, cents.map(_._3).toArray,
+        cents.map(_._1.toLong).toArray, dim).as("cell"))
   }
 
   /** The [[embedDedup]] candidate-pair plan (sharable with
