@@ -26,6 +26,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(1))
   }
 
+  test("cell_argmax equals the packed-long greatest() spelling on real embeddings") {
+    // the kernel replaced semCells' literal spelling for PLAN-SIZE
+    // cost only — this pins value equality on real unit vectors
+    // against randomly-chosen centroids, including the tie-break
+    // (max ppm-dot, then SMALLEST cell id) and the /norm-before-floor
+    // order. Uses floor(x+0.5) ppm (Money.cents), the semCells
+    // contract.
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(vd, x -> x * x), cast(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+    val dim = e.select(size(col("u"))).head().getInt(0)
+    // centroids: 7 deterministic pseudo-random unit-ish vectors with
+    // distinct norms, plus cell 3 DUPLICATING cell 1 so ties occur on
+    // every row — the tie-break is exercised, not just hoped for
+    def cent(c: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(c * 31 + j * 7 + 1) / math.sqrt(dim))
+    val cents: Array[Array[Double]] = Array(cent(0), cent(1), cent(2), cent(1),
+      cent(4), cent(5), cent(6))
+    val norms = Array(1.0, 0.7, 1.3, 0.7, 1.0, 0.9, 1.1)
+    val ids = Array.tabulate(7)(_.toLong)
+    def pack(dotPpm: org.apache.spark.sql.Column, cell: Int) =
+      (dotPpm + lit(2000000L)) * lit(1048576L) + lit(1048575L - cell)
+    val packed = e.withColumn("expected",
+      lit(1048575L) - pmod(greatest(cents.toSeq.zipWithIndex.map { case (s, i) =>
+        pack(graft.model.Money.cents(
+          VectorFunctions.dotp(col("u"), typedLit(s.toSeq)) / lit(norms(i)),
+          1000000.0), i)
+      }: _*), lit(1048576L)))
+      .withColumn("native",
+        VectorFunctions.cellArgMax(col("u"), cents.flatten, norms, ids, dim))
+    assert(packed.filter(col("native") =!= col("expected")).count() === 0)
+    assert(packed.count() > 0)
+    // cells 1 and 3 are identical (centroid AND norm): the packed
+    // spelling always prefers the smaller id, so cell 3 must never win
+    assert(packed.filter(col("native") === 3L).count() === 0)
+    // null element / ragged length poison (the DotProduct contract)
+    val row = spark.range(1).select(
+      VectorFunctions.cellArgMax(
+        expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        Array(1.0, 0.0), Array(1.0), Array(0L), 2).as("ne"),
+      VectorFunctions.cellArgMax(
+        expr("array(1.0D)"), Array(1.0, 0.0), Array(1.0), Array(0L), 2).as("rg"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("dot_product is null on ragged (length-mismatched) arrays, like the HOF formulation") {
     VectorFunctions.register(spark)
     // range-derived so the check exercises generated code, not an
