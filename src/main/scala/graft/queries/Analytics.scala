@@ -837,7 +837,9 @@ object Analytics {
     * tableFingerprint contract style): `1000000L * 24 * n` overflows
     * int64 once a single (type, hour) bucket exceeds ~3.8e11 rows —
     * ~38% of a trillion-event corpus landing in ONE type-hour cell.
-    * Spark (non-ANSI) would wrap silently there while DuckDB errors;
+    * Failure mode there is LOUD on both engines (this build runs
+    * Spark 4 with ANSI on by default — probed: int64 overflow throws
+    * SparkArithmeticException, it does not wrap; DuckDB errors too);
     * below the bound both engines agree exactly.
     *
     * 100 TB shape: one unshuffled scan into a (type × 24)-row
