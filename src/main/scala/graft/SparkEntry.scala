@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Dedup.all ++
     graft.queries.Similarity.all ++
     graft.queries.PipelineQueries.all ++
+    graft.sources.WireEvents.all ++
     graft.multimodal.Multimodal.all
 
   /** Flagship query (SURVEY.md §7.1) on sf0.001; driver smoke-checks rows>0. */

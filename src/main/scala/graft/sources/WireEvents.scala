@@ -1,0 +1,425 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.OptionalLong
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.{Money, Q, Tables}
+
+/** DataSource V2 batch source for the engine's JSON wire format — the
+  * reference's file-ingestion seam (NiFi GetFile -> JSON lines,
+  * `Spark_Nifi_Kafka_Connected_Device_Stream` Active_Users_Pipeline.xml
+  * GetFile/PublishKafka chain) done Spark-NATIVE: instead of a generic
+  * text scan + a downstream `from_json` over every byte, the source
+  * itself plans, prunes and parses, so Catalyst's pushdown reaches the
+  * file layout.
+  *
+  * Layout contract (produced by [[WireEvents.writeWire]]): Hive-style
+  * `dir/event_type=<v>/part-*.txt`, one JSON record per line carrying
+  * the five non-partition fields; `event_type` exists only as the
+  * directory name and is injected by the reader — so an `event_type`
+  * filter is handled FULLY at planning time (whole directories never
+  * open), the strongest possible pushdown claim, true by construction
+  * rather than by trusting file contents.
+  *
+  * What the source implements, and why each matters at 100 TB:
+  *  - `SupportsPushDownFilters`: `EqualTo`/`In`/`IsNotNull` on
+  *    `event_type` prune partition directories at PLANNING time; all
+  *    other predicates are returned to Spark as residuals (evaluated
+  *    post-scan as usual). A 100 TB wire dump filtered to one event
+  *    type reads only that type's bytes.
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
+  *    the requested fields from each JSON node — a 2-column projection
+  *    never allocates the other four (the JSON line is still read;
+  *    columnar skipping needs a columnar format, which is what the
+  *    parquet tables are for — this source is the INGESTION edge).
+  *  - byte-range split planning with classic newline-straddle
+  *    semantics (a split owns every line whose first byte falls inside
+  *    it; a reader starting mid-file skips to the next line boundary
+  *    and the previous split reads past its end to finish its last
+  *    line) — so one 10 GB wire file becomes parallel work instead of
+  *    one task, without any coordination between readers.
+  *  - `SupportsReportStatistics`: surviving-byte size reaches the cost
+  *    model, so a pruned wire scan can be broadcast when small.
+  *
+  * Failure contract: a malformed line THROWS with file + byte offset
+  * (fail-loudly, spec-pinned). Wire-level dead-lettering is the
+  * pipeline's job ([[graft.streaming.ProductViewPipeline.deadLetterQuery]]);
+  * an ingestion SOURCE silently dropping bytes would un-count data with
+  * no quarantine trail.
+  */
+class WireEventsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "wire-events"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WireEvents.wireSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WireTable(schema)
+
+  // schema is the wire CONTRACT, not an inference artifact — a
+  // user-supplied schema could silently misname fields the reader
+  // extracts by name, so external metadata is refused
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class WireTable(schema: StructType) extends Table with SupportsRead {
+  override def name(): String = "wire_events"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WireScanBuilder(
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("wire-events: 'path' option is required")),
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(WireEvents.DefaultMaxSplitBytes))
+}
+
+private[sources] class WireScanBuilder(path: String, maxSplitBytes: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = WireEvents.wireSchema
+
+  /** Accept (fully handle) only predicates the DIRECTORY layout can
+    * answer exactly; everything else goes back to Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, residual) = filters.partition {
+      case EqualTo("event_type", _: String) => true
+      case In("event_type", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
+      case IsNotNull("event_type") => true
+      case _ => false
+    }
+    pushed = handled
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new WireScan(path, maxSplitBytes, pushed, required)
+}
+
+private[sources] class WireScan(
+    path: String,
+    maxSplitBytes: Long,
+    pushed: Array[Filter],
+    required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Does the directory-encoded partition value survive every pushed
+    * filter? (null = the Hive default-partition sentinel dir.) */
+  private def survives(v: String): Boolean = pushed.forall {
+    case EqualTo("event_type", x: String) => v == x
+    case In("event_type", vs) => vs.exists(x => (x == null && v == null) || x == v)
+    case IsNotNull("event_type") => v != null
+    case _ => true
+  }
+
+  // (partition value, file path, file length); listed once, reused by
+  // planning, statistics and description
+  private lazy val files: Seq[(String, String, Long)] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
+      .map { d =>
+        val raw = d.getPath.getName.stripPrefix("event_type=")
+        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                else WireEvents.unescapePathName(raw)
+        (v, d.getPath)
+      }
+      .filter { case (v, _) => survives(v) }
+      .flatMap { case (v, dir) =>
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(s => (v, s.getPath.toString, s.getLen))
+      }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.flatMap { case (v, p, len) =>
+      // last split absorbs the sub-split remainder so no split is tiny
+      val n = math.max(1L, len / math.max(1L, maxSplitBytes))
+      val base = len / n
+      (0L until n).map { i =>
+        val start = i * base
+        val length = if (i == n - 1) len - start else base
+        WirePartition(p, start, length, v)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WireReaderFactory(required.fields.map(_.name))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(files.map(_._3).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  // surfaced verbatim in `.explain` via BatchScanExec — the spec and a
+  // plan reviewer read pruning evidence here
+  override def description(): String =
+    s"WireEventsScan files=${files.size} " +
+      s"pushed=[${pushed.mkString(", ")}] " +
+      s"cols=[${required.fields.map(_.name).mkString(", ")}]"
+}
+
+/** One byte range of one wire file; `eventType` is the value encoded in
+  * the enclosing partition directory (null = default-partition dir). */
+private[sources] case class WirePartition(
+    path: String, start: Long, length: Long, eventType: String)
+    extends InputPartition
+
+private[sources] class WireReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WirePartition]
+    new WireReader(p, requiredCols)
+  }
+}
+
+/** Line-oriented reader over one byte range.
+  *
+  * Split-ownership rule (Hadoop LineRecordReader's): a non-first split
+  * ALWAYS discards through its first '\n' (whether it landed mid-line
+  * or exactly on a line start), and a split emits every line whose
+  * first byte position is <= its END (inclusive) — so a line starting
+  * exactly on a boundary belongs to the PREVIOUS split. The two rules
+  * are exact complements: strict-exclusive end with an uncondition
+  * skip loses exactly the boundary-start lines (caught by the 256-byte
+  * split spec). A line that starts in range is consumed to completion
+  * past the end. Newlines are
+  * byte-0x0A delimiters, which is safe in UTF-8 (no continuation byte
+  * equals 0x0A) and is the contract of the text writer that produced
+  * the files.
+  *
+  * Executors build a fresh default Hadoop `Configuration` (the
+  * standard executor-side deploy reads HADOOP_CONF_DIR); no driver
+  * state is shipped beyond the split itself.
+  */
+private[sources] class WireReader(p: WirePartition, requiredCols: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val end = p.start + p.length
+  private val hPath = new HPath(p.path)
+  private val in = {
+    val fs = hPath.getFileSystem(new Configuration())
+    val s = fs.open(hPath)
+    s.seek(p.start)
+    s
+  }
+  private val buf = new java.io.BufferedInputStream(in, 1 << 16)
+  private var pos = p.start
+  private val mapper = new ObjectMapper()
+  private val lineBuf = new ByteArrayOutputStream(256)
+  private var row: InternalRow = _
+
+  private val evType: UTF8String =
+    if (p.eventType == null) null else UTF8String.fromString(p.eventType)
+
+  // one extractor per required column, resolved once (not per row)
+  private val extractors: Array[JsonNode => Any] = requiredCols.map {
+    case "event_type" => (_: JsonNode) => evType
+    case name =>
+      val get: JsonNode => JsonNode = n => n.get(name)
+      name match {
+        case "event_id" | "user_id" =>
+          n => { val v = get(n); if (v == null || v.isNull) null else java.lang.Long.valueOf(v.asLong) }
+        case "value" =>
+          n => { val v = get(n); if (v == null || v.isNull) null else java.lang.Double.valueOf(v.asDouble) }
+        case "ts" | "props" =>
+          n => { val v = get(n); if (v == null || v.isNull) null else UTF8String.fromString(v.asText) }
+        case other =>
+          throw new IllegalArgumentException(s"wire-events: unknown column '$other'")
+      }
+  }
+
+  private def readByte(): Int = {
+    val b = buf.read()
+    if (b >= 0) pos += 1
+    b
+  }
+
+  // discard the partial line a mid-file split lands in
+  if (p.start > 0) {
+    var b = readByte()
+    while (b >= 0 && b != '\n') b = readByte()
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      val lineStart = pos
+      // inclusive: the line starting exactly at `end` is ours; the next
+      // split's unconditional first-line skip discards its copy
+      if (lineStart > end) return false
+      lineBuf.reset()
+      var b = readByte()
+      if (b < 0) return false
+      while (b >= 0 && b != '\n') { lineBuf.write(b); b = readByte() }
+      if (lineBuf.size() > 0) {
+        val bytes = lineBuf.toByteArray
+        val node =
+          try mapper.readTree(bytes, 0, bytes.length)
+          catch {
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalStateException(
+                s"wire-events: malformed wire line at ${p.path} offset $lineStart", e)
+          }
+        val vals = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { vals(i) = extractors(i)(node); i += 1 }
+        row = new GenericInternalRow(vals)
+        return true
+      }
+      // blank line: skip, keep scanning this range
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = buf.close()
+}
+
+object WireEvents {
+  val DefaultMaxSplitBytes: Long = 4L * 1024 * 1024
+
+  /** The wire contract — field names are what the reader extracts by
+    * name from each JSON line ([[WireEventsSource.supportsExternalMetadata]]
+    * is false for exactly this reason). `ts` stays a STRING: the wire
+    * carries the reference's textual timestamp form; typing it is the
+    * pipeline's first transform, same as the Kafka path. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Microsecond-precision wire timestamp format: the parquet fixture's
+    * timestamps are micros, so a millis-only wire form would silently
+    * truncate — format and parse must round-trip bit-exactly for the
+    * oracle hash to hold. */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Undo the Hive partition-path escaping Spark's writer applies
+    * (`%xx` for chars illegal in a dir name). Minimal inverse — enough
+    * for any value the writer can produce. */
+  private[sources] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Distributed wire writer: Hive-layout JSON lines, one record per
+    * event, `event_type` carried ONLY by the directory. Uncompressed so
+    * byte-range splits stay valid (a gzip member is not seekable). */
+  def writeWire(events: DataFrame, dir: String): Unit =
+    events.select(
+        col("event_type"),
+        to_json(struct(
+          col("event_id"),
+          date_format(col("ts"), TsFmt).as("ts"),
+          col("user_id"),
+          col("value"),
+          col("props"))).as("line"))
+      .write
+      .partitionBy("event_type")
+      .option("compression", "none")
+      .mode("overwrite")
+      .text(dir)
+
+  /** Convenience reader (specs + queries). */
+  def read(spark: SparkSession, dir: String,
+           maxSplitBytes: Long = DefaultMaxSplitBytes): DataFrame =
+    spark.read
+      .format(classOf[WireEventsSource].getName)
+      .option("path", dir)
+      .option("maxSplitBytes", maxSplitBytes.toString)
+      .load()
+
+  /** Deterministic scratch dir per sf fixture (overwritten each run so
+    * the query's cost is flat across bench reps). */
+  private def wireDirFor(sfDir: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft-wire-" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsolutePath
+
+  /** End-to-end DSv2 wire query: events -> wire files -> pruned DSv2
+    * scan -> per-user purchase rollup. The scan plans only the
+    * `event_type=purchase` directory (filter handled at planning; see
+    * the `pushed=` clause in `.explain`), extracts only the three
+    * referenced fields, and the textual timestamp is re-typed losslessly
+    * ([[TsFmt]]). Oracle runs against the ORIGINAL parquet — so the
+    * hash match certifies the whole wire round-trip (format -> split ->
+    * parse -> prune), not just the aggregate.
+    *
+    * 100 TB shape: the write is a one-shuffle-free partitioned dump;
+    * the read opens one partition directory out of five and splits its
+    * files into bounded byte ranges — scan work is proportional to the
+    * SELECTED type's bytes, never the corpus. The rollup is one
+    * hash-aggregate exchange on user_id.
+    */
+  private val wireDsv2 = Q(
+    "q_wire_dsv2",
+    (s, d) => {
+      val dir = wireDirFor(d)
+      writeWire(Tables.events(s, d), dir)
+      read(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(Money.cents(col("value"))).cast("long").as("value_cents"),
+          max(to_timestamp(col("ts"), TsFmt)).as("last_ts"))
+    },
+    oracle = Some(s"""
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(sum(${Money.centsSql("value")}) AS BIGINT) AS value_cents,
+             max(ts) AS last_ts
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id"""))
+
+  def all: Seq[Q] = Seq(wireDsv2)
+}
