@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
@@ -84,7 +86,8 @@ private[sources] class WireTable(schema: StructType) extends Table with Supports
   override def name(): String = "wire_events"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+                         TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(
       Option(options.get("path")).getOrElse(
@@ -131,55 +134,19 @@ private[sources] class WireScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Does the directory-encoded partition value survive every pushed
-    * filter? (null = the Hive default-partition sentinel dir.) */
-  private def survives(v: String): Boolean = pushed.forall {
-    case EqualTo("event_type", x: String) => v == x
-    case In("event_type", vs) => vs.exists(x => (x == null && v == null) || x == v)
-    case IsNotNull("event_type") => v != null
-    case _ => true
-  }
-
   // (partition value, file path, file length); listed once, reused by
   // planning, statistics and description
-  private lazy val files: Seq[(String, String, Long)] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val root = new HPath(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
-      .map { d =>
-        val raw = d.getPath.getName.stripPrefix("event_type=")
-        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
-                else WireEvents.unescapePathName(raw)
-        (v, d.getPath)
-      }
-      .filter { case (v, _) => survives(v) }
-      .flatMap { case (v, dir) =>
-        fs.listStatus(dir).toSeq
-          .filter(s => s.isFile && {
-            val n = s.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-          .map(s => (v, s.getPath.toString, s.getLen))
-      }
-  }
+  private lazy val files: Seq[(String, String, Long)] =
+    WireEvents.listWireFiles(path, pushed)
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { case (v, p, len) =>
-      // last split absorbs the sub-split remainder so no split is tiny
-      val n = math.max(1L, len / math.max(1L, maxSplitBytes))
-      val base = len / n
-      (0L until n).map { i =>
-        val start = i * base
-        val length = if (i == n - 1) len - start else base
-        WirePartition(p, start, length, v)
-      }
-    }.toArray
+    WireEvents.splitsOf(files, maxSplitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WireReaderFactory(required.fields.map(_.name))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WireMicroBatchStream(path, maxSplitBytes, pushed, required)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -193,6 +160,93 @@ private[sources] class WireScan(
     s"WireEventsScan files=${files.size} " +
       s"pushed=[${pushed.mkString(", ")}] " +
       s"cols=[${required.fields.map(_.name).mkString(", ")}]"
+}
+
+/** Streaming micro-batch read over a GROWING wire directory — the
+  * reference's NiFi GetFile tail re-expressed as a native Spark
+  * streaming source. New files appearing under the partition
+  * directories become the next micro-batch; files are required to be
+  * IMMUTABLE once visible (the writer's rename-into-place contract —
+  * Spark's own FileStreamSource makes the same assumption).
+  *
+  * Offsets carry the sorted list of consumed file paths, so a batch is
+  * exactly the set difference end \ start and recovery needs no side
+  * state: restart from the checkpointed offset replans precisely the
+  * unseen files (exactly-once, spec-pinned across a stop/restart).
+  * At a 100 TB file census the list-shaped offset would dominate the
+  * offset log; the production evolution is the compacted metadata log
+  * Spark's FileStreamSource keeps (offset = log index), which changes
+  * the offset ENCODING but not this planning contract.
+  *
+  * Directory pruning applies at LISTING time: pushed `event_type`
+  * filters keep ignored partitions out of the offset entirely, so a
+  * one-type subscription never pays the census of the other types.
+  */
+private[sources] class WireMicroBatchStream(
+    path: String,
+    maxSplitBytes: Long,
+    pushed: Array[Filter],
+    required: StructType)
+    extends MicroBatchStream {
+
+  private def census(): Seq[(String, String, Long)] =
+    WireEvents.listWireFiles(path, pushed)
+
+  override def initialOffset(): streaming.Offset = WireOffset(Nil)
+
+  override def latestOffset(): streaming.Offset =
+    WireOffset(census().map(_._2).sorted)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    WireOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WireOffset].files.toSet
+    val fresh = end.asInstanceOf[WireOffset].files.filterNot(seen)
+    if (fresh.isEmpty) return Array.empty
+    // re-derive (partition value, length) for the fresh paths; a file
+    // present in `end` but vanished from the census is a contract
+    // violation (immutable-once-visible), surfaced loudly
+    val byPath = census().map { case (v, p, len) => p -> ((v, len)) }.toMap
+    WireEvents.splitsOf(
+      fresh.map { p =>
+        val (v, len) = byPath.getOrElse(p, throw new IllegalStateException(
+          s"wire-events: file in committed offset range disappeared: $p"))
+        (v, p, len)
+      },
+      maxSplitBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WireReaderFactory(required.fields.map(_.name))
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = sorted consumed-file census, JSON-encoded. */
+private[sources] case class WireOffset(files: Seq[String])
+    extends streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    files.foreach(arr.add)
+    val root = m.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
+    m.writeValueAsString(root)
+  }
+}
+
+private[sources] object WireOffset {
+  def fromJson(s: String): WireOffset = {
+    val n = new ObjectMapper().readTree(s).get("files")
+    val b = Seq.newBuilder[String]
+    val it = n.elements()
+    while (it.hasNext) b += it.next().asText()
+    WireOffset(b.result())
+  }
 }
 
 /** One byte range of one wire file; `eventType` is the value encoded in
@@ -313,6 +367,59 @@ private[sources] class WireReader(p: WirePartition, requiredCols: Array[String])
 
 object WireEvents {
   val DefaultMaxSplitBytes: Long = 4L * 1024 * 1024
+
+  /** Does the directory-encoded partition value survive every pushed
+    * filter? (null = the Hive default-partition sentinel dir.) */
+  private def survives(v: String, pushed: Array[Filter]): Boolean = pushed.forall {
+    case EqualTo("event_type", x: String) => v == x
+    case In("event_type", vs) => vs.exists(x => (x == null && v == null) || x == v)
+    case IsNotNull("event_type") => v != null
+    case _ => true
+  }
+
+  /** Driver-side census of the wire layout with directory pruning
+    * applied: (partition value, file path, length) for every data file
+    * in a surviving `event_type=` directory. Shared by the batch scan
+    * (planning + statistics) and the micro-batch stream (offsets). */
+  private[sources] def listWireFiles(
+      path: String, pushed: Array[Filter]): Seq[(String, String, Long)] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
+      .map { d =>
+        val raw = d.getPath.getName.stripPrefix("event_type=")
+        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                else unescapePathName(raw)
+        (v, d.getPath)
+      }
+      .filter { case (v, _) => survives(v, pushed) }
+      .flatMap { case (v, dir) =>
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(s => (v, s.getPath.toString, s.getLen))
+      }
+  }
+
+  /** Byte-range split planning over listed files; the last split of a
+    * file absorbs the sub-split remainder so no split is tiny. */
+  private[sources] def splitsOf(
+      files: Seq[(String, String, Long)],
+      maxSplitBytes: Long): Array[InputPartition] =
+    files.flatMap { case (v, p, len) =>
+      val n = math.max(1L, len / math.max(1L, maxSplitBytes))
+      val base = len / n
+      (0L until n).map { i =>
+        val start = i * base
+        val length = if (i == n - 1) len - start else base
+        WirePartition(p, start, length, v)
+      }
+    }.toArray
 
   /** The wire contract — field names are what the reader extracts by
     * name from each JSON line ([[WireEventsSource.supportsExternalMetadata]]

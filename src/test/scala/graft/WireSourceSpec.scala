@@ -123,6 +123,69 @@ class WireSourceSpec extends SparkSpec {
     assert(df.schema === WireEvents.wireSchema)
   }
 
+  test("micro-batch stream: census arrives once, new files arrive incrementally, restart is exactly-once") {
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 200), d)
+    val chk = tmp()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def start() = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d).load()
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select(col("event_id")).collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .start()
+
+    val q = start()
+    q.processAllAvailable()
+    val n0 = got.size
+    assert(n0 === events.filter(col("event_id") < 200).count())
+
+    // a new file lands in a partition dir (immutable-once-visible, as a
+    // writer's rename-into-place would) -> next batch carries ONLY it
+    val dir = Paths.get(d, "event_type=click")
+    val src = Files.list(dir).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val perFile = Files.lines(src).count()
+    assert(perFile > 0)
+    Files.copy(src, dir.resolve("part-zz-extra1.txt"))
+    q.processAllAvailable()
+    assert(got.size === n0 + perFile)
+    q.stop()
+
+    // restart from the checkpoint with a file added while DOWN: exactly
+    // the unseen file replays, nothing already-committed re-emits
+    Files.copy(src, dir.resolve("part-zz-extra2.txt"))
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(got.size === n0 + 2 * perFile)
+    q2.stop()
+  }
+
+  test("micro-batch stream with an event_type filter sees only that type's rows") {
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 200), d)
+    var total = 0L
+    val q = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d).load()
+      .filter(col("event_type") === "purchase")
+      .writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        total += df.count()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(total ===
+      events.filter(col("event_id") < 200 && col("event_type") === "purchase").count())
+  }
+
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
     def scanBytes(df: DataFrame): BigInt =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
