@@ -14,6 +14,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
   }
 
+  test("incremental probe equals the cross (new vs indexed) slice of the full self-join") {
+    // the daily-ingest probe must find exactly the batch-vs-corpus
+    // pairs the symmetric self-join finds — no extra collisions (the
+    // probe join has no doc_a < doc_b guard to lean on) and no misses
+    // (same band family, same verify threshold)
+    val full = Dedup.minhashLsh.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val crossOfFull = full.flatMap { case (a, b, j) =>
+      if (a % 10 == 0 && b % 10 != 0) Some((a, b, j))
+      else if (b % 10 == 0 && a % 10 != 0) Some((b, a, j))
+      else None
+    }
+    val inc = Dedup.incremental.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc.nonEmpty, "expected planted cross near-dup pairs in testdata")
+    assert(inc == crossOfFull,
+      s"incremental diverged: missing=${crossOfFull -- inc}, extra=${inc -- crossOfFull}")
+    // and every emitted pair is genuinely cross-partition
+    assert(inc.forall { case (n, o, _) => n % 10 == 0 && o % 10 != 0 })
+  }
+
   test("prefix-filter join returns EXACTLY the inverted-index exact pair set (lossless)") {
     val exact = Dedup.ngramJaccard.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
