@@ -214,7 +214,7 @@ case class CellArgMax(child: Expression, cents: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[ArrayData]
-    CellArgMax.eval(u, cents, norms, ids, dim)
+    CellArgMax.assign(u, cents, norms, ids, dim)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -224,7 +224,7 @@ case class CellArgMax(child: Expression, cents: Array[Double],
     nullSafeCodeGen(ctx, ev, u => {
       val boxed = ctx.freshName("boxed")
       s"""
-         |Object $boxed = graft.functions.CellArgMax.eval(
+         |Object $boxed = graft.functions.CellArgMax.assign(
          |  $u, $centsRef, $normsRef, $idsRef, $dim);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((Long) $boxed).longValue(); }
@@ -238,9 +238,16 @@ case class CellArgMax(child: Expression, cents: Array[Double],
 
 object CellArgMax {
   /** Shared by interpreted eval and generated code — one tight loop,
-    * no per-row allocation. Returns java.lang.Long or null. */
-  def eval(u: ArrayData, cents: Array[Double], norms: Array[Double],
-           ids: Array[Long], dim: Int): java.lang.Long = {
+    * no per-row allocation. Returns java.lang.Long or null.
+    *
+    * Named `assign` (not `eval`) deliberately: the case class inherits
+    * `eval(InternalRow)` from Expression, and Scala suppresses the
+    * companion's static forwarder when the class has a member of the
+    * same name — generated Java calling `CellArgMax.eval(...)` then
+    * resolves to the instance methods and fails Janino compilation,
+    * silently dropping the whole stage out of codegen. */
+  def assign(u: ArrayData, cents: Array[Double], norms: Array[Double],
+             ids: Array[Long], dim: Int): java.lang.Long = {
     if (u.numElements() != dim) return null
     // one null-scan + local copy, then the k x dim loop runs on a
     // primitive array (no per-element null checks inside the hot loop)

@@ -3,6 +3,8 @@ package graft.sources
 import java.io.ByteArrayOutputStream
 import java.util.OptionalLong
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -74,7 +76,10 @@ class WireEventsSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new WireTable(schema)
+    // CREATE TABLE ... USING wire-events delivers OPTIONS here (table
+    // properties), while DataFrameReader delivers them per-scan — the
+    // table keeps its properties and the scan builder merges both
+    new WireTable(schema, properties)
 
   // schema is the wire CONTRACT, not an inference artifact — a
   // user-supplied schema could silently misname fields the reader
@@ -82,17 +87,28 @@ class WireEventsSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class WireTable(schema: StructType) extends Table with SupportsRead {
+private[sources] class WireTable(
+    schema: StructType,
+    tableProps: java.util.Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "wire_events"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
                          TableCapability.MICRO_BATCH_READ)
+  // scan-time options win over table properties (a reader can narrow
+  // maxSplitBytes on a catalog table without re-creating it)
+  private def opt(options: CaseInsensitiveStringMap, key: String): Option[String] =
+    Option(options.get(key)).orElse {
+      // table properties are stored case-sensitively by the catalog
+      tableProps.asScala.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v
+      }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WireScanBuilder(
-      Option(options.get("path")).getOrElse(
+      opt(options, "path").getOrElse(
         throw new IllegalArgumentException("wire-events: 'path' option is required")),
-      Option(options.get("maxSplitBytes")).map(_.toLong)
+      opt(options, "maxSplitBytes").map(_.toLong)
         .getOrElse(WireEvents.DefaultMaxSplitBytes))
 }
 

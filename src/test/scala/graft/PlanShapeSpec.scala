@@ -293,6 +293,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(n >= 2, s"bucket agg must have a map-side partial:\n$plan")
   }
 
+  test("wire dsv2: directory pruning and column pruning reach the custom scan") {
+    val plan = executedPlan(graft.sources.WireEvents.all.head.fn(spark, sf))
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"event_type filter not pushed to the wire scan:\n$plan")
+    // one surviving partition directory at sf0.001 writes exactly the
+    // shuffle-partition file count; all five types would be 5x that
+    val files = "files=(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    assert(files <= 8, s"pruning left $files files planned (expected one dir's):\n$plan")
+    // projection: only the three referenced fields reach the reader
+    assert(plan.contains("cols=[ts, user_id, value]") ||
+           plan.contains("cols=[user_id, ts, value]"),
+      s"wire scan did not prune to the referenced columns:\n$plan")
+  }
+
+  test("incremental dedup: probe joins the index on the band key, never re-pairs the corpus") {
+    val plan = executedPlan(graft.queries.Dedup.incremental.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental probe degenerated to all-pairs:\n$plan")
+    // the batch side must not be hint-broadcast (corpus-class data) —
+    // band collisions ride a shuffled hash join
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected shuffled band-key probe join:\n$plan")
+  }
+
   test("zone-map pruning: two layout passes, no join, partial aggregation") {
     val plan = executedPlan(graft.queries.Layout.zoneMapPruning.fn(spark, sf))
     assert(!plan.contains("Join"), s"zone-map stats joined:\n$plan")

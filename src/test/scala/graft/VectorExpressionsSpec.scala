@@ -223,6 +223,31 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("cell_argmax generated code actually COMPILES (no silent interpreted fallback)") {
+    // a DataFrame run can pass even when doGenCode emits broken Java —
+    // Spark logs the Janino error and falls back to interpreted eval,
+    // taking the whole stage out of codegen. GenerateUnsafeProjection
+    // throws on compile failure, so this pins the codegen path itself.
+    // (Regression: the companion helper was named `eval`, which clashes
+    // with Expression.eval(InternalRow) and suppresses Scala's static
+    // forwarder — generated `CellArgMax.eval(...)` then failed to
+    // resolve and every cell-assignment stage ran interpreted.)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cents = Array(1.0, 0.0, 0.0, 1.0) // 2 cells x dim 2
+    val e = graft.functions.CellArgMax(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      cents, Array(1.0, 1.0), Array(0L, 1L), 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+    val out = proj(InternalRow(ArrayData.toArrayData(Array(0.1, 0.9))))
+    assert(out.getLong(0) === 1L)
+    val nul = proj(InternalRow(null))
+    assert(nul.isNullAt(0))
+  }
+
   test("dot_product stays inside whole-stage codegen") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))

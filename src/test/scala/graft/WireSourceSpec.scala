@@ -123,6 +123,23 @@ class WireSourceSpec extends SparkSpec {
     assert(df.schema === WireEvents.wireSchema)
   }
 
+  test("SQL surface: CREATE TABLE USING wire-events answers SQL with pushdown intact") {
+    spark.sql("DROP TABLE IF EXISTS wire_ev")
+    spark.sql(
+      s"CREATE TABLE wire_ev USING `wire-events` OPTIONS (path '$wireDir')")
+    try {
+      val df = spark.sql(
+        "SELECT user_id, count(*) AS n FROM wire_ev " +
+        "WHERE event_type = 'purchase' GROUP BY user_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+      val viaApi = WireEvents.read(spark, wireDir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      assert(df.collect().map(_.toSeq).toSet === viaApi.collect().map(_.toSeq).toSet)
+    } finally spark.sql("DROP TABLE IF EXISTS wire_ev")
+  }
+
   test("micro-batch stream: census arrives once, new files arrive incrementally, restart is exactly-once") {
     val d = tmp()
     WireEvents.writeWire(events.filter(col("event_id") < 200), d)
