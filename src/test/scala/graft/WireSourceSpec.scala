@@ -81,6 +81,59 @@ class WireSourceSpec extends SparkSpec {
       events.filter(col("event_type").isin("click", "view")).count())
   }
 
+  test("a null IN-list entry matches nothing (SQL three-valued semantics, fully-handled filter)") {
+    // `event_type IN ('click', NULL)` is TRUE only for 'click' and NULL
+    // (filtered) otherwise — since the In filter is reported fully
+    // handled, getting this wrong at the directory level would RETURN
+    // rows a vanilla parquet scan filters out. The fixture has no null
+    // types, so inject some: they land in the __HIVE_DEFAULT_PARTITION__
+    // dir, the one a null IN entry must NOT resurrect.
+    val d = tmp()
+    val withNulls = events.filter(col("event_id") < 200)
+      .withColumn("event_type",
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null: String))
+          .otherwise(col("event_type")))
+    WireEvents.writeWire(withNulls, d)
+    assert(Files.exists(Paths.get(d, "event_type=__HIVE_DEFAULT_PARTITION__")),
+      "fixture must exercise the default (null) partition dir")
+    val df = WireEvents.read(spark, d)
+      .filter(col("event_type").isin("click", null))
+    assert(df.select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("click"))
+    assert(df.count() ===
+      withNulls.filter(col("event_type").isin("click", null)).count())
+    // IS NOT NULL keeps pruning the default dir (regression guard for
+    // the adjacent clause)
+    assert(WireEvents.read(spark, d).filter(col("event_type").isNotNull).count()
+      === withNulls.filter(col("event_type").isNotNull).count())
+  }
+
+  test("ts range predicates prune whole files off the plan (sorted-file min/max stats)") {
+    // cut at the fixture's median ts: with the writer's time-banded
+    // layout roughly half of each directory's files fall entirely
+    // below the cut and must vanish from the planned file census
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    val all = WireEvents.read(spark, wireDir)
+    val ranged = WireEvents.read(spark, wireDir).filter(col("ts") >= cut)
+    val filesOf = (df: DataFrame) => "files=(\\d+)".r.findFirstMatchIn(
+      df.queryExecution.executedPlan.toString).get.group(1).toInt
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(filesOf(ranged) < filesOf(all),
+      s"ts range must prune files (${filesOf(ranged)} vs ${filesOf(all)})")
+    // pushed-vs-residual parity: pruning is coarse, the residual filter
+    // is exact — row counts must match the parquet truth exactly
+    assert(ranged.count() ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
+    // upper bounds prune from the other side
+    val below = WireEvents.read(spark, wireDir).filter(col("ts") < cut)
+    assert(filesOf(below) < filesOf(all))
+    assert(below.count() ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) < cut).count())
+  }
+
   test("non-partition predicates stay residual (rows still filtered, no false pushdown claim)") {
     val df = WireEvents.read(spark, wireDir).filter(col("user_id") === 7L)
     val plan = df.queryExecution.executedPlan.toString
@@ -201,6 +254,156 @@ class WireSourceSpec extends SparkSpec {
     q.stop()
     assert(total ===
       events.filter(col("event_id") < 200 && col("event_type") === "purchase").count())
+  }
+
+  // ---- transport parity: the DSV2 wire stream vs the file source ----
+  // The wire micro-batch stream is the closest in-sandbox analogue of
+  // Kafka's offset semantics (file census = partition offsets). These
+  // two tests port StreamingSpec's checkpoint-recovery and dual-sink
+  // parity assertions onto format("wire-events"): both transports must
+  // produce IDENTICAL windowed counts across a mid-stream restart.
+
+  /** Append a second batch of wire files into an existing dump without
+    * disturbing consumed files (the writer's rename-into-place
+    * contract; writeWire's overwrite mode would violate the stream's
+    * immutable-once-visible assumption). */
+  private def appendWire(src: DataFrame, dst: String): Unit = {
+    val t = tmp()
+    WireEvents.writeWire(src, t)
+    Files.list(Paths.get(t))
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .forEach { d =>
+        val target = Paths.get(dst, d.getFileName.toString)
+        Files.createDirectories(target)
+        Files.list(d)
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .forEach { f =>
+            Files.copy(f, target.resolve(
+              "part-zz-" + java.util.UUID.randomUUID().toString + ".txt"))
+          }
+      }
+  }
+
+  /** The wire stream mapped to the pipeline's (timestamp, source)
+    * shape — the same two fields [[graft.streaming.ProductViewPipeline.parse]]
+    * extracts from the product-view JSON wire. */
+  private def wireParsed(dir: String): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", dir).load()
+      .select(to_timestamp(col("ts"), WireEvents.TsFmt).as("timestamp"),
+              col("event_type").as("source"))
+
+  test("wire transport: checkpoint restart resumes exactly-once with the same windowed counts as the file transport") {
+    import graft.streaming.{ProductViewPipeline => P, Simulator}
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events
+    val a = ev.filter(col("event_id") < 500)
+    val b = ev.filter(col("event_id") >= 500)
+
+    def collectRun(parsed: DataFrame, chk: String,
+                   sink: java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]): Unit = {
+      val q = P.windowedCounts(parsed).writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            sink.put((r.getAs[java.sql.Timestamp]("start"), r.getAs[String]("source")),
+              r.getAs[Long]("source_number"))
+          }
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val fDir = tmp(); val fChk = tmp()
+    val fGot = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    Simulator.writeFileDrops(a, fDir)
+    collectRun(P.parse(P.fileSource(spark, fDir)), fChk, fGot)
+    Simulator.writeFileDrops(b, fDir)
+    collectRun(P.parse(P.fileSource(spark, fDir)), fChk, fGot)
+
+    val wDir = tmp(); val wChk = tmp()
+    val wGot = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    WireEvents.writeWire(a, wDir)
+    collectRun(wireParsed(wDir), wChk, wGot)
+    appendWire(b, wDir)
+    collectRun(wireParsed(wDir), wChk, wGot)
+
+    import scala.jdk.CollectionConverters._
+    assert(wGot.asScala.toMap === fGot.asScala.toMap,
+      "wire and file transports must agree per (window, source) after restart")
+    assert(wGot.values().asScala.map(x => x: Long).sum === ev.count(),
+      "exactly-once across the restart: every event counted once")
+  }
+
+  test("wire transport: dual-sink fan-out (W8) finalizes the same windows as the file transport") {
+    import graft.streaming.{ProductViewPipeline => P, Simulator}
+    import org.apache.spark.sql.streaming.Trigger
+    val a = events.filter(col("event_id") < 500)
+    val b = events.filter(col("event_id") >= 500)
+
+    def runBoth(parsed: DataFrame, out: String, chk: String): Unit = {
+      val (console, parquet) =
+        P.dualSinkQueries(P.windowedCounts(parsed), out, chk,
+          // the emit must CONSUME the frame: Spark 4 validates that a
+          // stateful query's foreachBatch processed every partition
+          // (STATE_STORE_COMMIT_VALIDATION_FAILED otherwise)
+          Trigger.AvailableNow())((df, _) => { df.collect(); () })
+      console.awaitTermination()
+      parquet.awaitTermination()
+    }
+
+    val fDir = tmp(); val fOut = tmp(); val fChk = tmp()
+    Simulator.writeFileDrops(a, fDir)
+    runBoth(P.parse(P.fileSource(spark, fDir)), fOut, fChk)
+    Simulator.writeFileDrops(b, fDir)
+    runBoth(P.parse(P.fileSource(spark, fDir)), fOut, fChk)
+
+    val wDir = tmp(); val wOut = tmp(); val wChk = tmp()
+    WireEvents.writeWire(a, wDir)
+    runBoth(wireParsed(wDir), wOut, wChk)
+    appendWire(b, wDir)
+    runBoth(wireParsed(wDir), wOut, wChk)
+
+    def finalized(dir: String): Seq[(String, Long)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("source_number")))
+        .toSeq.sorted
+    val f = finalized(fOut)
+    assert(f.nonEmpty, "fixture must finalize at least one window")
+    assert(finalized(wOut) === f,
+      "append-mode finalized windows must be transport-independent")
+  }
+
+  test("maxFilesPerTrigger rate-limits the wire stream into bounded catch-up batches (W9)") {
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 400), d)
+    val nFiles = Files.walk(Paths.get(d))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-")).count()
+    assert(nFiles > 4, s"fixture must have enough files to chunk ($nFiles)")
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d)
+      .option("maxFilesPerTrigger", 2)
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toList
+    // a deep backlog catches up in MULTIPLE bounded batches, and the
+    // limit loses nothing: the union is exactly the dump
+    assert(sizes.count(_ > 0) >= (nFiles / 2).toInt,
+      s"expected chunked catch-up, got batches $sizes for $nFiles files")
+    assert(sizes.sum === events.filter(col("event_id") < 400).count())
   }
 
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
