@@ -833,14 +833,18 @@ object Analytics {
     * cross-engine-stable timestamp arithmetic every temporal query
     * here uses.
     *
-    * Overflow bound (documented, not defended — the [[Layout]]
-    * tableFingerprint contract style): `1000000L * 24 * n` overflows
-    * int64 once a single (type, hour) bucket exceeds ~3.8e11 rows —
-    * ~38% of a trillion-event corpus landing in ONE type-hour cell.
-    * Failure mode there is LOUD on both engines (this build runs
-    * Spark 4 with ANSI on by default — probed: int64 overflow throws
-    * SparkArithmeticException, it does not wrap; DuckDB errors too);
-    * below the bound both engines agree exactly.
+    * Overflow-safe via exact 128-bit intermediates (the uniform
+    * closure of the ppm class that gini/share took by wide-int
+    * decomposition): the naive `1000000L * 24 * n` wraps int64 once a
+    * (type, hour) bucket exceeds ~3.8e11 rows — within an order of
+    * magnitude of a trillion-event corpus. Here the numerator is a
+    * SINGLE product (no n² factor to split a floor-division over), so
+    * the cleanest exact form is widening the multiply: Spark
+    * `decimal(38,0)` × long with `div` (IntegralDivide truncates to
+    * long), DuckDB `HUGEINT` with `//` — identical truncation-toward-
+    * zero wherever the naive form didn't overflow, and in range until
+    * a bucket holds ~7e30 rows. Cost is per-OUTPUT-row (≤ types × 24
+    * rows), not per-event, so the widening is free at any corpus size.
     *
     * 100 TB shape: one unshuffled scan into a (type × 24)-row
     * map-side-partial aggregate; the per-type totals ride a second
@@ -858,7 +862,8 @@ object Analytics {
         .agg(sum(col("n")).as("n_type"))
       byHour.join(broadcast(totals), "event_type")
         .select(col("event_type"), col("hour"), col("n"),
-                expr("(1000000L * 24 * n) div n_type").as("lift_ppm"))
+                expr("(cast(24000000 as decimal(38,0)) * n) div n_type")
+                  .as("lift_ppm"))
     },
     Some("""
       WITH h AS (
@@ -869,7 +874,8 @@ object Analytics {
         FROM events GROUP BY 1, 2),
       t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
             FROM h GROUP BY 1)
-      SELECT event_type, hour, n, (1000000 * 24 * n) // n_type AS lift_ppm
+      SELECT event_type, hour, n,
+             CAST((24000000::HUGEINT * n) // n_type AS BIGINT) AS lift_ppm
       FROM h JOIN t USING (event_type)
     """))
 
