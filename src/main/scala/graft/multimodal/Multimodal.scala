@@ -253,9 +253,19 @@ object Multimodal {
       var off = start
       while (off + 8 <= end) {
         val id = fourcc(off)
-        val sz = u32(off + 4).toInt
+        // a u32 size >= 2^31 would wrap negative as Int: sz = -8 stalls
+        // the walk (off never advances) and other negatives move it
+        // BACKWARDS — reject before use so a hostile container throws
+        // instead of hanging the executor (fail-loudly contract)
+        val szL = u32(off + 4)
+        require(szL <= Int.MaxValue,
+          s"aviMjpegDecoder: chunk '$id' at $off declares size $szL " +
+            s"(> Int.MaxValue) for doc_id=${m.doc_id}")
+        val sz = szL.toInt
         val body = off + 8
-        require(body + sz <= end,
+        // Long-side compare: body + sz can itself wrap Int when sz is
+        // near Int.MaxValue, which would sneak past an Int comparison
+        require(body.toLong + sz <= end,
           s"aviMjpegDecoder: chunk '$id' at $off overruns its parent " +
             s"(size $sz, parent end $end) for doc_id=${m.doc_id}")
         if (id == "LIST") walk(body + 4, body + sz) // skip the list-type fourcc
