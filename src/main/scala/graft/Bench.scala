@@ -112,7 +112,11 @@ object Bench {
         case (k, v) if measurementOnly(k) && v >= 0 => "\"" + k + "\":" + f3(v)
       }
       if (present.isEmpty) ""
-      else s""","measurement_only":{${present.mkString(",")}},"value_with_measurement":${f3(measuredTotal)}"""
+      // metric_note pins the definition change IN the artifact: the
+      // headline "value" excludes measurement-only queries since r10,
+      // so any cross-round comparator must use value_with_measurement
+      // across that boundary or the split reads as a phantom speedup
+      else s""","measurement_only":{${present.mkString(",")}},"value_with_measurement":${f3(measuredTotal)},"metric_note":"value excludes measurement_only since r10; compare value_with_measurement across r9->r10""""
     }
     // mark partial runs: a SPARK_GRAFT_BENCH_ONLY subset total must not
     // be mistaken for a full-suite benchmark
@@ -136,11 +140,24 @@ object Bench {
     // FLAG (not fail) queries whose rep spread exceeds 3x: alongside
     // the start/end loadavg this makes a contended-box run
     // self-diagnosing — the r9 builder/driver 1.35x divergence should
-    // be attributable from one read of this file
+    // be attributable from one read of this file. Each flagged query
+    // gets ONE extra rep AFTER the whole battery (when transient box
+    // load has usually passed), recorded separately as "rerun" — so a
+    // contention-polluted median never enters the committed artifact
+    // unannotated: the rerun is the quiet-box counter-evidence, read
+    // next to the raws. The rerun does NOT change the median/total
+    // (the headline stays a pure median-of-N of the in-battery reps;
+    // a post-hoc rep replacing a median would bias totals downward).
+    val spreadFlagged = raw.collect {
+      case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 3.0 => k
+    }.toSet
+    val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => spreadFlagged(name) }
+      .map { case (name, fnq) => name -> run(name, fnq) }.toMap
     val flagged = raw.collect {
-      case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 3.0 =>
+      case (k, runs) if spreadFlagged(k) =>
         "\"" + k + "\":{\"raws\":[" + runs.map(f3).mkString(",") +
-          s"""],"spread":${f3(runs.max / runs.min)}}"""
+          s"""],"spread":${f3(runs.max / runs.min)},"rerun":${f3(reruns.getOrElse(k, -1.0))}}"""
     }
     val flagMark =
       if (flagged.isEmpty) "" else s""","spread_flags":{${flagged.mkString(",")}}"""
