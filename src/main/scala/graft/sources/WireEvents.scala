@@ -186,7 +186,8 @@ private[sources] class WireScan(
     new WireReaderFactory(required.fields.map(_.name))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WireMicroBatchStream(path, maxSplitBytes, pushed, required, maxFilesPerTrigger)
+    new WireMicroBatchStream(path, maxSplitBytes, pushed, required,
+      checkpointLocation, maxFilesPerTrigger)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -209,14 +210,25 @@ private[sources] class WireScan(
   * IMMUTABLE once visible (the writer's rename-into-place contract —
   * Spark's own FileStreamSource makes the same assumption).
   *
-  * Offsets carry the sorted list of consumed file paths, so a batch is
-  * exactly the set difference end \ start and recovery needs no side
-  * state: restart from the checkpointed offset replans precisely the
-  * unseen files (exactly-once, spec-pinned across a stop/restart).
-  * At a 100 TB file census the list-shaped offset would dominate the
-  * offset log; the production evolution is the compacted metadata log
-  * Spark's FileStreamSource keeps (offset = log index), which changes
-  * the offset ENCODING but not this planning contract.
+  * Offsets are O(1) LOG INDICES, not file lists (r11; the same
+  * design Spark's FileStreamSource uses): the source keeps its own
+  * append-only file-census log under the query checkpoint
+  * ([[WireFileLog]], `<checkpoint>/wire-file-log/`), one delta entry
+  * per micro-batch naming exactly that batch's new files, plus a
+  * consolidated snapshot every [[WireFileLog.CompactInterval]] entries
+  * so computing "everything consumed so far" reads one snapshot + a
+  * bounded tail of deltas — never the full history. The engine's
+  * offset log then carries only `{"idx":N}` per batch. The earlier
+  * design carried the ENTIRE sorted consumed-file census in every
+  * offset: at a 100 TB dump (millions of files) each offset-log entry
+  * would re-serialize the whole census per trigger — O(total files)
+  * write amplification the index encoding removes. Exactly-once
+  * survives unchanged: a batch is the persisted delta (start, end],
+  * so recovery replans precisely the logged files; a delta written by
+  * a run that crashed before the engine committed its batch is found
+  * as an orphan (log ahead of the restart offset) and replayed before
+  * any new file is admitted. Pre-r11 list-shaped checkpoints are not
+  * readable (deserializeOffset refuses them loudly).
   *
   * Directory pruning applies at LISTING time: pushed `event_type`
   * filters keep ignored partitions out of the offset entirely, so a
@@ -244,6 +256,7 @@ private[sources] class WireMicroBatchStream(
     maxSplitBytes: Long,
     pushed: Array[Filter],
     required: StructType,
+    checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream
     with streaming.SupportsAdmissionControl
@@ -251,6 +264,12 @@ private[sources] class WireMicroBatchStream(
 
   private def census(): Seq[(String, String, Long)] =
     WireEvents.listWireFiles(path, pushed)
+
+  private lazy val log = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new HPath(checkpointLocation, "wire-file-log")
+    new WireFileLog(dir.getFileSystem(conf), dir)
+  }
 
   // census snapshot taken when the AvailableNow run starts; batches
   // never read past it even if files keep landing mid-run
@@ -264,38 +283,47 @@ private[sources] class WireMicroBatchStream(
       .map(n => streaming.ReadLimit.maxFiles(n))
       .getOrElse(streaming.ReadLimit.allAvailable())
 
-  override def initialOffset(): streaming.Offset = WireOffset(Nil)
+  override def initialOffset(): streaming.Offset = WireLogOffset(0L)
 
   override def latestOffset(): streaming.Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def latestOffset(start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
+    val startIdx = start.asInstanceOf[WireLogOffset].idx
+    // orphan replay first: a delta logged by a run that crashed before
+    // the ENGINE committed its batch must re-emerge as the next batch
+    // (same files, deterministically) before anything new is admitted
+    if (log.maxIdx() > startIdx) return WireLogOffset(startIdx + 1)
     val visible = availableNowCap.getOrElse(census().map(_._2).sorted)
-    val seen = start.asInstanceOf[WireOffset].files.toSet
-    val fresh = visible.filterNot(seen)
+    val fresh = visible.filterNot(log.seenUpTo(startIdx))
     val admitted = limit match {
       case mf: streaming.ReadMaxFiles => fresh.take(mf.maxFiles)
       case _ => fresh
     }
-    WireOffset((seen ++ admitted).toSeq.sorted)
+    if (admitted.isEmpty) WireLogOffset(startIdx)
+    else {
+      log.append(startIdx + 1, admitted)
+      WireLogOffset(startIdx + 1)
+    }
   }
 
   override def reportLatestOffset(): streaming.Offset =
-    WireOffset(availableNowCap.getOrElse(census().map(_._2).sorted))
+    WireLogOffset(log.maxIdx())
 
   override def deserializeOffset(json: String): streaming.Offset =
-    WireOffset.fromJson(json)
+    WireLogOffset.fromJson(json)
 
   override def planInputPartitions(
       start: streaming.Offset,
       end: streaming.Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WireOffset].files.toSet
-    val fresh = end.asInstanceOf[WireOffset].files.filterNot(seen)
+    val a = start.asInstanceOf[WireLogOffset].idx
+    val b = end.asInstanceOf[WireLogOffset].idx
+    val fresh = ((a + 1) to b).flatMap(log.readDelta)
     if (fresh.isEmpty) return Array.empty
     // re-derive (partition value, length) for the fresh paths; a file
-    // present in `end` but vanished from the census is a contract
-    // violation (immutable-once-visible), surfaced loudly
+    // present in a committed delta but vanished from the census is a
+    // contract violation (immutable-once-visible), surfaced loudly
     val byPath = census().map { case (v, p, len) => p -> ((v, len)) }.toMap
     WireEvents.splitsOf(
       fresh.map { p =>
@@ -313,27 +341,95 @@ private[sources] class WireMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Offset = sorted consumed-file census, JSON-encoded. */
-private[sources] case class WireOffset(files: Seq[String])
+/** Offset = index into the source's [[WireFileLog]]; O(1) however
+  * large the consumed census grows. */
+private[sources] case class WireLogOffset(idx: Long)
     extends streaming.Offset {
-  override def json(): String = {
-    val m = new ObjectMapper()
-    val arr = m.createArrayNode()
-    files.foreach(arr.add)
-    val root = m.createObjectNode()
-    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("files", arr)
-    m.writeValueAsString(root)
+  override def json(): String = s"""{"idx":$idx}"""
+}
+
+private[sources] object WireLogOffset {
+  def fromJson(s: String): WireLogOffset = {
+    val n = new ObjectMapper().readTree(s)
+    require(n != null && n.has("idx"),
+      "wire-events: offset is not a file-log index — pre-r11 list-shaped " +
+        "wire checkpoints are not readable by this version; start the query " +
+        "from a fresh checkpoint")
+    WireLogOffset(n.get("idx").asLong())
   }
 }
 
-private[sources] object WireOffset {
-  def fromJson(s: String): WireOffset = {
-    val n = new ObjectMapper().readTree(s).get("files")
-    val b = Seq.newBuilder[String]
-    val it = n.elements()
-    while (it.hasNext) b += it.next().asText()
-    WireOffset(b.result())
+/** The source-side file-census log: `<dir>/N.delta` names exactly the
+  * files admitted into batch N (one path per line, UTF-8, sorted);
+  * every [[WireFileLog.CompactInterval]]-th entry also writes
+  * `<dir>/N.snapshot` = the union of deltas 1..N, so [[seenUpTo]]
+  * reads one snapshot plus at most CompactInterval-1 deltas instead
+  * of the whole history (FileStreamSource's compaction scheme with
+  * the snapshot kept as a SEPARATE file, which keeps [[readDelta]] —
+  * the replay path — trivially O(batch)).
+  *
+  * Durability contract: [[append]] writes to a temp name and RENAMES
+  * into place (atomic on HDFS-like stores), and an already-present
+  * delta is trusted rather than rewritten — that idempotency is what
+  * makes crash-replay deterministic. */
+private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
+  import WireFileLog.CompactInterval
+  fs.mkdirs(dir)
+
+  private def deltaPath(i: Long) = new HPath(dir, f"$i%020d.delta")
+  private def snapPath(i: Long) = new HPath(dir, f"$i%020d.snapshot")
+
+  private def readLines(p: HPath): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
+
+  private def writeLines(p: HPath, lines: Seq[String]): Unit = {
+    if (fs.exists(p)) return // idempotent replay: trust the committed entry
+    val tmp = new HPath(dir, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      // lost a benign race with a concurrent replay writer: the entry
+      // now exists with identical deterministic content
+      require(fs.exists(p), s"wire-file-log: failed to commit ${p.getName}")
+    }
+  }
+
+  def maxIdx(): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".delta"))
+      .map(_.stripSuffix(".delta").toLong)
+      .foldLeft(0L)(math.max)
+
+  def readDelta(i: Long): Seq[String] = readLines(deltaPath(i))
+
+  /** Union of deltas 1..i — one snapshot read plus a bounded delta
+    * tail. */
+  def seenUpTo(i: Long): Set[String] = {
+    if (i <= 0) return Set.empty
+    val snapIdx = (i / CompactInterval) * CompactInterval
+    val base: Set[String] =
+      if (snapIdx > 0 && fs.exists(snapPath(snapIdx))) readLines(snapPath(snapIdx)).toSet
+      else if (snapIdx > 0) ((1L to snapIdx).flatMap(readDelta)).toSet // snapshot lost: degrade, stay correct
+      else Set.empty
+    base ++ ((snapIdx + 1) to i).flatMap(readDelta)
+  }
+
+  def append(i: Long, files: Seq[String]): Unit = {
+    writeLines(deltaPath(i), files.sorted)
+    if (i % CompactInterval == 0)
+      writeLines(snapPath(i), (seenUpTo(i - 1) ++ files).toSeq.sorted)
+  }
+}
+
+private[sources] object WireFileLog {
+  /** Snapshot cadence: seenUpTo reads <= 1 snapshot + 9 deltas. */
+  val CompactInterval = 10L
 }
 
 /** One byte range of one wire file; `eventType` is the value encoded in

@@ -406,6 +406,46 @@ class WireSourceSpec extends SparkSpec {
     assert(sizes.sum === events.filter(col("event_id") < 400).count())
   }
 
+  test("stream offsets are O(1) log indices; the census log compacts with snapshots") {
+    val d = tmp(); val chk = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 400), d)
+    var total = 0L
+    val q = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d)
+      .option("maxFilesPerTrigger", 1) // one file per batch -> > CompactInterval batches
+      .load()
+      .writeStream
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(total === events.filter(col("event_id") < 400).count())
+    // the ENGINE's offset log carries {"idx":N} only — never file paths
+    // (the list-shaped offset was O(total files) write amplification
+    // per trigger at a large census)
+    val offsets = Files.list(Paths.get(chk, "offsets")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.forall(_.isDigit)) // skip .crc sidecars
+      .map(_.toString)
+    assert(offsets.nonEmpty)
+    val bodies = offsets.map(o => Files.readString(Paths.get(o)))
+    assert(bodies.exists(_.contains("\"idx\"")), bodies.mkString("\n---\n"))
+    assert(!bodies.exists(_.contains("part-")),
+      "offset log must not name files: " + bodies.mkString("\n---\n"))
+    // the source's own census log holds per-batch deltas plus periodic
+    // snapshots, so seen-so-far reads a snapshot + bounded delta tail
+    // Spark hands each source a per-source checkpoint subdir
+    val logDir = Paths.get(chk, "sources", "0", "wire-file-log")
+    val entries = Files.list(logDir).toArray.map(_.toString)
+    val deltas = entries.count(_.endsWith(".delta"))
+    val snaps = entries.count(_.endsWith(".snapshot"))
+    assert(deltas > 10, // WireFileLog.CompactInterval (private[sources])
+      s"need enough batches to force compaction (got $deltas deltas)")
+    assert(snaps >= 1, s"expected at least one snapshot, entries: ${entries.toSeq}")
+  }
+
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
     def scanBytes(df: DataFrame): BigInt =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
