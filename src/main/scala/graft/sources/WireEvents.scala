@@ -838,5 +838,56 @@ object WireEvents {
       WHERE event_type = 'purchase'
       GROUP BY user_id"""))
 
-  def all: Seq[Q] = Seq(wireDsv2)
+  /** Time-windowed DSv2 wire query — the ts-range pushdown exercised
+    * END-TO-END under the DuckDB oracle: events -> time-banded wire
+    * dump -> DSv2 scan with a pushed `ts >=` bound -> per-type rollup.
+    * Planning prunes every file whose sorted-file max ts falls below
+    * the cut (see [[fileTsRange]]); the residual filter keeps row
+    * evaluation exact, and the oracle computes the same half-range cut
+    * over the ORIGINAL parquet — so the hash match certifies pruning
+    * never drops or resurrects a row, cross-engine, at every SF.
+    *
+    * The cut is the exact midpoint of the fixture's [min, max] epoch-
+    * micros range — integer arithmetic both engines share bit-for-bit
+    * (floor division of non-negative micros), then compared on the
+    * wire as a [[TsFmt]] string, which orders exactly like the
+    * timestamps it encodes.
+    *
+    * 100 TB shape: identical to [[wireDsv2]] plus the point of the
+    * feature — the scan opens only the upper half of each directory's
+    * time bands, so a narrowing time window reads proportionally
+    * fewer bytes (the reference's windowed workload shape). */
+  private val wireTsWindow = Q(
+    "q_wire_ts_window",
+    (s, d) => {
+      val dir = wireDirFor(d) + "-tsw"
+      val ev = Tables.events(s, d)
+      writeWire(ev, dir)
+      val r = ev.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val cutUs = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      val cut = java.time.LocalDateTime
+        .ofEpochSecond(Math.floorDiv(cutUs, 1000000L),
+          (Math.floorMod(cutUs, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern(TsFmt))
+      read(s, dir)
+        .filter(col("ts") >= cut)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(Money.cents(col("value"))).cast("long").as("value_cents"))
+    },
+    oracle = Some(s"""
+      WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+                        max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+                 FROM events)
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(${Money.centsSql("value")}) AS BIGINT) AS value_cents
+      FROM events, b
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= mn + (mx - mn) // 2
+      GROUP BY event_type"""))
+
+  def all: Seq[Q] = Seq(wireDsv2, wireTsWindow)
 }
