@@ -337,7 +337,8 @@ private[sources] class WireMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new WireReaderFactory(required.fields.map(_.name))
 
-  override def commit(end: streaming.Offset): Unit = ()
+  override def commit(end: streaming.Offset): Unit =
+    log.pruneCommitted(end.asInstanceOf[WireLogOffset].idx)
   override def stop(): Unit = ()
 }
 
@@ -402,8 +403,12 @@ private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
   def maxIdx(): Long =
     if (!fs.exists(dir)) 0L
     else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(_.endsWith(".delta"))
-      .map(_.stripSuffix(".delta").toLong)
+      .collect {
+        case n if n.endsWith(".delta") => n.stripSuffix(".delta").toLong
+        // a fully-pruned log (retention removed every delta at a
+        // snapshot boundary) still knows its high-water mark
+        case n if n.endsWith(".snapshot") => n.stripSuffix(".snapshot").toLong
+      }
       .foldLeft(0L)(math.max)
 
   def readDelta(i: Long): Seq[String] = readLines(deltaPath(i))
@@ -415,7 +420,17 @@ private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
     val snapIdx = (i / CompactInterval) * CompactInterval
     val base: Set[String] =
       if (snapIdx > 0 && fs.exists(snapPath(snapIdx))) readLines(snapPath(snapIdx)).toSet
-      else if (snapIdx > 0) ((1L to snapIdx).flatMap(readDelta)).toSet // snapshot lost: degrade, stay correct
+      else if (snapIdx > 0) {
+        // snapshot lost: degrade through the raw deltas if retention
+        // has not pruned them yet — and refuse LOUDLY if it has (after
+        // pruning the snapshot is required state; silently recounting
+        // from a partial log would un-see consumed files)
+        val missing = (1L to snapIdx).filterNot(j => fs.exists(deltaPath(j)))
+        require(missing.isEmpty,
+          s"wire-file-log: snapshot $snapIdx missing and deltas " +
+            s"${missing.take(3).mkString(",")}… already pruned — log unrecoverable")
+        ((1L to snapIdx).flatMap(readDelta)).toSet
+      }
       else Set.empty
     base ++ ((snapIdx + 1) to i).flatMap(readDelta)
   }
@@ -424,6 +439,29 @@ private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
     writeLines(deltaPath(i), files.sorted)
     if (i % CompactInterval == 0)
       writeLines(snapPath(i), (seenUpTo(i - 1) ++ files).toSeq.sorted)
+  }
+
+  /** Retention, called from the stream's `commit(end)`: once the
+    * engine has durably committed batch `end`, no replay can start at
+    * or below it — `planInputPartitions` only reads deltas ABOVE the
+    * restart offset, and [[seenUpTo]] for any i >= end reads the
+    * newest snapshot plus the tail after it. So deltas at or below
+    * the last snapshot <= end, and snapshots older than it, are dead
+    * state: delete them. Bounds the log at ONE snapshot + at most
+    * [[WireFileLog.CompactInterval]]-1 tail deltas + the engine's
+    * uncommitted window — flat in stream lifetime, the property that
+    * matters on a months-running 100 TB tail. */
+  def pruneCommitted(end: Long): Unit = {
+    val snapIdx = (end / CompactInterval) * CompactInterval
+    if (snapIdx <= 0 || !fs.exists(snapPath(snapIdx))) return
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val deadDelta =
+        n.endsWith(".delta") && n.stripSuffix(".delta").toLong <= snapIdx
+      val deadSnap =
+        n.endsWith(".snapshot") && n.stripSuffix(".snapshot").toLong < snapIdx
+      if (deadDelta || deadSnap) fs.delete(st.getPath, false)
+    }
   }
 }
 

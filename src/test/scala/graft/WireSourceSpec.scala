@@ -406,22 +406,29 @@ class WireSourceSpec extends SparkSpec {
     assert(sizes.sum === events.filter(col("event_id") < 400).count())
   }
 
-  test("stream offsets are O(1) log indices; the census log compacts with snapshots") {
+  test("stream offsets are O(1) log indices; the census log compacts and retention bounds it") {
     val d = tmp(); val chk = tmp()
     WireEvents.writeWire(events.filter(col("event_id") < 400), d)
     var total = 0L
-    val q = spark.readStream
-      .format(classOf[graft.sources.WireEventsSource].getName)
-      .option("path", d)
-      .option("maxFilesPerTrigger", 1) // one file per batch -> > CompactInterval batches
-      .load()
-      .writeStream
-      .option("checkpointLocation", chk)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
-      .start()
-    q.awaitTermination()
+    var batches = 0
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d)
+        .option("maxFilesPerTrigger", 1) // one file per batch -> > CompactInterval batches
+        .load()
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          total += df.count(); batches += 1; ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
     assert(total === events.filter(col("event_id") < 400).count())
+    assert(batches > 10, s"need > CompactInterval batches, got $batches")
     // the ENGINE's offset log carries {"idx":N} only — never file paths
     // (the list-shaped offset was O(total files) write amplification
     // per trigger at a large census)
@@ -434,16 +441,33 @@ class WireSourceSpec extends SparkSpec {
     assert(bodies.exists(_.contains("\"idx\"")), bodies.mkString("\n---\n"))
     assert(!bodies.exists(_.contains("part-")),
       "offset log must not name files: " + bodies.mkString("\n---\n"))
-    // the source's own census log holds per-batch deltas plus periodic
-    // snapshots, so seen-so-far reads a snapshot + bounded delta tail
-    // Spark hands each source a per-source checkpoint subdir
+    // the source's own census log: snapshots exist, and commit-time
+    // retention deleted every delta at or below the newest snapshot —
+    // the log is bounded by one snapshot + a short delta tail, flat in
+    // stream lifetime (Spark hands each source a checkpoint subdir)
     val logDir = Paths.get(chk, "sources", "0", "wire-file-log")
-    val entries = Files.list(logDir).toArray.map(_.toString)
-    val deltas = entries.count(_.endsWith(".delta"))
-    val snaps = entries.count(_.endsWith(".snapshot"))
-    assert(deltas > 10, // WireFileLog.CompactInterval (private[sources])
-      s"need enough batches to force compaction (got $deltas deltas)")
-    assert(snaps >= 1, s"expected at least one snapshot, entries: ${entries.toSeq}")
+    def names() = Files.list(logDir).toArray.map(
+      _.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    val snapIdxs = names().filter(_.endsWith(".snapshot"))
+      .map(_.stripSuffix(".snapshot").toLong)
+    assert(snapIdxs.nonEmpty, s"expected a snapshot, entries: ${names().toSeq}")
+    val deltaIdxs = names().filter(_.endsWith(".delta"))
+      .map(_.stripSuffix(".delta").toLong)
+    assert(deltaIdxs.length < batches,
+      s"retention must prune committed deltas ($deltaIdxs of $batches batches remain)")
+    assert(deltaIdxs.forall(_ > snapIdxs.max),
+      s"no delta at/below the newest snapshot may remain: deltas=${deltaIdxs.toSeq} snap=${snapIdxs.max}")
+    // the pruned log still restarts exactly-once: a new file arrives
+    // while down, only it replays
+    val dir0 = Paths.get(d, "event_type=click")
+    val src = Files.list(dir0).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val perFile = Files.lines(src).count()
+    Files.copy(src, dir0.resolve("part-zz-retained.txt"))
+    val before = total
+    run()
+    assert(total === before + perFile,
+      "restart over a retention-pruned log must replay exactly the new file")
   }
 
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
