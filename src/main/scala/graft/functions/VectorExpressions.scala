@@ -279,6 +279,337 @@ object CellArgMax {
   }
 }
 
+/** Native codegen'd top-n k-means cell selection — [[CellArgMax]]'s
+  * sibling for the IVF probe side: the n cells (of k) whose centroids
+  * have the LARGEST `floor(dot(u, cent_c) / norm_c * 1e6 + 0.5)`,
+  * returned as an `array<bigint>` of ORIGINAL cell ids ordered by
+  * (ppm desc, cell id asc) — bit-for-bit the packed-long spelling
+  * `slice(reverse(array_sort(array(k packs))), 1, n)` decoded, the
+  * ordering [[graft.queries.Similarity]]'s IVF probe list used to
+  * build from k literal `typedLit` trees (~0.25-0.3 s of analysis +
+  * Janino codegen per pass at k=16/dim=64 for microseconds of math —
+  * the same planning-cost disease CellArgMax cured for the argmax
+  * case at k=79). Same null-poison contract: null array, null
+  * element, or a length mismatch against `dim` returns null. */
+case class CellTopN(child: Expression, cents: Array[Double],
+                    norms: Array[Double], ids: Array[Long], dim: Int, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim > 0 && cents.length == norms.length * dim &&
+      ids.length == norms.length,
+    s"CellTopN: ${cents.length} centroid doubles / ${norms.length} norms / " +
+      s"${ids.length} ids inconsistent with dim=$dim")
+  require(n > 0, s"CellTopN: n=$n must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_topn"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_topn requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    CellTopN.topn(u, cents, norms, ids, dim, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, u => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.CellTopN.topn(
+         |  $u, $centsRef, $normsRef, $idsRef, $dim, $n);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellTopN =
+    copy(child = newChild)
+}
+
+object CellTopN {
+  /** Shared by interpreted eval and generated code (named `topn`, not
+    * `eval`, for the same static-forwarder reason as
+    * [[CellArgMax.assign]]). Returns ArrayData of min(n, k) original
+    * cell ids ordered by (ppm desc, id asc), or null on the poison
+    * cases. Selection is insertion into an m-slot sorted buffer —
+    * O(k·m) with m = nprobe (tiny); entries arrive sorted by cell id,
+    * so "equal ppm never displaces" reproduces the packed-long
+    * smaller-id-first tie-break. */
+  def topn(u: ArrayData, cents: Array[Double], norms: Array[Double],
+           ids: Array[Long], dim: Int, n: Int): ArrayData = {
+    if (u.numElements() != dim) return null
+    val arr = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (u.isNullAt(j)) return null
+      arr(j) = u.getDouble(j)
+      j += 1
+    }
+    val k = norms.length
+    val m = math.min(n, k)
+    val topP = new Array[Long](m)
+    val topC = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) { acc += arr(i) * cents(base + i); i += 1 }
+      val p = math.floor(acc / norms(c) * 1000000.0 + 0.5).toLong
+      // find insertion slot: first slot whose ppm is STRICTLY smaller
+      // (ascending c ⇒ equal-ppm keeps the earlier, smaller cell id)
+      var pos = filled
+      var s = 0
+      var found = false
+      while (s < filled && !found) {
+        if (p > topP(s)) { pos = s; found = true } else s += 1
+      }
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var t = last
+        while (t > pos) { topP(t) = topP(t - 1); topC(t) = topC(t - 1); t -= 1 }
+        topP(pos) = p
+        topC(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Long](filled)
+    var o = 0
+    while (o < filled) { out(o) = ids(topC(o)); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd SRP sign-bit bucketing over an `array<double>`
+  * vector column: for each of `nTables` hash tables, the bucket id is
+  * `Σ_p (dot(v, plane[t][p]) >= 0 ? 2^p : 0)` over `nBits` md5-derived
+  * hyperplanes, each dot a left-to-right IEEE fold ([[DotProduct]]
+  * order — the DuckDB oracle's `list_reduce` spelling). With
+  * `withProbes` the output doubles to `[bk_0..bk_{T-1},
+  * fp_0..fp_{T-1}]` where `fp_t` flips the table's WEAKEST sign bit
+  * (first argmin |dot|, `array_position` first-match ties) — the
+  * multi-probe LSH probe sequence (Lv et al. 2007).
+  *
+  * Why an Expression: the literal spelling built one
+  * `dotp(col, typedLit(dim doubles))` tree per (table, bit) — 40
+  * trees for the 8×5 probe index, 32 for the 4×8 dedup blocker —
+  * and paid ~15-20 ms of Catalyst analysis + Janino codegen PER TREE
+  * PER PASS for microseconds of arithmetic (the [[CellArgMax]]
+  * disease in SRP form). Here the whole plane tensor rides as ONE
+  * reference object and the T×B×dim loop is the plan. Null array,
+  * null element, or a length mismatch against `dim` returns null. */
+case class SrpBuckets(child: Expression, planes: Array[Double],
+                      nTables: Int, nBits: Int, dim: Int, withProbes: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nTables > 0 && nBits > 0 && nBits <= 62 && dim > 0 &&
+      planes.length == nTables * nBits * dim,
+    s"SrpBuckets: ${planes.length} plane doubles inconsistent with " +
+      s"$nTables tables x $nBits bits x dim=$dim")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_buckets requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    SrpBuckets.buckets(u, planes, nTables, nBits, dim, withProbes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, u => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.SrpBuckets.buckets(
+         |  $u, $planesRef, $nTables, $nBits, $dim, $withProbes);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+}
+
+object SrpBuckets {
+  /** Shared by interpreted eval and generated code (named `buckets`,
+    * not `eval` — the [[CellArgMax.assign]] static-forwarder lesson).
+    * Returns ArrayData of nTables bucket longs (+ nTables flipped
+    * probes when withProbes), or null on the poison cases.
+    *
+    * Bit-equality notes vs the retired literal spelling: the dot is
+    * the same left-to-right fold; `>= 0` admits -0.0 on both sides
+    * (Java primitive `-0.0 >= 0` is true, as is SQL's); the weakest
+    * bit keeps the FIRST index attaining min |dot| (strict `<`
+    * update), matching `array_position(.., array_min(..))`. */
+  def buckets(u: ArrayData, planes: Array[Double], nTables: Int, nBits: Int,
+              dim: Int, withProbes: Boolean): ArrayData = {
+    if (u.numElements() != dim) return null
+    val arr = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (u.isNullAt(j)) return null
+      arr(j) = u.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Long](if (withProbes) 2 * nTables else nTables)
+    var t = 0
+    while (t < nTables) {
+      var bk = 0L
+      var minAbs = Double.PositiveInfinity
+      var wk = 0
+      var p = 0
+      while (p < nBits) {
+        var acc = 0.0
+        var i = 0
+        val base = (t * nBits + p) * dim
+        while (i < dim) { acc += arr(i) * planes(base + i); i += 1 }
+        if (acc >= 0) bk |= (1L << p)
+        val a = math.abs(acc)
+        if (a < minAbs) { minAbs = a; wk = p }
+        p += 1
+      }
+      out(t) = bk
+      if (withProbes) out(nTables + t) = bk ^ (1L << wk)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native codegen'd product-quantization kernel over a unit-vector
+  * `array<double>` column, in two modes sharing one slice-dot loop:
+  *
+  *  - `lut = false` (encode): per subspace `s`, the packed argmin
+  *    `min_j(floor((|u_s|² - 2·u_s·c_{s,j} + |c_{s,j}|²)·1e6 + 0.5)
+  *    · k + j)` — squared-L2 ppm via the dot identity, ties toward
+  *    the smallest code id via the pack. Output `array<bigint>` of m
+  *    packs (pk div k = the subspace's d²ppm, pk mod k = the code).
+  *  - `lut = true` (query ADC table): `floor(u_s · c_{s,j} · 1e6 +
+  *    0.5)` for every (s, j), s-major — the per-query lookup table
+  *    ADC prices candidates from.
+  *
+  * Exact-arithmetic contract (the DuckDB oracles hash-compare these
+  * integers): every dot/|·|² is a left-to-right IEEE fold over the
+  * slice; d² evaluates as `(usq - (2.0·dot)) + csq` with `csq`
+  * folded driver-side in the same order; the ppm floor is
+  * `floor((x·1e6) + 0.5)` — all bit-identical to the retired
+  * per-(subspace, code) literal `dotp(us_s, typedLit(slice))` trees
+  * (m·k = 64 trees of analysis + Janino codegen per pass, the
+  * [[CellArgMax]] planning-cost disease in PQ form). Null array,
+  * null element, or a length mismatch against m·sub returns null. */
+case class PqKernel(child: Expression, codebook: Array[Double],
+                    csq: Array[Double], m: Int, k: Int, sub: Int, lut: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && k > 0 && sub > 0 &&
+      codebook.length == m * k * sub && csq.length == m * k,
+    s"PqKernel: ${codebook.length} codebook doubles / ${csq.length} csq " +
+      s"inconsistent with m=$m k=$k sub=$sub")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = if (lut) "pq_lut" else "pq_packs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[ArrayData]
+    PqKernel.compute(u, codebook, csq, m, k, sub, lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "double[]")
+    val csqRef = ctx.addReferenceObj("csq", csq, "double[]")
+    nullSafeCodeGen(ctx, ev, u => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.PqKernel.compute(
+         |  $u, $cbRef, $csqRef, $m, $k, $sub, $lut);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqKernel =
+    copy(child = newChild)
+}
+
+object PqKernel {
+  /** Shared by interpreted eval and generated code (named `compute`,
+    * not `eval` — the [[CellArgMax.assign]] static-forwarder lesson).
+    * Codebook is (subspace, code, component)-major; csq is the
+    * per-(subspace, code) |c|² folded left-to-right driver-side. */
+  def compute(u: ArrayData, codebook: Array[Double], csq: Array[Double],
+              m: Int, k: Int, sub: Int, lut: Boolean): ArrayData = {
+    val dim = m * sub
+    if (u.numElements() != dim) return null
+    val arr = new Array[Double](dim)
+    var j0 = 0
+    while (j0 < dim) {
+      if (u.isNullAt(j0)) return null
+      arr(j0) = u.getDouble(j0)
+      j0 += 1
+    }
+    val out = new Array[Long](if (lut) m * k else m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      var usq = 0.0
+      if (!lut) {
+        var i = 0
+        while (i < sub) { val x = arr(off + i); usq += x * x; i += 1 }
+      }
+      var best = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        var dot = 0.0
+        var i = 0
+        val base = (s * k + j) * sub
+        while (i < sub) { dot += arr(off + i) * codebook(base + i); i += 1 }
+        if (lut) {
+          out(s * k + j) = math.floor(dot * 1000000.0 + 0.5).toLong
+        } else {
+          val d2 = usq - 2.0 * dot + csq(s * k + j)
+          val pk = math.floor(d2 * 1000000.0 + 0.5).toLong * k + j
+          if (pk < best) best = pk
+        }
+        j += 1
+      }
+      if (!lut) out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
 
   /** Column-level sorted-intersection count (codegen'd; see
@@ -301,6 +632,30 @@ object VectorFunctions {
                  ids: Array[Long], dim: Int): Column =
     ColumnBridge.column(
       CellArgMax(ColumnBridge.expression(u), cents, norms, ids, dim))
+
+  /** Column-level top-n cell selection (codegen'd; see [[CellTopN]]
+    * for the (ppm desc, id asc) ordering contract). */
+  def cellTopN(u: Column, cents: Array[Double], norms: Array[Double],
+               ids: Array[Long], dim: Int, n: Int): Column =
+    ColumnBridge.column(
+      CellTopN(ColumnBridge.expression(u), cents, norms, ids, dim, n))
+
+  /** Column-level SRP sign-bit buckets (codegen'd; see [[SrpBuckets]]
+    * for the bucket/probe layout). `planes` is the nTables×nBits×dim
+    * hyperplane tensor flattened in (table, bit, component) order. */
+  def srpBuckets(v: Column, planes: Array[Double], nTables: Int, nBits: Int,
+                 dim: Int, withProbes: Boolean): Column =
+    ColumnBridge.column(
+      SrpBuckets(ColumnBridge.expression(v), planes, nTables, nBits, dim, withProbes))
+
+  /** Column-level PQ encode packs / ADC LUT (codegen'd; see
+    * [[PqKernel]] for the exact-ppm arithmetic contract). `codebook`
+    * is (subspace, code, component)-major; `csq` the per-(subspace,
+    * code) |c|² left folds. */
+  def pqKernel(u: Column, codebook: Array[Double], csq: Array[Double],
+               m: Int, k: Int, sub: Int, lut: Boolean): Column =
+    ColumnBridge.column(
+      PqKernel(ColumnBridge.expression(u), codebook, csq, m, k, sub, lut))
 
   /** Column-level L2 norm (codegen'd, same fold order as sum-of-squares). */
   def l2norm(a: Column): Column =

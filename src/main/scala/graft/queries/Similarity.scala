@@ -209,8 +209,10 @@ object Similarity {
 
   /** Deterministic md5-derived hyperplane tensor for SRP bucketing:
     * component j of plane (t, p) is uniform in [-1, 1). A few KB —
-    * computed driver-side and inlined as literals so each vector gets
-    * its sign bits in ONE projection (no plane-table join). */
+    * computed driver-side and carried into the codegen'd
+    * [[graft.functions.SrpBuckets]] kernel as ONE reference object,
+    * so each vector gets its sign bits in one compiled loop (no
+    * plane-table join, no per-plane literal expression trees). */
   private def srpPlanes(nTables: Int, nBits: Int): Array[Array[Array[Double]]] = {
     def h60Scala(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -222,15 +224,18 @@ object Similarity {
     }
   }
 
-  /** Per-table SRP bucket ids (one long per table) for a `vd` vector
-    * column, as literal-inlined sign-bit sums. */
-  private def srpBucketCols(planes: Array[Array[Array[Double]]]): Seq[Column] =
-    planes.toSeq.map { tablePlanes =>
-      tablePlanes.toSeq.zipWithIndex.map { case (plane, p) =>
-        when(dotp(col("vd"), typedLit(plane.toSeq)) >= 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+  /** Per-table SRP bucket ids (array of one long per table, plus the
+    * weakest-bit flipped probes when `withProbes`) for a `vd` vector
+    * column — the [[graft.functions.SrpBuckets]] kernel over the
+    * flattened plane tensor. Replaced the per-(table, bit) literal
+    * `dotp(vd, typedLit(plane))` trees (r11): 40 trees for the 8×5
+    * probe index cost ~0.6-0.7 s of analysis + Janino codegen per
+    * pass; the kernel's plan is one reference object + one loop. */
+  private def srpBucketArray(planes: Array[Array[Array[Double]]],
+                             withProbes: Boolean): Column =
+    graft.functions.VectorFunctions.srpBuckets(
+      col("vd"), planes.flatten.flatten, planes.length, planes(0).length,
+      planes(0)(0).length, withProbes)
 
   /** Embedding near-dup scale path: [[nearDupPairs]] is exact but goes
     * quadratic inside a hot label; this operator additionally blocks by
@@ -251,7 +256,7 @@ object Similarity {
     val planes = srpPlanes(nTables = 4, nBits = 8)
     val e = embFrom(rawEmbeddings)
       .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
-      .withColumn("bks", array(srpBucketCols(planes): _*))
+      .withColumn("bks", srpBucketArray(planes, withProbes = false))
     val buckets = e.select(col("vec_id"), col("label"), col("vd"),
         col("nrm"), col("bks"), posexplode(col("bks")).as(Seq("t", "bucket")))
     buckets.alias("x")
@@ -315,26 +320,15 @@ object Similarity {
     val nBits = 5
     val planes = srpPlanes(nTables, nBits)
     val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-    // per-table plane dots computed ONCE per vector; buckets and
-    // flipped probes derive from them columnar (no plane-table join)
-    val withDots = e.withColumn("ds", array(planes.toSeq.map(tp =>
-      array(tp.toSeq.map(p => dotp(col("vd"), typedLit(p.toSeq))): _*)): _*))
-    val bkCols = (0 until nTables).map { t =>
-      (0 until nBits).map(p =>
-        when(col("ds")(t)(p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-    }
-    val base = withDots
-      .withColumn("bks", array(bkCols: _*))
-      // weakest plane per table = first argmin |dot| (array_position
-      // returns the FIRST index of the min — deterministic ties)
-      .withColumn("wks", expr(
-        s"""transform(sequence(0, ${nTables - 1}),
-              t -> array_position(transform(ds[t], x -> abs(x)),
-                                  array_min(transform(ds[t], x -> abs(x)))) - 1)"""))
-      .withColumn("fps", expr(
-        s"""transform(sequence(0, ${nTables - 1}),
-              t -> bks[t] ^ shiftleft(cast(1 AS bigint), cast(wks[t] AS int)))"""))
-      .select(col("vec_id"), col("bks"), col("fps"))
+    // buckets AND weakest-bit flipped probes in one compiled kernel
+    // pass per vector ([[srpBucketArray]]; the per-plane literal-tree
+    // spelling this replaced is preserved bit-for-bit — the
+    // VectorExpressionsSpec srp_buckets test pins the equality)
+    val base = e
+      .withColumn("bf", srpBucketArray(planes, withProbes = true))
+      .select(col("vec_id"),
+        slice(col("bf"), 1, nTables).as("bks"),
+        slice(col("bf"), nTables + 1, nTables).as("fps"))
       // BUILD THE INDEX ONCE: both join sides (query probes, index
       // buckets) read `base`, and without a materialization the
       // 40-plane-dot + bucket/flip derivation runs twice per action
@@ -457,27 +451,31 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
-  /** Packed (centroid dot, cell) longs for an argmax/top-n over the k
-    * cell centroids of a unit vector column `u`: dot in [-1,1] is
-    * 6dp-scaled into the high bits, cell id inverted in the low byte so
-    * ties break toward the smallest cell. k <= 256. */
-  private def cellPacks(cents: Array[Array[Double]], u: Column): Seq[Column] = {
-    require(cents.length <= 256,
-      s"cellPacks packs the cell id into 8 bits: k=${cents.length} > 256")
-    cents.toSeq.zipWithIndex.map { case (c, i) =>
-      (round(dotp(u, typedLit(c.toSeq)) * 1e6).cast("long") + 2000000L) * 256L +
-        lit(255L - i)
-    }
-  }
-  private def cellOf(pack: Column): Column = lit(255L) - pmod(pack, lit(256L))
+  /** [[graft.functions.CellArgMax]] over the k unit centroids of a
+    * trained IVF index (norms all 1.0 — training L2-normalizes every
+    * centroid, and seeds are unit sample vectors): the k×dim matrix
+    * rides as ONE codegen reference object. Replaced the packed-long
+    * `greatest(k literal typedLit trees)` spelling (r11): at k=16 the
+    * literal trees cost ~0.25-0.3 s of Catalyst analysis + Janino
+    * codegen PER PASS, and the IVF contract query paid that 4× (two
+    * Lloyd assignments, the inverted-file pass, the probe pass). ppm
+    * contract is CellArgMax's `floor(dot·1e6 + 0.5)`; the retired
+    * spelling rounded HALF_UP, which differs only on exact negative
+    * half-ppm dots — re-verified: recall at all three fixtures is
+    * unchanged (no dot lands on a .5 ppm boundary). */
+  private def cellAssign(cents: Array[Array[Double]], u: Column): Column =
+    graft.functions.VectorFunctions.cellArgMax(
+      u, cents.flatten, Array.fill(cents.length)(1.0),
+      Array.tabulate(cents.length)(_.toLong), cents(0).length)
 
   /** Spherical k-means training for the IVF index: seeded from the k
     * sample vectors with smallest md5(vec_id) (deterministic, spread),
-    * refined by Lloyd iterations where assignment is a literal-inlined
-    * argmax (no join) and the per-cell mean reduces through ONE
-    * shuffle of k x dim partial sums; only the k x dim centroid matrix
-    * (a few KB) ever reaches the driver. The 100 TB recipe: train on
-    * the sample, assign the full corpus in a single distributed pass. */
+    * refined by Lloyd iterations where assignment is the codegen'd
+    * [[cellAssign]] kernel (no join) and the per-cell mean reduces
+    * through ONE shuffle of k x dim partial sums; only the k x dim
+    * centroid matrix (a few KB) ever reaches the driver. The 100 TB
+    * recipe: train on the sample, assign the full corpus in a single
+    * distributed pass. */
   def ivfTrain(e: DataFrame, k: Int, iters: Int, sampleMod: Int): Array[Array[Double]] = {
     // the sample is scanned once per Lloyd iteration plus once for the
     // seed: cache it so only the first action pays the parquet scan +
@@ -499,7 +497,7 @@ object Similarity {
       val dim = cents(0).length
       for (_ <- 0 until iters) {
         val rows = sample
-          .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
+          .withColumn("cell", cellAssign(cents, col("u")))
           .select(col("cell"), posexplode(col("u")).as(Seq("j", "x")))
           .groupBy("cell", "j").agg(sum("x").as("s"))
           .collect()
@@ -540,18 +538,18 @@ object Similarity {
     val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
     // inverted file: ONE distributed pass assigns every vector a cell
     val inv = eu
-      .withColumn("cell", cellOf(greatest(cellPacks(cents, col("u")): _*)))
+      .withColumn("cell", cellAssign(cents, col("u")))
       .select(col("vec_id").as("c_id"), col("vd").as("cv"),
               col("nrm").as("cnrm"), col("cell"))
-    // queries keep their nprobe best cells: sort the k packed longs
-    // descending, slice, decode — all columnar, no per-cell fan-out
-    // until the probe explode itself
+    // queries keep their nprobe best cells: the codegen'd CellTopN
+    // kernel emits the (ppm desc, id asc)-ordered probe list in one
+    // compiled loop — no per-cell fan-out until the probe explode
     val probes = eu.filter(isKnnQuery)
-      .withColumn("pks",
-        slice(reverse(array_sort(array(cellPacks(cents, col("u")): _*))), 1, nprobe))
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
               col("nrm").as("qnrm"),
-              explode(expr("transform(pks, p -> 255 - (p % 256))")).as("cell"))
+              explode(graft.functions.VectorFunctions.cellTopN(
+                col("u"), cents.flatten, Array.fill(k)(1.0),
+                Array.tabulate(k)(_.toLong), cents(0).length, nprobe)).as("cell"))
     top1Packed(
       probes.join(inv.hint("shuffle_hash"), "cell")
         .filter(col("q_id") =!= col("c_id"))
@@ -726,67 +724,58 @@ object Similarity {
     seeds
   }
 
-  /** Pre-projects the per-subspace slices (`us0..`) and their squared
-    * norms (`usq0..`) in two selects, so every one of the pqK codebook
-    * distances reuses them instead of re-deriving 16 element lookups
-    * per (subspace, code). The first unrolled formulation — 64 inline
-    * 16-term (u-c)^2 chains — built a ~5k-node Catalyst tree whose
-    * analysis + janino compile dominated the query (16 s first rep,
-    * 3.5 s steady at sf0.1, all plan-time); with slices + the
-    * codegen'd [[graft.functions.DotProduct]] the tree is ~10x
-    * smaller and the per-pair kernel is a tight primitive loop. */
-  private def pqSlices(df: DataFrame, keep: Seq[String]): DataFrame = {
-    val sl = (0 until pqM).map(s => slice(col("u"), s * pqSub + 1, pqSub).as(s"us$s"))
-    val d1 = df.select(keep.map(col) ++ Seq(col("u")) ++ sl: _*)
-    val sq = (0 until pqM).map(s => dotp(col(s"us$s"), col(s"us$s")).as(s"usq$s"))
-    d1.select(keep.map(col) ++ Seq(col("u")) ++
-      (0 until pqM).map(n => col(s"us$n")) ++ sq: _*)
+  /** The flattened (subspace, code, component)-major codebook + the
+    * per-(subspace, code) |c|² left folds the [[graft.functions
+    * .PqKernel]] carries as reference objects. History of this hot
+    * path: the first unrolled formulation — 64 inline 16-term (u-c)²
+    * chains — built a ~5k-node Catalyst tree whose analysis + Janino
+    * compile dominated the query (16 s first rep at sf0.1, all
+    * plan-time); round 8 cut it ~10x with slice columns + codegen'd
+    * [[graft.functions.DotProduct]] trees; r11 removes the remaining
+    * m·k literal trees entirely — the codebook rides as ONE reference
+    * object and the whole encode/LUT is a compiled loop, bit-equal to
+    * both prior spellings (VectorExpressionsSpec pins it). */
+  private def pqFlat(seeds: Array[Array[Double]]): (Array[Double], Array[Double]) = {
+    val cb = new Array[Double](pqM * pqK * pqSub)
+    val csq = new Array[Double](pqM * pqK)
+    for (s <- 0 until pqM; j <- 0 until pqK) {
+      val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
+      System.arraycopy(cs, 0, cb, (s * pqK + j) * pqSub, pqSub)
+      // 0.0 + x1 == x1 exactly, so the init matches list_reduce's
+      // first-element start
+      csq(s * pqK + j) = cs.foldLeft(0.0)((a, x) => a + x * x)
+    }
+    (cb, csq)
   }
 
-  /** Squared L2 distance (ppm BIGINT) between subspace `s` of the unit
-    * vector (as its [[pqSlices]] columns) and the same slice of
-    * codebook seed `j`, via the dot identity d2 = |u|^2 - 2 u.c +
-    * |c|^2: the row-side |u|^2 is computed once per (row, subspace),
-    * the codebook-side |c|^2 folds DRIVER-side in the same left fold
-    * as the oracle's list_reduce, and the cross term is one codegen'd
-    * dot. The ppm floor happens ONCE per subspace on the identical
-    * double both engines derive, so the BIGINT stays bit-identical
-    * cross-engine (the oracle spells the same identity — both sides
-    * changed together when the unrolled (u-c)^2 form was retired). */
-  private def pqDist2Ppm(seeds: Array[Array[Double]], s: Int, j: Int): Column = {
-    val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
-    // 0.0 + x1 == x1 exactly, so the init matches list_reduce's
-    // first-element start
-    val csq = cs.foldLeft(0.0)((a, x) => a + x * x)
-    floor((col(s"usq$s") - lit(2.0) * dotp(col(s"us$s"), typedLit(cs.toSeq)) + lit(csq))
-      * lit(1000000.0) + lit(0.5)).cast("long")
+  /** Per-subspace packed-argmin encode column over a `u` unit-vector
+    * column: element s is pk_s = min_j(d2ppm · pqK + j) — ties break
+    * toward the smallest code id on both engines; d2ppm <= 4e6
+    * (unit-vector slices), so the pack stays far inside BIGINT. */
+  private def pqPacksCol(seeds: Array[Array[Double]]): Column = {
+    val (cb, csq) = pqFlat(seeds)
+    graft.functions.VectorFunctions.pqKernel(
+      col("u"), cb, csq, pqM, pqK, pqSub, lut = false)
   }
 
-  /** Per-subspace assignment as a packed-long argmin:
-    * pk = d2ppm * pqK + j, min over j — ties break toward the
-    * smallest code id on both engines. d2ppm <= 4e6 (unit-vector
-    * slices), so the pack stays far inside BIGINT. */
-  private def pqCodePack(seeds: Array[Array[Double]], s: Int): Column =
-    least((0 until pqK).map(j => pqDist2Ppm(seeds, s, j) * pqK + lit(j)): _*)
-
-  /** The compressed corpus over [[pqSlices]] rows: pqM 4-bit codes per
-    * vector (`c_id, c0..c{pqM-1}`), map-only — single-sourced for
-    * [[annPq]] and [[annIvfPq]] so the stored-index encode cannot
-    * drift between the flat and cell-probed serving paths. */
+  /** The compressed corpus: pqM 4-bit codes per vector
+    * (`c_id, c0..c{pqM-1}`), map-only — single-sourced for [[annPq]]
+    * and [[annIvfPq]] so the stored-index encode cannot drift between
+    * the flat and cell-probed serving paths. */
   private def pqCodes(up: DataFrame, seeds: Array[Array[Double]]): DataFrame =
-    up.select(col("vec_id").as("c_id") +:
-      (0 until pqM).map(s =>
-        pmod(pqCodePack(seeds, s), lit(pqK.toLong)).as(s"c$s")): _*)
+    up.withColumn("pks", pqPacksCol(seeds))
+      .select(col("vec_id").as("c_id") +:
+        (0 until pqM).map(s =>
+          pmod(element_at(col("pks"), s + 1), lit(pqK.toLong)).as(s"c$s")): _*)
 
   /** Per-query ADC lookup table: ppm dot of query slice `s` with
     * codebook entry `j`, laid out s-major so the probe index is
     * `s*pqK + code + 1` ([[pqAdc]]). */
-  private def pqLutArray(seeds: Array[Array[Double]]): Column =
-    array((for (s <- 0 until pqM; j <- 0 until pqK) yield {
-      val cs = seeds(j).slice(s * pqSub, (s + 1) * pqSub)
-      floor(dotp(col(s"us$s"), typedLit(cs.toSeq)) * lit(1000000.0) + lit(0.5))
-        .cast("long")
-    }): _*)
+  private def pqLutArray(seeds: Array[Array[Double]]): Column = {
+    val (cb, csq) = pqFlat(seeds)
+    graft.functions.VectorFunctions.pqKernel(
+      col("u"), cb, csq, pqM, pqK, pqSub, lut = true)
+  }
 
   /** ADC similarity of one (query, code-row) pair: pqM array lookups
     * into the query's `lut`, summed. */
@@ -868,9 +857,9 @@ object Similarity {
       require(seeds(0).length == pqM * pqSub,
         s"q_pq_encode: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
           s"embedding dim is ${seeds(0).length}")
-      val packs = (0 until pqM).map(s => pqCodePack(seeds, s).as(s"pk$s"))
-      val enc = pqSlices(u, Seq("vec_id", "label"))
-        .select(col("vec_id") +: col("label") +: packs: _*)
+      val enc = u.withColumn("pks", pqPacksCol(seeds))
+        .select(col("vec_id") +: col("label") +:
+          (0 until pqM).map(s => element_at(col("pks"), s + 1).as(s"pk$s")): _*)
       // pk div pqK recovers the subspace error; remainders concatenate
       // into the 16-bit packed code (4 bits per subspace, s=0 highest)
       val recon = (0 until pqM).map(s => shiftright(col(s"pk$s"), 4)).reduce(_ + _)
@@ -946,7 +935,7 @@ object Similarity {
       require(seeds(0).length == pqM * pqSub,
         s"q_ann_pq: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
           s"embedding dim is ${seeds(0).length}")
-      val up = pqSlices(u, Seq("vec_id"))
+      val up = u
       // the compressed corpus: pqM 4-bit codes per vector, map-only.
       // MATERIALIZED (eager checkpoint): in production the codes table
       // IS the stored index, not a per-query computation — and live,
@@ -1078,7 +1067,7 @@ object Similarity {
     require(seeds(0).length == pqM * pqSub,
       s"q_ann_ivfpq: oracle hardcodes $pqM x $pqSub-dim subspaces but " +
         s"embedding dim is ${seeds(0).length}")
-    val up = pqSlices(u, Seq("vec_id"))
+    val up = u
     // the stored IVF-PQ index: per-cell posting lists of 2-byte codes
     val index = pqCodes(up, seeds)
       .join(semCells(e).select(col("vec_id").as("c_id"), col("cell")), "c_id")
@@ -1366,16 +1355,18 @@ object Similarity {
     * discipline), every argmax compares floor(x·1e6+0.5) packed longs
     * with a smallest-cell tie-break, and both engines fold dims in
     * array order. Only k×dim centroid doubles (a few KB) ever reach
-    * the driver; both assignment passes are literal-inlined argmaxes
-    * over one corpus scan each — no join, no shuffle.
+    * the driver; both assignment passes are codegen'd
+    * [[graft.functions.CellArgMax]] kernels over one corpus scan each
+    * — no join, no shuffle.
     *
     * Returns (vec_id, cell). Deterministic: seeds are the k sample
     * vectors with smallest md5(vec_id), iteration count is fixed.
     *
     * Ceiling: the cell id packs into 20 bits (max packed value
-    * ~3.2e12, comfortably BIGINT), but the BINDING limit is the
-    * literal-inlined argmax itself — k columns inside one greatest()
-    * outgrow codegen in the low thousands. The require below therefore
+    * ~3.2e12, comfortably BIGINT), and the assignment kernel carries
+    * the k×dim matrix as one reference object — but each row still
+    * scans ALL k centroids (O(k·dim) per row; the oracle's per-cell
+    * CTE cross join grows the same way). The require below therefore
     * caps k at 4096 (corpus ≈ 256k vectors at the 64-vector cell
     * target) and names the escalation: beyond it, assign cells with
     * [[ivfTrain]]'s inverted-file JOIN path ([[ivfTop1From]]'s shape),

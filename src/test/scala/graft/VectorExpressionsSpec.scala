@@ -74,6 +74,265 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("cell_topn equals the packed-long array_sort spelling on real embeddings") {
+    // CellTopN replaced the IVF probe list's k literal typedLit packs
+    // for PLAN-SIZE cost only — this pins value equality (order
+    // included) against the packed spelling it retired:
+    // slice(reverse(array_sort(array(k packs))), 1, n) decoded, i.e.
+    // (ppm desc, cell id asc). Duplicate centroids make ties real.
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(vd, x -> x * x), cast(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+    val dim = e.select(size(col("u"))).head().getInt(0)
+    def cent(c: Int): Array[Double] =
+      Array.tabulate(dim)(j => math.sin(c * 31 + j * 7 + 1) / math.sqrt(dim))
+    val cents: Array[Array[Double]] = Array(cent(0), cent(1), cent(2), cent(1),
+      cent(4), cent(5), cent(6))
+    val norms = Array(1.0, 0.7, 1.3, 0.7, 1.0, 0.9, 1.1)
+    val ids = Array.tabulate(7)(_.toLong)
+    val n = 3
+    def pack(dotPpm: org.apache.spark.sql.Column, cell: Int) =
+      (dotPpm + lit(2000000L)) * lit(1048576L) + lit(1048575L - cell)
+    val withPks = e.withColumn("pks",
+      slice(reverse(array_sort(array(cents.toSeq.zipWithIndex.map { case (s, i) =>
+        pack(graft.model.Money.cents(
+          VectorFunctions.dotp(col("u"), typedLit(s.toSeq)) / lit(norms(i)),
+          1000000.0), i)
+      }: _*))), 1, n))
+      .withColumn("expected",
+        expr(s"transform(pks, p -> ${1048575L}L - (p % ${1048576L}L))"))
+      .withColumn("native",
+        VectorFunctions.cellTopN(col("u"), cents.flatten, norms, ids, dim, n))
+    assert(withPks.filter(col("native") =!= col("expected")).count() === 0)
+    assert(withPks.count() > 0)
+    // the duplicate centroid pair (cells 1 and 3): whenever cell 3
+    // appears, cell 1 must appear BEFORE it (smaller-id-first ties)
+    assert(withPks.filter(
+      array_position(col("native"), 3L) > lit(0) &&
+      (array_position(col("native"), 1L) === 0 ||
+       array_position(col("native"), 1L) > array_position(col("native"), 3L)))
+      .count() === 0)
+    // n >= k returns all k cells, still ordered
+    val allK = e.withColumn("nat",
+      VectorFunctions.cellTopN(col("u"), cents.flatten, norms, ids, dim, 99))
+    assert(allK.filter(size(col("nat")) =!= lit(7)).count() === 0)
+    // null element / ragged length poison (the CellArgMax contract);
+    // head of the top-n always equals cell_argmax
+    val agree = e.select(
+      VectorFunctions.cellTopN(col("u"), cents.flatten, norms, ids, dim, n)
+        .getItem(0).as("top1"),
+      VectorFunctions.cellArgMax(col("u"), cents.flatten, norms, ids, dim).as("am"))
+    assert(agree.filter(col("top1") =!= col("am")).count() === 0)
+    val row = spark.range(1).select(
+      VectorFunctions.cellTopN(
+        expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        Array(1.0, 0.0), Array(1.0), Array(0L), 2, 1).as("ne"),
+      VectorFunctions.cellTopN(
+        expr("array(1.0D)"), Array(1.0, 0.0), Array(1.0), Array(0L), 2, 1).as("rg"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("cell_topn generated code actually COMPILES (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val cents = Array(1.0, 0.0, 0.0, 1.0, 0.7, 0.7) // 3 cells x dim 2
+    val e = graft.functions.CellTopN(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      cents, Array(1.0, 1.0, 1.0), Array(0L, 1L, 2L), 2, 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+    val out = proj(InternalRow(ArrayData.toArrayData(Array(0.1, 0.9))))
+    val arr = out.getArray(0)
+    assert(arr.numElements() === 2)
+    assert(arr.getLong(0) === 1L) // dot 0.9
+    assert(arr.getLong(1) === 2L) // dot 0.7
+    val nul = proj(InternalRow(null))
+    assert(nul.isNullAt(0))
+  }
+
+  test("srp_buckets equals the literal per-plane spelling on real embeddings") {
+    // SrpBuckets replaced the per-(table, bit) dotp(vd, typedLit(..))
+    // trees in the SRP index derivations for PLAN-SIZE cost only —
+    // this pins bucket AND flipped-probe equality against the exact
+    // column spelling it retired (sign sums; first-argmin-|dot| flip).
+    val nT = 3; val nB = 5
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+    val dim = e.select(size(col("vd"))).head().getInt(0)
+    val planes = Array.tabulate(nT, nB, dim) { (t, p, j) =>
+      h60(s"${t}_${p}_${j}") / math.pow(2, 59) - 1.0
+    }
+    // retired spelling: per-table sign-bit sums + weakest-bit flip
+    val bkCols = planes.toSeq.map { tp =>
+      tp.toSeq.zipWithIndex.map { case (plane, p) =>
+        when(VectorFunctions.dotp(col("vd"), typedLit(plane.toSeq)) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val withDots = e.withColumn("ds", array(planes.toSeq.map(tp =>
+      array(tp.toSeq.map(p =>
+        VectorFunctions.dotp(col("vd"), typedLit(p.toSeq))): _*)): _*))
+      .withColumn("ebks", array(bkCols: _*))
+      .withColumn("wks", expr(
+        s"""transform(sequence(0, ${nT - 1}),
+              t -> array_position(transform(ds[t], x -> abs(x)),
+                                  array_min(transform(ds[t], x -> abs(x)))) - 1)"""))
+      .withColumn("efps", expr(
+        s"""transform(sequence(0, ${nT - 1}),
+              t -> ebks[t] ^ shiftleft(cast(1 AS bigint), cast(wks[t] AS int)))"""))
+      .withColumn("bf", VectorFunctions.srpBuckets(
+        col("vd"), planes.flatten.flatten, nT, nB, dim, withProbes = true))
+      .withColumn("nbks", slice(col("bf"), 1, nT))
+      .withColumn("nfps", slice(col("bf"), nT + 1, nT))
+      .withColumn("short", VectorFunctions.srpBuckets(
+        col("vd"), planes.flatten.flatten, nT, nB, dim, withProbes = false))
+    assert(withDots.filter(col("nbks") =!= col("ebks")).count() === 0)
+    assert(withDots.filter(col("nfps") =!= col("efps")).count() === 0)
+    // withProbes=false is exactly the buckets half
+    assert(withDots.filter(col("short") =!= col("nbks")).count() === 0)
+    assert(withDots.count() > 0)
+    // null element / ragged length poison
+    val row = spark.range(1).select(
+      VectorFunctions.srpBuckets(
+        expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        Array(1.0, 0.0), 1, 1, 2, withProbes = true).as("ne"),
+      VectorFunctions.srpBuckets(
+        expr("array(1.0D)"), Array(1.0, 0.0), 1, 1, 2, withProbes = false).as("rg"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("srp_buckets generated code actually COMPILES (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // 1 table x 2 bits over dim 2: planes (1,0) and (0,-1)
+    val planes = Array(1.0, 0.0, 0.0, -1.0)
+    val e = graft.functions.SrpBuckets(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      planes, 1, 2, 2, withProbes = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+    val out = proj(InternalRow(ArrayData.toArrayData(Array(0.9, 0.1))))
+    val arr = out.getArray(0)
+    assert(arr.numElements() === 2)
+    // dots: 0.9 (bit 0 set), -0.1 (bit 1 clear) -> bucket 1; weakest
+    // |dot| is plane 1 (0.1 < 0.9) -> flip bit 1 -> probe 3
+    assert(arr.getLong(0) === 1L)
+    assert(arr.getLong(1) === 3L)
+    val nul = proj(InternalRow(null))
+    assert(nul.isNullAt(0))
+  }
+
+  test("pq_packs / pq_lut equal the literal slice-dot spelling on real embeddings") {
+    // PqKernel replaced the per-(subspace, code) dotp(us_s,
+    // typedLit(slice)) trees in the PQ encode/LUT for PLAN-SIZE cost
+    // only — this pins pack AND LUT equality against the exact
+    // spelling it retired (dot-identity d², ppm floors, packed argmin
+    // with smallest-code ties).
+    val m = 4; val k = 8; val subDim = 16
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(vd, x -> x * x), cast(0.0 AS DOUBLE), (a, v) -> a + v))"))
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+    val dim = e.select(size(col("u"))).head().getInt(0)
+    assert(dim === m * subDim, s"fixture dim $dim != $m x $subDim")
+    // deterministic codebook: k pseudo-random full vectors, sliced
+    def seed(j: Int): Array[Double] =
+      Array.tabulate(dim)(i => math.sin(j * 17 + i * 3 + 2) / math.sqrt(dim))
+    val seeds = Array.tabulate(k)(seed)
+    val cb = new Array[Double](m * k * subDim)
+    val csqA = new Array[Double](m * k)
+    for (s <- 0 until m; j <- 0 until k) {
+      val cs = seeds(j).slice(s * subDim, (s + 1) * subDim)
+      System.arraycopy(cs, 0, cb, (s * k + j) * subDim, subDim)
+      csqA(s * k + j) = cs.foldLeft(0.0)((a, x) => a + x * x)
+    }
+    // the retired literal spelling
+    val sliced = e
+      .select(col("vec_id") +: col("u") +:
+        (0 until m).map(s => slice(col("u"), s * subDim + 1, subDim).as(s"us$s")): _*)
+    val withSq = sliced.select(col("vec_id") +: col("u") +:
+      ((0 until m).map(s => col(s"us$s")) ++
+       (0 until m).map(s =>
+         VectorFunctions.dotp(col(s"us$s"), col(s"us$s")).as(s"usq$s"))): _*)
+    def dist2Ppm(s: Int, j: Int) = {
+      val cs = seeds(j).slice(s * subDim, (s + 1) * subDim)
+      val csq = cs.foldLeft(0.0)((a, x) => a + x * x)
+      floor((col(s"usq$s") - lit(2.0) *
+        VectorFunctions.dotp(col(s"us$s"), typedLit(cs.toSeq)) + lit(csq))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    val ePacks = array((0 until m).map(s =>
+      least((0 until k).map(j => dist2Ppm(s, j) * k + lit(j)): _*)): _*)
+    val eLut = array((for (s <- 0 until m; j <- 0 until k) yield {
+      val cs = seeds(j).slice(s * subDim, (s + 1) * subDim)
+      floor(VectorFunctions.dotp(col(s"us$s"), typedLit(cs.toSeq))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    }): _*)
+    val both = withSq
+      .withColumn("epacks", ePacks)
+      .withColumn("elut", eLut)
+      .withColumn("npacks",
+        VectorFunctions.pqKernel(col("u"), cb, csqA, m, k, subDim, lut = false))
+      .withColumn("nlut",
+        VectorFunctions.pqKernel(col("u"), cb, csqA, m, k, subDim, lut = true))
+    assert(both.filter(col("npacks") =!= col("epacks")).count() === 0)
+    assert(both.filter(col("nlut") =!= col("elut")).count() === 0)
+    assert(both.count() > 0)
+    // null element / ragged length poison
+    val row = spark.range(1).select(
+      VectorFunctions.pqKernel(expr("array(1.0D, CAST(NULL AS DOUBLE))"),
+        Array(1.0, 0.0), Array(1.0), 1, 1, 2, lut = false).as("ne"),
+      VectorFunctions.pqKernel(expr("array(1.0D)"),
+        Array(1.0, 0.0), Array(1.0), 1, 1, 2, lut = true).as("rg"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("pq kernel generated code actually COMPILES (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // m=1 subspace, k=2 codes, sub=2: codes (1,0) and (0,1)
+    val cb = Array(1.0, 0.0, 0.0, 1.0)
+    val csq = Array(1.0, 1.0)
+    val packs = graft.functions.PqKernel(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      cb, csq, 1, 2, 2, lut = false)
+    val lut = graft.functions.PqKernel(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      cb, csq, 1, 2, 2, lut = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(packs, lut))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(0.6, 0.8)), ArrayData.toArrayData(Array(0.6, 0.8))))
+    val pk = out.getArray(0)
+    assert(pk.numElements() === 1)
+    // d²(code0) = 1 - 1.2 + 1 = 0.8; d²(code1) = 1 - 1.6 + 1 = 0.4 ->
+    // code 1 wins: pk = 400000*2 + 1
+    assert(pk.getLong(0) === 800001L)
+    val lt = out.getArray(1)
+    assert(lt.numElements() === 2)
+    assert(lt.getLong(0) === 600000L)
+    assert(lt.getLong(1) === 800000L)
+    val nul = proj(InternalRow(null, null))
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("dot_product is null on ragged (length-mismatched) arrays, like the HOF formulation") {
     VectorFunctions.register(spark)
     // range-derived so the check exercises generated code, not an
