@@ -43,12 +43,15 @@ import graft.model.{Money, Q, Tables}
   * What the source implements, and why each matters at 100 TB:
   *  - `SupportsPushDownFilters`: `EqualTo`/`In`/`IsNotNull` on
   *    `event_type` prune partition directories at PLANNING time; `ts`
-  *    range predicates prune whole FILES via the sorted-file
-  *    first/last-line min/max stats (pushed for pruning, kept residual
-  *    for exact row evaluation); all other predicates are returned to
+  *    range predicates prune whole FILES via per-file min/max ts stats
+  *    read from the write-time manifest ([[WireEvents.writeTsStats]];
+  *    sorted-file first/last-line probe as the fallback for files the
+  *    manifest does not cover), pushed for pruning and kept residual
+  *    for exact row evaluation; all other predicates are returned to
   *    Spark as residuals (evaluated post-scan as usual). A 100 TB wire
   *    dump filtered to one event type and a time window reads only
-  *    that type's bytes within the window's band of files.
+  *    that type's bytes within the window's band of files — and the
+  *    PLANNING of that read opens one manifest, not the band's files.
   *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
   *    the requested fields from each JSON node — a 2-column projection
   *    never allocates the other four (the JSON line is still read;
@@ -644,9 +647,11 @@ object WireEvents {
     * first line yields None and disables min-side pruning for the
     * file, which is the conservative direction). [[TsFmt]] is
     * lexicographically ordered, so string compare == time compare.
-    * Cost at 100 TB: two ≤64 KB positioned reads per candidate file,
-    * paid only when a ts predicate was pushed — against skipping the
-    * file's entire bytes. A line longer than the window yields None
+    * Since r12 this probe runs (a) cluster-parallel inside the
+    * write-time stats job ([[writeTsStats]]) and (b) on the driver
+    * only as the per-file FALLBACK for files the manifest does not
+    * cover — planning under a ts range reads the manifest, not the
+    * candidate files. A line longer than the window yields None
     * (unknown), never a wrong bound. */
   private[sources] def fileTsRange(
       fs: FileSystem, p: HPath, len: Long): (Option[String], Option[String]) = {
@@ -679,24 +684,137 @@ object WireEvents {
     } finally in.close()
   }
 
+  /** Name of the write-time per-file ts-stats manifest at the layout
+    * root (underscore prefix = invisible to data-file listing, the
+    * same convention as `_SUCCESS`). */
+  private[sources] val TsStatsFile = "_wire_ts_stats.json"
+
+  /** Read the ts-stats manifest: relative path ->
+    * (file length, min ts, max ts). One small sequential read however
+    * many data files the layout holds; absent manifest -> empty map
+    * (per-file probe fallback). A malformed manifest fails LOUDLY —
+    * silently ignoring it would put planning back on the O(files)
+    * probe path with no signal. */
+  private[sources] def readTsStats(
+      fs: FileSystem, root: HPath): Map[String, (Long, Option[String], Option[String])] = {
+    val p = new HPath(root, TsStatsFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val mapper = new ObjectMapper()
+    lines.filter(_.nonEmpty).map { l =>
+      val n = try mapper.readTree(l) catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(
+            s"wire-events: malformed ts-stats manifest line in $p: $l", e)
+      }
+      require(n.has("path") && n.has("len"),
+        s"wire-events: ts-stats manifest entry missing path/len in $p: $l")
+      def optS(k: String): Option[String] = {
+        val v = n.get(k)
+        if (v == null || v.isNull) None else Some(v.asText)
+      }
+      n.get("path").asText -> ((n.get("len").asLong, optS("min"), optS("max")))
+    }.toMap
+  }
+
+  /** Write-time stats job: per-file (min ts, max ts) for every data
+    * file under `dir`, computed as a DISTRIBUTED job (one task per
+    * bounded first/last-line probe — executors pay the two 64 KB reads
+    * each, in parallel) and collected into one small JSON-lines
+    * manifest at the root. At 100 TB this is the difference between a
+    * ts-windowed query's PLANNING opening O(candidate-files) streams on
+    * the driver (r11 behavior — the one scale seam that round's audit
+    * found) and reading ONE manifest whose size is O(files × ~100 B):
+    * the probe cost moves to write time, is paid once, runs
+    * cluster-parallel, and amortizes over every later windowed read.
+    *
+    * Each entry carries the file LENGTH as a freshness check — a file
+    * rewritten outside [[writeWire]] (violating immutable-once-visible)
+    * no longer matches and falls back to the direct probe rather than
+    * pruning on stale bounds. Collecting to the driver is sound: the
+    * manifest is O(files), the same order as the listing the driver
+    * already holds — never O(rows). */
+  private[sources] def writeTsStats(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val files: Seq[(String, String, Long)] = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(s => (d.getPath.getName + "/" + s.getPath.getName,
+                     s.getPath.toString, s.getLen))
+      }
+    if (files.isEmpty) return
+    val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+    val stats = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .map { case (rel, abs, len) =>
+        val p = new HPath(abs)
+        val (mn, mx) = fileTsRange(p.getFileSystem(ser.value), p, len)
+        (rel, len, mn, mx)
+      }
+      .collect()
+    val mapper = new ObjectMapper()
+    val lines = stats.sortBy(_._1).map { case (rel, len, mn, mx) =>
+      val n = mapper.createObjectNode()
+      n.put("path", rel)
+      n.put("len", len)
+      mn.foreach(n.put("min", _))
+      mx.foreach(n.put("max", _))
+      mapper.writeValueAsString(n)
+    }
+    // temp-then-rename so a reader never sees a torn manifest
+    val statsPath = new HPath(root, TsStatsFile)
+    val tmp = new HPath(root, s".$TsStatsFile.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(statsPath, false)
+    if (!fs.rename(tmp, statsPath)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"wire-events: failed to commit ts-stats manifest $statsPath")
+    }
+  }
+
   /** Driver-side census of the wire layout with directory pruning
     * applied: (partition value, file path, length) for every data file
     * in a surviving `event_type=` directory. Shared by the batch scan
     * (planning + statistics) and the micro-batch stream (offsets).
     *
     * When a ts range was pushed, whole files outside the range are
-    * dropped here via the sorted-file min/max stats ([[fileTsRange]]) —
-    * a file is pruned only when it CERTAINLY holds no qualifying row
-    * (its min is above the upper bound or its max below the lower;
-    * null-ts rows never qualify a range predicate under SQL nulls, so
-    * their presence in a pruned file is sound to skip). */
+    * dropped here via the sorted-file min/max stats — a file is pruned
+    * only when it CERTAINLY holds no qualifying row (its min is above
+    * the upper bound or its max below the lower; null-ts rows never
+    * qualify a range predicate under SQL nulls, so their presence in a
+    * pruned file is sound to skip).
+    *
+    * Stats come from the write-time manifest ([[writeTsStats]]) when
+    * present and length-fresh, so PLANNING under a ts range opens
+    * exactly ONE small file — never the candidate data files (the r11
+    * audit's O(candidate-files) driver-I/O seam, closed r12; pinned by
+    * WireSourceSpec's counting-filesystem test). Files a foreign writer
+    * dropped in after the manifest was written (no entry / stale
+    * length) fall back to the direct per-file probe ([[fileTsRange]]) —
+    * the conservative path, paid only for the unknown files. */
   private[sources] def listWireFiles(
       path: String, pushed: Array[Filter]): Seq[(String, String, Long)] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
+    // (value, abs path, length, root-relative path)
     val listed =
-      if (!fs.exists(root)) Seq.empty[(String, String, Long)]
+      if (!fs.exists(root)) Seq.empty[(String, String, Long, String)]
       else fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
         .map { d =>
@@ -712,15 +830,22 @@ object WireEvents {
               val n = s.getPath.getName
               !n.startsWith("_") && !n.startsWith(".")
             })
-            .map(s => (v, s.getPath.toString, s.getLen))
+            .map(s => (v, s.getPath.toString, s.getLen,
+                       dir.getName + "/" + s.getPath.getName))
         }
     val (lo, hi) = tsBounds(pushed)
-    if (lo.isEmpty && hi.isEmpty) listed
-    else listed.filter { case (_, p, len) =>
-      val (mn, mx) = fileTsRange(fs, new HPath(p), len)
-      val entirelyAbove = hi.exists(h => mn.exists(_ > h))
-      val entirelyBelow = lo.exists(l => mx.exists(_ < l))
-      !(entirelyAbove || entirelyBelow)
+    if (lo.isEmpty && hi.isEmpty) listed.map { case (v, p, len, _) => (v, p, len) }
+    else {
+      val manifest = readTsStats(fs, root)
+      listed.filter { case (_, p, len, rel) =>
+        val (mn, mx) = manifest.get(rel) match {
+          case Some((mLen, mMin, mMax)) if mLen == len => (mMin, mMax)
+          case _ => fileTsRange(fs, new HPath(p), len)
+        }
+        val entirelyAbove = hi.exists(h => mn.exists(_ > h))
+        val entirelyBelow = lo.exists(l => mx.exists(_ < l))
+        !(entirelyAbove || entirelyBelow)
+      }.map { case (v, p, len, _) => (v, p, len) }
     }
   }
 
@@ -799,8 +924,18 @@ object WireEvents {
     * which would otherwise merge a small dump into one band per type
     * and erase the banded layout the pruning stats depend on
     * (observed: 5 files total at sf0.001 under AQE). Default = the
-    * session's shuffle parallelism. */
-  def writeWire(events: DataFrame, dir: String, timeBands: Int = 0): Unit =
+    * session's shuffle parallelism.
+    *
+    * After the data lands, [[writeTsStats]] publishes the per-file
+    * (min ts, max ts) manifest the reader prunes from — write-time
+    * cluster-parallel stats so a later ts-windowed read's planning
+    * never opens data files (r12). */
+  def writeWire(events: DataFrame, dir: String, timeBands: Int = 0): Unit = {
+    writeWireData(events, dir, timeBands)
+    writeTsStats(events.sparkSession, dir)
+  }
+
+  private def writeWireData(events: DataFrame, dir: String, timeBands: Int): Unit =
     events
       .repartitionByRange(
         if (timeBands > 0) timeBands

@@ -16,6 +16,23 @@ import graft.sources.WireEvents
   * `.explain` — so "the filter was pushed" is a printed fact, not an
   * assumption about connector internals.
   */
+/** Local filesystem that records every `open` — the probe
+  * WireSourceSpec routes a scan through to pin "ts-range planning
+  * opens no data files". Top-level with a no-arg constructor because
+  * Hadoop instantiates it by reflection from `fs.cntfs.impl`. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "cntfs"
+  override def getUri: java.net.URI = java.net.URI.create("cntfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingLocalFs.opened.add(f.toUri.getPath)
+    super.open(f, bufferSize)
+  }
+}
+object CountingLocalFs {
+  val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class WireSourceSpec extends SparkSpec {
 
   private def tmp(): String =
@@ -468,6 +485,58 @@ class WireSourceSpec extends SparkSpec {
     run()
     assert(total === before + perFile,
       "restart over a retention-pruned log must replay exactly the new file")
+  }
+
+  test("ts-range planning opens the stats manifest, never data files (100 TB driver-I/O bound)") {
+    // r11's audit found planning-time driver I/O proportional to the
+    // candidate file count (per-file first/last-line probes). r12 moves
+    // the probe into a write-time cluster job that publishes a per-file
+    // min/max manifest; this test pins the new bound by routing the
+    // read through a counting filesystem: planning a ts-ranged scan
+    // may open the ONE manifest file and nothing under event_type=.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    CountingLocalFs.opened.clear()
+    val ranged = WireEvents.read(spark, "cntfs:" + wireDir)
+      .filter(col("ts") >= cut)
+    val plan = ranged.queryExecution.executedPlan.toString // forces listing + pruning
+    import scala.jdk.CollectionConverters._
+    val openedAtPlanning = CountingLocalFs.opened.asScala.toList
+    val dataOpens = openedAtPlanning.filter(_.contains("/event_type="))
+    assert(dataOpens.isEmpty,
+      s"ts-range planning must not open data files; opened: $dataOpens")
+    assert(openedAtPlanning.count(_.endsWith("/" + "_wire_ts_stats.json")) >= 1,
+      s"planning should read the stats manifest once; opened: $openedAtPlanning")
+    // the manifest-backed pruning still prunes, and rows stay exact
+    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val allPlan = WireEvents.read(spark, "cntfs:" + wireDir)
+      .queryExecution.executedPlan.toString
+    assert(filesOf(plan) < filesOf(allPlan),
+      s"manifest pruning must drop files (${filesOf(plan)} vs ${filesOf(allPlan)})")
+    assert(ranged.count() ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
+  }
+
+  test("a file the manifest does not cover falls back to the direct probe, never a wrong prune") {
+    // a foreign writer drops a file in AFTER the manifest was written:
+    // no manifest entry -> the conservative per-file probe decides, so
+    // an out-of-band file holding qualifying rows must survive pruning
+    val d = tmp()
+    val half = events.filter(col("event_id") < 500)
+    WireEvents.writeWire(half, d)
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    // append the other half out-of-band (copies files, leaves the
+    // manifest untouched — exactly the stale-manifest scenario)
+    appendWire(events.filter(col("event_id") >= 500), d)
+    val ranged = WireEvents.read(spark, d).filter(col("ts") >= cut)
+    assert(ranged.count() ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count(),
+      "manifest-missing files must be probed, not mis-pruned")
   }
 
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
