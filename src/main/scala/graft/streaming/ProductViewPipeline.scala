@@ -125,12 +125,25 @@ object ProductViewPipeline {
   /** Windowed count per source (reference v1:45-55): watermark ->
     * tumbling window -> count -> flat rename. Watermark applies only
     * on streaming input (batch parity path skips it). */
+  /** Does the stream already carry an event-time watermark? Stateful
+    * transforms ([[dedupedByContent]], [[dedupedByMessageId]]) stamp
+    * one; a downstream aggregate must then USE it rather than redefine
+    * it (Spark disallows redefinition when multiple stateful operators
+    * are enabled, and a single pipeline-wide watermark is the correct
+    * semantics anyway — one lateness budget, shared by every stage). */
+  private def hasWatermark(df: DataFrame): Boolean =
+    df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+
   def windowedCounts(
       parsed: DataFrame,
       windowLength: String = "5 minutes",
       watermarkDelay: String = "5 minutes"): DataFrame = {
     val withWm =
-      if (parsed.isStreaming) parsed.withWatermark("timestamp", watermarkDelay)
+      if (parsed.isStreaming && !hasWatermark(parsed))
+        parsed.withWatermark("timestamp", watermarkDelay)
       else parsed
     withWm
       .groupBy(col("source"), window(col("timestamp"), windowLength))

@@ -393,6 +393,96 @@ class WireSourceSpec extends SparkSpec {
       "append-mode finalized windows must be transport-independent")
   }
 
+  test("wire transport: streaming content dedup (RocksDB state) matches the file transport across a mid-stream restart") {
+    // The flagship stateful-dedup path (dropDuplicatesWithinWatermark
+    // on the sha-256 content key) run end-to-end on the Kafka-shaped
+    // DSV2 wire transport: same product-view payload bytes ride the
+    // wire `props` field, fresh-message-id redeliveries are injected
+    // BOTH within each phase and ACROSS the restart (the cross-phase
+    // dup only checkpointed dedup state can catch), and the wire run
+    // uses the RocksDB state store while the file run keeps the
+    // default HDFS-backed one — so the parity assertion also proves
+    // provider-independence of the dedup semantics.
+    import graft.streaming.{ProductViewPipeline => P, Simulator}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.Column
+
+    val ev = events
+    val a = ev.filter(col("event_id") < 500)
+    val b = ev.filter(col("event_id") >= 500)
+    def rdl(e: DataFrame): DataFrame = e.filter(pmod(col("event_id"), lit(7)) === 0)
+    val crossRdl = a.filter(pmod(col("event_id"), lit(13)) === 0)
+    def freshId(line: Column): Column =
+      regexp_replace(line, "\"messageid\":\"msg-", "\"messageid\":\"msg-rdl-")
+
+    def fileLines(base: DataFrame, redel: DataFrame): DataFrame =
+      Simulator.productViewJson(base).union(
+        Simulator.productViewJson(redel)
+          .withColumn("value", freshId(col("value"))))
+    def wirePayload(base: DataFrame, redel: DataFrame): DataFrame =
+      base.withColumn("props", Simulator.productViewLine)
+        .unionByName(redel.withColumn("props", freshId(Simulator.productViewLine)))
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"), col("props"))
+
+    def collectRun(parsed: DataFrame, chk: String,
+                   sink: java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]): Unit = {
+      val q = P.windowedCounts(P.dedupedByContent(parsed))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            sink.put((r.getAs[java.sql.Timestamp]("start"), r.getAs[String]("source")),
+              r.getAs[Long]("source_number"))
+          }
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // file transport, default state store
+    val fDir = tmp(); val fChk = tmp()
+    val fGot = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    fileLines(a, rdl(a)).repartition(4).write.mode("append").text(fDir)
+    collectRun(P.parse(P.fileSource(spark, fDir)), fChk, fGot)
+    fileLines(b, rdl(b).unionByName(crossRdl)).repartition(4).write.mode("append").text(fDir)
+    collectRun(P.parse(P.fileSource(spark, fDir)), fChk, fGot)
+
+    // wire transport, RocksDB state store
+    def wireParsedPayload(dir: String): DataFrame =
+      P.parse(spark.readStream
+        .format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", dir).load()
+        .select(col("props").as("value")))
+    val wDir = tmp(); val wChk = tmp()
+    val wGot = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      WireEvents.writeWire(wirePayload(a, rdl(a)), wDir)
+      collectRun(wireParsedPayload(wDir), wChk, wGot)
+      appendWire(wirePayload(b, rdl(b).unionByName(crossRdl)), wDir)
+      collectRun(wireParsedPayload(wDir), wChk, wGot)
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+
+    import scala.jdk.CollectionConverters._
+    assert(wGot.asScala.toMap === fGot.asScala.toMap,
+      "deduped windowed counts must agree per (window, source) across transports")
+    // exactly-once across restart AND redelivery: every distinct
+    // content counted once (messageid is excluded from the key, so the
+    // rewritten ids collapse; content = (type, user, event_id%100, ts))
+    val expected = ev.select(col("event_type"), col("user_id"),
+      pmod(col("event_id"), lit(100)), col("ts")).distinct().count()
+    assert(wGot.values().asScala.map(x => x: Long).sum === expected,
+      "content dedup must collapse every redelivery exactly once")
+  }
+
   test("maxFilesPerTrigger rate-limits the wire stream into bounded catch-up batches (W9)") {
     val d = tmp()
     WireEvents.writeWire(events.filter(col("event_id") < 400), d)
@@ -485,6 +575,58 @@ class WireSourceSpec extends SparkSpec {
     run()
     assert(total === before + perFile,
       "restart over a retention-pruned log must replay exactly the new file")
+  }
+
+  test("census-log torn state: snapshot lost after retention pruned its deltas refuses loudly, never re-admits consumed files") {
+    // The crash window retention must survive: commit-time retention
+    // prunes deltas at/below the newest snapshot, so from that moment
+    // the snapshot is REQUIRED state. Simulate the torn outcome (log
+    // compacted+pruned, snapshot then lost) by deleting the snapshot
+    // directly. A restart that silently recounted from the partial log
+    // would re-admit consumed files — double-counting on an
+    // exactly-once transport. The pinned contract is LOUD refusal,
+    // with zero rows re-emitted before the refusal.
+    val d = tmp(); val chk = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 400), d)
+    var total = 0L
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d)
+        .option("maxFilesPerTrigger", 1) // > CompactInterval batches -> compaction + retention
+        .load()
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val consumed = total
+    assert(consumed === events.filter(col("event_id") < 400).count())
+    val logDir = Paths.get(chk, "sources", "0", "wire-file-log")
+    def entries() = Files.list(logDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+    val snaps = entries().filter(_.getFileName.toString.endsWith(".snapshot"))
+    assert(snaps.nonEmpty, "fixture must have compacted")
+    val prunedBelow = snaps.map(_.getFileName.toString.stripSuffix(".snapshot").toLong).max
+    assert(!entries().exists { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".delta") && n.stripSuffix(".delta").toLong <= prunedBelow
+    }, "retention must have pruned deltas at/below the snapshot first")
+    snaps.foreach(Files.delete) // the torn state
+    // a new file lands while down; restart must NOT silently re-admit
+    val dir0 = Paths.get(d, "event_type=click")
+    val src = Files.list(dir0).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.copy(src, dir0.resolve("part-zz-torn.txt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("log unrecoverable"), msgs)
+    assert(total === consumed,
+      "no row may re-emit from a torn census log before the refusal")
   }
 
   test("ts-range planning opens the stats manifest, never data files (100 TB driver-I/O bound)") {
