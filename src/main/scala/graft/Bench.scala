@@ -125,7 +125,40 @@ object Bench {
     // total can never be read as a speedup
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failMark = if (failed.nonEmpty) s""","failed":[${failed.mkString(",")}]""" else ""
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$failMark}"""
+    // FLAG (not fail) queries whose rep spread exceeds 3x: alongside
+    // the start/end loadavg this makes a contended-box run
+    // self-diagnosing — the r9 builder/driver 1.35x divergence should
+    // be attributable from one read of this file. Each flagged query
+    // gets ONE extra rep AFTER the whole battery (when transient box
+    // load has usually passed), recorded separately as "rerun" — so a
+    // contention-polluted median never enters the committed artifact
+    // unannotated: the rerun is the quiet-box counter-evidence, read
+    // next to the raws. The rerun does NOT change the median/total
+    // (the headline stays a pure median-of-N of the in-battery reps;
+    // a post-hoc rep replacing a median would bias totals downward) —
+    // instead "quiet_value" reports the total WITH flagged queries'
+    // reruns substituted, so a round-over-round comparison has a
+    // contention-corrected number to read without anyone re-deriving
+    // it from the detail file (r10 burned an hour doing exactly that).
+    val spreadFlagged = raw.collect {
+      case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 3.0 => k
+    }.toSet
+    val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => spreadFlagged(name) }
+      .map { case (name, fnq) => name -> run(name, fnq) }.toMap
+    val quietMark =
+      if (spreadFlagged.isEmpty) ""
+      else {
+        val substituted = results.collect {
+          case (k, v) if v >= 0 && !measurementOnly(k) =>
+            reruns.get(k).filter(_ >= 0).getOrElse(v)
+        }.sum
+        val subs = results.collect {
+          case (k, _) if reruns.get(k).exists(_ >= 0) => "\"" + k + "\""
+        }
+        s""","quiet_value":${f3(substituted)},"quiet_substituted":[${subs.mkString(",")}]"""
+      }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$failMark$quietMark}"""
     println(line)
     // Belt and braces: also persist to a file in case the launcher's
     // stdout is wrapped by a build-tool logger the parser trips on.
@@ -137,23 +170,6 @@ object Bench {
     val detail = raw.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    // FLAG (not fail) queries whose rep spread exceeds 3x: alongside
-    // the start/end loadavg this makes a contended-box run
-    // self-diagnosing — the r9 builder/driver 1.35x divergence should
-    // be attributable from one read of this file. Each flagged query
-    // gets ONE extra rep AFTER the whole battery (when transient box
-    // load has usually passed), recorded separately as "rerun" — so a
-    // contention-polluted median never enters the committed artifact
-    // unannotated: the rerun is the quiet-box counter-evidence, read
-    // next to the raws. The rerun does NOT change the median/total
-    // (the headline stays a pure median-of-N of the in-battery reps;
-    // a post-hoc rep replacing a median would bias totals downward).
-    val spreadFlagged = raw.collect {
-      case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 3.0 => k
-    }.toSet
-    val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => spreadFlagged(name) }
-      .map { case (name, fnq) => name -> run(name, fnq) }.toMap
     val flagged = raw.collect {
       case (k, runs) if spreadFlagged(k) =>
         "\"" + k + "\":{\"raws\":[" + runs.map(f3).mkString(",") +
