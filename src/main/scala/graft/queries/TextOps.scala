@@ -268,8 +268,24 @@ object TextOps {
     winnowFromText(Tables.documents(spark, dir))
 
   /** [[winnowDocs]] over any (doc_id, text) frame — package-visible
-    * so the spec can drive the w+k-1 guarantee on crafted documents. */
+    * so the spec can drive the w+k-1 guarantee on crafted documents.
+    *
+    * r12: the per-document profile is the compiled
+    * [[graft.functions.WinnowFps]] kernel — one static JVM pass per
+    * row inside whole-stage codegen, replacing the interpreted HOF
+    * chain below (kept as [[winnowFromTextHof]] for the bit-equality
+    * spec). The repartition survives: even compiled, the profile is
+    * the scan's CPU term and a small corpus arrives as ONE parquet
+    * split; the exchange moves (doc_id, text) once. */
   private[graft] def winnowFromText(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .repartition(col("doc_id"))
+      .withColumn("w", graft.functions.WinnowFps.winnowFps(col("text")))
+
+  /** The retired interpreted spelling of [[winnowFromText]] — the
+    * oracle-shaped reference the kernel is spec-compared against
+    * (WinnowFpsSpec asserts bit-equality per document). */
+  private[graft] def winnowFromTextHof(docs: org.apache.spark.sql.DataFrame) =
     docs
       // the per-document hash pipeline is CPU-bound (interpreted
       // higher-order functions), so its parallelism must not be
