@@ -677,7 +677,13 @@ object Analytics {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .localCheckpoint(true)
-      val nOrders = li.select(col("l_orderkey")).distinct().count()
+      // basket count as a 1-row broadcast aggregate, not a driver-side
+      // count(): keeps the whole query one lazy plan (the pattern used
+      // for every other global-scalar dependency, e.g. the top-supplier
+      // share query) — the scalar rides a BroadcastNestedLoop of one
+      // row instead of an eager mid-pipeline job
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
       val support = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_item"))
       val pairs = li.as("a")
@@ -694,6 +700,7 @@ object Analytics {
           .withColumnRenamed("n_item", "n_a"), "part_a")
         .join(support.withColumnRenamed("l_partkey", "part_b")
           .withColumnRenamed("n_item", "n_b"), "part_b")
+        .crossJoin(broadcast(nOrders))
         .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
           col("n_b"),
           // exact WIDE-integer lift: 1e6*n_both*N wraps int64 once
@@ -704,7 +711,7 @@ object Analytics {
           // floors them to BIGINT; the oracle mirrors with HUGEINT —
           // both exact, so values are identical wherever the old
           // int64 form didn't wrap
-          expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_both * ${nOrders}L)" +
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_both * n_orders)" +
             " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
             .as("lift_ppm"))
         .orderBy(desc("n_both"), asc("part_a"), asc("part_b"))

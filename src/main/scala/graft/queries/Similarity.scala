@@ -85,7 +85,8 @@ object Similarity {
           j -> $emb[j]::DOUBLE * (CAST('0x' || substr(md5('${t}_${p}_' || CAST(j - 1 AS VARCHAR)), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)),
         (x, y) -> x + y)"""
 
-  /** DuckDB replica of one table's [[srpBucketCols]] sign-bit bucket. */
+  /** DuckDB replica of one table's sign-bit bucket as computed by
+    * [[srpBucketArray]] / the [[graft.functions.SrpBuckets]] kernel. */
   private def srpBucketSql(emb: String, t: Int, nBits: Int): String =
     (0 until nBits).map(p =>
       s"(CASE WHEN ${planeDotSql(emb, t, p)} >= 0 THEN ${1L << p} ELSE 0 END)")
@@ -230,7 +231,21 @@ object Similarity {
     * flattened plane tensor. Replaced the per-(table, bit) literal
     * `dotp(vd, typedLit(plane))` trees (r11): 40 trees for the 8×5
     * probe index cost ~0.6-0.7 s of analysis + Janino codegen per
-    * pass; the kernel's plan is one reference object + one loop. */
+    * pass; the kernel's plan is one reference object + one loop.
+    *
+    * DEGENERATE-VECTOR CONTRACT (deliberate, differs from the retired
+    * literal spelling): a null ELEMENT (or a dim mismatch) nulls the
+    * whole bucket array, and `posexplode` of null emits no rows — so a
+    * corrupt embedding is EXCLUDED from LSH blocking and probing
+    * rather than landing in the `dot >= 0 -> else 0` bucket the old
+    * `when(...).otherwise(0)` spelling (and the oracle's CASE..ELSE 0)
+    * would have put it in. Exclusion is the right dedup semantics — a
+    * vector with unknown coordinates has no meaningful bucket, and
+    * admitting it to bucket 0 of every table would pair every corrupt
+    * vector with every other. Pinned by VectorExpressionsSpec
+    * ("null-element vectors are excluded..."); fixtures carry no null
+    * elements, so the oracle parity of the registered queries is
+    * unaffected. */
   private def srpBucketArray(planes: Array[Array[Array[Double]]],
                              withProbes: Boolean): Column =
     graft.functions.VectorFunctions.srpBuckets(

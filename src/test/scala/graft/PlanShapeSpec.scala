@@ -41,6 +41,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_lm_surprisal" -> "crossJoin(broadcast(1-row vocab total))",
       "q_mmr_rerank" -> "crossJoin(broadcast(queries)): capped by knnQueryIdCap; greedy rounds touch only queries x 8 candidates",
       "q_dup_triangles" -> "crossJoins of three 1-row census aggregates",
+      "q_basket_pairs" -> "crossJoin(broadcast(1-row basket count)): scalar-subquery shape, q_above_avg pattern",
       "q_idle_rich" -> "crossJoin(broadcast(1-row global sum/count stats)): scalar-subquery shape, q_above_avg pattern",
       "q_important_parts" -> "crossJoin(broadcast(1-row total/n_parts)): scalar-subquery shape, q_above_avg pattern",
       "q_top_supplier" -> "crossJoin(broadcast(1-row max revenue)): scalar-MAX subquery shape",
@@ -573,6 +574,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_ivfpq" -> (2, "CAPPED lut+cell probe side, CAPPED rerank queries"),
       "q_ann_ivfpq_recall" -> (3, "CAPPED probe+rerank sides, CAPPED exact reference"),
       "q_ann_pq" -> (3, "CAPPED ADC query side, rerank queries, exact reference"),
+      "q_basket_pairs" -> (1, "1ROW basket count"),
       "q_bm25" -> (1, "1ROW corpus stats"),
       "q_broadcast_brand" -> (1, "RATIO filtered part-brand slice (the star broadcast demo)"),
       "q_collocations" -> (1, "1ROW unigram grand totals"),

@@ -212,6 +212,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("null-element vectors are excluded from LSH blocking, not bucketed to zero") {
+    // Contract change vs the retired when(dot>=0,..).otherwise(0)
+    // spelling (which would file a corrupt vector under bucket 0 of
+    // EVERY table, pairing all corrupt vectors with each other and
+    // with every legitimately-bucket-0 vector): the kernel nulls the
+    // bucket array and posexplode of null emits NO rows — the vector
+    // simply never enters the blocking index. Documented at
+    // Similarity.srpBucketArray; this test is the pin.
+    val vecs = spark.range(3).selectExpr(
+      "id AS vec_id",
+      """CASE WHEN id = 1 THEN array(1.0D, CAST(NULL AS DOUBLE))
+              ELSE array(CAST(id AS DOUBLE), 1.0D) END AS vd""")
+    val exploded = vecs
+      .withColumn("bks", VectorFunctions.srpBuckets(
+        col("vd"), Array(1.0, 0.0, 0.0, -1.0), 1, 2, 2, withProbes = false))
+      .select(col("vec_id"), posexplode(col("bks")))
+    val survivors = exploded.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L, 2L),
+      s"corrupt vector must vanish from the blocking index, got $survivors")
+  }
+
   test("srp_buckets generated code actually COMPILES (no silent interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
