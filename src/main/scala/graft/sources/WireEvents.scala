@@ -265,8 +265,28 @@ private[sources] class WireMicroBatchStream(
     with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow {
 
-  private def census(): Seq[(String, String, Long)] =
-    WireEvents.listWireFiles(path, pushed)
+  /** One directory listing per trigger, not two: `latestOffset` takes
+    * the census to find fresh files and `planInputPartitions` needs
+    * the same census to re-derive (partition value, length) for the
+    * admitted paths — at a 100 TB dump (millions of files) a second
+    * full listing per micro-batch doubles the steady-state listing
+    * cost for nothing, so the last census is memoized and
+    * `censusCovering` re-lists only when it does not cover the
+    * requested paths (the restart-replay case, where
+    * planInputPartitions runs before any latestOffset call). */
+  @volatile private var lastCensus: Seq[(String, String, Long)] = null
+
+  private def census(): Seq[(String, String, Long)] = {
+    val c = WireEvents.listWireFiles(path, pushed)
+    lastCensus = c
+    c
+  }
+
+  private def censusCovering(paths: Seq[String]): Seq[(String, String, Long)] = {
+    val cached = lastCensus
+    if (cached != null && paths.forall(cached.map(_._2).toSet)) cached
+    else census()
+  }
 
   private lazy val log = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -327,7 +347,7 @@ private[sources] class WireMicroBatchStream(
     // re-derive (partition value, length) for the fresh paths; a file
     // present in a committed delta but vanished from the census is a
     // contract violation (immutable-once-visible), surfaced loudly
-    val byPath = census().map { case (v, p, len) => p -> ((v, len)) }.toMap
+    val byPath = censusCovering(fresh).map { case (v, p, len) => p -> ((v, len)) }.toMap
     WireEvents.splitsOf(
       fresh.map { p =>
         val (v, len) = byPath.getOrElse(p, throw new IllegalStateException(

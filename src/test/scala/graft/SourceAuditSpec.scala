@@ -52,7 +52,11 @@ class SourceAuditSpec extends AnyFunSuite {
           "all centroid/codebook matrices, a few KB at any corpus size"),
       "queries/Curation.scala" -> (1,
         "decontaminate_bloom eval probe: LIMIT evalSetCap+1 ships at " +
-          "most cap+1 longs, then falls back to the distributed semi-join")))
+          "most cap+1 longs, then falls back to the distributed semi-join"),
+      "sources/WireEvents.scala" -> (1,
+        "writeTsStats manifest collect: one ~100 B (path, len, min, max) " +
+          "tuple per FILE — O(files), the same order as the listing the " +
+          "driver already holds for planning; never O(rows)")))
   }
 
   test("Scala udf() confined to sketch probes with no codegen'd builtin") {
