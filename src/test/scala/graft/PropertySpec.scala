@@ -439,4 +439,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WinnowFps kernel equals the interpreted HOF on random texts (fuzz)") {
+    // beyond WinnowFpsSpec's fixture + crafted cases: random word
+    // counts (straddling the k=4 / w=4 thresholds), random word
+    // lengths/alphabets (incl. multi-byte), random space runs
+    val wordGen = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('!', 'é', 'ß', '中', '.')))
+    } yield cs.mkString
+    val textGen = for {
+      nw <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(nw, wordGen)
+      seps <- Gen.listOfN(math.max(nw - 1, 0), Gen.oneOf(" ", "  ", "   "))
+      lead <- Gen.oneOf("", " ")
+    } yield lead + (if (ws.isEmpty) "" else
+      ws.head + seps.zip(ws.tail).map { case (s, w) => s + w }.mkString)
+    forAll(Gen.listOfN(25, textGen), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def canon(v: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+        v(df).select(col("doc_id"), col("w.n_grams"), col("w.n_fingerprints"),
+            col("w.fp_min"), col("w.fp_sum"), col("w.fps"))
+          .collect().map(r => r.getLong(0) -> r.mkString("|")).toMap
+      val k = canon(graft.queries.TextOps.winnowFromText)
+      val h = canon(graft.queries.TextOps.winnowFromTextHof)
+      val bad = k.collect { case (id, v) if h(id) != v => (texts(id.toInt), v, h(id)) }
+      assert(bad.isEmpty, s"kernel != HOF on ${bad.take(2)}")
+    }
+  }
 }
