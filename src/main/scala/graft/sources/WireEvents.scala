@@ -65,6 +65,12 @@ import graft.model.{Money, Q, Tables}
   *    one task, without any coordination between readers.
   *  - `SupportsReportStatistics`: surviving-byte size reaches the cost
   *    model, so a pruned wire scan can be broadcast when small.
+  *  - `SupportsRuntimeFiltering` (r12): dynamic partition pruning —
+  *    a broadcast join against a filtered dimension keyed on
+  *    `event_type` prunes whole partition directories at EXECUTION
+  *    time from the dimension's actual keys (classic star-schema DPP,
+  *    opt-in for DSv2 sources; spec-pinned end-to-end with a
+  *    `dynamicpruning` subquery in the executed plan).
   *
   * Failure contract: a malformed line THROWS with file + byte offset
   * (fail-loudly, spec-pinned). Wire-level dead-lettering is the
@@ -172,15 +178,48 @@ private[sources] class WireScan(
     pushed: Array[Filter],
     required: StructType,
     maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // (partition value, file path, file length); listed once, reused by
-  // planning, statistics and description
-  private lazy val files: Seq[(String, String, Long)] =
-    WireEvents.listWireFiles(path, pushed)
+  /** Runtime (execution-time) filters injected by dynamic partition
+    * pruning — the DSv2 contract that lets a JOIN prune this scan: a
+    * broadcast join against a filtered dimension keyed on `event_type`
+    * hands the dimension's actual key set to [[filter]] before input
+    * partitions are planned, so whole partition directories of a
+    * 100 TB dump vanish based on data only known at EXECUTION time
+    * (classic star-schema DPP, which Spark only applies to sources
+    * that opt in via [[SupportsRuntimeFiltering]]). Filters on
+    * anything but `event_type` are ignored — runtime filters are an
+    * optimization, the join itself still evaluates exactly. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("event_type"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter {
+      case EqualTo("event_type", _: String) => true
+      case In("event_type", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
+      case IsNotNull("event_type") => true
+      case _ => false
+    }
+    filesCache = null // re-list under the tightened filter set
+  }
+
+  // (partition value, file path, file length); listed once per filter
+  // state, reused by planning, statistics and description
+  @volatile private var filesCache: Seq[(String, String, Long)] = null
+  private def files: Seq[(String, String, Long)] = {
+    var c = filesCache
+    if (c == null) {
+      c = WireEvents.listWireFiles(path, pushed ++ runtimeFilters)
+      filesCache = c
+    }
+    c
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     WireEvents.splitsOf(files, maxSplitBytes)
@@ -203,6 +242,7 @@ private[sources] class WireScan(
   override def description(): String =
     s"WireEventsScan files=${files.size} " +
       s"pushed=[${pushed.mkString(", ")}] " +
+      (if (runtimeFilters.nonEmpty) s"runtime=[${runtimeFilters.mkString(", ")}] " else "") +
       s"cols=[${required.fields.map(_.name).mkString(", ")}]"
 }
 

@@ -681,6 +681,52 @@ class WireSourceSpec extends SparkSpec {
       "manifest-missing files must be probed, not mis-pruned")
   }
 
+  test("runtime filtering prunes partition dirs at execution time (DSv2 dynamic partition pruning)") {
+    // unit level: the Scan accepts an execution-time event_type filter
+    // and replans fewer files — the SupportsRuntimeFiltering contract
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val builder = new graft.sources.WireEventsSource()
+      .getTable(WireEvents.wireSchema, Array.empty, new java.util.HashMap[String, String]())
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Map.of("path", wireDir)))
+    val scan = builder.build()
+    val before = scan.toBatch.planInputPartitions().length
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq === Seq("event_type"))
+    rf.filter(Array[Filter](EqualTo("event_type", "purchase")))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime filter must prune partitions ($after vs $before)")
+    // a non-partition runtime filter is ignored, never mis-applied
+    rf.filter(Array[Filter](EqualTo("user_id", 7L)))
+    assert(scan.toBatch.planInputPartitions().length === before)
+
+    // end to end: a broadcast join against a FILTERED dimension on
+    // event_type plants a DPP subquery on the wire scan (Spark only
+    // does this for sources opting into runtime filtering), and the
+    // result matches the parquet truth
+    import spark.implicits._
+    // the dimension must be a real scan with a surviving selective
+    // Filter node — a LocalRelation folds the filter away and the
+    // PartitionPruning rule then sees no pruning-worthy predicate
+    val dimPath = tmp() + "/dim"
+    Seq(("purchase", "hot"), ("click", "cold"), ("view", "cold"),
+        ("cart_add", "cold"), ("search", "cold"))
+      .toDF("t", "grade").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("grade") === "hot")
+    val joined = WireEvents.read(spark, wireDir)
+      .join(dim.hint("broadcast"), col("event_type") === col("t"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP subquery on the wire scan:\n$plan")
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("purchase" ->
+      events.filter(col("event_type") === "purchase").count()))
+  }
+
   test("reported statistics shrink with pruning (cost model sees surviving bytes only)") {
     def scanBytes(df: DataFrame): BigInt =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
