@@ -116,22 +116,41 @@ private[sources] class WireTable(
         case (k, v) if k.equalsIgnoreCase(key) => v
       }
     }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Subscription OPTIONS (the Kafka model: what to consume is an
+    // option, not a filter): Spark's micro-batch planner never runs
+    // DSv2 filter pushdown, so a STREAMING reader that wants partition
+    // or time-band pruning must say so here. `eventTypes` (csv) bounds
+    // the census to those partition dirs — full subscription
+    // semantics, rows of other types never exist. `tsMin`/`tsMax`
+    // ([[WireEvents.TsFmt]] strings) prune whole FILES via the stats
+    // manifest — a BAND hint: rows outside the range inside surviving
+    // files still flow, the query's own row filter stays responsible
+    // (exactly the pushed-plus-residual split of the batch path).
+    // Batch scans may use the same options; query filters then merge.
+    val subscription: Array[Filter] = Array(
+      opt(options, "eventTypes").map(s =>
+        In("event_type", s.split(",").map(_.trim).map(v => v: Any))),
+      opt(options, "tsMin").map(v => GreaterThanOrEqual("ts", v)),
+      opt(options, "tsMax").map(v => LessThanOrEqual("ts", v))).flatten
     new WireScanBuilder(
       opt(options, "path").getOrElse(
         throw new IllegalArgumentException("wire-events: 'path' option is required")),
       opt(options, "maxSplitBytes").map(_.toLong)
         .getOrElse(WireEvents.DefaultMaxSplitBytes),
-      opt(options, "maxFilesPerTrigger").map(_.toInt))
+      opt(options, "maxFilesPerTrigger").map(_.toInt),
+      subscription)
+  }
 }
 
 private[sources] class WireScanBuilder(
-    path: String, maxSplitBytes: Long, maxFilesPerTrigger: Option[Int] = None)
+    path: String, maxSplitBytes: Long, maxFilesPerTrigger: Option[Int] = None,
+    subscription: Array[Filter] = Array.empty)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = subscription
   private var required: StructType = WireEvents.wireSchema
 
   /** Accept (fully handle) only predicates the DIRECTORY layout can
@@ -160,7 +179,7 @@ private[sources] class WireScanBuilder(
       case LessThanOrEqual("ts", _: String) => true
       case _ => false
     }
-    pushed = handled ++ tsRange
+    pushed = subscription ++ handled ++ tsRange
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -273,9 +292,17 @@ private[sources] class WireScan(
   * any new file is admitted. Pre-r11 list-shaped checkpoints are not
   * readable (deserializeOffset refuses them loudly).
   *
-  * Directory pruning applies at LISTING time: pushed `event_type`
-  * filters keep ignored partitions out of the offset entirely, so a
-  * one-type subscription never pays the census of the other types.
+  * Directory pruning applies at LISTING time — but (r12 correction of
+  * an r11 overclaim, verified by probe) NOT via query filters:
+  * Spark's micro-batch planner never runs DSv2 filter pushdown, so a
+  * streaming `.filter(col("event_type") === ...)` is evaluated
+  * post-scan and the census admits everything. A one-type or
+  * time-banded subscription must be declared as READER OPTIONS
+  * (`eventTypes`, `tsMin`/`tsMax` — the Kafka subscribe/startingOffsets
+  * model, see [[WireTable.newScanBuilder]]); those feed the same
+  * pruning machinery and keep ignored partitions/bands out of the
+  * census and the offset log entirely (spec-pinned on the delta log's
+  * admitted paths).
   *
   * Admission control ([[streaming.SupportsAdmissionControl]]):
   * `maxFilesPerTrigger` caps each micro-batch at N unseen files — the

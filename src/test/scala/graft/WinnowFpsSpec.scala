@@ -32,6 +32,27 @@ class WinnowFpsSpec extends SparkSpec {
     assert(diffs.isEmpty, s"kernel diverges on ${diffs.take(3)}")
   }
 
+  test("generated code actually COMPILES (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = graft.functions.WinnowFps(
+      BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+    // 7 words = exactly w+k-1: 4 shingles, 1 window, 1 fingerprint
+    val out = proj(InternalRow(
+      UTF8String.fromString("alpha bravo charlie delta echo foxtrot golf")))
+    val s = out.getStruct(0, 5)
+    assert(s.getLong(0) === 4L) // n_grams
+    assert(s.getLong(1) === 1L) // n_fingerprints
+    assert(s.getLong(2) === s.getArray(4).getLong(0)) // fp_min = the one fp
+    assert(s.getLong(3) === s.getArray(4).getLong(0)) // fp_sum too
+    val nul = proj(InternalRow(null))
+    assert(nul.isNullAt(0))
+  }
+
   test("kernel matches the HOF on degenerate and adversarial texts") {
     import spark.implicits._
     val docs = Seq(

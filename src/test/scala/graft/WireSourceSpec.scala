@@ -681,6 +681,98 @@ class WireSourceSpec extends SparkSpec {
       "manifest-missing files must be probed, not mis-pruned")
   }
 
+  test("a corrupt ts-stats manifest fails loudly, never silently degrades to the probe path") {
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 200), d)
+    val manifest = Paths.get(d, "_wire_ts_stats.json")
+    Files.writeString(manifest, "{not json\n")
+    Files.deleteIfExists(Paths.get(d, "._wire_ts_stats.json.crc"))
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    val e = intercept[Exception] {
+      WireEvents.read(spark, d).filter(col("ts") >= cut)
+        .queryExecution.executedPlan.toString
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("malformed ts-stats manifest"), msgs)
+    // without a ts predicate the manifest is never read: scan unaffected
+    assert(WireEvents.read(spark, d).count() ===
+      events.filter(col("event_id") < 200).count())
+  }
+
+  /** Admitted census = union of every path named by the stream's
+    * delta/snapshot log (retention keeps at least the newest snapshot
+    * + tail, whose union is the full admitted set). */
+  private def admittedPaths(chk: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(chk, "sources", "0", "wire-file-log"))
+      .iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".delta") || n.endsWith(".snapshot")
+      }
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSet
+  }
+
+  test("streaming subscription options prune admission: out-of-window / off-type files never enter the census") {
+    // Spark's micro-batch planner runs no DSv2 filter pushdown (a
+    // streaming .filter is post-scan — r11's scaladoc overclaimed
+    // this; probed and corrected r12), so subscriptions are OPTIONS,
+    // the Kafka model. tsMin prunes whole files via the stats
+    // manifest; eventTypes bounds the census to the named dirs.
+    val d = tmp()
+    WireEvents.writeWire(events, d)
+    val nFiles = Files.walk(Paths.get(d))
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-")).count()
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+
+    // ts-band subscription: file-level pruning, row filter stays exact
+    val chk1 = tmp()
+    var total = 0L
+    val q1 = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d).option("tsMin", cut).load()
+      .filter(col("ts") >= cut)
+      .writeStream.option("checkpointLocation", chk1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
+      .start()
+    q1.awaitTermination()
+    assert(total ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count(),
+      "ts-banded stream must deliver exactly the in-window rows")
+    val admitted1 = admittedPaths(chk1)
+    assert(admitted1.nonEmpty && admitted1.size < nFiles,
+      s"tsMin must keep out-of-window files out of admission " +
+        s"(${admitted1.size} of $nFiles admitted)")
+
+    // type subscription: full semantics, other dirs never censused
+    val chk2 = tmp()
+    var types = Set.empty[String]
+    val q2 = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", d).option("eventTypes", "purchase").load()
+      .writeStream.option("checkpointLocation", chk2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        types ++= df.select("event_type").distinct()
+          .collect().map(_.getString(0)); ()
+      }
+      .start()
+    q2.awaitTermination()
+    assert(types === Set("purchase"))
+    val admitted2 = admittedPaths(chk2)
+    assert(admitted2.nonEmpty &&
+      admitted2.forall(_.contains("event_type=purchase")),
+      s"eventTypes subscription must census only its dirs: $admitted2")
+  }
+
   test("runtime filtering prunes partition dirs at execution time (DSv2 dynamic partition pruning)") {
     // unit level: the Scan accepts an execution-time event_type filter
     // and replans fewer files — the SupportsRuntimeFiltering contract
