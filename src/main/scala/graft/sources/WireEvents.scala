@@ -128,11 +128,31 @@ private[sources] class WireTable(
     // files still flow, the query's own row filter stays responsible
     // (exactly the pushed-plus-residual split of the batch path).
     // Batch scans may use the same options; query filters then merge.
+    // fail-loudly validation: ts bounds prune by LEXICOGRAPHIC compare
+    // (sound only for TsFmt-shaped strings), so a malformed bound
+    // would silently prune everything ("garbage" > any timestamp) —
+    // the worst failure mode a subscription option can have
+    def tsOpt(key: String): Option[String] = opt(options, key).map { v =>
+      try {
+        java.time.LocalDateTime.parse(v,
+          java.time.format.DateTimeFormatter.ofPattern(WireEvents.TsFmt))
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"wire-events: '$key' must be a '${WireEvents.TsFmt}' timestamp, got '$v'", e)
+      }
+      v
+    }
+    val eventTypes = opt(options, "eventTypes").map { s =>
+      val vs = s.split(",").map(_.trim)
+      require(vs.nonEmpty && vs.forall(_.nonEmpty),
+        s"wire-events: 'eventTypes' must be a non-empty csv of types, got '$s'")
+      vs
+    }
     val subscription: Array[Filter] = Array(
-      opt(options, "eventTypes").map(s =>
-        In("event_type", s.split(",").map(_.trim).map(v => v: Any))),
-      opt(options, "tsMin").map(v => GreaterThanOrEqual("ts", v)),
-      opt(options, "tsMax").map(v => LessThanOrEqual("ts", v))).flatten
+      eventTypes.map(vs => In("event_type", vs.map(v => v: Any))),
+      tsOpt("tsMin").map(v => GreaterThanOrEqual("ts", v)),
+      tsOpt("tsMax").map(v => LessThanOrEqual("ts", v))).flatten
     new WireScanBuilder(
       opt(options, "path").getOrElse(
         throw new IllegalArgumentException("wire-events: 'path' option is required")),

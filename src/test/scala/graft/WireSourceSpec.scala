@@ -771,6 +771,24 @@ class WireSourceSpec extends SparkSpec {
     assert(admitted2.nonEmpty &&
       admitted2.forall(_.contains("event_type=purchase")),
       s"eventTypes subscription must census only its dirs: $admitted2")
+
+    // malformed subscription options refuse LOUDLY at scan build — a
+    // garbage ts bound compares lexicographically above every real
+    // timestamp and would otherwise silently prune the whole dump
+    val badTs = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d).option("tsMin", "garbage").load().count()
+    }
+    assert(Iterator.iterate(badTs: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("tsMin"), badTs.getMessage)
+    val badTypes = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d).option("eventTypes", " ,").load().count()
+    }
+    assert(Iterator.iterate(badTypes: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("eventTypes"), badTypes.getMessage)
   }
 
   test("runtime filtering prunes partition dirs at execution time (DSv2 dynamic partition pruning)") {
