@@ -53,6 +53,15 @@ class WinnowFpsSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("winnow_fps stays inside whole-stage codegen") {
+    val e = graft.model.Tables.documents(spark, sf)
+      .select(graft.functions.WinnowFps.winnowFps(col("text")).as("w"))
+    // the `*(n)` prefix marks a WholeStageCodegen span in the plan string
+    val planLine = e.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("winnow_fps")).getOrElse("")
+    assert(planLine.trim.startsWith("*("), s"winnow_fps not in a codegen span: $planLine")
+  }
+
   test("kernel matches the HOF on degenerate and adversarial texts") {
     import spark.implicits._
     val docs = Seq(
