@@ -140,6 +140,19 @@ object Bench {
     // reruns substituted, so a round-over-round comparison has a
     // contention-corrected number to read without anyone re-deriving
     // it from the detail file (r10 burned an hour doing exactly that).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    def emitLine(quietMark: String): String = {
+      val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$failMark$quietMark}"""
+      // Belt and braces: also persist to a file in case the launcher's
+      // stdout is wrapped by a build-tool logger the parser trips on.
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      line
+    }
+    // persist the battery's headline BEFORE the post-battery reruns: a
+    // rerun that hard-kills the JVM must not lose the multi-minute
+    // battery's artifact (the quiet fields are re-written over it below)
+    emitLine("")
     val spreadFlagged = raw.collect {
       case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 3.0 => k
     }.toSet
@@ -153,18 +166,18 @@ object Bench {
           case (k, v) if v >= 0 && !measurementOnly(k) =>
             reruns.get(k).filter(_ >= 0).getOrElse(v)
         }.sum
+        // name ONLY the queries whose rerun actually entered the sum —
+        // a flagged measurement-only query is excluded from both
+        // value and quiet_value, so listing it would make the artifact
+        // self-inconsistent for a reader reconciling the substitution
         val subs = results.collect {
-          case (k, _) if reruns.get(k).exists(_ >= 0) => "\"" + k + "\""
+          case (k, _) if !measurementOnly(k) && reruns.get(k).exists(_ >= 0) =>
+            "\"" + k + "\""
         }
         s""","quiet_value":${f3(substituted)},"quiet_substituted":[${subs.mkString(",")}]"""
       }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$failMark$quietMark}"""
+    val line = emitLine(quietMark)
     println(line)
-    // Belt and braces: also persist to a file in case the launcher's
-    // stdout is wrapped by a build-tool logger the parser trips on.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // Per-rep raw times in EXECUTION order, for spread/regression calls —
     // NOT part of the driver's one-line contract.
     val detail = raw.map { case (k, runs) =>

@@ -149,10 +149,14 @@ private[sources] class WireTable(
         s"wire-events: 'eventTypes' must be a non-empty csv of types, got '$s'")
       vs
     }
+    val tsMin = tsOpt("tsMin"); val tsMax = tsOpt("tsMax")
+    for (l <- tsMin; h <- tsMax) require(l <= h,
+      s"wire-events: tsMin '$l' > tsMax '$h' — an empty subscription band " +
+        "(swapped bounds?) would silently deliver nothing forever")
     val subscription: Array[Filter] = Array(
       eventTypes.map(vs => In("event_type", vs.map(v => v: Any))),
-      tsOpt("tsMin").map(v => GreaterThanOrEqual("ts", v)),
-      tsOpt("tsMax").map(v => LessThanOrEqual("ts", v))).flatten
+      tsMin.map(v => GreaterThanOrEqual("ts", v)),
+      tsMax.map(v => LessThanOrEqual("ts", v))).flatten
     new WireScanBuilder(
       opt(options, "path").getOrElse(
         throw new IllegalArgumentException("wire-events: 'path' option is required")),
@@ -796,6 +800,19 @@ object WireEvents {
     * same convention as `_SUCCESS`). */
   private[sources] val TsStatsFile = "_wire_ts_stats.json"
 
+  /** Driver-side memo of fallback probe results keyed (path, length):
+    * files are immutable once visible (the source contract), so a
+    * (path, len) pair determines (min ts, max ts) forever. This exists
+    * for the streaming TAIL under a ts-band subscription: files
+    * appended out-of-band carry no manifest entry, and without the
+    * memo every trigger's census would re-open every uncovered file in
+    * the listing — including long-consumed ones — putting per-trigger
+    * driver I/O back on the O(total files) curve the manifest removed.
+    * Memory is O(uncovered files) × ~150 B, the same order as the
+    * census listing the driver already materializes per trigger. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Option[String], Option[String])]()
+
   /** Read the ts-stats manifest: relative path ->
     * (file length, min ts, max ts). One small sequential read however
     * many data files the layout holds; absent manifest -> empty map
@@ -947,7 +964,8 @@ object WireEvents {
       listed.filter { case (_, p, len, rel) =>
         val (mn, mx) = manifest.get(rel) match {
           case Some((mLen, mMin, mMax)) if mLen == len => (mMin, mMax)
-          case _ => fileTsRange(fs, new HPath(p), len)
+          case _ => probeCache.computeIfAbsent((p, len),
+            _ => fileTsRange(fs, new HPath(p), len))
         }
         val entirelyAbove = hi.exists(h => mn.exists(_ > h))
         val entirelyBelow = lo.exists(l => mx.exists(_ < l))

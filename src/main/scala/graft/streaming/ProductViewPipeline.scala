@@ -125,26 +125,42 @@ object ProductViewPipeline {
   /** Windowed count per source (reference v1:45-55): watermark ->
     * tumbling window -> count -> flat rename. Watermark applies only
     * on streaming input (batch parity path skips it). */
-  /** Does the stream already carry an event-time watermark? Stateful
-    * transforms ([[dedupedByContent]], [[dedupedByMessageId]]) stamp
-    * one; a downstream aggregate must then USE it rather than redefine
-    * it (Spark disallows redefinition when multiple stateful operators
-    * are enabled, and a single pipeline-wide watermark is the correct
-    * semantics anyway — one lateness budget, shared by every stage). */
-  private def hasWatermark(df: DataFrame): Boolean =
+  /** Does the stream already carry an event-time watermark on THIS
+    * column? Stateful transforms ([[dedupedByContent]],
+    * [[dedupedByMessageId]]) stamp one; a downstream stage must then
+    * USE it rather than redefine it (Spark disallows redefinition when
+    * multiple stateful operators are enabled, and a single
+    * pipeline-wide watermark is the correct semantics anyway — one
+    * lateness budget owned by the FIRST stateful stage; a
+    * `watermarkDelay` passed to a later stage is deliberately ignored
+    * then). The check is column-exact: an upstream watermark on a
+    * DIFFERENT event-time column does not satisfy this stage — the
+    * stamp proceeds and Spark's redefinition error surfaces the
+    * conflict loudly instead of this stage silently aggregating with
+    * unbounded state. */
+  private def hasWatermarkOn(df: DataFrame, column: String): Boolean =
     df.queryExecution.logical.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e.eventTime.name == column
       case _ => false
     }
+
+  /** Stamp `timestamp` with a watermark unless an upstream stage
+    * already owns it — the shared entry point of every stateful stage
+    * below ([[windowedCounts]], [[windowedDistinctUsers]],
+    * [[dedupedByMessageId]], [[dedupedByContent]]), so ANY chaining
+    * order of dedup and windowed aggregation composes without
+    * redefinition. */
+  private def withEventWatermark(parsed: DataFrame, delay: String): DataFrame =
+    if (parsed.isStreaming && !hasWatermarkOn(parsed, "timestamp"))
+      parsed.withWatermark("timestamp", delay)
+    else parsed
 
   def windowedCounts(
       parsed: DataFrame,
       windowLength: String = "5 minutes",
       watermarkDelay: String = "5 minutes"): DataFrame = {
-    val withWm =
-      if (parsed.isStreaming && !hasWatermark(parsed))
-        parsed.withWatermark("timestamp", watermarkDelay)
-      else parsed
+    val withWm = withEventWatermark(parsed, watermarkDelay)
     withWm
       .groupBy(col("source"), window(col("timestamp"), windowLength))
       .count()
@@ -161,9 +177,7 @@ object ProductViewPipeline {
       parsed: DataFrame,
       windowLength: String = "5 minutes",
       watermarkDelay: String = "5 minutes"): DataFrame = {
-    val withWm =
-      if (parsed.isStreaming) parsed.withWatermark("timestamp", watermarkDelay)
-      else parsed
+    val withWm = withEventWatermark(parsed, watermarkDelay)
     withWm
       .groupBy(col("source"), window(col("timestamp"), windowLength))
       .agg(approx_count_distinct(col("userid")).as("approx_users"),
@@ -189,8 +203,7 @@ object ProductViewPipeline {
   /** Streaming dedup on message id bounded by the watermark
     * (exactly-once semantics over an at-least-once transport). */
   def dedupedByMessageId(parsed: DataFrame, watermarkDelay: String = "5 minutes"): DataFrame =
-    parsed
-      .withWatermark("timestamp", watermarkDelay)
+    withEventWatermark(parsed, watermarkDelay)
       .dropDuplicatesWithinWatermark("messageid")
 
   /** Streaming CONTENT dedup — the stream-side counterpart of
@@ -218,7 +231,7 @@ object ProductViewPipeline {
         col("timestamp"))), 256))
     val deduped =
       if (parsed.isStreaming)
-        keyed.withWatermark("timestamp", watermarkDelay)
+        withEventWatermark(keyed, watermarkDelay)
           .dropDuplicatesWithinWatermark("content_key")
       else keyed.dropDuplicates("content_key")
     deduped.drop("content_key")

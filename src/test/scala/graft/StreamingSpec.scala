@@ -137,6 +137,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful stages compose in any order under ONE pipeline watermark (no redefinition)") {
+    // the first stateful stage owns the lateness budget; every later
+    // stage must reuse it — Spark refuses a second withWatermark once
+    // multiple stateful operators are enabled, so without the shared
+    // withEventWatermark guard each of these chains fails at analysis
+    val in = MemoryStream[String]
+    val parsed = P.parse(in.toDF())
+    val chains = Seq(
+      "dedup->counts" -> P.windowedCounts(P.dedupedByContent(parsed)),
+      "dedup->distinct" -> P.windowedDistinctUsers(P.dedupedByContent(parsed)),
+      "msgid->content->counts" ->
+        P.windowedCounts(P.dedupedByContent(P.dedupedByMessageId(parsed))))
+    chains.foreach { case (name, df) =>
+      val q = startMemoryQuery(df, s"chain_${name.replaceAll("[^a-z]", "_")}", "append")
+      try {
+        in.addData(rec("2021-03-07 19:01:00", "desktop", "m1"))
+        q.processAllAvailable() // throws on watermark redefinition
+      } finally q.stop()
+    }
+  }
+
   test("content dedup drops fresh-message-id redeliveries and evicts state at the watermark") {
     val in = MemoryStream[String]
     val deduped = P.dedupedByContent(P.parse(in.toDF()), "2 minutes")

@@ -789,6 +789,18 @@ class WireSourceSpec extends SparkSpec {
     assert(Iterator.iterate(badTypes: Throwable)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
       .contains("eventTypes"), badTypes.getMessage)
+    // swapped bounds parse fine individually but make an empty band —
+    // the same silent-nothing failure mode, refused at build
+    val swapped = intercept[Exception] {
+      spark.read.format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d)
+        .option("tsMin", "2021-06-01 00:00:00.000000")
+        .option("tsMax", "2021-01-01 00:00:00.000000")
+        .load().count()
+    }
+    assert(Iterator.iterate(swapped: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("empty subscription band"), swapped.getMessage)
   }
 
   test("runtime filtering prunes partition dirs at execution time (DSv2 dynamic partition pruning)") {
