@@ -38,21 +38,26 @@ object ProductViewPipeline {
     StructField("timestamp", StringType)))
 
   /** Kafka `value`-bytes (or any `value: string/binary` column) ->
-    * typed click-event rows (reference v1:29-40). The timestamp goes
-    * through the codegen'd [[graft.functions.WireTimestamp]] — same
-    * accepted grammar and UTC semantics as
+    * typed click-event rows (reference v1:29-40). The JSON leg is the
+    * codegen'd [[graft.functions.ProductViewParse]] kernel (one
+    * Jackson pass to the flat record; bit-parity with
+    * `from_json(value, productViewSchema)` spec-pinned — r12, was the
+    * hot path's last CodegenFallback), and the timestamp goes through
+    * the codegen'd [[graft.functions.WireTimestamp]] — same accepted
+    * grammar and UTC semantics as
     * `to_timestamp(c, "yyyy-MM-dd HH:mm:ss[.SSS][XX]")` (spec-asserted)
     * without the per-row optional-section formatter cost. */
   def parse(raw: DataFrame): DataFrame =
     raw
-      .select(from_json(col("value").cast("string"), productViewSchema).as("value"))
+      .select(graft.functions.ProductViewParse
+        .productViewParse(col("value").cast("string")).as("v"))
       .select(
-        col("value.event").as("event"),
-        col("value.messageid").as("messageid"),
-        col("value.userid").as("userid"),
-        col("value.properties.productid").as("productid"),
-        col("value.context.source").as("source"),
-        graft.functions.WireTimestamp.wireTimestamp(col("value.timestamp"))
+        col("v.event").as("event"),
+        col("v.messageid").as("messageid"),
+        col("v.userid").as("userid"),
+        col("v.productid").as("productid"),
+        col("v.source").as("source"),
+        graft.functions.WireTimestamp.wireTimestamp(col("v.timestamp"))
           .as("timestamp"))
 
   /** [[parse]] variant that PRESERVES the raw wire bytes and parse
