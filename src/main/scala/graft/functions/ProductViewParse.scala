@@ -1,18 +1,22 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.io.ByteArrayOutputStream
+
+import com.fasterxml.jackson.core.{JsonEncoding, JsonFactory, JsonFactoryBuilder, JsonParser, JsonToken}
+import com.fasterxml.jackson.core.json.JsonReadFeature
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One compiled Jackson pass from a ProductView wire line to the FLAT
-  * six-field record the pipeline consumes — the schema-projected
-  * replacement for `from_json(value, productViewSchema)` +
-  * struct-flattening select on the hot path.
+/** One compiled Jackson STREAMING pass from a ProductView wire line to
+  * the FLAT six-field record the pipeline consumes — the
+  * schema-projected replacement for `from_json(value, productViewSchema)`
+  * + struct-flattening select on the hot path.
   *
   * Why: `from_json` (JsonToStructs) is CodegenFallback — every record
   * pays interpreted dispatch plus the generic row assembly of the full
@@ -23,8 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * nested objects directly, and emits the flat row from inside
   * whole-stage codegen.
   *
-  * Semantics replicate `from_json`'s PERMISSIVE + partial-results
-  * contract exactly (probed on Spark 4.1 and spec-pinned
+  * Parity discipline: the kernel walks the TOKEN STREAM with the same
+  * `JsonFactory` feature set Spark's `JSONOptions.buildJsonFactory`
+  * configures by default (ALLOW_SINGLE_QUOTES and
+  * ALLOW_NON_NUMERIC_NUMBERS on; comments, unquoted field names,
+  * leading zeros, backslash-escaping-any, unescaped control chars
+  * off — verified against the 4.1.2 bytecode), and renders non-string
+  * tokens in string slots with `JsonGenerator.copyCurrentStructure`,
+  * the literal mechanism `JacksonParser`'s StringType fallback uses.
+  * Same factory + same copy routine = the rendered text (float
+  * canonicalization, duplicate keys INSIDE a stringified subtree,
+  * NaN/Infinity literals) agrees by construction, where the previous
+  * DOM (`readTree`) spelling diverged (single-quoted JSON rejected;
+  * duplicate keys in stringified subtrees collapsed last-wins).
+  *
+  * Replicated PERMISSIVE + partial-results contract (spec-pinned
   * side-by-side, ProductViewParseSpec):
   *  - malformed JSON, a non-object root (array/scalar/`null`) -> a
   *    NON-null row of all-null fields;
@@ -32,15 +49,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    JsonToStructs returns there — the one case the struct itself is
   *    null);
   *  - missing field or JSON null -> null field;
-  *  - a string-typed field holding a non-string token -> the token's
-  *    compact JSON text (floats round-trip through double on BOTH
-  *    sides — probed: `5.00` -> "5.0" under from_json too — so
-  *    DoubleNode.toString reproduces from_json's text; exotic
-  *    non-canonical integer forms are outside the wire contract);
+  *  - a string-typed field holding a non-string token -> the token
+  *    subtree re-rendered via copyCurrentStructure (duplicate keys
+  *    preserved, floats through double: `5.00` -> "5.0");
   *  - `properties`/`context` present but not an object -> that
   *    SUBTREE's fields null, sibling fields keep their parsed values
-  *    (from_json's partial-results mode);
-  *  - duplicate keys -> last wins.
+  *    (from_json's partial-results mode); a duplicate occurrence whose
+  *    conversion FAILS does not overwrite an earlier success (the
+  *    partial-results catch skips the field, leaving the slot), while
+  *    a successful re-conversion overwrites (last-wins);
+  *  - an empty-string value in a struct slot -> null subtree (Spark's
+  *    universal empty-string-as-null rule for non-string types).
   *
   * The dead-letter path ([[graft.streaming.ProductViewPipeline.parseWithRaw]])
   * deliberately stays on `from_json`: it needs PERMISSIVE's
@@ -48,6 +67,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * failure), which is a quarantine feature, not a hot-path one.
   */
 case class ProductViewParse(child: Expression) extends UnaryExpression {
+
+  // analysis-time type check: from_json rejects a non-string child at
+  // plan time; the kernel must too (a BinaryType Kafka value passed
+  // without .cast("string") previously surfaced as a mid-job
+  // ClassCastException)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string child, got ${other.catalogString}")
+  }
 
   override def dataType: DataType = ProductViewParse.structType
   override def nullable: Boolean = true
@@ -83,40 +112,95 @@ object ProductViewParse {
   def productViewParse(wire: Column): Column =
     ColumnBridge.column(ProductViewParse(ColumnBridge.expression(wire)))
 
-  // ObjectMapper is thread-safe; floats stay doubles because that is
-  // what from_json's raw-copy ALSO round-trips through (probed:
-  // messageid: 5.00 -> "5.0" under from_json), so DoubleNode.toString
-  // reproduces its text exactly
-  private val mapper: ObjectMapper = new ObjectMapper()
+  // The exact feature set Spark's JSONOptions.buildJsonFactory applies
+  // with no user options (4.1.2 bytecode: seven JsonReadFeatures from
+  // option defaults; single-quotes and non-numeric-numbers default ON,
+  // the rest OFF). JsonFactory is thread-safe.
+  private val factory: JsonFactory = new JsonFactoryBuilder()
+    .configure(JsonReadFeature.ALLOW_JAVA_COMMENTS, false)
+    .configure(JsonReadFeature.ALLOW_UNQUOTED_FIELD_NAMES, false)
+    .configure(JsonReadFeature.ALLOW_SINGLE_QUOTES, true)
+    .configure(JsonReadFeature.ALLOW_LEADING_ZEROS_FOR_NUMBERS, false)
+    .configure(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS, true)
+    .configure(JsonReadFeature.ALLOW_BACKSLASH_ESCAPING_ANY_CHARACTER, false)
+    .configure(JsonReadFeature.ALLOW_UNESCAPED_CONTROL_CHARS, false)
+    .build()
 
   private def allNull(): InternalRow = new GenericInternalRow(6)
 
-  private def str(n: JsonNode): UTF8String =
-    if (n == null || n.isNull) null
-    else if (n.isTextual) UTF8String.fromString(n.textValue())
-    else UTF8String.fromString(n.toString)
+  /** StringType slot conversion — mirrors JacksonParser's StringType
+    * converter: VALUE_STRING passes through, VALUE_NULL -> null, any
+    * other token re-renders its whole subtree through a generator from
+    * the SAME factory (copyCurrentStructure), which is what preserves
+    * duplicate keys inside a stringified subtree and canonicalizes
+    * numbers identically. */
+  private def strValue(p: JsonParser): UTF8String = p.currentToken() match {
+    case JsonToken.VALUE_STRING => UTF8String.fromString(p.getText)
+    case JsonToken.VALUE_NULL => null
+    case _ =>
+      val out = new ByteArrayOutputStream()
+      val g = factory.createGenerator(out, JsonEncoding.UTF8)
+      try g.copyCurrentStructure(p) finally g.close()
+      UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** Skip the current value if it is a container; scalars are already
+    * fully consumed as the current token. */
+  private def skipValue(p: JsonParser): Unit = p.skipChildren()
+
+  /** Nested single-string-field struct slot (`properties.productid`,
+    * `context.source`). Returns the extracted value boxed, null for a
+    * JSON-null/empty-string subtree, or [[Fail]] when the value is
+    * wrong-typed — the caller must then LEAVE the slot untouched
+    * (from_json's partial-results catch skips the field without
+    * clearing an earlier duplicate's value). */
+  private val Fail = new Object
+  private def nestedValue(p: JsonParser, field: String): AnyRef =
+    p.currentToken() match {
+      case JsonToken.START_OBJECT =>
+        var v: UTF8String = null
+        while (p.nextToken() != JsonToken.END_OBJECT) {
+          val n = p.currentName()
+          p.nextToken()
+          if (n == field) v = strValue(p) else skipValue(p)
+        }
+        v
+      case JsonToken.VALUE_NULL => null
+      // Spark's universal empty-string-as-null for non-string types
+      case JsonToken.VALUE_STRING if p.getTextLength < 1 => null
+      case _ => skipValue(p); Fail
+    }
 
   /** Called from generated code — must stay public + static-friendly.
     * Returns null ONLY for blank input (the NULL-struct case). */
   def parse(s: UTF8String): InternalRow = {
     val bytes = s.getBytes
-    val root =
-      try mapper.readTree(bytes, 0, bytes.length)
-      catch { case _: Exception => return allNull() }
-    if (root == null || root.isMissingNode) return null // blank input
-    if (!root.isObject) return allNull()
-    def nested(objName: String, field: String): UTF8String = {
-      val o = root.get(objName)
-      if (o == null || !o.isObject) null
-      else str(o.get(field))
-    }
-    val row = new GenericInternalRow(6)
-    row.update(0, str(root.get("event")))
-    row.update(1, str(root.get("messageid")))
-    row.update(2, str(root.get("userid")))
-    row.update(3, nested("properties", "productid"))
-    row.update(4, nested("context", "source"))
-    row.update(5, str(root.get("timestamp")))
-    row
+    try {
+      val p = factory.createParser(bytes, 0, bytes.length)
+      try {
+        val first = p.nextToken()
+        if (first == null) return null // blank input -> NULL struct
+        if (first != JsonToken.START_OBJECT) return allNull()
+        val row = new GenericInternalRow(6)
+        while (p.nextToken() != JsonToken.END_OBJECT) {
+          val name = p.currentName()
+          p.nextToken()
+          name match {
+            case "event" => row.update(0, strValue(p))
+            case "messageid" => row.update(1, strValue(p))
+            case "userid" => row.update(2, strValue(p))
+            case "timestamp" => row.update(5, strValue(p))
+            case "properties" =>
+              val v = nestedValue(p, "productid")
+              if (v ne Fail) row.update(3, v)
+            case "context" =>
+              val v = nestedValue(p, "source")
+              if (v ne Fail) row.update(4, v)
+            case _ => skipValue(p)
+          }
+        }
+        row
+      } finally p.close()
+    } catch { case _: Exception => allNull() }
   }
 }

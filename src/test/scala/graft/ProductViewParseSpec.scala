@@ -65,11 +65,46 @@ class ProductViewParseSpec extends SparkSpec {
       """{"event":"dup","event":"dup2"}""",
       """{"userid":"u-Ünïcødé é","event":"e\n\t"}""",
       """{"event":"5.00 scale","messageid":5.00}""",
-      """{"timestamp":"2021-03-07 19:01:00.123+0000"}""")
+      """{"timestamp":"2021-03-07 19:01:00.123+0000"}""",
+      // r12 review: JSONOptions defaults the DOM kernel missed —
+      // single-quoted JSON parses, NaN/Infinity literals parse
+      """{'event':'sq','userid':'u1'}""",
+      """{"event":"nn","messageid":NaN,"userid":Infinity,"timestamp":-Infinity}""",
+      // ... while comments / unquoted names / leading zeros stay OFF
+      """{"event":/*c*/"x"}""",
+      """{event:"x"}""",
+      """{"event":"lz","messageid":007}""",
+      // r12 review: duplicate keys INSIDE a stringified subtree must
+      // be preserved (copyCurrentStructure), not DOM-collapsed
+      """{"event":"e","messageid":{"k":1,"k":2}}""",
+      """{"event":"e","userid":[1,{"a":1,"a":2},"x"]}""",
+      // duplicate STRUCT slots: successful re-conversion overwrites,
+      // failed re-conversion must NOT clear the earlier success
+      """{"properties":{"productid":"first"},"properties":{"productid":"second"}}""",
+      """{"properties":{"productid":"keep"},"properties":"bad"}""",
+      """{"properties":"bad","properties":{"productid":"late"}}""",
+      """{"properties":{"productid":"gone"},"properties":{}}""",
+      """{"properties":{"productid":"kept2"},"properties":[1,2]}""",
+      // empty string in a struct slot = Spark's universal
+      // empty-string-as-null for non-string types; in a STRING slot it
+      // stays the empty string
+      """{"properties":"","event":""}""",
+      // trailing content after the root value
+      """{"event":"a"} trailing""",
+      """{"event":"a"}{"event":"b"}""")
     assertParity(cases.toDF("value"))
     // null input column -> null struct on both sides
     val nullIn = Seq[String](null).toDF("value")
     assertParity(nullIn)
+  }
+
+  test("non-string child is rejected at analysis time, like from_json") {
+    import spark.implicits._
+    val bin = Seq(Array[Byte](1, 2)).toDF("value")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bin.select(ProductViewParse.productViewParse(col("value"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
   }
 
   test("product_view_parse stays inside whole-stage codegen") {
