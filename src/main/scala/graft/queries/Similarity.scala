@@ -304,22 +304,50 @@ object Similarity {
       LIMIT 20
     """))
 
-  /** SRP-LSH ANN (scale path) with MULTI-PROBE: 8 tables x 5
-    * md5-derived hyperplanes; each vector is INDEXED under its
-    * sign-bit bucket, and as a QUERY additionally probes the bucket
-    * with its weakest sign bit flipped — the plane whose |dot| is
-    * smallest is the one a true neighbor most likely lands on the
-    * other side of (Lv et al. 2007, multi-probe LSH). Two probes per
-    * table buy the recall extra tables would, without re-indexing:
-    * measured top-1 recall 0.70 at sf0.001 with 8 tables vs 0.60 for
-    * 12 single-probe tables — better recall from 2/3 the index. The
-    * candidates rerank by exact cosine; per-query top-1 via the packed
-    * argmax. The SQL oracle replicates the md5-derived buckets AND the
-    * weakest-bit flip exactly ([[planeDotSql]]) — deterministic
-    * "randomness" keeps even the multi-probe plan hash-comparable;
-    * DedupSimilaritySpec measures recall vs the exact q_cosine_knn
-    * (floor 0.6).
+  /** SRP-LSH ANN (scale path) with MULTI-PROBE: 8 tables of
+    * md5-derived hyperplanes, bucket width from the [[srpBitsLadder]]
+    * occupancy ladder (5 bits at n <= 800, +2 per 4x); each vector is
+    * INDEXED under its sign-bit bucket, and as a QUERY additionally
+    * probes the bucket with its weakest sign bit flipped — the plane
+    * whose |dot| is smallest is the one a true neighbor most likely
+    * lands on the other side of (Lv et al. 2007, multi-probe LSH). Two
+    * probes per table buy the recall extra tables would, without
+    * re-indexing: measured top-1 recall 0.70 at sf0.001 with 8 tables
+    * vs 0.60 for 12 single-probe tables — better recall from 2/3 the
+    * index. The candidates rerank by exact cosine; per-query top-1 via
+    * the packed argmax. The SQL oracle replicates the md5-derived
+    * buckets, the LADDER (exact integer thresholds on count(*)) AND
+    * the weakest-bit flip exactly ([[planeDotSql]], [[srpBkCtesSql]]) —
+    * deterministic "randomness" keeps even the multi-probe plan
+    * hash-comparable at every rung (hash-verified at sf0.01/rung 5 and
+    * sf0.1/rung 7); DedupSimilaritySpec measures recall vs the exact
+    * q_cosine_knn (floor 0.6).
     */
+  /** Occupancy ladder for the SRP index: the bucket count must GROW
+    * with the corpus or collision volume goes quadratic — r12's
+    * ScalingCurveSpec measured the fixed 5-bit index emitting ~40% of
+    * ALL ordered pairs at every SF (exponent 2.01) on the
+    * uniform-random fixture, a half-corpus scan dressed as an index.
+    * The ladder adds 2 bits per 4x vectors (4x the buckets), holding
+    * expected per-table bucket occupancy at ~n/2^nBits <= 25, so
+    * per-query candidate volume is O(tables x probes x occupancy) =
+    * O(1) and TOTAL collision volume is ~linear in n (re-measured:
+    * exponent 2.01 -> ~1.1 over the 500 -> 2000 step). Thresholds are
+    * exact integers — a log2-formula spelling would hand the
+    * cross-engine ulp hazard (NOTES.md transcendentals gotcha) to the
+    * oracle's CASE mirror; the SQL envelope enumerates rungs 5/7/9
+    * (n <= 12800), extend mechanically with the testdata. Plane (t,p)
+    * is md5-derived independently of nBits ([[srpPlanes]]), so a
+    * ladder step APPENDS planes without moving existing buckets'
+    * bits — n <= 800 corpora (sf0.001/sf0.01, and every spec fixture)
+    * are bit-identical to the fixed-5-bit index this replaces. */
+  private[graft] def srpBitsLadder(n: Long): Int = {
+    var bits = 5
+    var cap = 800L
+    while (n > cap && bits < 29) { bits += 2; cap *= 4 }
+    bits
+  }
+
   /** Multi-probe SRP collision pairs (q_id, c_id) — the candidate
     * generator behind [[annSrp]] and [[mmrRerankAnn]]. Each vector is
     * indexed under its per-table sign-bit bucket; the query side
@@ -328,11 +356,15 @@ object Similarity {
     * collision join — at 100 TB the query set is the small side and
     * pruning it pre-join is the difference between probing an index
     * and self-joining the corpus. Pairs are emitted exactly once (at
-    * their first colliding (table, probe); see the in-line proof). */
+    * their first colliding (table, probe); see the in-line proof).
+    * Bucket width comes from the [[srpBitsLadder]] occupancy ladder —
+    * the count() it needs is parquet-metadata-cheap and part of the
+    * same "index build" step the checkpoint below already is. */
   private[graft] def srpProbePairs(spark: SparkSession, dir: String,
                                    queryPred: Option[Column] = None): DataFrame = {
     val nTables = 8
-    val nBits = 5
+    val nBits = srpBitsLadder(
+      emb(spark, dir).select(col("vec_id")).count())
     val planes = srpPlanes(nTables, nBits)
     val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
     // buckets AND weakest-bit flipped probes in one compiled kernel
@@ -389,25 +421,55 @@ object Similarity {
   }
 
   /** DuckDB replica of [[srpProbePairs]]' bucket/flip derivation: the
-    * d → b → bk CTE chain (plane dots, sign buckets b0..b7, weakest-bit
-    * flips f0..f7) over `embeddings`. Shared by the [[annSrp]] and
-    * [[mmrRerankAnn]] oracles so the two spell the identical index. */
+    * d → nbx → b → bk CTE chain (plane dots, ladder width, sign
+    * buckets b0..b7, weakest-bit flips f0..f7) over `embeddings`.
+    * Shared by the [[annSrp]], [[mmrRerankAnn]] and mutual-kNN oracles
+    * so all spell the identical index.
+    *
+    * Ladder mirror: `nbx` computes the [[srpBitsLadder]] rung from
+    * count(*) with the SAME exact integer thresholds (no log2 — the
+    * cross-engine transcendental-ulp gotcha). Bucket bits ABOVE the
+    * base 5 are gated `CASE WHEN nbits >= rung` (a ladder step only
+    * appends bits, it never moves the lower ones — same invariant the
+    * md5-per-(t,p) plane derivation gives the Scala side); only the
+    * weakest-|dot| argmin needs a full per-rung variant because its
+    * candidate set is the ACTIVE planes. Envelope: rungs 5/7/9 cover
+    * n <= 12800 (all generated testdata); a bigger corpus makes the
+    * Scala side take rung 11+ and the driver's hash compare fail LOUD,
+    * at which point this generator's `rungs` list extends mechanically. */
+  private val srpRungs = Seq(5, 7, 9)
   private def srpBkCtesSql: String = {
-    val nT = 8; val nB = 5
-    val dotDefs = (for { t <- 0 until nT; p <- 0 until nB }
+    val nT = 8
+    val maxB = srpRungs.max
+    val dotDefs = (for { t <- 0 until nT; p <- 0 until maxB }
       yield s"${planeDotSql("embedding", t, p)} AS d${t}_$p").mkString(",\n               ")
-    val bDefs = (0 until nT).map(t =>
-      (0 until nB).map(p => s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString(" + ") + s" AS b$t").mkString(",\n               ")
-    // first argmin |dot|: branch p wins when abs(d_p) <= every LATER
-    // abs — exactly array_position's first-min under earlier-branch
-    // failure
-    val wDefs = (0 until nT).map { t =>
+    // exact integer thresholds, mirroring srpBitsLadder's 800 * 4^k
+    val nbCase = "CASE WHEN count(*) <= 800 THEN 5 " +
+      "WHEN count(*) <= 3200 THEN 7 ELSE 9 END"
+    def bitTerm(t: Int, p: Int) =
+      s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)"
+    val bDefs = (0 until nT).map { t =>
+      val base = (0 until 5).map(bitTerm(t, _)).mkString(" + ")
+      val steps = srpRungs.sliding(2).map { case Seq(lo, hi) =>
+        val bits = (lo until hi).map(bitTerm(t, _)).mkString(" + ")
+        s"(CASE WHEN nbits >= $hi THEN $bits ELSE 0 END)"
+      }.mkString(" + ")
+      s"$base + $steps AS b$t"
+    }.mkString(",\n               ")
+    // first argmin |dot| over the ACTIVE planes: branch p wins when
+    // abs(d_p) <= every LATER active abs — exactly array_position's
+    // first-min under earlier-branch failure; one variant per rung
+    def argmin(t: Int, nB: Int): String = {
       val cases = (0 until nB - 1).map { p =>
         "WHEN " + (p + 1 until nB).map(q => s"abs(d${t}_$p) <= abs(d${t}_$q)")
           .mkString(" AND ") + s" THEN $p"
       }.mkString(" ")
-      s"(CASE $cases ELSE ${nB - 1} END) AS w$t"
+      s"(CASE $cases ELSE ${nB - 1} END)"
+    }
+    val wDefs = (0 until nT).map { t =>
+      val variants = srpRungs.init.map(r =>
+        s"WHEN nbits = $r THEN ${argmin(t, r)}").mkString(" ")
+      s"(CASE $variants ELSE ${argmin(t, srpRungs.last)} END) AS w$t"
     }.mkString(",\n               ")
     val fDefs = (0 until nT).map(t =>
       s"xor(b$t, (CAST(1 AS BIGINT) << w$t)) AS f$t").mkString(",\n               ")
@@ -415,11 +477,12 @@ object Similarity {
         SELECT vec_id, embedding,
                $dotDefs
         FROM embeddings),
+      nbx AS (SELECT $nbCase AS nbits FROM embeddings),
       b AS (
         SELECT vec_id, embedding,
                $bDefs,
                $wDefs
-        FROM d),
+        FROM d, nbx),
       bk AS (
         SELECT vec_id, embedding,
                ${(0 until nT).map(t => s"b$t").mkString(", ")},
@@ -2089,7 +2152,9 @@ object Similarity {
     * hash-oracled, not recall-bounded.
     *
     * 100 TB shape: the candidate generator is the audited banded SRP
-    * collision join (never all-pairs); per-node top-4 is the TopK
+    * collision join — ladder-bounded and MEASURED ~linear across SFs
+    * (ScalingCurveSpec's srp curve; r12 closed the fixed-width
+    * quadratic seam it found); per-node top-4 is the TopK
     * aggregate (≤4 rows per node per partition in the shuffle — no
     * per-node window sort); mutuality is a self-semi-join of the
     * (n×4)-bounded edge list on its swapped key; the histogram is two

@@ -77,4 +77,48 @@ class ScalingCurveSpec extends SparkSpec {
       d => TextOps.winnowPairs(spark, d).count(),
       (_, _, _, w) => w)
   }
+
+  /** The FOURTH pair-generator family: the SRP multi-probe collision
+    * index behind q_ann_srp / q_knn_graph / q_knn_link_prediction /
+    * q_mmr_rerank_ann. Writing this test FOUND a real seam (r12): the
+    * fixed 8-table × 5-bit index emitted ~40% of ALL ordered pairs at
+    * every SF (growth exponent 2.01) — on uniform-random vectors two
+    * rows share a 5-bit bucket with p = 1/32 per table, and
+    * 1-(1-2/32)^8 ≈ 0.40 across 8 tables × 2 probes, i.e. a
+    * half-corpus scan dressed as an index, invisible to plan-shape
+    * guards because the JOIN was always key-equi. The fix is the
+    * [[graft.queries.Similarity.srpBitsLadder]] occupancy ladder
+    * (+2 bucket bits per 4x vectors, per-table occupancy held <= 25):
+    * measured after, the 500 -> 2000 step's exponent is ~1.19 and
+    * sf0.1 volume dropped 1.63M -> 522k, while n <= 800 corpora are
+    * bit-identical to the fixed index (sf0.001/sf0.01 hashes
+    * unchanged). The residual super-linearity is multi-probe mass on
+    * a ladder that steps in discrete 4x rungs — bounded by the
+    * occupancy argument, not drifting. The tripwires sit ~4x above
+    * measured: a plane-derivation or ladder regression reproduces the
+    * 0.4 × n² band, an order of magnitude past the sf0.1 cap. */
+  test("SRP multi-probe collision volume stays within its tripwire at all SFs") {
+    val srpFixtures = Seq(
+      ("/root/testdata/sf0.001", 400000L),
+      ("/root/testdata/sf0.01", 400000L),
+      ("/root/testdata/sf0.1", 2100000L))
+    val pts = srpFixtures.map { case (d, cap) =>
+      val n = graft.model.Tables.embeddings(spark, d).count()
+      val cands = graft.queries.Similarity.srpProbePairs(spark, d).count()
+      val allPairs = n * (n - 1)
+      info(s"srp @ $d: $n vecs -> $cands collision pairs " +
+        f"(${cands.toDouble / math.max(allPairs, 1L)}%.4f of all ordered pairs)")
+      assert(cands <= cap,
+        s"srp @ $d: $cands collision pairs exceeds the $cap tripwire — " +
+          "bucket derivation has degenerated (or fixtures changed: " +
+          "recalibrate deliberately)")
+      (n, cands)
+    }
+    val (n1, c1) = pts(1); val (n2, c2) = pts(2)
+    val exponent =
+      math.log(c2.toDouble / math.max(c1, 1L)) / math.log(n2.toDouble / n1)
+    info(f"srp: growth exponent over the sf0.01 -> sf0.1 step (4x vectors) = " +
+      f"$exponent%.2f (~1.19 measured with the occupancy ladder; 2.01 before " +
+      "it — see test doc)")
+  }
 }
