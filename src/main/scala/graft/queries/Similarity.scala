@@ -267,7 +267,18 @@ object Similarity {
     * asserts full recovery; the SQL oracle replicates the md5-derived
     * buckets exactly ([[planeDotSql]]), so the driver hash-compares
     * the full pipeline. */
-  def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20): DataFrame = {
+  /** The (label, bucket)-blocked candidate pairs behind
+    * [[embedNearDupLsh]], exposed for the ScalingCurveSpec volume
+    * tripwire. Width note (the [[srpBitsLadder]] lesson applied here):
+    * blocking is per LABEL, so the occupancy that matters is
+    * n_label / 2^8 — ~1.6 at sf0.1 (400-vector labels, 256 buckets),
+    * far below the ladder's 25 target, so the fixed base-8 width IS
+    * the correct rung for every fixture; the ladder rule takes over
+    * only past ~6400 vectors per label (same +2-bits-per-4x step,
+    * measured per label). Unlike [[srpProbePairs]] this generator has
+    * no probe side and keeps the collision rate per table at 1/256
+    * of the label's pair space. */
+  private[graft] def embedLshCandidates(rawEmbeddings: DataFrame): DataFrame = {
     val planes = srpPlanes(nTables = 4, nBits = 8)
     val e = embFrom(rawEmbeddings)
       .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
@@ -279,12 +290,15 @@ object Similarity {
         col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .filter(firstEqualTable(4))
+  }
+
+  def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20): DataFrame =
+    embedLshCandidates(rawEmbeddings)
       .select(col("x.label").as("label"),
         col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(dotp(col("x.vd"), col("y.vd")) / (col("x.nrm") * col("y.nrm")), 6).as("sim"))
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(topK)
-  }
 
   val nearDupPairsLsh = Q(
     "q_embed_neardup_lsh",

@@ -121,4 +121,32 @@ class ScalingCurveSpec extends SparkSpec {
       f"$exponent%.2f (~1.19 measured with the occupancy ladder; 2.01 before " +
       "it — see test doc)")
   }
+
+  /** The FIFTH generator: the (label, bucket)-blocked candidates
+    * behind q_embed_neardup_lsh. Its per-table collision rate on
+    * uniform vectors is 1/256 of each LABEL's pair space — quadratic
+    * in principle like every fixed-width scheme, but the base-8 width
+    * keeps per-(label, bucket) occupancy at ~1.6 even at sf0.1 (400
+    * vectors per label), 15x below the srpBitsLadder trigger, so the
+    * fixture volumes stay small in absolute terms (the srp story's
+    * difference: its 5-bit tables ran at occupancy 16-62 UNLADDERED).
+    * The tripwire pins that: a bucket-derivation regression reproduces
+    * the label-blocked all-pairs volume (~400k at sf0.1), two orders
+    * past the cap. The ladder rule takes over past ~6400 vectors per
+    * label (embedLshCandidates scaladoc). */
+  test("embed-LSH candidate volume stays within its tripwire at all SFs") {
+    val lshFixtures = Seq(
+      ("/root/testdata/sf0.001", 2000L),
+      ("/root/testdata/sf0.01", 2000L),
+      ("/root/testdata/sf0.1", 30000L))
+    lshFixtures.foreach { case (d, cap) =>
+      val cands = graft.queries.Similarity.embedLshCandidates(
+        graft.model.Tables.embeddings(spark, d)).count()
+      info(s"embed-lsh @ $d: $cands candidate pairs")
+      assert(cands <= cap,
+        s"embed-lsh @ $d: $cands candidates exceeds the $cap tripwire — " +
+          "bucket derivation has degenerated (or fixtures changed: " +
+          "recalibrate deliberately)")
+    }
+  }
 }
