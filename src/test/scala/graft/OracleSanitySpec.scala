@@ -22,6 +22,29 @@ class OracleSanitySpec extends SparkSpec {
       s"degenerate literal arithmetic in oracles: ${bad.keys.mkString(", ")}")
   }
 
+  test("the SRP oracle CASE rungs match srpBitsLadder's exact thresholds") {
+    // the ladder lives in two places — Scala (srpBitsLadder) and the
+    // generated oracle CASE — and a drift between them would surface
+    // only as a hash mismatch at whichever SF crosses the divergent
+    // threshold. Pin both sides to the same integers directly.
+    import graft.queries.Similarity.srpBitsLadder
+    val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
+      3201L -> 9, 12800L -> 9)
+    boundary.foreach { case (n, bits) =>
+      assert(srpBitsLadder(n) == bits,
+        s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
+    }
+    val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
+      "q_knn_graph", "q_knn_link_prediction")
+    srpConsumers.foreach { q =>
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains("count(*) <= 800 THEN 5") &&
+        sql.contains("count(*) <= 3200 THEN 7 ELSE 9"),
+        s"$q oracle lost the ladder CASE mirroring srpBitsLadder's " +
+          "800 * 4^k thresholds")
+    }
+  }
+
   test("no oracle interpolated a lowercase 'null' token (uninitialized String val)") {
     // intended SQL nulls in this codebase are uppercase (IS NULL,
     // IFNULL); a lowercase bare `null` is Scala's uninitialized
