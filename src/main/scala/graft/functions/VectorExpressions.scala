@@ -87,6 +87,104 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd PREFIX dot products: one left-to-right pass over
+  * two `array<double>` columns emitting the running dot at each
+  * requested prefix width — the matryoshka-truncation kernel
+  * (q_matryoshka audits 4 widths per pair; spelled as 4 independent
+  * [[DotProduct]]s over stored slices that costs 8+16+32+64 = 120
+  * multiplies per pair and 3 sliced copies per stored vector, where
+  * ONE 64-element pass with checkpoints costs 64 and slices nothing).
+  *
+  * The fold order at width w is identical to `DotProduct(slice(a, 1,
+  * w), slice(b, 1, w))` — a prefix of the same left-to-right IEEE
+  * sequence — so every emitted value is BIT-EQUAL to the slice
+  * spelling it replaces (spec-pinned, VectorExpressionsSpec) and
+  * DuckDB slice-based oracles keep hashing identically. Null contract
+  * is [[DotProduct]]'s: ragged lengths, arrays shorter than the
+  * deepest width, or a null element inside it null the WHOLE result —
+  * never a plausible partial array. `widths` must be ascending
+  * positive (constructor-checked); it is plan metadata, not a child
+  * expression. Not SQL-registered: the oracle side deliberately keeps
+  * the slice spelling, and an int-list SQL argument would need its own
+  * builder for no caller. */
+case class PrefixDots(left: Expression, right: Expression, widths: Seq[Int])
+    extends BinaryExpression {
+
+  require(widths.nonEmpty && widths.head > 0 &&
+    widths.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    s"prefix_dots widths must be ascending positive, got $widths")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // nullable even over non-null inputs: ragged/short arrays produce null
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"prefix_dots requires (array<double>, array<double>), got " +
+      s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val maxW = widths.last
+    if (n != y.numElements() || n < maxW) return null
+    val out = new Array[Double](widths.length)
+    var acc = 0.0
+    var i = 0
+    var w = 0
+    while (i < maxW) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+      if (i == widths(w)) { out(w) = acc; w += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val maxW = widths.last
+      // unrolled constant-compare checkpoints: after element i the
+      // completed prefix length is i + 1
+      val checkpoints = widths.zipWithIndex.map { case (w, k) =>
+        s"if ($i == ${w - 1}) $out[$k] = $acc;"
+      }.mkString("\n    ")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n < $maxW) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $out = new double[${widths.length}];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $maxW; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    $checkpoints
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrefixDots =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd intersection SIZE of two SORTED distinct
   * `array<long>` columns — the verification kernel of the prefix-filter
   * similarity join (Dedup.prefixFilter): a two-pointer merge over the
@@ -660,6 +758,12 @@ object VectorFunctions {
   /** Column-level L2 norm (codegen'd, same fold order as sum-of-squares). */
   def l2norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotp(a, a))
+
+  /** Column-level prefix dot products (codegen'd; see [[PrefixDots]]
+    * for the bit-equality-with-slices and null contracts). */
+  def prefixDots(a: Column, b: Column, widths: Seq[Int]): Column =
+    ColumnBridge.column(
+      PrefixDots(ColumnBridge.expression(a), ColumnBridge.expression(b), widths))
 
   private val info = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
 

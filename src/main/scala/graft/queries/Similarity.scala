@@ -2061,43 +2061,51 @@ object Similarity {
     * have no dim ordering, so recall is the noise floor a real MRL
     * encoder must beat.
     *
-    * Scale design: the prefix slices and their norms are computed once
-    * per vector and eagerly materialized ([[DataFrame.localCheckpoint]])
-    * BEFORE the pair join — at serving scale the truncated vectors ARE
-    * the stored index, and materializing dodges the BNLJ stream-side
-    * deferral that would re-slice per PAIR (the q_ann_pq lesson,
-    * NOTES.md). Pair scan is one crossJoin against the broadcast
-    * [[knnQueryIdCap]]-bounded query side computing all four widths per
-    * pair (120 mults, codegen'd [[graft.functions.DotProduct]]); the
-    * per-(query, width) argmax is the [[top1Packed]] hash aggregate on
-    * a packed group key, so the whole audit is scan → generate → one
-    * map-side-combined aggregate. */
+    * Scale design: the per-width norms are computed once per vector
+    * and eagerly materialized ([[DataFrame.localCheckpoint]]) BEFORE
+    * the pair join — at serving scale the truncated index is derived
+    * once, and materializing dodges the BNLJ stream-side deferral that
+    * would re-derive per PAIR (the q_ann_pq lesson, NOTES.md). Pair
+    * scan is one crossJoin against the broadcast
+    * [[knnQueryIdCap]]-bounded query side computing all four widths
+    * per pair in ONE prefix pass (64 multiplies via the codegen'd
+    * [[graft.functions.PrefixDots]] kernel — bit-equal to the retired
+    * 4-slice-dot spelling's 120, and the checkpoint stores one vector,
+    * not four slices); the per-(query, width) argmax is the
+    * [[top1Packed]] hash aggregate on a packed group key, so the whole
+    * audit is scan → generate → one map-side-combined aggregate. The
+    * `pd` prefix array is materialized as a pre-aggregate COLUMN, not
+    * an alias the four max() expressions each reference — the
+    * CollapseProject-inlining gotcha (NOTES.md) would otherwise run
+    * the kernel four times per pair. */
   private val mrlDims = Seq(8, 16, 32, 64)
 
   val matryoshka = Q(
     "q_matryoshka",
     (spark, dir) => {
-      // per-vector prefix slices + norms, materialized once (the
-      // "stored truncated index"); n64/v64 reuse the full-width cols
+      // per-vector per-width norms, materialized once (the "stored
+      // truncated index"); n64 reuses the full-width norm, and the
+      // transient slices feeding l2norm never reach the checkpoint
       val base = mrlDims.init.foldLeft(
           emb(spark, dir).select(col("vec_id"), col("vd").as("v64"),
                                  col("nrm").as("n64"))) { (d, k) =>
-          d.withColumn(s"v$k", slice(col("v64"), 1, k))
-           .withColumn(s"n$k", l2norm(col(s"v$k")))
+          d.withColumn(s"n$k", l2norm(slice(col("v64"), 1, k)))
         }.localCheckpoint()
       val queries = broadcast(base.filter(isKnnQuery).select(
-        col("vec_id").as("q_id") +: mrlDims.flatMap(k =>
-          Seq(col(s"v$k").as(s"qv$k"), col(s"n$k").as(s"qn$k"))): _*))
+        Seq(col("vec_id").as("q_id"), col("v64").as("qv64")) ++ mrlDims.map(k =>
+          col(s"n$k").as(s"qn$k")): _*))
       // all four widths argmax in ONE groupBy over the pair scan: four
       // packed (sim, id) max columns instead of a 4x explode + regroup
       // + winners self-join (which would rescan the pairs or need its
       // own checkpoint) — the pair set is touched exactly once
-      val packs = mrlDims.map { k =>
+      val packs = mrlDims.zipWithIndex.map { case (k, idx) =>
         max(packSimId(
-          round(dotp(col(s"v$k"), col(s"qv$k")) / (col(s"n$k") * col(s"qn$k")), 6),
+          round(col("pd")(idx) / (col(s"n$k") * col(s"qn$k")), 6),
           col("vec_id"))).as(s"p$k") }
       val winners = base.crossJoin(queries)
         .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("pd", graft.functions.VectorFunctions.prefixDots(
+          col("v64"), col("qv64"), mrlDims))
         .groupBy(col("q_id"))
         .agg(packs.head, packs.tail: _*)
       // decode: low 42 bits carry (2^42-1 - nn_id); high bits carry

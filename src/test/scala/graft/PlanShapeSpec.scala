@@ -100,6 +100,17 @@ class PlanShapeSpec extends SparkSpec {
       s"priority sample must not shuffle before the heap:\n$plan")
   }
 
+  test("matryoshka evaluates the prefix_dots kernel ONCE per pair") {
+    // the pd array feeds four max() aggregates; if it were a Project
+    // alias the four expressions referenced, CollapseProject would
+    // inline the kernel into each (the NOTES.md staged-array gotcha,
+    // 4x the pair work). As a pre-aggregate column it must appear in
+    // the executed plan exactly once.
+    val plan = executedPlan(graft.queries.Similarity.matryoshka.fn(spark, sf))
+    val n = "prefix_dots".r.findAllIn(plan).size
+    assert(n == 1, s"prefix_dots appears $n times (expected 1):\n$plan")
+  }
+
   test("salted join partitions on (key, salt) — hot keys spread across tasks") {
     val plan = executedPlan(Relational.saltedJoin.fn(spark, sf))
     assert(plan.contains("__salt"), s"salt column absent from exchange:\n$plan")

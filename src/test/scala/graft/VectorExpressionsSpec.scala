@@ -17,6 +17,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("prefix_dots equals the 4-slice dot_product spelling bit-for-bit on real embeddings") {
+    // the matryoshka kernel: one 64-element prefix pass must emit the
+    // exact values of four independent dots over stored slices — the
+    // fold at width w is a prefix of the same left-to-right sequence
+    val widths = Seq(8, 16, 32, 64)
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .limit(50)
+    val pairs = e.select(col("vec_id").as("ida"), col("vd").as("va"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("vd").as("vb")))
+    val both = pairs.select(
+      VectorFunctions.prefixDots(col("va"), col("vb"), widths).as("pd"),
+      array(widths.map(w => VectorFunctions.dotp(
+        slice(col("va"), 1, w), slice(col("vb"), 1, w))): _*).as("sliced"))
+    assert(both.filter(col("pd") =!= col("sliced")).count() === 0)
+    assert(both.count() === 2500)
+  }
+
+  test("prefix_dots null contract: ragged, short, and null-element inputs poison the whole array") {
+    import spark.implicits._
+    val widths = Seq(2, 4)
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0), Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0)), // ragged
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)), // shorter than max width
+      (Seq[java.lang.Double](1.0, null, 3.0, 4.0), Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0)) // null elem
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.prefixDots(col("a"), col("b"), widths).as("pd")).collect()
+    assert(out(0).getSeq[Double](0) === Seq(3.0, 10.0))
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
   test("dot_product is null on null input and callable from SQL after registration") {
     VectorFunctions.register(spark)
     val row = spark.sql(
