@@ -624,8 +624,28 @@ object Similarity {
   def ivfTop1(spark: SparkSession, dir: String): DataFrame =
     ivfTop1From(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
 
+  /** IVF cell count for a corpus of n vectors: mean cell size ~125,
+    * floor 16 (fixture-invariant), ceiling 4096 (the O(k·dim)-per-row
+    * assignment bound; see [[ivfTop1From]]). */
+  private[graft] def ivfCellCount(n: Long): Int =
+    math.max(16L, math.min(4096L, math.ceil(n / 125.0).toLong)).toInt
+
   private def ivfTop1From(e: DataFrame): DataFrame = {
-    val k = 16; val nprobe = 4
+    // Cell count scales with the corpus — the srpBitsLadder discipline
+    // applied to IVF: at FIXED k, per-query candidates are n * nprobe
+    // / k (linear in n), so serving cost quietly grows with the corpus
+    // it indexes. ceil(n / 125) holds mean cell size ~125 and
+    // per-query candidates ~nprobe * 125 = O(1); floor 16 keeps every
+    // generated fixture on the recorded recall constants (500 -> 16,
+    // 2000 -> 16; first divergence at n > 2000), and the 4096 ceiling
+    // is the semCells O(k * dim)-per-row assignment argument — beyond
+    // it, assign via the inverted-file JOIN path (its scaladoc names
+    // the escalation). k is NOT oracle-mirrored (the annIvf oracle is
+    // the recall contract, not the index), so no SQL surgery — a
+    // DedupSimilaritySpec unit test pins the formula instead.
+    val n = e.count()
+    val k = ivfCellCount(n)
+    val nprobe = 4
     val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
     val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
     // inverted file: ONE distributed pass assigns every vector a cell

@@ -126,6 +126,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.45, s"recall $recall below the IVF floor")
   }
 
+  test("IVF cell count scales with the corpus, fixture-invariant at the floor") {
+    // the srpBitsLadder discipline applied to IVF: fixed k makes
+    // per-query candidates n * nprobe / k, linear in the corpus. The
+    // formula holds mean cell size ~125 with floor 16 — every
+    // generated fixture (500 and 2000 vectors) stays on the recorded
+    // recall constants — and ceiling 4096 (the O(k*dim)-per-row
+    // assignment bound; beyond it the inverted-file join path).
+    import graft.queries.Similarity.ivfCellCount
+    assert(ivfCellCount(500) == 16 && ivfCellCount(2000) == 16)
+    assert(ivfCellCount(4000) == 32 && ivfCellCount(125000) == 1000)
+    assert(ivfCellCount(10000000) == 4096)
+  }
+
   test("SRP-blocked embed near-dup recovers planted sim≈1 duplicates") {
     // the raw corpus has no real near-dups (closest same-label pairs
     // sit at sim ~0.45, where sign buckets carry no signal), so plant
