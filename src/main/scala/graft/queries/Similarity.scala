@@ -450,7 +450,16 @@ object Similarity {
     * candidate set is the ACTIVE planes. Envelope: rungs 5/7/9 cover
     * n <= 12800 (all generated testdata); a bigger corpus makes the
     * Scala side take rung 11+ and the driver's hash compare fail LOUD,
-    * at which point this generator's `rungs` list extends mechanically. */
+    * at which point this generator's `rungs` list extends mechanically.
+    *
+    * Known cost, accepted: the d CTE computes all 72 plane dots at
+    * every rung, though rung-5 corpora use only 40 — inactive-rung
+    * columns are discarded inside never-taken CASE branches. Inlining
+    * the gated dots into the branches would recompute each dot at
+    * every argmin reference (no cross-branch CSE guarantee in the
+    * oracle engine) and multiply the generated text; one-dot-one-column
+    * stays simple and costs the 500-row correctness corpus ~1.8x on a
+    * derivation that runs once per round. */
   private val srpRungs = Seq(5, 7, 9)
   private def srpBkCtesSql: String = {
     val nT = 8
@@ -2097,7 +2106,16 @@ object Similarity {
     * `pd` prefix array is materialized as a pre-aggregate COLUMN, not
     * an alias the four max() expressions each reference — the
     * CollapseProject-inlining gotcha (NOTES.md) would otherwise run
-    * the kernel four times per pair. */
+    * the kernel four times per pair.
+    *
+    * Input envelope (narrower than the retired slice spelling):
+    * [[graft.functions.PrefixDots]] nulls ALL widths for a vector
+    * shorter than 64 dims, where slice() would have clamped and
+    * computed the widths that fit — and the oracle still slices. A
+    * sub-64-dim embeddings fixture therefore fails the driver's hash
+    * compare LOUDLY; dim = 64 is the testdata contract (TESTDATA.md),
+    * and this note is the hint that the kernel's whole-array null
+    * contract is the cause. */
   private val mrlDims = Seq(8, 16, 32, 64)
 
   val matryoshka = Q(

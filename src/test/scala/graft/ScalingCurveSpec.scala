@@ -94,14 +94,25 @@ class ScalingCurveSpec extends SparkSpec {
     * bit-identical to the fixed index (sf0.001/sf0.01 hashes
     * unchanged). The residual super-linearity is multi-probe mass on
     * a ladder that steps in discrete 4x rungs — bounded by the
-    * occupancy argument, not drifting. The tripwires sit ~4x above
-    * measured: a plane-derivation or ladder regression reproduces the
-    * 0.4 × n² band, an order of magnitude past the sf0.1 cap. */
+    * occupancy argument, not drifting.
+    *
+    * TRIPWIRE GEOMETRY (r12 review finding — the first caps could not
+    * catch the regression this test exists for): at the 500-vector
+    * fixtures rung 5 IS the correct ladder rung, so fixed-width and
+    * laddered indexes are identical there and the only catchable
+    * degeneration is bucket COLLAPSE (all-ordered-pairs = 249.5k);
+    * caps sit at 150k — 1.5x measured, 0.6x collapse. At sf0.1 the
+    * fixed-width regression band is 1.63M (measured pre-ladder), so
+    * the cap is 1.0M — 2x measured, 0.6x the regression. The growth
+    * EXPONENT is additionally asserted < 1.6 (deterministic planes +
+    * data make it a fixture constant: 1.19 laddered, 2.01 fixed) so
+    * a consistent Scala+oracle ladder edit that re-quadratizes the
+    * volume fails here even while hashes stay green. */
   test("SRP multi-probe collision volume stays within its tripwire at all SFs") {
     val srpFixtures = Seq(
-      ("/root/testdata/sf0.001", 400000L),
-      ("/root/testdata/sf0.01", 400000L),
-      ("/root/testdata/sf0.1", 2100000L))
+      ("/root/testdata/sf0.001", 150000L),
+      ("/root/testdata/sf0.01", 150000L),
+      ("/root/testdata/sf0.1", 1000000L))
     val pts = srpFixtures.map { case (d, cap) =>
       val n = graft.model.Tables.embeddings(spark, d).count()
       val cands = graft.queries.Similarity.srpProbePairs(spark, d).count()
@@ -120,6 +131,9 @@ class ScalingCurveSpec extends SparkSpec {
     info(f"srp: growth exponent over the sf0.01 -> sf0.1 step (4x vectors) = " +
       f"$exponent%.2f (~1.19 measured with the occupancy ladder; 2.01 before " +
       "it — see test doc)")
+    assert(exponent < 1.6,
+      f"srp growth exponent $exponent%.2f — the ladder has stopped holding " +
+        "occupancy (fixed-width behavior measures 2.01; see test doc)")
   }
 
   /** The FIFTH generator: the (label, bucket)-blocked candidates
