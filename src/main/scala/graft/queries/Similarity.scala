@@ -652,6 +652,22 @@ object Similarity {
     // the escalation). k is NOT oracle-mirrored (the annIvf oracle is
     // the recall contract, not the index), so no SQL surgery — a
     // DedupSimilaritySpec unit test pins the formula instead.
+    top1Packed(
+      ivfCandidatePairs(e)
+        .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
+      "q_id", "c_id")
+  }
+
+  /** The IVF probe-join candidate pairs behind [[ivfTop1From]],
+    * exposed for the ScalingCurveSpec volume tripwire (the sixth and
+    * last pair generator). Per-query volume is ~n · nprobe / k; with
+    * [[ivfCellCount]] that is ~nprobe · 125 = O(1) once the corpus
+    * clears the k floor (n > 2000 — below it the floor binds and
+    * volume grows with n, like embed-LSH's base rung). */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
+    ivfCandidatePairs(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
+
+  private[graft] def ivfCandidatePairs(e: DataFrame): DataFrame = {
     val n = e.count()
     val k = ivfCellCount(n)
     val nprobe = 4
@@ -671,11 +687,8 @@ object Similarity {
               explode(graft.functions.VectorFunctions.cellTopN(
                 col("u"), cents.flatten, Array.fill(k)(1.0),
                 Array.tabulate(k)(_.toLong), cents(0).length, nprobe)).as("cell"))
-    top1Packed(
-      probes.join(inv.hint("shuffle_hash"), "cell")
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
-      "q_id", "c_id")
+    probes.join(inv.hint("shuffle_hash"), "cell")
+      .filter(col("q_id") =!= col("c_id"))
   }
 
   /** Recorded per-fixture recall floors (ppm of the query subset) for

@@ -163,4 +163,29 @@ class ScalingCurveSpec extends SparkSpec {
           "recalibrate deliberately)")
     }
   }
+
+  /** The SIXTH (and last) generator: the IVF probe-join candidates
+    * behind ivfTop1/q_ann_ivf. Per-query volume is n * nprobe / k;
+    * ivfCellCount holds it at ~nprobe * 125 once the corpus clears
+    * the k = 16 floor (n > 2000 — at the fixtures the floor binds,
+    * so measured volume still grows with n: ~queries * n / 4).
+    * Tripwire geometry (NOTES.md item 19 — cap between measurement
+    * and failure band): the degeneration band is every query probing
+    * cells holding the whole corpus (collapsed training = queries * n:
+    * 25k at the 500-vector fixtures, 400k at sf0.1); caps sit ~2x
+    * measured and 0.5x collapse. */
+  test("IVF probe candidate volume stays within its tripwire at all SFs") {
+    val ivfFixtures = Seq(
+      ("/root/testdata/sf0.001", 12000L),
+      ("/root/testdata/sf0.01", 12000L),
+      ("/root/testdata/sf0.1", 200000L))
+    ivfFixtures.foreach { case (d, cap) =>
+      val cands = graft.queries.Similarity.ivfCandidates(spark, d).count()
+      info(s"ivf @ $d: $cands candidate pairs")
+      assert(cands <= cap,
+        s"ivf @ $d: $cands candidates exceeds the $cap tripwire — " +
+          "cell training/probing has degenerated (or fixtures changed: " +
+          "recalibrate deliberately)")
+    }
+  }
 }
