@@ -634,10 +634,27 @@ object Similarity {
     ivfTop1From(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
 
   /** IVF cell count for a corpus of n vectors: mean cell size ~125,
-    * floor 16 (fixture-invariant), ceiling 4096 (the O(k·dim)-per-row
-    * assignment bound; see [[ivfTop1From]]). */
-  private[graft] def ivfCellCount(n: Long): Int =
-    math.max(16L, math.min(4096L, math.ceil(n / 125.0).toLong)).toInt
+    * floor 16 (fixture-invariant). Past 4096 cells (corpus ~512k at
+    * the 125-vector target) this REFUSES LOUDLY instead of clamping —
+    * a clamped k would silently revert per-query candidates to
+    * nprobe·n/4096, linear in the corpus, reopening the exact seam the
+    * scaling closes (r12 review finding; the [[semCells]] require is
+    * the precedent, and the SRP ladder's oracle envelope fails loud
+    * the same way past its last rung). The named escalation: assign
+    * via an inverted-file JOIN against a centroid TABLE
+    * ([[ivfTop1From]]'s probe-join shape with the centroids as a
+    * relation instead of a reference object), which scales k freely at
+    * the cost of a shuffle. */
+  private[graft] def ivfCellCount(n: Long): Int = {
+    val k = math.max(16L, math.ceil(n / 125.0).toLong)
+    require(k <= 4096,
+      s"ivfCellCount: k=$k cells for n=$n vectors — the O(k*dim)-per-row " +
+        "CellArgMax/CellTopN assignment is audited to 4096 cells (corpus " +
+        "~512k at the 125-vector target); beyond it assign via an " +
+        "inverted-file join against a centroid table (ivfTop1From's " +
+        "probe-join shape), which trades a shuffle for unbounded k")
+    k.toInt
+  }
 
   private def ivfTop1From(e: DataFrame): DataFrame = {
     // Cell count scales with the corpus — the srpBitsLadder discipline
@@ -646,10 +663,10 @@ object Similarity {
     // it indexes. ceil(n / 125) holds mean cell size ~125 and
     // per-query candidates ~nprobe * 125 = O(1); floor 16 keeps every
     // generated fixture on the recorded recall constants (500 -> 16,
-    // 2000 -> 16; first divergence at n > 2000), and the 4096 ceiling
-    // is the semCells O(k * dim)-per-row assignment argument — beyond
-    // it, assign via the inverted-file JOIN path (its scaladoc names
-    // the escalation). k is NOT oracle-mirrored (the annIvf oracle is
+    // 2000 -> 16; first divergence at n > 2000), and past 4096 cells
+    // ivfCellCount REFUSES LOUDLY (the semCells O(k * dim)-per-row
+    // assignment argument; its scaladoc names the inverted-file-join
+    // escalation). k is NOT oracle-mirrored (the annIvf oracle is
     // the recall contract, not the index), so no SQL surgery — a
     // DedupSimilaritySpec unit test pins the formula instead.
     top1Packed(

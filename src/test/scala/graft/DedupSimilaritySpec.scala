@@ -136,7 +136,11 @@ class DedupSimilaritySpec extends SparkSpec {
     import graft.queries.Similarity.ivfCellCount
     assert(ivfCellCount(500) == 16 && ivfCellCount(2000) == 16)
     assert(ivfCellCount(4000) == 32 && ivfCellCount(125000) == 1000)
-    assert(ivfCellCount(10000000) == 4096)
+    assert(ivfCellCount(512000) == 4096)
+    // past the audited ceiling the count REFUSES rather than clamps:
+    // a clamped k reverts per-query candidates to linear-in-n silently
+    val e = intercept[IllegalArgumentException](ivfCellCount(512001))
+    assert(e.getMessage.contains("inverted-file join"))
   }
 
   test("SRP-blocked embed near-dup recovers planted sim≈1 duplicates") {
