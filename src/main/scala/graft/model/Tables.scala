@@ -54,6 +54,38 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Memoized table row count, keyed by the table path's FILESYSTEM
+    * SNAPSHOT (every file's path+length+mtime from one recursive
+    * listing). The index-scaling formulas (srpBitsLadder,
+    * ivfCellCount, semCells' k) each need the corpus cardinality at
+    * plan-build; before this cache every ladder consumer re-ran a
+    * count() action per invocation — at 100 TB that is an O(files)
+    * parquet footer sweep PER QUERY for a number that never changes
+    * within a snapshot (r12 verdict task 3 / ADVICE). The snapshot key
+    * IS the staleness contract: a file rewritten, added, or dropped
+    * under the path changes the key and forces a recount; an untouched
+    * directory costs one listing (the same listing planning pays
+    * anyway) and zero jobs. The cache holds one Long per (path,
+    * snapshot) — O(directories), never O(rows). */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sb = new StringBuilder(path.toString)
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      sb.append('|').append(f.getPath.toString)
+        .append(':').append(f.getLen)
+        .append(':').append(f.getModificationTime)
+    }
+    rowCountCache
+      .computeIfAbsent(sb.toString, _ => apply(s, d, name).count())
+      .longValue()
+  }
 }
 
 /** One named engine query: a Spark plan plus (when SQL-expressible) the

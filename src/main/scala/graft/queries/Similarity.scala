@@ -349,18 +349,38 @@ object Similarity {
     * exponent 2.01 -> ~1.1 over the 500 -> 2000 step). Thresholds are
     * exact integers — a log2-formula spelling would hand the
     * cross-engine ulp hazard (NOTES.md transcendentals gotcha) to the
-    * oracle's CASE mirror; the SQL envelope enumerates rungs 5/7/9
-    * (n <= 12800), extend mechanically with the testdata. Plane (t,p)
+    * oracle's CASE mirror. Plane (t,p)
     * is md5-derived independently of nBits ([[srpPlanes]]), so a
     * ladder step APPENDS planes without moving existing buckets'
     * bits — n <= 800 corpora (sf0.001/sf0.01, and every spec fixture)
-    * are bit-identical to the fixed-5-bit index this replaces. */
-  private[graft] def srpBitsLadder(n: Long): Int = {
-    var bits = 5
-    var cap = 800L
-    while (n > cap && bits < 29) { bits += 2; cap *= 4 }
-    bits
-  }
+    * are bit-identical to the fixed-5-bit index this replaces.
+    *
+    * SINGLE SOURCE OF TRUTH (r12 verdict task 4): both this formula
+    * and the oracle's generated CASE ([[srpNbCaseSql]]) read
+    * [[srpRungs]] — rung i uses srpRungs(i) bits and covers n <=
+    * [[srpRungCap]](i) = 800·4^i. Extending the envelope is ONE edit:
+    * append the next odd width to srpRungs (currently 5/7/9/11,
+    * n <= 51200); the Scala ladder, the oracle thresholds, the plane
+    * dots and the weakest-bit argmin variants all re-generate from the
+    * list. Past the last rung the Scala side refuses LOUDLY — the old
+    * spelling kept stepping while the hand-kept SQL envelope stood
+    * still, failing only at the driver's hash compare. */
+  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11)
+  private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
+  private[graft] def srpBitsLadder(n: Long): Int =
+    srpRungs.indices.find(i => n <= srpRungCap(i)).map(srpRungs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"srpBitsLadder: n=$n exceeds the oracle envelope " +
+          s"(n <= ${srpRungCap(srpRungs.size - 1)}); append the next rung " +
+          "to Similarity.srpRungs — the Scala ladder AND the oracle CASE " +
+          "both generate from that one list"))
+  /** The oracle's ladder CASE, generated from [[srpRungs]] (exposed so
+    * OracleSanitySpec can assert every SRP consumer's SQL embeds
+    * exactly this text — proof the mirror is generated, not hand-kept). */
+  private[graft] def srpNbCaseSql: String =
+    "CASE " + srpRungs.init.zipWithIndex.map { case (b, i) =>
+      s"WHEN count(*) <= ${srpRungCap(i)} THEN $b" }.mkString(" ") +
+      s" ELSE ${srpRungs.last} END"
 
   /** Multi-probe SRP collision pairs (q_id, c_id) — the candidate
     * generator behind [[annSrp]] and [[mmrRerankAnn]]. Each vector is
@@ -372,13 +392,15 @@ object Similarity {
     * and self-joining the corpus. Pairs are emitted exactly once (at
     * their first colliding (table, probe); see the in-line proof).
     * Bucket width comes from the [[srpBitsLadder]] occupancy ladder —
-    * the count() it needs is parquet-metadata-cheap and part of the
-    * same "index build" step the checkpoint below already is. */
+    * the corpus count it needs is the memoized
+    * [[Tables.cachedRowCount]] (one count job per directory snapshot
+    * per session; four queries call this generator per round, and the
+    * per-invocation count() it replaces ran BEFORE the checkpoint so
+    * it could never reuse the index build — ADVICE r12). */
   private[graft] def srpProbePairs(spark: SparkSession, dir: String,
                                    queryPred: Option[Column] = None): DataFrame = {
     val nTables = 8
-    val nBits = srpBitsLadder(
-      emb(spark, dir).select(col("vec_id")).count())
+    val nBits = srpBitsLadder(Tables.cachedRowCount(spark, dir, "embeddings"))
     val planes = srpPlanes(nTables, nBits)
     val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
     // buckets AND weakest-bit flipped probes in one compiled kernel
@@ -447,12 +469,13 @@ object Similarity {
     * appends bits, it never moves the lower ones — same invariant the
     * md5-per-(t,p) plane derivation gives the Scala side); only the
     * weakest-|dot| argmin needs a full per-rung variant because its
-    * candidate set is the ACTIVE planes. Envelope: rungs 5/7/9 cover
-    * n <= 12800 (all generated testdata); a bigger corpus makes the
-    * Scala side take rung 11+ and the driver's hash compare fail LOUD,
-    * at which point this generator's `rungs` list extends mechanically.
+    * candidate set is the ACTIVE planes. The thresholds, gated bits,
+    * plane-dot set and argmin variants ALL generate from [[srpRungs]]
+    * (r12 verdict task 4) — currently 5/7/9/11, covering n <= 51200;
+    * a bigger corpus hits [[srpBitsLadder]]'s loud refusal and the fix
+    * is appending one rung to that single list.
     *
-    * Known cost, accepted: the d CTE computes all 72 plane dots at
+    * Known cost, accepted: the d CTE computes all 88 plane dots at
     * every rung, though rung-5 corpora use only 40 — inactive-rung
     * columns are discarded inside never-taken CASE branches. Inlining
     * the gated dots into the branches would recompute each dot at
@@ -460,19 +483,18 @@ object Similarity {
     * oracle engine) and multiply the generated text; one-dot-one-column
     * stays simple and costs the 500-row correctness corpus ~1.8x on a
     * derivation that runs once per round. */
-  private val srpRungs = Seq(5, 7, 9)
   private def srpBkCtesSql: String = {
     val nT = 8
     val maxB = srpRungs.max
     val dotDefs = (for { t <- 0 until nT; p <- 0 until maxB }
       yield s"${planeDotSql("embedding", t, p)} AS d${t}_$p").mkString(",\n               ")
-    // exact integer thresholds, mirroring srpBitsLadder's 800 * 4^k
-    val nbCase = "CASE WHEN count(*) <= 800 THEN 5 " +
-      "WHEN count(*) <= 3200 THEN 7 ELSE 9 END"
+    // the ladder thresholds GENERATE from srpRungs — srpNbCaseSql is
+    // the same text OracleSanitySpec pins in every SRP consumer
+    val nbCase = srpNbCaseSql
     def bitTerm(t: Int, p: Int) =
       s"(CASE WHEN d${t}_$p >= 0 THEN ${1L << p} ELSE 0 END)"
     val bDefs = (0 until nT).map { t =>
-      val base = (0 until 5).map(bitTerm(t, _)).mkString(" + ")
+      val base = (0 until srpRungs.head).map(bitTerm(t, _)).mkString(" + ")
       val steps = srpRungs.sliding(2).map { case Seq(lo, hi) =>
         val bits = (lo until hi).map(bitTerm(t, _)).mkString(" + ")
         s"(CASE WHEN nbits >= $hi THEN $bits ELSE 0 END)"
@@ -631,7 +653,8 @@ object Similarity {
     * oracle-checkable recall contract; this per-query table is the
     * production plan (PlanShapeSpec pins it all-pairs-free). */
   def ivfTop1(spark: SparkSession, dir: String): DataFrame =
-    ivfTop1From(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
+    ivfTop1From(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")),
+      Tables.cachedRowCount(spark, dir, "embeddings"))
 
   /** IVF cell count for a corpus of n vectors: mean cell size ~125,
     * floor 16 (fixture-invariant). Past 4096 cells (corpus ~512k at
@@ -656,7 +679,7 @@ object Similarity {
     k.toInt
   }
 
-  private def ivfTop1From(e: DataFrame): DataFrame = {
+  private def ivfTop1From(e: DataFrame, n: Long): DataFrame = {
     // Cell count scales with the corpus — the srpBitsLadder discipline
     // applied to IVF: at FIXED k, per-query candidates are n * nprobe
     // / k (linear in n), so serving cost quietly grows with the corpus
@@ -670,7 +693,7 @@ object Similarity {
     // the recall contract, not the index), so no SQL surgery — a
     // DedupSimilaritySpec unit test pins the formula instead.
     top1Packed(
-      ivfCandidatePairs(e)
+      ivfCandidatePairs(e, n)
         .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
       "q_id", "c_id")
   }
@@ -682,10 +705,13 @@ object Similarity {
     * clears the k floor (n > 2000 — below it the floor binds and
     * volume grows with n, like embed-LSH's base rung). */
   private[graft] def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
-    ivfCandidatePairs(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")))
+    ivfCandidatePairs(emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm")),
+      Tables.cachedRowCount(spark, dir, "embeddings"))
 
-  private[graft] def ivfCandidatePairs(e: DataFrame): DataFrame = {
-    val n = e.count()
+  /** `n` is the corpus cardinality, threaded from the memoized
+    * [[Tables.cachedRowCount]] by every dir-based caller so the ladder
+    * formulas cost zero jobs on a warm snapshot (r12 verdict task 3). */
+  private[graft] def ivfCandidatePairs(e: DataFrame, n: Long): DataFrame = {
     val k = ivfCellCount(n)
     val nprobe = 4
     val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
@@ -747,7 +773,8 @@ object Similarity {
     (spark, dir) => {
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
       val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
-      val ivf = ivfTop1From(e).select(col("q_id"), col("nn_id").as("ivf_nn"))
+      val ivf = ivfTop1From(e, Tables.cachedRowCount(spark, dir, "embeddings"))
+        .select(col("q_id"), col("nn_id").as("ivf_nn"))
       // anchor the denominator on the query SUBSET itself, not on
       // exact-kNN's output: the oracle counts every subset row, and on
       // a degenerate corpus (a query with no other vector) exact-kNN
@@ -1221,7 +1248,8 @@ object Similarity {
     val up = u
     // the stored IVF-PQ index: per-cell posting lists of 2-byte codes
     val index = pqCodes(up, seeds)
-      .join(semCells(e).select(col("vec_id").as("c_id"), col("cell")), "c_id")
+      .join(semCells(e, Some(Tables.cachedRowCount(spark, dir, "embeddings")))
+        .select(col("vec_id").as("c_id"), col("cell")), "c_id")
       .localCheckpoint(true)
     // query side: ADC LUT + own-cell probe; checkpointed because the
     // one action reads it twice (shortlist broadcast + final cell col)
@@ -1523,8 +1551,11 @@ object Similarity {
     * [[ivfTrain]]'s inverted-file JOIN path ([[ivfTop1From]]'s shape),
     * which scales to any k but trades the SQL oracle for the
     * [[annIvf]]-style recall contract. */
-  private[queries] def semCells(e: DataFrame): DataFrame = {
-    val n = e.count()
+  private[queries] def semCells(e: DataFrame, nOpt: Option[Long] = None)
+      : DataFrame = {
+    // dir-based callers thread the memoized Tables.cachedRowCount so a
+    // warm snapshot costs zero count jobs (r12 verdict task 3)
+    val n = nOpt.getOrElse(e.count())
     val k = math.max(4L, math.ceil(n / semCellTarget).toLong).toInt
     require(k <= 4096,
       s"semCells: k=$k cells — the ids/argmax contract is audited to " +
@@ -1587,13 +1618,14 @@ object Similarity {
     * [[semanticDupPpm]] threshold. The join keys on `cell` — a
     * trained, corpus-scaled blocking key — never on a fixed-
     * cardinality column. */
-  private def embedDedupPairsFrom(e: DataFrame): DataFrame = {
+  private def embedDedupPairsFrom(e: DataFrame,
+      nOpt: Option[Long] = None): DataFrame = {
     // EAGER localCheckpoint, not lazy persist: the assignment feeds
     // BOTH sides of the pair join and the final keep/drop join in ONE
     // action — the concurrent-consumer shape where a lazy persist
     // stampedes (every consumer recomputes the k-way argmax scan; the
     // seventh sighting of the gotcha, caught by SourceAuditSpec)
-    val cells = semCells(e).localCheckpoint(true)
+    val cells = semCells(e, nOpt).localCheckpoint(true)
     val a = e.join(cells, "vec_id")
       .select(col("cell"), col("vec_id").as("doc_a"),
               col("vd").as("va"), col("nrm").as("na"))
@@ -1611,7 +1643,8 @@ object Similarity {
   /** PlanShapeSpec entry point for the [[embedDedup]] pair join. */
   def embedDedupPairs(spark: SparkSession, dir: String): DataFrame =
     embedDedupPairsFrom(emb(spark, dir)
-      .select(col("vec_id"), col("label"), col("vd"), col("nrm")))
+      .select(col("vec_id"), col("label"), col("vd"), col("nrm")),
+      Some(Tables.cachedRowCount(spark, dir, "embeddings")))
 
   /** DuckDB CTE chain mirroring [[semCells]] exactly: defines
     * `asn(vec_id, label, embedding, cell)`. Every float op is the
@@ -1694,7 +1727,8 @@ object Similarity {
     "q_embed_dedup",
     (spark, dir) => {
       val e = emb(spark, dir).select(col("vec_id"), col("label"), col("vd"), col("nrm"))
-      val pairs = embedDedupPairsFrom(e)
+      val pairs = embedDedupPairsFrom(
+        e, Some(Tables.cachedRowCount(spark, dir, "embeddings")))
       val dropSet = Dedup.nonCanonical(pairs)
         .withColumnRenamed("doc_id", "vec_id").withColumn("dup", lit(true))
       Tables.embeddings(spark, dir)

@@ -27,21 +27,28 @@ class OracleSanitySpec extends SparkSpec {
     // generated oracle CASE — and a drift between them would surface
     // only as a hash mismatch at whichever SF crosses the divergent
     // threshold. Pin both sides to the same integers directly.
-    import graft.queries.Similarity.srpBitsLadder
+    import graft.queries.Similarity.{srpBitsLadder, srpNbCaseSql, srpRungs}
     val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
-      3201L -> 9, 12800L -> 9)
+      3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
     }
+    // past the last rung the Scala ladder refuses LOUDLY (the old
+    // spelling silently stepped past the hand-kept SQL envelope and
+    // failed only at the driver's hash compare)
+    val past = intercept[IllegalArgumentException](srpBitsLadder(51201L))
+    assert(past.getMessage.contains("srpRungs"), past.getMessage)
+    // both sides generate from ONE rung list: every SRP consumer's SQL
+    // must embed srpNbCaseSql verbatim — a hand-edited CASE that
+    // drifts from srpRungs cannot pass this
+    assert(srpRungs == Seq(5, 7, 9, 11))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>
       val sql = SparkEntry.oracleSql(q)
-      assert(sql.contains("count(*) <= 800 THEN 5") &&
-        sql.contains("count(*) <= 3200 THEN 7 ELSE 9"),
-        s"$q oracle lost the ladder CASE mirroring srpBitsLadder's " +
-          "800 * 4^k thresholds")
+      assert(sql.contains(srpNbCaseSql),
+        s"$q oracle lost the generated ladder CASE ($srpNbCaseSql)")
     }
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+import graft.model.Tables
+
+/** Pins the [[Tables.cachedRowCount]] contract (r12 verdict task 3):
+  * the index-scaling formulas (srpBitsLadder, ivfCellCount, semCells'
+  * k) read the corpus cardinality through a cache keyed on the table
+  * path's filesystem snapshot, so a warm snapshot costs ZERO Spark
+  * jobs and a changed file (the staleness hazard the memo introduces)
+  * forces a recount. Uses a private temp copy of the sf0.001
+  * embeddings table so no other suite can have warmed the key.
+  */
+class RowCountCacheSpec extends SparkSpec {
+
+  test("cachedRowCount: one count job per snapshot, zero on reuse, recount on file change") {
+    val tmp = Files.createTempDirectory("graft-rcc").toFile
+    val src = Paths.get(sf, "embeddings.parquet")
+    val dst = Paths.get(tmp.getAbsolutePath, "embeddings.parquet")
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener delivery is ASYNC: drain by polling until the count is
+    // stable for a full poll interval, never by a single sleep
+    def drained(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      while (cur != last) { Thread.sleep(200); last = cur; cur = jobs.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val expected = spark.read.parquet(dst.toString).count()
+      drained()
+      jobs.set(0)
+
+      val n1 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      assert(n1 === expected)
+      val afterFirst = drained()
+      assert(afterFirst >= 1, "cold cache must run a real count job")
+
+      val n2 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      assert(n2 === expected)
+      assert(drained() === afterFirst,
+        "warm snapshot must cost zero Spark jobs — the memo is the point")
+
+      // staleness: a rewritten file (same path, new mtime) is a NEW
+      // snapshot key and must recount, not serve the stale value
+      val f = dst.toFile
+      assert(f.setLastModified(f.lastModified() + 60000))
+      val n3 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      assert(n3 === expected)
+      assert(drained() > afterFirst,
+        "a changed file snapshot must force a fresh count job")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Files.deleteIfExists(dst)
+      tmp.delete()
+    }
+  }
+}

@@ -13,7 +13,7 @@ class VectorExpressionsSpec extends SparkSpec {
       VectorFunctions.dotp(col("vd"), col("vd")).as("native"),
       expr("aggregate(zip_with(vd, vd, (x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)")
         .as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() === 0)
     assert(both.count() > 0)
   }
 
@@ -31,7 +31,9 @@ class VectorExpressionsSpec extends SparkSpec {
       VectorFunctions.prefixDots(col("va"), col("vb"), widths).as("pd"),
       array(widths.map(w => VectorFunctions.dotp(
         slice(col("va"), 1, w), slice(col("vb"), 1, w))): _*).as("sliced"))
-    assert(both.filter(col("pd") =!= col("sliced")).count() === 0)
+    // null-safe: pd null where the slice spelling is not must count
+    // as a mismatch, not vanish into a NULL-filtered row (ADVICE r12)
+    assert(both.filter(!(col("pd") <=> col("sliced"))).count() === 0)
     assert(both.count() === 2500)
   }
 
@@ -418,7 +420,7 @@ class VectorExpressionsSpec extends SparkSpec {
         """array_distinct(transform(sequence(1, size(toks) - 2),
            i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, 3)) AS binary)), 1, 15), 16, 10) AS bigint)))"""))
         .as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() === 0)
     assert(both.count() > 0)
   }
 
