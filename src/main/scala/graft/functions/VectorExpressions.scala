@@ -708,6 +708,168 @@ object PqKernel {
   }
 }
 
+/** Native codegen'd top-n cell selection over ONE CHUNK of a centroid
+  * TABLE — the inverted-file-join escalation of [[CellArgMax]] /
+  * [[CellTopN]] past their audited reference-object ceiling (4096
+  * cells): instead of the whole k×dim matrix riding in every task as
+  * one codegen constant, centroids become a RELATION of ≤chunk-size
+  * row groups `(ccents, cnorms, cids)`, each vector row joins every
+  * chunk row, this kernel emits the chunk-local top n as
+  * `array<struct<ppm, cell>>`, and a bounded per-vector combine takes
+  * the global (ppm desc, id asc) top n — exact, because cells
+  * partition across chunks and argmax/top-n distribute over the
+  * partition. Per-pair arithmetic is IDENTICAL to [[CellTopN.topn]]
+  * (left-to-right IEEE dot, /norm before the `floor(x·1e6+0.5)` ppm,
+  * ascending-index = smaller-id tie-break), so the joined path is
+  * bit-equal to the kernel path wherever both are legal (spec-pinned).
+  *
+  * Null contract is split by WHO is wrong: an invalid vector (null
+  * array, null element, ragged length) is row data and returns null
+  * ([[DotProduct]] poison); a malformed CHUNK (null arrays,
+  * inconsistent lengths, ids not strictly ascending) is a broken
+  * index relation and throws — a silently null-dropped chunk would
+  * quietly unassign every vector scored against it. */
+case class CellTopNChunk(u: Expression, cents: Expression,
+                         norms: Expression, ids: Expression, dim: Int, n: Int)
+    extends Expression {
+
+  require(dim > 0, s"cell_topn_chunk: dim=$dim must be positive")
+  require(n > 0, s"cell_topn_chunk: n=$n must be positive")
+
+  override def children: Seq[Expression] = Seq(u, cents, norms, ids)
+  override def dataType: DataType = CellTopNChunk.outType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "cell_topn_chunk"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(e: Expression, t: DataType) = e.dataType match {
+      case ArrayType(et, _) => et == t
+      case _ => false
+    }
+    val ok = arr(u, DoubleType) && arr(cents, DoubleType) &&
+      arr(norms, DoubleType) && arr(ids, org.apache.spark.sql.types.LongType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cell_topn_chunk requires (array<double>, array<double>, " +
+        "array<double>, array<bigint>), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    def a(e: Expression): ArrayData = e.eval(input) match {
+      case null => null
+      case v => v.asInstanceOf[ArrayData]
+    }
+    CellTopNChunk.topn(a(u), a(cents), a(norms), a(ids), dim, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val uG = u.genCode(ctx); val cG = cents.genCode(ctx)
+    val nG = norms.genCode(ctx); val iG = ids.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code = code"""
+      ${uG.code}
+      ${cG.code}
+      ${nG.code}
+      ${iG.code}
+      Object $boxed = graft.functions.CellTopNChunk.topn(
+        ${uG.isNull} ? null : ${uG.value},
+        ${cG.isNull} ? null : ${cG.value},
+        ${nG.isNull} ? null : ${nG.value},
+        ${iG.isNull} ? null : ${iG.value},
+        $dim, $n);
+      boolean ${ev.isNull} = ($boxed == null);
+      $ad ${ev.value} = ${ev.isNull} ? null : ($ad) $boxed;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CellTopNChunk =
+    copy(u = newChildren(0), cents = newChildren(1),
+      norms = newChildren(2), ids = newChildren(3))
+}
+
+object CellTopNChunk {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("ppm", LongType, nullable = false),
+    StructField("cell", LongType, nullable = false))), containsNull = false)
+
+  /** Shared by interpreted eval and generated code (named `topn`, not
+    * `eval` — the [[CellArgMax.assign]] static-forwarder lesson).
+    * Returns ArrayData of min(n, chunk-k) `(ppm, cell)` structs
+    * ordered (ppm desc, id asc), null on vector-poison, THROWS on a
+    * malformed chunk. */
+  def topn(u: ArrayData, cents: ArrayData, norms: ArrayData,
+           ids: ArrayData, dim: Int, n: Int): ArrayData = {
+    if (cents == null || norms == null || ids == null)
+      throw new IllegalArgumentException(
+        "cell_topn_chunk: null centroid-chunk array — the chunked index " +
+          "relation is malformed (builder bug, never row data)")
+    val k = norms.numElements()
+    if (cents.numElements() != k * dim || ids.numElements() != k || k == 0)
+      throw new IllegalArgumentException(
+        s"cell_topn_chunk: chunk holds ${cents.numElements()} centroid " +
+          s"doubles / $k norms / ${ids.numElements()} ids, inconsistent " +
+          s"with dim=$dim")
+    if (u == null || u.numElements() != dim) return null
+    val arr = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (u.isNullAt(j)) return null
+      arr(j) = u.getDouble(j)
+      j += 1
+    }
+    val m = math.min(n, k)
+    val topP = new Array[Long](m)
+    val topC = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    var prevId = Long.MinValue
+    while (c < k) {
+      // strictly-ascending ids make the ascending-index tie-break
+      // identical to smallest-ID — the global combine's contract
+      val id = ids.getLong(c)
+      if (id <= prevId) throw new IllegalArgumentException(
+        s"cell_topn_chunk: chunk ids not strictly ascending at index $c " +
+          s"($prevId -> $id) — the tie-break contract needs sorted ids")
+      prevId = id
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) { acc += arr(i) * cents.getDouble(base + i); i += 1 }
+      val p = math.floor(acc / norms.getDouble(c) * 1000000.0 + 0.5).toLong
+      var pos = filled
+      var s = 0
+      var found = false
+      while (s < filled && !found) {
+        if (p > topP(s)) { pos = s; found = true } else s += 1
+      }
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var t = last
+        while (t > pos) { topP(t) = topP(t - 1); topC(t) = topC(t - 1); t -= 1 }
+        topP(pos) = p
+        topC(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var o = 0
+    while (o < filled) {
+      rows(o) = org.apache.spark.sql.catalyst.InternalRow(
+        topP(o), ids.getLong(topC(o)))
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 object VectorFunctions {
 
   /** Column-level sorted-intersection count (codegen'd; see
@@ -737,6 +899,16 @@ object VectorFunctions {
                ids: Array[Long], dim: Int, n: Int): Column =
     ColumnBridge.column(
       CellTopN(ColumnBridge.expression(u), cents, norms, ids, dim, n))
+
+  /** Column-level chunked top-n cell selection (codegen'd; see
+    * [[CellTopNChunk]] for the join-escalation and loud-malformed-chunk
+    * contracts). `cents`/`norms`/`ids` are COLUMNS of one centroid
+    * chunk row, not reference objects — this is the k-unbounded path. */
+  def cellTopNChunk(u: Column, cents: Column, norms: Column, ids: Column,
+                    dim: Int, n: Int): Column =
+    ColumnBridge.column(
+      CellTopNChunk(ColumnBridge.expression(u), ColumnBridge.expression(cents),
+        ColumnBridge.expression(norms), ColumnBridge.expression(ids), dim, n))
 
   /** Column-level SRP sign-bit buckets (codegen'd; see [[SrpBuckets]]
     * for the bucket/probe layout). `planes` is the nTables×nBits×dim

@@ -591,6 +591,112 @@ object Similarity {
       u, cents.flatten, Array.fill(cents.length)(1.0),
       Array.tabulate(cents.length)(_.toLong), cents(0).length)
 
+  /** The audited reference-object ceiling: up to this many cells the
+    * [[graft.functions.CellArgMax]]/[[graft.functions.CellTopN]]
+    * kernels carry the whole centroid matrix per task (zero shuffle,
+    * O(k·dim) per row); past it [[topCellsAnyK]] escalates to the
+    * chunked inverted-file JOIN (r12 verdict task 1 — this replaces
+    * the loud 4096-cell refusal with a working plan). */
+  private[graft] final val cellChunkSize = 4096
+
+  /** The centroid matrix as a RELATION: ceil(k/chunkSize) rows of
+    * (ccents, cnorms, cids), each row one ≤chunkSize-centroid group in
+    * ascending-id order. Ids must be strictly ascending (the chunk
+    * kernel's tie-break contract) and fit the packed combine's 41-bit
+    * id space. */
+  private def centroidChunks(spark: SparkSession, cents: Array[Double],
+      norms: Array[Double], ids: Array[Long], dim: Int,
+      chunkSize: Int): DataFrame = {
+    import spark.implicits._
+    require(ids.nonEmpty && ids.head >= 0 && ids.last < (1L << 41) &&
+        ids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "centroidChunks: ids must be strictly ascending in [0, 2^41)")
+    (0 until norms.length by chunkSize).map { s0 =>
+      val e0 = math.min(s0 + chunkSize, norms.length)
+      (cents.slice(s0 * dim, e0 * dim).toSeq, norms.slice(s0, e0).toSeq,
+        ids.slice(s0, e0).toSeq)
+    }.toDF("ccents", "cnorms", "cids")
+  }
+
+  /** Top-n cell selection for ANY k — the inverted-file-join
+    * escalation (r12 verdict task 1). Output contract is exactly
+    * [[graft.functions.CellTopN]]'s: `out` = array of min(n, k)
+    * ORIGINAL cell ids ordered (ppm desc, id asc), null on a poisoned
+    * vector; the two paths are bit-equal wherever both are legal
+    * (CellChunkParitySpec forces the join path onto fixture-sized
+    * matrices and compares null-safely).
+    *
+    * k ≤ chunkSize: the kernel path — matrix as ONE codegen reference
+    * object, no join, no shuffle. Past it: centroids become a
+    * [[centroidChunks]] relation, every vector row cross-joins the
+    * ceil(k/chunkSize) chunk rows (broadcast — each task holds ONE
+    * chunk at a time instead of all k), the chunk kernel emits
+    * chunk-local top-n, and a bounded per-vector combine (nChunks·n
+    * packed longs through flatten+array_sort, never corpus-shaped)
+    * takes the global top-n. Exact, not approximate: cells partition
+    * across chunks and top-n distributes over the partition. Total
+    * arithmetic is the same n·k·dim flops; the join spreads it over
+    * nChunks× more rows and pays one groupBy shuffle plus the key
+    * join back — the trade named in r12's verdict ("a shuffle for
+    * unbounded k").
+    *
+    * Packed combine: (ppm + 2e6)·2^41 + (2^41-1-cell) — max pack ⇔
+    * max ppm then min cell ([[top1Packed]]'s discipline); |ppm| ≤
+    * ~1e6 for unit-normalized dots and ids < 2^41 are require'd at
+    * chunk build. At 100 TB the broadcast holds while k·dim·8 fits
+    * the driver/executors (~1.6 GB at k=1M, dim=200 — the realistic
+    * IVF regime); past THAT the named seam is a hash-partitioned
+    * centroid relation with a shuffled chunk join, same combine. */
+  private[graft] def topCellsAnyK(df: DataFrame, key: String, u: Column,
+      cents: Array[Double], norms: Array[Double], ids: Array[Long], dim: Int,
+      n: Int, out: String, chunkSize: Int = cellChunkSize): DataFrame = {
+    if (ids.length <= chunkSize) {
+      df.withColumn(out, graft.functions.VectorFunctions.cellTopN(
+        u, cents, norms, ids, dim, n))
+    } else {
+      val spark = df.sparkSession
+      val chunks = centroidChunks(spark, cents, norms, ids, dim, chunkSize)
+      val idMask = (1L << 41) - 1
+      val scored = df.select(col(key), u.as("__u"))
+        .crossJoin(broadcast(chunks))
+        .select(col(key),
+          graft.functions.VectorFunctions.cellTopNChunk(
+            col("__u"), col("ccents"), col("cnorms"), col("cids"), dim, n)
+            .as("__t"))
+        // pack chunk-local winners for the bounded global combine;
+        // a poisoned vector's null __t stays null and collect_list
+        // drops it — every chunk agrees on poison (it is a property
+        // of u alone), so empty-after-combine ⇔ poisoned
+        .select(col(key), expr(
+          s"transform(__t, s -> (s.ppm + 2000000L) * ${1L << 41}L" +
+            s" + (${idMask}L - s.cell))").as("__p"))
+      val best = scored.groupBy(col(key))
+        .agg(slice(reverse(array_sort(flatten(collect_list(col("__p"))))),
+          1, n).as("__s"))
+        .select(col(key),
+          when(size(col("__s")) > 0,
+            expr(s"transform(__s, p -> ${idMask}L - (p & ${idMask}L))"))
+            .as(out))
+      df.join(best, key)
+    }
+  }
+
+  /** Single-cell assignment for ANY k: [[topCellsAnyK]] at n=1,
+    * unwrapped to [[graft.functions.CellArgMax]]'s scalar contract
+    * (original cell id, null on poison). */
+  private[graft] def assignCellsAnyK(df: DataFrame, key: String, u: Column,
+      cents: Array[Double], norms: Array[Double], ids: Array[Long], dim: Int,
+      out: String, chunkSize: Int = cellChunkSize): DataFrame = {
+    if (ids.length <= chunkSize) {
+      df.withColumn(out, graft.functions.VectorFunctions.cellArgMax(
+        u, cents, norms, ids, dim))
+    } else {
+      topCellsAnyK(df, key, u, cents, norms, ids, dim, 1, "__top1", chunkSize)
+        .withColumn(out, when(size(col("__top1")) > 0, col("__top1")(0)))
+        .drop("__top1")
+    }
+  }
+
   /** Spherical k-means training for the IVF index: seeded from the k
     * sample vectors with smallest md5(vec_id) (deterministic, spread),
     * refined by Lloyd iterations where assignment is the codegen'd
@@ -619,8 +725,13 @@ object Similarity {
         "were requested; lower k or widen the sample (sampleMod)")
       val dim = cents(0).length
       for (_ <- 0 until iters) {
-        val rows = sample
-          .withColumn("cell", cellAssign(cents, col("u")))
+        // assignment dispatches on k: the CellArgMax kernel while the
+        // matrix fits the audited reference-object ceiling, the
+        // chunked inverted-file join past it (same escalation the
+        // serving path takes — topCellsAnyK)
+        val rows = assignCellsAnyK(sample, "vec_id", col("u"),
+            cents.flatten, Array.fill(k)(1.0),
+            Array.tabulate(k)(_.toLong), dim, "cell")
           .select(col("cell"), posexplode(col("u")).as(Seq("j", "x")))
           .groupBy("cell", "j").agg(sum("x").as("s"))
           .collect()
@@ -657,25 +768,21 @@ object Similarity {
       Tables.cachedRowCount(spark, dir, "embeddings"))
 
   /** IVF cell count for a corpus of n vectors: mean cell size ~125,
-    * floor 16 (fixture-invariant). Past 4096 cells (corpus ~512k at
-    * the 125-vector target) this REFUSES LOUDLY instead of clamping —
-    * a clamped k would silently revert per-query candidates to
-    * nprobe·n/4096, linear in the corpus, reopening the exact seam the
-    * scaling closes (r12 review finding; the [[semCells]] require is
-    * the precedent, and the SRP ladder's oracle envelope fails loud
-    * the same way past its last rung). The named escalation: assign
-    * via an inverted-file JOIN against a centroid TABLE
-    * ([[ivfTop1From]]'s probe-join shape with the centroids as a
-    * relation instead of a reference object), which scales k freely at
-    * the cost of a shuffle. */
+    * floor 16 (fixture-invariant). No ceiling (r12 verdict task 1 —
+    * the 4096-cell loud refusal that stood here is replaced by a
+    * WORKING plan): assignment and probing dispatch through
+    * [[assignCellsAnyK]]/[[topCellsAnyK]], which keep the zero-shuffle
+    * CellArgMax/CellTopN kernels while k ≤ [[cellChunkSize]] and
+    * escalate to the chunked inverted-file JOIN past it. The remaining
+    * O(k·dim) driver surfaces — [[ivfTrain]]'s seed collect and
+    * centroid matrix — are a few hundred MB even at k=1M/dim=200 and
+    * are the named next seam (a persisted distributed centroid
+    * relation) if k ever outgrows the driver. The int cast is safe to
+    * k = 2^31-1 ≈ corpus 268 G vectors — far past any single index
+    * this engine would serve un-sharded. */
   private[graft] def ivfCellCount(n: Long): Int = {
     val k = math.max(16L, math.ceil(n / 125.0).toLong)
-    require(k <= 4096,
-      s"ivfCellCount: k=$k cells for n=$n vectors — the O(k*dim)-per-row " +
-        "CellArgMax/CellTopN assignment is audited to 4096 cells (corpus " +
-        "~512k at the 125-vector target); beyond it assign via an " +
-        "inverted-file join against a centroid table (ivfTop1From's " +
-        "probe-join shape), which trades a shuffle for unbounded k")
+    require(k <= Int.MaxValue, s"ivfCellCount: k=$k overflows Int")
     k.toInt
   }
 
@@ -687,9 +794,9 @@ object Similarity {
     // per-query candidates ~nprobe * 125 = O(1); floor 16 keeps every
     // generated fixture on the recorded recall constants (500 -> 16,
     // 2000 -> 16; first divergence at n > 2000), and past 4096 cells
-    // ivfCellCount REFUSES LOUDLY (the semCells O(k * dim)-per-row
-    // assignment argument; its scaladoc names the inverted-file-join
-    // escalation). k is NOT oracle-mirrored (the annIvf oracle is
+    // assignment/probing escalate to the chunked inverted-file join
+    // (topCellsAnyK — r12 verdict task 1 closed the old loud refusal).
+    // k is NOT oracle-mirrored (the annIvf oracle is
     // the recall contract, not the index), so no SQL surgery — a
     // DedupSimilaritySpec unit test pins the formula instead.
     top1Packed(
@@ -715,21 +822,24 @@ object Similarity {
     val k = ivfCellCount(n)
     val nprobe = 4
     val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
+    val flat = cents.flatten
+    val ones = Array.fill(k)(1.0)
+    val idx = Array.tabulate(k)(_.toLong)
+    val dim = cents(0).length
     val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
     // inverted file: ONE distributed pass assigns every vector a cell
-    val inv = eu
-      .withColumn("cell", cellAssign(cents, col("u")))
+    // (kernel while k fits the reference-object ceiling, chunked
+    // inverted-file join past it — assignCellsAnyK dispatches)
+    val inv = assignCellsAnyK(eu, "vec_id", col("u"), flat, ones, idx,
+        dim, "cell")
       .select(col("vec_id").as("c_id"), col("vd").as("cv"),
               col("nrm").as("cnrm"), col("cell"))
-    // queries keep their nprobe best cells: the codegen'd CellTopN
-    // kernel emits the (ppm desc, id asc)-ordered probe list in one
-    // compiled loop — no per-cell fan-out until the probe explode
-    val probes = eu.filter(isKnnQuery)
+    // queries keep their nprobe best cells ((ppm desc, id asc)
+    // ordering) — same dispatch; no per-cell fan-out until the explode
+    val probes = topCellsAnyK(eu.filter(isKnnQuery), "vec_id", col("u"),
+        flat, ones, idx, dim, nprobe, "__cells")
       .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-              col("nrm").as("qnrm"),
-              explode(graft.functions.VectorFunctions.cellTopN(
-                col("u"), cents.flatten, Array.fill(k)(1.0),
-                Array.tabulate(k)(_.toLong), cents(0).length, nprobe)).as("cell"))
+              col("nrm").as("qnrm"), explode(col("__cells")).as("cell"))
     probes.join(inv.hint("shuffle_hash"), "cell")
       .filter(col("q_id") =!= col("c_id"))
   }
@@ -1541,27 +1651,21 @@ object Similarity {
     * Returns (vec_id, cell). Deterministic: seeds are the k sample
     * vectors with smallest md5(vec_id), iteration count is fixed.
     *
-    * Ceiling: the cell id packs into 20 bits (max packed value
-    * ~3.2e12, comfortably BIGINT), and the assignment kernel carries
-    * the k×dim matrix as one reference object — but each row still
-    * scans ALL k centroids (O(k·dim) per row; the oracle's per-cell
-    * CTE cross join grows the same way). The require below therefore
-    * caps k at 4096 (corpus ≈ 256k vectors at the 64-vector cell
-    * target) and names the escalation: beyond it, assign cells with
-    * [[ivfTrain]]'s inverted-file JOIN path ([[ivfTop1From]]'s shape),
-    * which scales to any k but trades the SQL oracle for the
-    * [[annIvf]]-style recall contract. */
+    * Scale: the cell id packs into 20 bits in the ORACLE's spelling
+    * (max packed value ~3.2e12, comfortably BIGINT — the oracle only
+    * ever runs on fixture-sized corpora), and both assignment passes
+    * dispatch through [[assignCellsAnyK]]: the CellArgMax kernel
+    * (matrix as one reference object, zero shuffle) while k ≤
+    * [[cellChunkSize]], the chunked inverted-file JOIN past it (r12
+    * verdict task 1 — this replaces the 4096-cell require that stood
+    * here). The join path is bit-equal to the kernel, so the exact
+    * SQL-oracle contract survives the escalation unchanged. */
   private[queries] def semCells(e: DataFrame, nOpt: Option[Long] = None)
       : DataFrame = {
     // dir-based callers thread the memoized Tables.cachedRowCount so a
     // warm snapshot costs zero count jobs (r12 verdict task 3)
     val n = nOpt.getOrElse(e.count())
     val k = math.max(4L, math.ceil(n / semCellTarget).toLong).toInt
-    require(k <= 4096,
-      s"semCells: k=$k cells — the ids/argmax contract is audited to " +
-        "4096 cells (corpus ~256k vectors at the 64-vector target); " +
-        "assign via the ivfTrain inverted-file join " +
-        "(Similarity.ivfTop1From shape) for larger corpora")
     // eager checkpoint: FOUR passes read the normalized vectors (seed
     // sort, Lloyd sums, final assignment, plus the count above on e) —
     // without it each pays the parquet scan + per-row normalize again
@@ -1581,9 +1685,8 @@ object Similarity {
     // nested typedLit trees — the literal spelling cost ~1.2-1.5 s of
     // analysis+codegen PER PASS at k=79 (sf0.1) for ~25 ms of math.
     // The oracle's SQL keeps the packed spelling; values are equal.
-    val a0 = u.withColumn("cell0",
-      graft.functions.VectorFunctions.cellArgMax(col("u"), seeds.flatten,
-        Array.fill(k)(1.0), Array.tabulate(k)(_.toLong), dim))
+    val a0 = assignCellsAnyK(u, "vec_id", col("u"), seeds.flatten,
+      Array.fill(k)(1.0), Array.tabulate(k)(_.toLong), dim, "cell0")
     // one exact Lloyd step: per-(cell, dim) ppm-BIGINT partial sums —
     // association-order independent, so the k×dim centroid matrix the
     // driver sees is bit-identical to the oracle's SQL aggregation
@@ -1607,10 +1710,10 @@ object Similarity {
         (cell, comps, math.sqrt(comps.foldLeft(0.0)((acc, x) => acc + x * x)))
     }.filter(_._3 > 0).sortBy(_._1)
     require(cents.nonEmpty, "semCells: every refined centroid degenerate")
-    u.select(col("vec_id"),
-      graft.functions.VectorFunctions.cellArgMax(col("u"),
-        cents.flatMap(_._2).toArray, cents.map(_._3).toArray,
-        cents.map(_._1.toLong).toArray, dim).as("cell"))
+    assignCellsAnyK(u, "vec_id", col("u"),
+      cents.flatMap(_._2).toArray, cents.map(_._3).toArray,
+      cents.map(_._1.toLong).toArray, dim, "cell")
+      .select(col("vec_id"), col("cell"))
   }
 
   /** The [[embedDedup]] candidate-pair plan (sharable with

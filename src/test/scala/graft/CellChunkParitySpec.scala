@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.model.Tables
+import graft.queries.Similarity
+
+/** Pins the inverted-file-join escalation (r12 verdict task 1): cell
+  * assignment and top-n probing through the chunked centroid RELATION
+  * must be BIT-EQUAL to the CellArgMax/CellTopN reference-object
+  * kernels wherever both are legal — same ppm arithmetic, same
+  * (ppm desc, id asc) order, same smallest-id tie-break even when the
+  * tied centroids land in DIFFERENT chunks, same null poison for bad
+  * vectors. The join path is forced onto fixture-sized matrices by
+  * shrinking chunkSize below k; production dispatch only takes it past
+  * 4096 cells.
+  */
+class CellChunkParitySpec extends SparkSpec {
+
+  private val dim = 64
+
+  /** Real unit vectors plus three poison rows (null element, ragged
+    * length, null array) under vec_ids no fixture uses. */
+  private lazy val vecs: DataFrame = {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("vd")))
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+    val poison = spark.range(1).select(
+      lit(9999990L).as("vec_id"),
+      expr(s"transform(sequence(1, $dim), i -> CASE WHEN i = 1 " +
+        "THEN CAST(NULL AS DOUBLE) ELSE 0.5D END)").as("u"))
+      .union(spark.range(1).select(lit(9999991L).as("vec_id"),
+        expr(s"array_repeat(0.5D, ${dim - 1})").as("u")))
+      .union(spark.range(1).select(lit(9999992L).as("vec_id"),
+        expr("CAST(NULL AS ARRAY<DOUBLE>)").as("u")))
+    e.union(poison)
+  }
+
+  // 7 centroids with cell 3 DUPLICATING cell 1 (vector AND norm): at
+  // chunkSize 2 the tied pair lands in chunks {0,1} and {2,3} — the
+  // smallest-id tie-break must hold ACROSS the chunk combine, not just
+  // inside one kernel call
+  private def cent(c: Int): Array[Double] =
+    Array.tabulate(dim)(j => math.sin(c * 31 + j * 7 + 1) / math.sqrt(dim))
+  private val cents: Array[Array[Double]] =
+    Array(cent(0), cent(1), cent(2), cent(1), cent(4), cent(5), cent(6))
+  private val norms = Array(1.0, 0.7, 1.3, 0.7, 1.0, 0.9, 1.1)
+  private val ids = Array.tabulate(7)(_.toLong)
+
+  test("chunked assignment is bit-equal to the CellArgMax kernel, poison included") {
+    val kernel = Similarity.assignCellsAnyK(vecs, "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, "cell_k")
+    val joined = Similarity.assignCellsAnyK(kernel, "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, "cell_j", chunkSize = 2)
+    val diff = joined.filter(!(col("cell_k") <=> col("cell_j")))
+    assert(diff.count() === 0, diff.select("vec_id", "cell_k", "cell_j")
+      .limit(5).collect().mkString(", "))
+    // the tie pair: cell 3 must never win in EITHER path
+    assert(joined.filter(col("cell_j") === 3L).count() === 0)
+    // duplicate-of-1 ties actually occur (cell 1 wins some rows), so
+    // the cross-chunk tie-break was exercised, not vacuous
+    assert(joined.filter(col("cell_j") === 1L).count() > 0)
+    // poison rows: null in the join path too, never a plausible cell
+    assert(joined.filter(col("vec_id") >= 9999990L &&
+      col("cell_j").isNotNull).count() === 0)
+    assert(joined.filter(col("vec_id") >= 9999990L).count() === 3)
+  }
+
+  test("chunked top-n probing is bit-equal to the CellTopN kernel, order included") {
+    val kernel = Similarity.topCellsAnyK(vecs, "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, 3, "top_k")
+    val joined = Similarity.topCellsAnyK(kernel, "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, 3, "top_j", chunkSize = 2)
+    val diff = joined.filter(!(col("top_k") <=> col("top_j")))
+    assert(diff.count() === 0, diff.select("vec_id", "top_k", "top_j")
+      .limit(5).collect().mkString(", "))
+    // whenever the duplicate pair both make the top-3, 1 precedes 3
+    assert(joined.filter(array_position(col("top_j"), 3L) > lit(0) &&
+      (array_position(col("top_j"), 1L) === 0 ||
+        array_position(col("top_j"), 1L) >
+          array_position(col("top_j"), 3L))).count() === 0)
+    assert(joined.filter(col("vec_id") >= 9999990L &&
+      col("top_j").isNotNull).count() === 0)
+  }
+
+  test("n larger than k: both paths emit all k cells, same order") {
+    val kernel = Similarity.topCellsAnyK(vecs.limit(50), "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, 20, "top_k")
+    val joined = Similarity.topCellsAnyK(kernel, "vec_id", col("u"),
+      cents.flatten, norms, ids, dim, 20, "top_j", chunkSize = 3)
+    assert(joined.filter(!(col("top_k") <=> col("top_j"))).count() === 0)
+    assert(joined.filter(col("top_j").isNotNull &&
+      size(col("top_j")) =!= 7).count() === 0)
+  }
+
+  test("cell_topn_chunk generated code actually COMPILES (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val e = graft.functions.CellTopNChunk(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true),
+      BoundReference(2, ArrayType(DoubleType), nullable = true),
+      BoundReference(3, ArrayType(LongType), nullable = true), 2, 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(e)) // throws on Janino failure
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(0.6, 0.8)),
+      ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)), // 2 cells x dim 2
+      ArrayData.toArrayData(Array(1.0, 1.0)),
+      ArrayData.toArrayData(Array(10L, 20L)))
+    val out = proj(row).getArray(0)
+    // dots 0.6 / 0.8 -> (800000, 20) then (600000, 10)
+    assert(out.numElements() === 2)
+    assert(out.getStruct(0, 2).getLong(0) === 800000L)
+    assert(out.getStruct(0, 2).getLong(1) === 20L)
+    assert(out.getStruct(1, 2).getLong(1) === 10L)
+    val nul = proj(InternalRow(null,
+      ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)),
+      ArrayData.toArrayData(Array(1.0, 1.0)),
+      ArrayData.toArrayData(Array(10L, 20L))))
+    assert(nul.isNullAt(0))
+  }
+
+  test("a malformed chunk throws loudly — never a silent null-drop") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val u = ArrayData.toArrayData(Array(0.6, 0.8))
+    // null chunk array
+    val e1 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u, null,
+        ArrayData.toArrayData(Array(1.0)), ArrayData.toArrayData(Array(1L)),
+        2, 1))
+    assert(e1.getMessage.contains("malformed"))
+    // inconsistent lengths (3 doubles for dim 2)
+    val e2 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(Array(1.0, 0.0, 0.5)),
+        ArrayData.toArrayData(Array(1.0)), ArrayData.toArrayData(Array(1L)),
+        2, 1))
+    assert(e2.getMessage.contains("inconsistent"))
+    // ids not strictly ascending breaks the tie-break contract
+    val e3 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)),
+        ArrayData.toArrayData(Array(1.0, 1.0)),
+        ArrayData.toArrayData(Array(20L, 10L)), 2, 2))
+    assert(e3.getMessage.contains("ascending"))
+  }
+}

@@ -131,16 +131,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // per-query candidates n * nprobe / k, linear in the corpus. The
     // formula holds mean cell size ~125 with floor 16 — every
     // generated fixture (500 and 2000 vectors) stays on the recorded
-    // recall constants — and ceiling 4096 (the O(k*dim)-per-row
-    // assignment bound; beyond it the inverted-file join path).
-    import graft.queries.Similarity.ivfCellCount
+    // recall constants. No ceiling (r13): past cellChunkSize = 4096
+    // cells, assignment/probing escalate to the chunked inverted-file
+    // join instead of refusing (the r12 require this replaced).
+    import graft.queries.Similarity.{ivfCellCount, cellChunkSize}
     assert(ivfCellCount(500) == 16 && ivfCellCount(2000) == 16)
     assert(ivfCellCount(4000) == 32 && ivfCellCount(125000) == 1000)
     assert(ivfCellCount(512000) == 4096)
-    // past the audited ceiling the count REFUSES rather than clamps:
-    // a clamped k reverts per-query candidates to linear-in-n silently
-    val e = intercept[IllegalArgumentException](ivfCellCount(512001))
-    assert(e.getMessage.contains("inverted-file join"))
+    // past the old ceiling the formula keeps scaling — the join path
+    // serves it (CellChunkParitySpec pins bit-equality, the
+    // ScalingCurve across-the-ceiling test pins candidate volume)
+    assert(ivfCellCount(512001) == 4097)
+    assert(ivfCellCount(512001) > cellChunkSize)
+    assert(ivfCellCount(1250000) == 10000)
   }
 
   test("SRP-blocked embed near-dup recovers planted sim≈1 duplicates") {

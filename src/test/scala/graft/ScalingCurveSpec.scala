@@ -188,4 +188,36 @@ class ScalingCurveSpec extends SparkSpec {
           "recalibrate deliberately)")
     }
   }
+
+  /** The IVF tripwire ACROSS the old 4096-cell ceiling (r12 verdict
+    * task 1's last clause): a synthetic 513k-vector corpus pushes
+    * ivfCellCount to k=4104, so assignment and probing take the
+    * chunked inverted-file JOIN path end-to-end — the r12 build
+    * REFUSED here. Volume must stay ~queries · nprobe · mean-cell:
+    * the degeneration band (every query probing corpus-sized cells)
+    * is queries · n ≈ 513M, five orders past the cap. dim 8 keeps the
+    * arithmetic test-sized; the formulas under test (cell count,
+    * probe volume, chunk dispatch) never read dim. */
+  test("IVF probe candidate volume holds past the old 4096-cell ceiling (join path)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val n = 513000L
+    import graft.queries.Similarity
+    assert(Similarity.ivfCellCount(n) > Similarity.cellChunkSize,
+      "fixture must actually cross the ceiling")
+    val e = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), " +
+        "j -> sin(CAST(id * 13 + j * 7 AS DOUBLE)))").as("vd"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("vd")))
+    val cands = Similarity.ivfCandidatePairs(e, n).count()
+    info(s"ivf @ synthetic n=$n (k=${Similarity.ivfCellCount(n)}, " +
+      s"join path): $cands candidate pairs")
+    // measured 549421 (~queries · nprobe · 125 = 500k expected); cap
+    // 4x measured, ~230x below the 513M collapse band
+    val cap = 2200000L
+    assert(cands <= cap,
+      s"ivf join path @ n=$n: $cands candidates exceeds the $cap " +
+        "tripwire — chunked cell training/probing has degenerated")
+    assert(cands > 0L, "zero candidates — the join path emitted nothing")
+  }
 }
