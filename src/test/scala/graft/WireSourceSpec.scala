@@ -629,30 +629,51 @@ class WireSourceSpec extends SparkSpec {
       "no row may re-emit from a torn census log before the refusal")
   }
 
-  test("ts-range planning opens the stats manifest, never data files (100 TB driver-I/O bound)") {
+  test("ts-range planning opens only surviving dirs' stats sidecars, never data files (100 TB driver-I/O bound)") {
     // r11's audit found planning-time driver I/O proportional to the
-    // candidate file count (per-file first/last-line probes). r12 moves
-    // the probe into a write-time cluster job that publishes a per-file
-    // min/max manifest; this test pins the new bound by routing the
-    // read through a counting filesystem: planning a ts-ranged scan
-    // may open the ONE manifest file and nothing under event_type=.
+    // candidate file count (per-file first/last-line probes). r12 moved
+    // the probe into a write-time cluster job publishing one root
+    // manifest — itself O(total files) per parse; r13 shards it into
+    // per-dir sidecars. This test pins the r13 bound via a counting
+    // filesystem: a ts-ranged plan may open surviving dirs' sidecars
+    // and nothing else; a `type ∧ ts` plan opens ONLY the surviving
+    // type's sidecar — not other dirs', not the root fallback, and
+    // never a data file.
     spark.sparkContext.hadoopConfiguration
       .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
     val cut = events.selectExpr(
       s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
       .collect()(0).getString(0)
+    import scala.jdk.CollectionConverters._
+    def dataOpensOf(opened: List[String]) = opened.filter(p =>
+      p.contains("/event_type=") && !p.endsWith("/_ts_stats.json"))
     CountingLocalFs.opened.clear()
     val ranged = WireEvents.read(spark, "cntfs:" + wireDir)
       .filter(col("ts") >= cut)
     val plan = ranged.queryExecution.executedPlan.toString // forces listing + pruning
-    import scala.jdk.CollectionConverters._
     val openedAtPlanning = CountingLocalFs.opened.asScala.toList
-    val dataOpens = openedAtPlanning.filter(_.contains("/event_type="))
-    assert(dataOpens.isEmpty,
-      s"ts-range planning must not open data files; opened: $dataOpens")
-    assert(openedAtPlanning.count(_.endsWith("/" + "_wire_ts_stats.json")) >= 1,
-      s"planning should read the stats manifest once; opened: $openedAtPlanning")
-    // the manifest-backed pruning still prunes, and rows stay exact
+    assert(dataOpensOf(openedAtPlanning).isEmpty,
+      s"ts-range planning must not open data files; opened: ${dataOpensOf(openedAtPlanning)}")
+    assert(openedAtPlanning.count(_.endsWith("/_ts_stats.json")) >= 1,
+      s"planning should read the per-dir sidecars; opened: $openedAtPlanning")
+    assert(!openedAtPlanning.exists(_.endsWith("/_wire_ts_stats.json")),
+      "with sidecars present the O(total-files) root manifest must stay " +
+        s"unread; opened: $openedAtPlanning")
+    // type ∧ ts: only the surviving dir's sidecar is parsed
+    CountingLocalFs.opened.clear()
+    val typed = WireEvents.read(spark, "cntfs:" + wireDir)
+      .filter(col("event_type") === "click" && col("ts") >= cut)
+    typed.queryExecution.executedPlan.toString
+    val typedOpens = CountingLocalFs.opened.asScala.toList
+    val sidecarOpens = typedOpens.filter(_.endsWith("/_ts_stats.json"))
+    assert(sidecarOpens.nonEmpty &&
+      sidecarOpens.forall(_.contains("/event_type=click/")),
+      s"a type ∧ ts plan must parse only the surviving dir's sidecar; " +
+        s"opened: $typedOpens")
+    assert(dataOpensOf(typedOpens).isEmpty &&
+      !typedOpens.exists(_.endsWith("/_wire_ts_stats.json")),
+      s"type ∧ ts planning opened beyond the one sidecar: $typedOpens")
+    // the sidecar-backed pruning still prunes, and rows stay exact
     val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
     val allPlan = WireEvents.read(spark, "cntfs:" + wireDir)
       .queryExecution.executedPlan.toString
@@ -681,25 +702,82 @@ class WireSourceSpec extends SparkSpec {
       "manifest-missing files must be probed, not mis-pruned")
   }
 
-  test("a corrupt ts-stats manifest fails loudly, never silently degrades to the probe path") {
+  test("a corrupt ts-stats sidecar or root manifest fails loudly, never silently degrades to the probe path") {
     val d = tmp()
     WireEvents.writeWire(events.filter(col("event_id") < 200), d)
-    val manifest = Paths.get(d, "_wire_ts_stats.json")
-    Files.writeString(manifest, "{not json\n")
-    Files.deleteIfExists(Paths.get(d, "._wire_ts_stats.json.crc"))
     val cut = events.selectExpr(
       s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
       .collect()(0).getString(0)
-    val e = intercept[Exception] {
+    def planRanged(): Unit = {
       WireEvents.read(spark, d).filter(col("ts") >= cut)
         .queryExecution.executedPlan.toString
+      ()
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("malformed ts-stats manifest"), msgs)
-    // without a ts predicate the manifest is never read: scan unaffected
+    def loudMsgs(body: => Unit): String = {
+      val e = intercept[Exception](body)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    }
+    // corrupt ONE dir's sidecar: a ts plan that survives that dir
+    // must fail loudly, not fall back to probing
+    val clickDir = Paths.get(d, "event_type=click")
+    Files.writeString(clickDir.resolve("_ts_stats.json"), "{not json\n")
+    Files.deleteIfExists(clickDir.resolve("._ts_stats.json.crc"))
+    assert(loudMsgs(planRanged()).contains("malformed ts-stats manifest"))
+    // root fallback (pre-sidecar layout): delete every sidecar, corrupt
+    // the root — same loud contract on the fallback path
+    Files.list(Paths.get(d)).filter(_.getFileName.toString.startsWith("event_type="))
+      .forEach { dir =>
+        Files.deleteIfExists(dir.resolve("_ts_stats.json"))
+        Files.deleteIfExists(dir.resolve("._ts_stats.json.crc"))
+      }
+    Files.writeString(Paths.get(d, "_wire_ts_stats.json"), "{not json\n")
+    Files.deleteIfExists(Paths.get(d, "._wire_ts_stats.json.crc"))
+    assert(loudMsgs(planRanged()).contains("malformed ts-stats manifest"))
+    // without a ts predicate no stats file is ever read: scan unaffected
     assert(WireEvents.read(spark, d).count() ===
       events.filter(col("event_id") < 200).count())
+  }
+
+  test("the stats job is incremental: unchanged dirs skip their commit, appended dirs re-probe only new files") {
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 300), d)
+    import scala.jdk.CollectionConverters._
+    def sidecarMtimes(): Map[String, java.nio.file.attribute.FileTime] =
+      Files.list(Paths.get(d)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("event_type="))
+        .map(dir => dir.getFileName.toString ->
+          Files.getLastModifiedTime(dir.resolve("_ts_stats.json")))
+        .toMap
+    val before = sidecarMtimes()
+    assert(before.nonEmpty)
+    Thread.sleep(200)
+    // no-op rerun: every entry covered and fresh -> zero sidecar commits
+    WireEvents.writeTsStats(spark, d)
+    assert(sidecarMtimes() === before,
+      "an unchanged dir must skip its sidecar rename entirely")
+    // out-of-band append to ONE dir: only that dir's sidecar rewrites
+    val clickDir = Paths.get(d, "event_type=click")
+    val src = Files.list(clickDir).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.copy(src, clickDir.resolve("part-zz-incr.txt"))
+    Thread.sleep(200)
+    WireEvents.writeTsStats(spark, d)
+    val after = sidecarMtimes()
+    assert(after("event_type=click") != before("event_type=click"),
+      "the appended dir must rewrite its sidecar")
+    assert((after - "event_type=click") === (before - "event_type=click"),
+      "dirs without new files must keep their sidecars untouched")
+    // the refreshed sidecar still prunes exactly
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    val expected = events.filter(col("event_id") < 300)
+      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count() +
+      spark.read.text(clickDir.resolve("part-zz-incr.txt").toString)
+        .selectExpr("get_json_object(value, '$.ts') AS ts")
+        .filter(col("ts") >= cut).count()
+    assert(WireEvents.read(spark, d).filter(col("ts") >= cut).count() === expected)
   }
 
   /** Admitted census = union of every path named by the stream's
