@@ -229,24 +229,37 @@ private[sources] class WireScan(
 
   /** Runtime (execution-time) filters injected by dynamic partition
     * pruning — the DSv2 contract that lets a JOIN prune this scan: a
-    * broadcast join against a filtered dimension keyed on `event_type`
-    * hands the dimension's actual key set to [[filter]] before input
-    * partitions are planned, so whole partition directories of a
-    * 100 TB dump vanish based on data only known at EXECUTION time
+    * broadcast join against a filtered dimension hands the dimension's
+    * actual key set to [[filter]] before input partitions are planned
     * (classic star-schema DPP, which Spark only applies to sources
-    * that opt in via [[SupportsRuntimeFiltering]]). Filters on
-    * anything but `event_type` are ignored — runtime filters are an
+    * that opt in via [[SupportsRuntimeFiltering]]). Two key columns
+    * participate: `event_type` prunes whole partition DIRECTORIES, and
+    * — r13, the r12 verdict's task 5 — `ts` prunes whole FILES through
+    * the per-dir stats sidecars: a join against a filtered time
+    * dimension arrives as an IN-set of ts keys, and a file survives
+    * only if some key falls inside its [min, max] band. So a 100 TB
+    * dump joined to one hot hour reads that hour's band of files,
+    * decided at EXECUTION time from the dimension's actual keys.
+    * Filters on any other column are ignored — runtime filters are an
     * optimization, the join itself still evaluates exactly. */
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // only attributes present in the PRUNED read schema — Spark resolves
+  // these against the scan's output, and a column-pruned scan (e.g. a
+  // projection to event_type alone) fails analysis on an absent name
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("event_type"))
+    Seq("event_type", "ts")
+      .filter(required.fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter {
       case EqualTo("event_type", _: String) => true
       case In("event_type", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
       case IsNotNull("event_type") => true
+      case EqualTo("ts", _: String) => true
+      case In("ts", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
       case _ => false
     }
     filesCache = null // re-list under the tightened filter set
@@ -743,6 +756,19 @@ object WireEvents {
     (lo, hi)
   }
 
+  /** Fold pushed ts equality/IN predicates — the shape a ts-keyed
+    * join's DPP runtime filters take — into one optional key set.
+    * Multiple such filters AND together (intersect); nulls never
+    * satisfy an equality and are dropped, so `In(ts, [null])` yields
+    * the empty set (every file correctly prunes). */
+  private[sources] def tsInSet(pushed: Array[Filter]): Option[Set[String]] = {
+    val sets = pushed.toSeq.collect {
+      case EqualTo("ts", v: String) => Set(v)
+      case In("ts", vs) => vs.iterator.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   private def lineTs(mapper: ObjectMapper, line: String): Option[String] = {
     if (line.isEmpty) return None
     val n = try mapper.readTree(line)
@@ -1024,7 +1050,9 @@ object WireEvents {
                        dir.getName + "/" + s.getPath.getName))
         }
     val (lo, hi) = tsBounds(pushed)
-    if (lo.isEmpty && hi.isEmpty) listed.map { case (v, p, len, _) => (v, p, len) }
+    val inSet = tsInSet(pushed)
+    if (lo.isEmpty && hi.isEmpty && inSet.isEmpty)
+      listed.map { case (v, p, len, _) => (v, p, len) }
     else {
       // stats come from each SURVIVING dir's own sidecar — a `type ∧
       // ts` plan parses only those dirs' entries, never one
@@ -1056,7 +1084,11 @@ object WireEvents {
             }
             val entirelyAbove = hi.exists(h => mn.exists(_ > h))
             val entirelyBelow = lo.exists(l => mx.exists(_ < l))
-            !(entirelyAbove || entirelyBelow)
+            // DPP key set: the file must hold SOME key in its band
+            // (unknown min/max stay conservative — treated unbounded)
+            val missesKeys = inSet.exists(ks => !ks.exists(k =>
+              mn.forall(_ <= k) && mx.forall(_ >= k)))
+            !(entirelyAbove || entirelyBelow || missesKeys)
           }
         }.map { case (v, p, len, _) => (v, p, len) }
     }
