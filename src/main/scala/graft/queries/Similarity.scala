@@ -269,20 +269,61 @@ object Similarity {
     * the full pipeline. */
   /** The (label, bucket)-blocked candidate pairs behind
     * [[embedNearDupLsh]], exposed for the ScalingCurveSpec volume
-    * tripwire. Width note (the [[srpBitsLadder]] lesson applied here):
-    * blocking is per LABEL, so the occupancy that matters is
-    * n_label / 2^8 — ~1.6 at sf0.1 (400-vector labels, 256 buckets),
-    * far below the ladder's 25 target, so the fixed base-8 width IS
-    * the correct rung for every fixture; the ladder rule takes over
-    * only past ~6400 vectors per label (same +2-bits-per-4x step,
-    * measured per label). Unlike [[srpProbePairs]] this generator has
-    * no probe side and keeps the collision rate per table at 1/256
-    * of the label's pair space. */
+    * tripwire. Width note: blocking is per LABEL, so the occupancy
+    * that matters is n_label / 2^bits — ~1.6 at sf0.1 (400-vector
+    * labels at the base 8-bit rung, 256 buckets), far below the
+    * ladder's 25 target; hot labels step up through the
+    * [[embedLshRungs]] per-label ladder below (r13 — previously a
+    * scaladoc claim with no implementation). Unlike [[srpProbePairs]]
+    * this generator has no probe side and keeps the collision rate
+    * per table at 1/2^bits of the label's pair space. */
+  /** Per-LABEL occupancy ladder for the embed-LSH blocker — the
+    * [[srpBitsLadder]] discipline at label granularity (r12 ADVICE:
+    * the fixed base-8 width only CLAIMED the ladder took over past
+    * ~6400 vectors per label; nothing implemented it, so a hot label
+    * silently reverted the blocker to quadratic per-label volume).
+    * Rung i uses embedLshRungs(i) bits and covers labels up to
+    * 6400·4^i vectors (per-(label, bucket) occupancy held ≤ 25);
+    * buckets are masked from ONE max-width index, so a ladder step
+    * appends bits without moving lower ones — every label at the base
+    * rung (all fixtures: ≤ 400/label) is bit-identical to the fixed
+    * 8-bit blocker this replaces. Scala bits column and oracle CASE
+    * both generate from this one list; the last rung serves as the
+    * SQL's ELSE (the srpNbCaseSql precedent) while the Scala side
+    * refuses loudly past it. */
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12)
+  private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
+  private[graft] def embedLshCaseSql: String =
+    "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>
+      s"WHEN count(*) <= ${embedLshRungCap(i)} THEN $b" }.mkString(" ") +
+      s" ELSE ${embedLshRungs.last} END"
+  private def embedLshBitsCol: Column = {
+    val past: Column = raise_error(concat(
+      lit("embedLshCandidates: label count "), col("__lc").cast("string"),
+      lit(s" exceeds the audited ladder envelope (<= " +
+        s"${embedLshRungCap(embedLshRungs.size - 1)}); append the next " +
+        "rung to Similarity.embedLshRungs")))
+    embedLshRungs.zipWithIndex.foldRight(past) { case ((b, i), acc) =>
+      when(col("__lc") <= embedLshRungCap(i), lit(b)).otherwise(acc)
+    }
+  }
+
   private[graft] def embedLshCandidates(rawEmbeddings: DataFrame): DataFrame = {
-    val planes = srpPlanes(nTables = 4, nBits = 8)
+    val maxBits = embedLshRungs.max
+    val planes = srpPlanes(nTables = 4, nBits = maxBits)
+    // one max-width bucket index; each label MASKS it down to its
+    // ladder rung (low bits first — appending bits never moves them)
+    val counts = rawEmbeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("__lc"))
     val e = embFrom(rawEmbeddings)
       .select(col("vec_id"), col("label"), col("vd"), col("nrm"))
-      .withColumn("bks", srpBucketArray(planes, withProbes = false))
+      .join(counts, "label")
+      .withColumn("__bks_max", srpBucketArray(planes, withProbes = false))
+      .withColumn("__lbits", embedLshBitsCol.cast("int"))
+      .withColumn("__mask",
+        expr("shiftleft(CAST(1 AS BIGINT), __lbits) - 1"))
+      .withColumn("bks",
+        expr("transform(__bks_max, b -> b & __mask)"))
     val buckets = e.select(col("vec_id"), col("label"), col("vd"),
         col("nrm"), col("bks"), posexplode(col("bks")).as(Seq("t", "bucket")))
     buckets.alias("x")
@@ -304,10 +345,15 @@ object Similarity {
     "q_embed_neardup_lsh",
     (spark, dir) => embedNearDupLsh(Tables.embeddings(spark, dir)),
     Some(s"""
-      WITH bk AS (
-        SELECT vec_id, label, embedding,
-               ${(0 until 4).map(t => s"${srpBucketSql("embedding", t, 8)} AS b$t").mkString(",\n               ")}
-        FROM embeddings)
+      WITH lc AS (SELECT label, $embedLshCaseSql AS lbits
+                  FROM embeddings GROUP BY label),
+      bk AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               ${(0 until 4).map(t =>
+                 s"((${srpBucketSql("e.embedding", t, embedLshRungs.max)})" +
+                 s" & ((CAST(1 AS BIGINT) << lc.lbits) - 1)) AS b$t")
+                 .mkString(",\n               ")}
+        FROM embeddings e JOIN lc ON e.label = lc.label)
       SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
              round(${dotSql("x.embedding", "y.embedding")}
                    / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim

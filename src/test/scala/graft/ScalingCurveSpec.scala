@@ -189,6 +189,55 @@ class ScalingCurveSpec extends SparkSpec {
     }
   }
 
+  /** The embed-LSH ladder ACROSS its base rung (r12 ADVICE: the
+    * per-label ladder was a scaladoc claim with no implementation —
+    * a hot label silently reverted the blocker to quadratic volume).
+    * An 8000-vector label sits past the 6400 base-rung cap, so the
+    * blocker must take rung 10 (1024 buckets/table): measured volume
+    * must fall well under the retired fixed-8-bit expectation
+    * (~allPairs · (1-(1-1/256)^4) ≈ 499k on near-uniform vectors).
+    * And a label past the last rung's envelope refuses loudly. */
+  test("embed-LSH per-label ladder engages on a hot label and refuses past its envelope") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // dim must match the 64-dim plane tensor (shorter vectors null-
+    // poison out of blocking); per-coordinate FREQUENCIES (j + 13)
+    // give full-rank pseudo-random directions — a sin(a·i + b·j)
+    // lattice is rank 2 (all vectors on a circle) and would make
+    // bucket geometry arcs, not uniform cells
+    def corpus(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      lit(7).as("label"),
+      expr("transform(sequence(1, 64), " +
+        "j -> sin(CAST((id + 1) * (j + 13) AS DOUBLE)))").as("embedding"))
+    // engagement is asserted on collision DENSITY (pairs / all-pairs)
+    // of the same deterministic vector family: 6400 vectors sit on the
+    // base rung (256 buckets), 8000 on rung 10 (1024) — if the ladder
+    // silently stopped engaging, both run 8-bit and the densities are
+    // EQUAL (same family, same planes); engaged, the wider index cuts
+    // density by ~2.4x here (measured: 0.02066 -> 0.00863)
+    def density(n: Long): Double =
+      graft.queries.Similarity.embedLshCandidates(corpus(n)).count()
+        .toDouble / (n * (n - 1) / 2)
+    val d8 = density(6400)
+    val d10 = density(8000)
+    info(f"embed-lsh density: rung 8 @6400 = $d8%.5f, rung 10 @8000 = $d10%.5f")
+    assert(d10 < d8 * 0.6,
+      f"rung-10 density $d10%.5f not below 0.6x the rung-8 density " +
+        f"$d8%.5f — the per-label ladder did not engage")
+    assert(d10 > 0)
+    // past the audited envelope the Scala side refuses loudly instead
+    // of silently running the last rung ever hotter
+    // dim 64 so the bucket array is non-null and the masking lambda
+    // (where the ladder CASE lives) actually evaluates per row
+    val over = spark.range(graft.queries.Similarity.embedLshRungCap(2) + 1)
+      .select(col("id").as("vec_id"), lit(9).as("label"),
+        expr("array_repeat(1.0D, 64)").as("embedding"))
+    val e = intercept[Exception](
+      graft.queries.Similarity.embedLshCandidates(over).count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("embedLshRungs"), msgs)
+  }
+
   /** The IVF tripwire ACROSS the old 4096-cell ceiling (r12 verdict
     * task 1's last clause): a synthetic 513k-vector corpus pushes
     * ivfCellCount to k=4104, so assignment and probing take the
