@@ -171,9 +171,18 @@ object Bench {
     val spreadFlagged = raw.collect {
       case (k, runs) if runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 2.0 => k
     }.toSet
+    // sample the load at each RERUN too: the substituted quiet_value
+    // comes from this window, not the battery's — pairing it with the
+    // battery-start load would mis-attribute exactly the reading the
+    // column exists for (r13 review finding)
+    val rerunLoad = scala.collection.mutable.Map.empty[String, String]
     val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => spreadFlagged(name) }
-      .map { case (name, fnq) => name -> run(name, fnq) }.toMap
+      .map { case (name, fnq) =>
+        rerunLoad(name) =
+          loadavg().stripPrefix("[").split(",").headOption.getOrElse("null")
+        name -> run(name, fnq)
+      }.toMap
     val quietMark =
       if (spreadFlagged.isEmpty) ""
       else {
@@ -203,7 +212,7 @@ object Bench {
     val flagged = raw.collect {
       case (k, runs) if spreadFlagged(k) =>
         "\"" + k + "\":{\"raws\":[" + runs.map(f3).mkString(",") +
-          s"""],"spread":${f3(runs.max / runs.min)},"rerun":${f3(reruns.getOrElse(k, -1.0))}}"""
+          s"""],"spread":${f3(runs.max / runs.min)},"rerun":${f3(reruns.getOrElse(k, -1.0))},"rerun_load":${rerunLoad.getOrElse(k, "null")}}"""
     }
     val flagMark =
       if (flagged.isEmpty) "" else s""","spread_flags":{${flagged.mkString(",")}}"""

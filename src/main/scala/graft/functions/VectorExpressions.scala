@@ -831,6 +831,15 @@ object CellTopNChunk {
     var c = 0
     var prevId = Long.MinValue
     while (c < k) {
+      // chunk-side null ELEMENTS are malformed-index, not row data:
+      // a null norm would unbox to 0.0 and the /0.0 ppm would be
+      // Long.MaxValue — a garbage winner silently displacing real
+      // cells, the exact failure the loud contract forbids (r13
+      // review finding)
+      if (norms.isNullAt(c) || ids.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"cell_topn_chunk: null norm/id element at index $c — the " +
+            "chunked index relation is malformed")
       // strictly-ascending ids make the ascending-index tie-break
       // identical to smallest-ID — the global combine's contract
       val id = ids.getLong(c)
@@ -841,7 +850,14 @@ object CellTopNChunk {
       var acc = 0.0
       var i = 0
       val base = c * dim
-      while (i < dim) { acc += arr(i) * cents.getDouble(base + i); i += 1 }
+      while (i < dim) {
+        if (cents.isNullAt(base + i))
+          throw new IllegalArgumentException(
+            s"cell_topn_chunk: null centroid element at ${base + i} — " +
+              "the chunked index relation is malformed")
+        acc += arr(i) * cents.getDouble(base + i)
+        i += 1
+      }
       val p = math.floor(acc / norms.getDouble(c) * 1000000.0 + 0.5).toLong
       var pos = filled
       var s = 0

@@ -68,23 +68,34 @@ object Tables {
     * directory costs one listing (the same listing planning pays
     * anyway) and zero jobs. The cache holds one Long per (path,
     * snapshot) — O(directories), never O(rows). */
+  // table path -> (snapshot digest, count): a NEW snapshot REPLACES
+  // the old entry, so memory is O(tables), and the snapshot token is
+  // a fixed-size MD5 over the listing — never the listing itself
+  // (an O(files) key string per snapshot would grow without bound on
+  // a long-running session over an appending table; r13 review
+  // finding)
   private val rowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val sb = new StringBuilder(path.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      sb.append('|').append(f.getPath.toString)
-        .append(':').append(f.getLen)
-        .append(':').append(f.getModificationTime)
+      md.update(s"${f.getPath}:${f.getLen}:${f.getModificationTime}|"
+        .getBytes("UTF-8"))
     }
-    rowCountCache
-      .computeIfAbsent(sb.toString, _ => apply(s, d, name).count())
-      .longValue()
+    val digest = java.util.Base64.getEncoder.encodeToString(md.digest())
+    val key = path.toString
+    val cur = rowCountCache.get(key)
+    if (cur != null && cur._1 == digest) cur._2
+    else {
+      val n = apply(s, d, name).count()
+      rowCountCache.put(key, (digest, n))
+      n
+    }
   }
 }
 

@@ -620,22 +620,14 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
-  /** [[graft.functions.CellArgMax]] over the k unit centroids of a
-    * trained IVF index (norms all 1.0 — training L2-normalizes every
-    * centroid, and seeds are unit sample vectors): the k×dim matrix
-    * rides as ONE codegen reference object. Replaced the packed-long
-    * `greatest(k literal typedLit trees)` spelling (r11): at k=16 the
-    * literal trees cost ~0.25-0.3 s of Catalyst analysis + Janino
-    * codegen PER PASS, and the IVF contract query paid that 4× (two
-    * Lloyd assignments, the inverted-file pass, the probe pass). ppm
-    * contract is CellArgMax's `floor(dot·1e6 + 0.5)`; the retired
-    * spelling rounded HALF_UP, which differs only on exact negative
-    * half-ppm dots — re-verified: recall at all three fixtures is
-    * unchanged (no dot lands on a .5 ppm boundary). */
-  private def cellAssign(cents: Array[Array[Double]], u: Column): Column =
-    graft.functions.VectorFunctions.cellArgMax(
-      u, cents.flatten, Array.fill(cents.length)(1.0),
-      Array.tabulate(cents.length)(_.toLong), cents(0).length)
+  // History note for the IVF assignment path: the ppm contract is
+  // CellArgMax's `floor(dot·1e6 + 0.5)` (the r11 packed-long
+  // `greatest(k literal typedLit trees)` spelling it replaced rounded
+  // HALF_UP — differs only on exact negative half-ppm dots; recall at
+  // all three fixtures re-verified unchanged). The literal trees cost
+  // ~0.25-0.3 s of analysis + Janino codegen PER PASS at k=16, paid
+  // 4x per IVF contract query. Since r13 every caller goes through
+  // the k-dispatching [[assignCellsAnyK]]/[[topCellsAnyK]] below.
 
   /** The audited reference-object ceiling: up to this many cells the
     * [[graft.functions.CellArgMax]]/[[graft.functions.CellTopN]]
@@ -746,7 +738,7 @@ object Similarity {
   /** Spherical k-means training for the IVF index: seeded from the k
     * sample vectors with smallest md5(vec_id) (deterministic, spread),
     * refined by Lloyd iterations where assignment is the codegen'd
-    * [[cellAssign]] kernel (no join) and the per-cell mean reduces
+    * [[assignCellsAnyK]] dispatch and the per-cell mean reduces
     * through ONE shuffle of k x dim partial sums; only the k x dim
     * centroid matrix (a few KB) ever reaches the driver. The 100 TB
     * recipe: train on the sample, assign the full corpus in a single

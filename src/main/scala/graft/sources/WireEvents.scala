@@ -201,6 +201,11 @@ private[sources] class WireScanBuilder(
       case GreaterThanOrEqual("ts", _: String) => true
       case LessThan("ts", _: String) => true
       case LessThanOrEqual("ts", _: String) => true
+      // equality/IN prune file bands too (tsInSet — r13 review
+      // finding: only the DPP runtime path engaged it; a plain
+      // WHERE ts = 'X' read every file); kept residual like ranges
+      case EqualTo("ts", _: String) => true
+      case In("ts", vs) => vs.forall(v => v == null || v.isInstanceOf[String])
       case _ => false
     }
     pushed = subscription ++ handled ++ tsRange
@@ -932,11 +937,22 @@ object WireEvents {
     // INCREMENTAL: entries already in a dir's sidecar with a matching
     // length are reused — an append to one partition dir re-probes only
     // its new files, not the whole layout (files are immutable once
-    // visible, so (name, len) determines the range forever)
+    // visible, so (name, len) determines the range forever).
+    // A MALFORMED sidecar is treated as absent HERE (unlike the read
+    // path, which fails loudly): the writer's natural recovery is to
+    // re-probe that dir and rewrite a good sidecar — throwing would
+    // brick every future writeWire/append to the layout on one
+    // corrupted file, with manual deletion the only way out (r13
+    // review finding; the self-heal is spec-pinned).
     val existing: Map[String, Map[String, (Long, Option[String], Option[String])]] =
       files.map(f => dirOf(f._1)).distinct.map { dn =>
-        dn -> readStatsFile(fs, new HPath(new HPath(root, dn), TsStatsSidecar))
-          .getOrElse(Map.empty)
+        val p = new HPath(new HPath(root, dn), TsStatsSidecar)
+        dn -> (try readStatsFile(fs, p).getOrElse(Map.empty) catch {
+          case e: Exception =>
+            System.err.println(s"[wire-events] corrupt sidecar $p — " +
+              s"re-probing the dir and rewriting it: ${e.getMessage}")
+            Map.empty[String, (Long, Option[String], Option[String])]
+        })
       }.toMap
     val (covered, toProbe) = files.partition { case (rel, _, len) =>
       existing(dirOf(rel)).get(nameOf(rel)).exists(_._1 == len)
@@ -987,20 +1003,28 @@ object WireEvents {
     // entry set is unchanged (nothing probed, nothing removed) skips
     // its rename entirely
     val probedDirs = probed.map(p => dirOf(p._1)).toSet
+    var anyCommitted = false
     stats.groupBy(s => dirOf(s._1))
       .foreach { case (dirName, entries) =>
         val names = entries.map(e => nameOf(e._1)).toSet
         if (probedDirs.contains(dirName) ||
-            existing(dirName).keySet != names)
+            existing(dirName).keySet != names) {
           commit(new HPath(new HPath(root, dirName), TsStatsSidecar),
             entries.sortBy(_._1).map { case (rel, len, mn, mx) =>
               line(nameOf(rel), len, mn, mx)
             })
+          anyCommitted = true
+        }
       }
-    // root manifest: fallback for pre-sidecar readers, one release
-    commit(new HPath(root, TsStatsFile),
-      stats.sortBy(_._1).map { case (rel, len, mn, mx) =>
-        line(rel, len, mn, mx) })
+    // root manifest: fallback for pre-sidecar readers, one release —
+    // rewritten only when some sidecar changed (it is the one
+    // remaining O(total-files) serialization on this path; a no-op
+    // rerun must not rebuild it) or when it is absent entirely
+    val rootStats = new HPath(root, TsStatsFile)
+    if (anyCommitted || !fs.exists(rootStats))
+      commit(rootStats,
+        stats.sortBy(_._1).map { case (rel, len, mn, mx) =>
+          line(rel, len, mn, mx) })
   }
 
   /** Driver-side census of the wire layout with directory pruning

@@ -148,5 +148,23 @@ class CellChunkParitySpec extends SparkSpec {
         ArrayData.toArrayData(Array(1.0, 1.0)),
         ArrayData.toArrayData(Array(20L, 10L)), 2, 2))
     assert(e3.getMessage.contains("ascending"))
+    // null ELEMENTS inside chunk arrays: a null norm would unbox to
+    // 0.0 and the /0.0 ppm (Long.MaxValue) would silently displace
+    // every real cell — must throw, not evaluate
+    val e4 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)),
+        ArrayData.toArrayData(
+          Array[java.lang.Double](java.lang.Double.valueOf(1.0), null)),
+        ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
+    assert(e4.getMessage.contains("null norm/id"))
+    val e5 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(
+          Array[java.lang.Double](java.lang.Double.valueOf(1.0), null,
+            java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(1.0))),
+        ArrayData.toArrayData(Array(1.0, 1.0)),
+        ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
+    assert(e5.getMessage.contains("null centroid"))
   }
 }

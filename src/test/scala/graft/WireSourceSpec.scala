@@ -778,6 +778,53 @@ class WireSourceSpec extends SparkSpec {
         .selectExpr("get_json_object(value, '$.ts') AS ts")
         .filter(col("ts") >= cut).count()
     assert(WireEvents.read(spark, d).filter(col("ts") >= cut).count() === expected)
+    // the root fallback is NOT rebuilt by a no-op rerun (it is the one
+    // remaining O(total-files) serialization on the commit path)
+    val rootManifest = Paths.get(d, "_wire_ts_stats.json")
+    val rootBefore = Files.getLastModifiedTime(rootManifest)
+    Thread.sleep(200)
+    WireEvents.writeTsStats(spark, d)
+    assert(Files.getLastModifiedTime(rootManifest) === rootBefore,
+      "a no-op stats rerun must not rewrite the root manifest")
+  }
+
+  test("a corrupt sidecar self-heals on the WRITE path: the stats job re-probes and rewrites it") {
+    // the READ path fails loudly on a malformed sidecar (previous
+    // test); the WRITE path must instead treat it as absent and
+    // rewrite a good one — otherwise one corrupted file bricks every
+    // future writeWire/append to the layout with no recovery short of
+    // manual deletion
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 200), d)
+    val clickDir = Paths.get(d, "event_type=click")
+    Files.writeString(clickDir.resolve("_ts_stats.json"), "{not json\n")
+    Files.deleteIfExists(clickDir.resolve("._ts_stats.json.crc"))
+    WireEvents.writeTsStats(spark, d) // must not throw
+    // the sidecar is good again: a ts-ranged plan succeeds and is exact
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    assert(WireEvents.read(spark, d).filter(col("ts") >= cut).count() ===
+      events.filter(col("event_id") < 200)
+        .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
+  }
+
+  test("a static ts equality predicate prunes file bands, not just DPP runtime filters") {
+    // r13 review finding: tsInSet only engaged through runtime
+    // filters; a plain WHERE ts = 'X' must prune the same bands
+    val earliest = events.selectExpr(
+      s"date_format(min(ts), '${WireEvents.TsFmt}')").collect()(0).getString(0)
+    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val eqPlan = WireEvents.read(spark, wireDir)
+      .filter(col("ts") === earliest)
+      .queryExecution.executedPlan.toString
+    val allPlan = WireEvents.read(spark, wireDir)
+      .queryExecution.executedPlan.toString
+    assert(filesOf(eqPlan) < filesOf(allPlan),
+      s"ts equality must prune files (${filesOf(eqPlan)} vs ${filesOf(allPlan)})")
+    // rows stay exact (the filter is also residual)
+    assert(WireEvents.read(spark, wireDir).filter(col("ts") === earliest).count() ===
+      events.filter(date_format(col("ts"), WireEvents.TsFmt) === earliest).count())
   }
 
   /** Admitted census = union of every path named by the stream's
