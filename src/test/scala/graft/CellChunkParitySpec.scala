@@ -95,6 +95,52 @@ class CellChunkParitySpec extends SparkSpec {
       size(col("top_j")) =!= 7).count() === 0)
   }
 
+  test("distributed trainer: bit-deterministic chunks, full cell cover, high assignment agreement with the driver trainer") {
+    // the fully-distributed k-means (ivfTrainChunks) must (a) produce
+    // a WELL-FORMED chunk relation — every cell id 0..k-1 exactly
+    // once, unit norms, k·dim centroid doubles; (b) be BIT-
+    // DETERMINISTIC across runs (its Lloyd sums are exact ppm
+    // BIGINTs — order-independent — where the driver trainer's double
+    // sums are only locally stable); (c) train essentially the same
+    // index as the driver trainer on the same data (assignments may
+    // differ only where a vector sits near a cell boundary and the
+    // ppm-vs-double centroid ulps flip it — a small, stable fraction)
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("vd")))
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val k = 16
+    def trainOnce() = Similarity.ivfTrainChunks(e, k, iters = 2,
+      sampleMod = 3, dim, chunkSize = 5) // 4 chunks of <= 5 cells
+    val c1 = trainOnce().collect().sortBy(_.getSeq[Long](2).head)
+    val c2 = trainOnce().collect().sortBy(_.getSeq[Long](2).head)
+    assert(c1.length === 4)
+    assert(c1.map(_.getSeq[Long](2)).flatten.sorted.toSeq ===
+      (0L until k.toLong))
+    assert(c1.flatMap(_.getSeq[Double](1)).forall(_ == 1.0))
+    assert(c1.map(_.getSeq[Double](0).length).sum === k * dim)
+    // bit-determinism: every double in every chunk identical across runs
+    assert(c1.zip(c2).forall { case (a, b) =>
+      a.getSeq[Double](0) == b.getSeq[Double](0) &&
+        a.getSeq[Long](2) == b.getSeq[Long](2)
+    }, "ivfTrainChunks must be bit-deterministic run to run")
+    // assignment agreement vs the driver trainer on the same corpus
+    val eu = e.withColumn("u", expr("transform(vd, x -> x / nrm)"))
+    val driverCents = Similarity.ivfTrain(e, k, iters = 2, sampleMod = 3)
+    val viaDriver = Similarity.assignCellsAnyK(eu, "vec_id", col("u"),
+      driverCents.flatten, Array.fill(k)(1.0),
+      Array.tabulate(k)(_.toLong), dim, "cell_d")
+    val viaChunks = Similarity.topCellsViaChunks(viaDriver, "vec_id",
+      col("u"), trainOnce(), dim, 1, "__c")
+      .withColumn("cell_c", col("__c")(0))
+    val total = viaChunks.count()
+    val agree = viaChunks.filter(col("cell_d") === col("cell_c")).count()
+    info(s"driver-vs-distributed assignment agreement: $agree/$total")
+    assert(agree.toDouble / total >= 0.9,
+      s"only $agree/$total assignments agree — the distributed trainer " +
+        "diverged from the driver recipe beyond centroid-ulp noise")
+  }
+
   test("cell_topn_chunk generated code actually COMPILES (no silent interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -261,8 +261,9 @@ class ScalingCurveSpec extends SparkSpec {
     val cands = Similarity.ivfCandidatePairs(e, n).count()
     info(s"ivf @ synthetic n=$n (k=${Similarity.ivfCellCount(n)}, " +
       s"join path): $cands candidate pairs")
-    // measured 549421 (~queries · nprobe · 125 = 500k expected); cap
-    // 4x measured, ~230x below the 513M collapse band
+    // measured 549420 (~queries · nprobe · 125 = 500k expected; the
+    // fully-distributed trainer path — ivfTrainChunks — since r13);
+    // cap 4x measured, ~230x below the 513M collapse band
     val cap = 2200000L
     assert(cands <= cap,
       s"ivf join path @ n=$n: $cands candidates exceeds the $cap " +
