@@ -694,24 +694,34 @@ object Similarity {
     } else {
       topCellsViaChunks(df, key, u,
         centroidChunks(df.sparkSession, cents, norms, ids, dim, chunkSize),
-        dim, n, out)
+        dim, n, out,
+        hintBroadcast = cents.length.toLong * 8 <= chunkBroadcastBytes)
     }
   }
+
+  /** Estimated chunk-relation bytes above which [[topCellsViaChunks]]
+    * callers stop hinting broadcast: k·dim·8 ≤ 256 MB broadcasts
+    * comfortably (each executor holds the whole index once — the
+    * point of the chunk join); past it the unhinted cross join plans
+    * a partitioned cartesian whose SMALL side is the chunk relation,
+    * trading per-executor residency for replication across partition
+    * pairings. */
+  private[graft] final val chunkBroadcastBytes = 256L * 1024 * 1024
 
   /** The chunk-RELATION serving core behind [[topCellsAnyK]]'s
     * escalated branch, taking the centroid chunks as a DATAFRAME of
     * (ccents, cnorms, cids) rows — so a caller whose index never
     * touches the driver ([[ivfTrainChunks]], the fully-distributed
-    * trainer) can serve through the same join + bounded combine. The
-    * broadcast holds while the chunk relation fits the broadcast
-    * limit; past THAT the escalation is dropping the hint (Spark
-    * falls back to a partitioned cartesian whose small side is the
-    * chunk relation). */
+    * trainer) can serve through the same join + bounded combine.
+    * `hintBroadcast` comes from the caller (who knows k·dim — a
+    * DataFrame's true size would cost an action here); see
+    * [[chunkBroadcastBytes]]. */
   private[graft] def topCellsViaChunks(df: DataFrame, key: String, u: Column,
-      chunks: DataFrame, dim: Int, n: Int, out: String): DataFrame = {
+      chunks: DataFrame, dim: Int, n: Int, out: String,
+      hintBroadcast: Boolean = true): DataFrame = {
     val idMask = (1L << 41) - 1
     val scored = df.select(col(key), u.as("__u"))
-      .crossJoin(broadcast(chunks))
+      .crossJoin(if (hintBroadcast) broadcast(chunks) else chunks)
       .select(col(key),
         graft.functions.VectorFunctions.cellTopNChunk(
           col("__u"), col("ccents"), col("cnorms"), col("cids"), dim, n)
@@ -859,10 +869,11 @@ object Similarity {
       s"ivfTrainChunks: training sample holds $got vectors but k=$k cells " +
         "were requested; lower k or widen the sample (sampleMod)")
     var cents = seeds
+    val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
     for (_ <- 0 until iters) {
       val chunks = chunkifyCentroids(cents, chunkSize)
       val assigned = topCellsViaChunks(sample, "vec_id", col("u"), chunks,
-          dim, 1, "__cells")
+          dim, 1, "__cells", hintBroadcast = bc)
         .select(col("u"), col("__cells")(0).as("cell"))
         .filter(col("cell").isNotNull)
       // exact ppm partial sums -> order-independent refined centroids
@@ -981,11 +992,13 @@ object Similarity {
         // r12 audit's last named seam)
         val dim = eu.select(size(col("u"))).head().getInt(0)
         val chunks = ivfTrainChunks(e, k, iters = 2, sampleMod = 3, dim)
-        (topCellsViaChunks(eu, "vec_id", col("u"), chunks, dim, 1, "__c1")
+        val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
+        (topCellsViaChunks(eu, "vec_id", col("u"), chunks, dim, 1, "__c1",
+            hintBroadcast = bc)
            .withColumn("cell",
              when(size(col("__c1")) > 0, col("__c1")(0))).drop("__c1"),
          topCellsViaChunks(eu.filter(isKnnQuery), "vec_id", col("u"),
-            chunks, dim, nprobe, "__cells"))
+            chunks, dim, nprobe, "__cells", hintBroadcast = bc))
       }
     // inverted file: ONE distributed pass assigns every vector a cell
     val inv = inv0.select(col("vec_id").as("c_id"), col("vd").as("cv"),
