@@ -928,6 +928,46 @@ class WireSourceSpec extends SparkSpec {
       .contains("empty subscription band"), swapped.getMessage)
   }
 
+  test("streaming ts-band census reads only the subscription's sidecars (sharded stats on the stream path)") {
+    // the batch counting-FS test pins planning; this pins the STREAM:
+    // a type ∧ ts subscription's census (every trigger's listing +
+    // admission) must read only the subscribed dir's sidecar — never
+    // the root manifest, other dirs' sidecars, or off-type data files
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    val d = tmp()
+    WireEvents.writeWire(events, d)
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    import scala.jdk.CollectionConverters._
+    CountingLocalFs.opened.clear()
+    val chk = tmp()
+    var total = 0L
+    val q = spark.readStream
+      .format(classOf[graft.sources.WireEventsSource].getName)
+      .option("path", "cntfs:" + d)
+      .option("eventTypes", "click").option("tsMin", cut).load()
+      .filter(col("ts") >= cut)
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
+      .start()
+    q.awaitTermination()
+    assert(total === events.filter(col("event_type") === "click")
+      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
+    val opened = CountingLocalFs.opened.asScala.toList
+    val statsOpens = opened.filter(p =>
+      p.endsWith("/_ts_stats.json") || p.endsWith("/_wire_ts_stats.json"))
+    assert(statsOpens.nonEmpty &&
+      statsOpens.forall(_.contains("/event_type=click/")),
+      s"stream census must read only the subscribed dir's sidecar: $statsOpens")
+    val dataOpens = opened.filter(p =>
+      p.contains("/event_type=") && !p.endsWith("/_ts_stats.json"))
+    assert(dataOpens.nonEmpty && dataOpens.forall(_.contains("/event_type=click/")),
+      s"off-type data files must never open: $dataOpens")
+  }
+
   test("runtime filtering prunes partition dirs at execution time (DSv2 dynamic partition pruning)") {
     // unit level: the Scan accepts an execution-time event_type filter
     // and replans fewer files — the SupportsRuntimeFiltering contract
