@@ -79,6 +79,11 @@ object Bench {
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "null" }
     val loadStart = loadavg()
+    // the 1-min component alone, shared by per-query and per-rerun
+    // sampling (one spelling — a drift between the two would
+    // desynchronize load_at_query and rerun_load in the artifact)
+    def load1(): String =
+      loadavg().stripPrefix("[").split(",").headOption.getOrElse("null")
     // 1-min loadavg sampled as each query STARTS: r12's committed bench
     // regressed +8% as a uniform smear across unchanged queries while
     // the box loadavg climbed 3.3 -> 6.8, and attributing that took a
@@ -89,8 +94,7 @@ object Bench {
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        perQueryLoad(name) =
-          loadavg().stripPrefix("[").split(",").headOption.getOrElse("null")
+        perQueryLoad(name) = load1()
         // keep EXECUTION order (median() sorts its own copy): the detail
         // file must show warmup-vs-steady structure, which sorted raws
         // hid in round 8's drift investigation
@@ -179,8 +183,7 @@ object Bench {
     val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => spreadFlagged(name) }
       .map { case (name, fnq) =>
-        rerunLoad(name) =
-          loadavg().stripPrefix("[").split(",").headOption.getOrElse("null")
+        rerunLoad(name) = load1()
         name -> run(name, fnq)
       }.toMap
     val quietMark =

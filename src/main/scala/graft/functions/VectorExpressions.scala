@@ -840,6 +840,14 @@ object CellTopNChunk {
         throw new IllegalArgumentException(
           s"cell_topn_chunk: null norm/id element at index $c — the " +
             "chunked index relation is malformed")
+      // same garbage-winner path for an explicit 0.0 / NaN / negative
+      // / infinite norm (builders filter degenerate centroids before
+      // chunking — semCells' `> 0` filter is the contract)
+      val nv = norms.getDouble(c)
+      if (!(nv > 0.0) || java.lang.Double.isInfinite(nv))
+        throw new IllegalArgumentException(
+          s"cell_topn_chunk: non-positive/non-finite norm $nv at index " +
+            s"$c — the chunked index relation is malformed")
       // strictly-ascending ids make the ascending-index tie-break
       // identical to smallest-ID — the global combine's contract
       val id = ids.getLong(c)
@@ -858,7 +866,7 @@ object CellTopNChunk {
         acc += arr(i) * cents.getDouble(base + i)
         i += 1
       }
-      val p = math.floor(acc / norms.getDouble(c) * 1000000.0 + 0.5).toLong
+      val p = math.floor(acc / nv * 1000000.0 + 0.5).toLong
       var pos = filled
       var s = 0
       var found = false

@@ -743,6 +743,18 @@ object Similarity {
     df.join(best, key)
   }
 
+  /** [[topCellsViaChunks]] at n=1 unwrapped to the scalar cell
+    * contract (original cell id, null on poison) — the ONE spelling
+    * of the array-of-1 unwrap, shared by every chunk-relation
+    * assignment site (a contract change in topCellsViaChunks' poison
+    * shape then breaks one place, not three — r13 review). */
+  private[graft] def assignCellsViaChunks(df: DataFrame, key: String,
+      u: Column, chunks: DataFrame, dim: Int, out: String,
+      hintBroadcast: Boolean = true): DataFrame =
+    topCellsViaChunks(df, key, u, chunks, dim, 1, "__top1", hintBroadcast)
+      .withColumn(out, when(size(col("__top1")) > 0, col("__top1")(0)))
+      .drop("__top1")
+
   /** Single-cell assignment for ANY k: [[topCellsAnyK]] at n=1,
     * unwrapped to [[graft.functions.CellArgMax]]'s scalar contract
     * (original cell id, null on poison). */
@@ -753,9 +765,10 @@ object Similarity {
       df.withColumn(out, graft.functions.VectorFunctions.cellArgMax(
         u, cents, norms, ids, dim))
     } else {
-      topCellsAnyK(df, key, u, cents, norms, ids, dim, 1, "__top1", chunkSize)
-        .withColumn(out, when(size(col("__top1")) > 0, col("__top1")(0)))
-        .drop("__top1")
+      assignCellsViaChunks(df, key, u,
+        centroidChunks(df.sparkSession, cents, norms, ids, dim, chunkSize),
+        dim, out,
+        hintBroadcast = cents.length.toLong * 8 <= chunkBroadcastBytes)
     }
   }
 
@@ -855,50 +868,70 @@ object Similarity {
   private[graft] def ivfTrainChunks(e: DataFrame, k: Int, iters: Int,
       sampleMod: Int, dim: Int,
       chunkSize: Int = cellChunkSize): DataFrame = {
+    // persist + count-to-materialize + explicit unpersist, NOT
+    // localCheckpoint: checkpoint blocks have no public release API,
+    // so the sample (~n/sampleMod·dim) and iters+1 centroid snapshots
+    // would linger in executor storage until driver GC — the round-2
+    // lingering-storage slowdown (r13 review finding). The trade:
+    // persist does not truncate lineage, but at iters = 2 the plan
+    // depth is bounded; each count() materializes BEFORE concurrent
+    // consumers (no lazy-persist stampede) and before the parent
+    // snapshot is released.
     val sample = e.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
-      .localCheckpoint()
-    val seeds = sample
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h").limit(k)
-      .select((row_number().over(
-        Window.orderBy("h")).cast("long") - 1L).as("cell"), col("u"))
-      .localCheckpoint(true)
-    val got = seeds.count()
-    require(got == k,
-      s"ivfTrainChunks: training sample holds $got vectors but k=$k cells " +
-        "were requested; lower k or widen the sample (sampleMod)")
-    var cents = seeds
-    val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
-    for (_ <- 0 until iters) {
-      val chunks = chunkifyCentroids(cents, chunkSize)
-      val assigned = topCellsViaChunks(sample, "vec_id", col("u"), chunks,
-          dim, 1, "__cells", hintBroadcast = bc)
-        .select(col("u"), col("__cells")(0).as("cell"))
-        .filter(col("cell").isNotNull)
-      // exact ppm partial sums -> order-independent refined centroids
-      val refined = assigned
-        .select(col("cell"), posexplode(expr(
-          "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
-          .as(Seq("j", "xi")))
-        .groupBy("cell", "j")
-        .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
-        .groupBy("cell")
-        .agg(expr("array_sort(collect_list(struct(j, sx, cn)))").as("cs"))
-        .select(col("cell"), expr(
-          "transform(cs, s -> CAST(s.sx AS DOUBLE) / (s.cn * 1000000.0D))")
-          .as("comps"))
-        .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("comps")))
-        .filter(col("n2") > 0)
-        .select(col("cell"), expr("transform(comps, x -> x / n2)").as("u"))
-      // localCheckpoint per round: iterative lineage doubles otherwise
-      // (the ConnectedComponents gotcha)
-      cents = cents.alias("p")
-        .join(refined.alias("r"), Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("r.u"), col("p.u")).as("u"))
-        .localCheckpoint(true)
-    }
-    chunkifyCentroids(cents, chunkSize).localCheckpoint(true)
+      .persist()
+    try {
+      var cents = sample
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(k)
+        .select((row_number().over(
+          Window.orderBy("h")).cast("long") - 1L).as("cell"), col("u"))
+        .persist()
+      val got = cents.count()
+      if (got != k) {
+        cents.unpersist(blocking = true)
+        throw new IllegalArgumentException(
+          s"ivfTrainChunks: training sample holds $got vectors but k=$k " +
+            "cells were requested; lower k or widen the sample (sampleMod)")
+      }
+      val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
+      for (_ <- 0 until iters) {
+        val chunks = chunkifyCentroids(cents, chunkSize)
+        val assigned = assignCellsViaChunks(sample, "vec_id", col("u"),
+            chunks, dim, "cell", hintBroadcast = bc)
+          .select(col("u"), col("cell"))
+          .filter(col("cell").isNotNull)
+        // exact ppm partial sums -> order-independent refined centroids
+        val refined = assigned
+          .select(col("cell"), posexplode(expr(
+            "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
+            .as(Seq("j", "xi")))
+          .groupBy("cell", "j")
+          .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
+          .groupBy("cell")
+          .agg(expr("array_sort(collect_list(struct(j, sx, cn)))").as("cs"))
+          .select(col("cell"), expr(
+            "transform(cs, s -> CAST(s.sx AS DOUBLE) / (s.cn * 1000000.0D))")
+            .as("comps"))
+          .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("comps")))
+          .filter(col("n2") > 0)
+          .select(col("cell"), expr("transform(comps, x -> x / n2)").as("u"))
+        val next = cents.alias("p")
+          .join(refined.alias("r"), Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("r.u"), col("p.u")).as("u"))
+          .persist()
+        next.count() // materialize before releasing the parent snapshot
+        cents.unpersist(blocking = true)
+        cents = next
+      }
+      // the handed-out index IS checkpointed (lineage truncation: its
+      // consumers must never re-run the Lloyd chain after the
+      // intermediate snapshots are released); ceil(k/chunkSize) rows
+      // of ~2 MB each, the engine's cached-index residency
+      val out = chunkifyCentroids(cents, chunkSize).localCheckpoint(true)
+      cents.unpersist(blocking = true)
+      out
+    } finally sample.unpersist(blocking = true)
   }
 
   /** IVF-Flat ANN serving path — the other classic scale path,
@@ -993,10 +1026,8 @@ object Similarity {
         val dim = eu.select(size(col("u"))).head().getInt(0)
         val chunks = ivfTrainChunks(e, k, iters = 2, sampleMod = 3, dim)
         val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
-        (topCellsViaChunks(eu, "vec_id", col("u"), chunks, dim, 1, "__c1",
-            hintBroadcast = bc)
-           .withColumn("cell",
-             when(size(col("__c1")) > 0, col("__c1")(0))).drop("__c1"),
+        (assignCellsViaChunks(eu, "vec_id", col("u"), chunks, dim, "cell",
+            hintBroadcast = bc),
          topCellsViaChunks(eu.filter(isKnnQuery), "vec_id", col("u"),
             chunks, dim, nprobe, "__cells", hintBroadcast = bc))
       }

@@ -947,8 +947,13 @@ object WireEvents {
     val existing: Map[String, Map[String, (Long, Option[String], Option[String])]] =
       files.map(f => dirOf(f._1)).distinct.map { dn =>
         val p = new HPath(new HPath(root, dn), TsStatsSidecar)
+        // catch ONLY the malformed-manifest shapes readStatsFile
+        // throws (IllegalState for bad JSON, IllegalArgument for a
+        // missing field): a transient IO failure on a healthy sidecar
+        // must stay loud, not be misreported as corruption and
+        // silently re-probe the whole dir (r13 review finding)
         dn -> (try readStatsFile(fs, p).getOrElse(Map.empty) catch {
-          case e: Exception =>
+          case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
             System.err.println(s"[wire-events] corrupt sidecar $p — " +
               s"re-probing the dir and rewriting it: ${e.getMessage}")
             Map.empty[String, (Long, Option[String], Option[String])]

@@ -212,5 +212,19 @@ class CellChunkParitySpec extends SparkSpec {
         ArrayData.toArrayData(Array(1.0, 1.0)),
         ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
     assert(e5.getMessage.contains("null centroid"))
+    // an explicit 0.0 (or NaN/negative/infinite) norm is the same
+    // garbage-winner path as a null: /0.0 -> Long.MaxValue ppm
+    val e6 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)),
+        ArrayData.toArrayData(Array(1.0, 0.0)),
+        ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
+    assert(e6.getMessage.contains("non-positive"))
+    val e7 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(u,
+        ArrayData.toArrayData(Array(1.0, 0.0, 0.0, 1.0)),
+        ArrayData.toArrayData(Array(1.0, Double.NaN)),
+        ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
+    assert(e7.getMessage.contains("non-positive"))
   }
 }
