@@ -840,6 +840,40 @@ object Similarity {
         expr("transform(cs, s -> CAST(1.0 AS DOUBLE))").as("cnorms"),
         expr("transform(cs, s -> s.cell)").as("cids"))
 
+  /** The k seed cells (cell = 0..k-1 in ascending md5(vec_id) order)
+    * for the distributed trainer, dispatched on what one task must
+    * hold. Small k: TakeOrdered + a one-task window — a single task
+    * materializes the k seed rows (k·dim·8 bytes of vector payload),
+    * fine exactly while that is a reference-object-sized blob (the
+    * same [[chunkBroadcastBytes]] line every other k·dim surface
+    * draws). Past it, the SAME ranks come from
+    * [[graft.operators.GlobalRank]]: the md5 key range-shuffles
+    * across all partitions and zipWithIndex assigns exact global
+    * positions, so no task ever holds more than sample/partitions
+    * rows — and only the narrow (vec_id, h) projection rides the
+    * row-level hop; the u payload hash-joins back by vec_id. vec_id
+    * is appended as the rank tie-break (GlobalRank's well-defined-
+    * order contract); the sort-limit path orders by h alone, which
+    * agrees wherever md5 values are distinct — i.e. everywhere, and
+    * the parity spec pins the two paths bit-equal end-to-end.
+    * `forceRank` lets that spec drive fixture-sized k down the
+    * escalated path. */
+  private[graft] def seedCells(sample: DataFrame, k: Int, dim: Int,
+      forceRank: Boolean = false): DataFrame = {
+    val withH = sample.withColumn("h", md5(col("vec_id").cast("string")))
+    if (!forceRank && k.toLong * dim * 8 <= chunkBroadcastBytes) {
+      withH.orderBy("h").limit(k)
+        .select((row_number().over(
+          Window.orderBy("h")).cast("long") - 1L).as("cell"), col("u"))
+    } else {
+      graft.operators.GlobalRank.withGlobalRank(withH,
+          Seq(col("h"), col("vec_id")), rankCol = "__r",
+          keyCols = Seq("vec_id"))
+        .filter(col("__r") <= k)
+        .select((col("__r") - 1L).as("cell"), col("u"))
+    }
+  }
+
   /** Fully-distributed spherical k-means for k past the driver
     * comfort zone — [[ivfTrain]]'s recipe with NOTHING O(k·dim) on
     * the driver: seeds, Lloyd assignment, per-cell sums and the
@@ -860,14 +894,19 @@ object Similarity {
     * partitioning is; at cluster scale a double-sum spelling would
     * make every retrain a slightly different index, which no recall
     * floor could pin). Degenerate cells keep their previous centroid
-    * (left join + coalesce — the ivfTrain rule, distributed). The
-    * one narrow stage: seed selection funnels k rows through a
-    * single-partition sort-limit (k·dim doubles in ONE TASK, not on
-    * the driver); past ~10M-centroid indexes the named escalation is
-    * sample-free seeding (hash-spread seed ids, no global order). */
+    * (left join + coalesce — the ivfTrain rule, distributed). Seed
+    * selection dispatches on size ([[seedCells]]): the one-task
+    * sort-limit while the k seed rows are a reference-object-sized
+    * blob, the distributed [[graft.operators.GlobalRank]] ranking
+    * past it — identical cells either way (same md5 order; the
+    * parity spec forces the rank path at fixture k and asserts the
+    * trained chunks bit-equal), so nothing in the trainer is bounded
+    * by what one task can hold. `forceRankSeeds` exists for that
+    * spec. */
   private[graft] def ivfTrainChunks(e: DataFrame, k: Int, iters: Int,
       sampleMod: Int, dim: Int,
-      chunkSize: Int = cellChunkSize): DataFrame = {
+      chunkSize: Int = cellChunkSize,
+      forceRankSeeds: Boolean = false): DataFrame = {
     // persist + count-to-materialize + explicit unpersist, NOT
     // localCheckpoint: checkpoint blocks have no public release API,
     // so the sample (~n/sampleMod·dim) and iters+1 centroid snapshots
@@ -881,12 +920,7 @@ object Similarity {
       .select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
       .persist()
     try {
-      var cents = sample
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy("h").limit(k)
-        .select((row_number().over(
-          Window.orderBy("h")).cast("long") - 1L).as("cell"), col("u"))
-        .persist()
+      var cents = seedCells(sample, k, dim, forceRankSeeds).persist()
       val got = cents.count()
       if (got != k) {
         cents.unpersist(blocking = true)
@@ -1857,9 +1891,19 @@ object Similarity {
     * [[cellChunkSize]], the chunked inverted-file JOIN past it (r12
     * verdict task 1 — this replaces the 4096-cell require that stood
     * here). The join path is bit-equal to the kernel, so the exact
-    * SQL-oracle contract survives the escalation unchanged. */
-  private[queries] def semCells(e: DataFrame, nOpt: Option[Long] = None)
-      : DataFrame = {
+    * SQL-oracle contract survives the escalation unchanged.
+    *
+    * Past [[cellChunkSize]] CELLS the whole trainer escalates too
+    * ([[semCellsDistributed]]): k = n/64 means a 100 TB corpus wants
+    * millions of cells, and this spelling's two driver collects (the
+    * k-row seed sort-limit, the k×dim Lloyd sums) stop being "a few
+    * KB". The distributed regime re-derives the SAME exact
+    * arithmetic as DataFrames end to end — identical (vec_id, cell)
+    * output, parity-pinned by CellChunkParitySpec forcing it at
+    * fixture k — so the oracle contract survives that escalation
+    * unchanged as well. `forceDistributed` exists for the spec. */
+  private[graft] def semCells(e: DataFrame, nOpt: Option[Long] = None,
+      forceDistributed: Boolean = false): DataFrame = {
     // dir-based callers thread the memoized Tables.cachedRowCount so a
     // warm snapshot costs zero count jobs (r12 verdict task 3)
     val n = nOpt.getOrElse(e.count())
@@ -1869,6 +1913,8 @@ object Similarity {
     // without it each pays the parquet scan + per-row normalize again
     val u = e.select(col("vec_id"), expr("transform(vd, x -> x / nrm)").as("u"))
       .localCheckpoint(true)
+    if (forceDistributed || k > cellChunkSize)
+      return semCellsDistributed(u, k)
     val seeds: Array[Array[Double]] = u
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h").limit(k)
@@ -1913,6 +1959,69 @@ object Similarity {
       cents.map(_._1.toLong).toArray, dim, "cell")
       .select(col("vec_id"), col("cell"))
   }
+
+  /** [[semCells]]' escalated regime: the identical seed → assign →
+    * one exact Lloyd step → re-assign recipe with NOTHING O(k·dim)
+    * on the driver — seeds come from [[seedCells]] (the rank path
+    * once k·dim outgrows one task), both assignment passes take the
+    * chunked inverted-file join, and the refined centroids stay a
+    * DataFrame chunked by [[chunkifyWeighted]]. Every float op is
+    * the same IEEE double op in the same fold order as the driver
+    * spelling — ppm-BIGINT partial sums are association-order
+    * independent, comps = sx/(cn·1e6) is the same per-element
+    * divide, and n2 = [[graft.functions.VectorFunctions.l2norm]] is
+    * sqrt of the array-order square fold ([[semCells]]' foldLeft) —
+    * so the two regimes are BIT-EQUAL on the same corpus, not merely
+    * close: CellChunkParitySpec forces this path at fixture k and
+    * asserts row-exact (vec_id, cell) agreement. Input contract:
+    * clean vectors (no null/ragged embeddings), same as the driver
+    * regime. */
+  private def semCellsDistributed(u: DataFrame, k: Int): DataFrame = {
+    val dim = u.select(size(col("u"))).head.getInt(0) // one-row action
+    val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
+    val seedChunks = chunkifyCentroids(
+      seedCells(u, k, dim), cellChunkSize).localCheckpoint(true)
+    // the driver regime's loud too-few-seeds refusal, read off the
+    // already-checkpointed ceil(k/chunkSize)-row relation (no k-row job)
+    val got = seedChunks.agg(sum(size(col("cids")))).head.getLong(0)
+    require(got == k,
+      s"semCells: corpus holds $got vectors but k=$k cells requested")
+    val a0 = assignCellsViaChunks(u, "vec_id", col("u"), seedChunks,
+      dim, "cell0", hintBroadcast = bc)
+    val refined = a0
+      .filter(col("cell0").isNotNull)
+      .select(col("cell0").as("cell"), posexplode(expr(
+        "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("pos", "xi")))
+      .groupBy("cell", "pos")
+      .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
+      .groupBy("cell")
+      .agg(expr("array_sort(collect_list(struct(pos, sx, cn)))").as("cs"))
+      .select(col("cell"), expr(
+        "transform(cs, s -> CAST(s.sx AS DOUBLE) / (s.cn * 1000000.0D))")
+        .as("u"))
+      .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("u")))
+      .filter(col("n2") > 0)
+    val chunks = chunkifyWeighted(refined, cellChunkSize).localCheckpoint(true)
+    assignCellsViaChunks(u, "vec_id", col("u"), chunks, dim, "cell",
+        hintBroadcast = bc)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** [[chunkifyCentroids]] for centroids that carry their own norms
+    * ((cell, u, n2) rows — [[semCellsDistributed]]'s refined
+    * centroids stay UN-normalized to match the oracle's spelling, so
+    * cnorms is the real norm where the trainer's chunkify emits 1.0).
+    * Cells need not be dense: a dropped degenerate cell leaves its
+    * chunk under-full, which costs nothing. */
+  private def chunkifyWeighted(cents: DataFrame, chunkSize: Int): DataFrame =
+    cents.groupBy((col("cell") / chunkSize).cast("long").as("__chunk"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("u"), col("n2"))))
+        .as("cs"))
+      .select(
+        expr("flatten(transform(cs, s -> s.u))").as("ccents"),
+        expr("transform(cs, s -> s.n2)").as("cnorms"),
+        expr("transform(cs, s -> s.cell)").as("cids"))
 
   /** The [[embedDedup]] candidate-pair plan (sharable with
     * PlanShapeSpec): within-[[semCells]]-cell cosine pairs at the

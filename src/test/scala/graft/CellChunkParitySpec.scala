@@ -141,6 +141,54 @@ class CellChunkParitySpec extends SparkSpec {
         "diverged from the driver recipe beyond centroid-ulp noise")
   }
 
+  test("rank-path seeding trains a bit-equal index to the sort-limit path") {
+    // seedCells dispatches to GlobalRank past the one-task comfort
+    // line (k·dim·8 > chunkBroadcastBytes); forcing that path at
+    // fixture k must change NOTHING — same md5 order, same cells,
+    // same seeds, therefore the same Lloyd trajectory and a
+    // bit-identical chunk relation. A divergence here means the
+    // escalated seeding would silently train a different index the
+    // moment k crosses the threshold.
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("vd")))
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val k = 16
+    def chunksOf(forceRank: Boolean) =
+      Similarity.ivfTrainChunks(e, k, iters = 2, sampleMod = 3, dim,
+          chunkSize = 5, forceRankSeeds = forceRank)
+        .collect().sortBy(_.getSeq[Long](2).head)
+    val small = chunksOf(forceRank = false)
+    val rank = chunksOf(forceRank = true)
+    assert(small.length === rank.length)
+    assert(small.zip(rank).forall { case (a, b) =>
+      a.getSeq[Double](0) == b.getSeq[Double](0) &&
+        a.getSeq[Double](1) == b.getSeq[Double](1) &&
+        a.getSeq[Long](2) == b.getSeq[Long](2)
+    }, "rank-seeded training diverged from the sort-limit seeding")
+  }
+
+  test("distributed semCells regime is row-exact with the driver regime") {
+    // semCells escalates past cellChunkSize cells (k = n/64 → 100 TB
+    // wants millions); the escalated spelling must assign every
+    // vector the SAME cell as the driver spelling — same seeds, same
+    // exact ppm Lloyd step, same argmax — or the SemDeDup funnel's
+    // oracle contract silently breaks at the dispatch boundary.
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vd", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("vd")))
+      .select(col("vec_id"), col("vd"), col("nrm"))
+    val driver = Similarity.semCells(e)
+    val dist = Similarity.semCells(e, forceDistributed = true)
+      .withColumnRenamed("cell", "cell_dist")
+    assert(driver.count() === dist.count())
+    val joined = driver.join(dist, "vec_id")
+    assert(joined.filter(!(col("cell") <=> col("cell_dist"))).count() === 0,
+      "escalated semCells diverged from the driver regime")
+    // multi-cell regime, or the parity is vacuous
+    assert(dist.select("cell_dist").distinct().count() > 1)
+  }
+
   test("cell_topn_chunk generated code actually COMPILES (no silent interpreted fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -96,11 +96,12 @@ class SourceAuditSpec extends AnyFunSuite {
       "streaming/ProductViewPipeline.scala" -> (1,
         "foreachBatch micro-batch: persisted then read by two sinks " +
           "SEQUENTIALLY within one batch, unpersisted at batch end"),
-      "queries/Similarity.scala" -> (1,
-        "ivfTrain sample: consumed one Lloyd iteration at a time — " +
-          "each iteration's collect is an ACTION that materializes the " +
-          "cache before the next reads it; unpersist(blocking) in " +
-          "finally"),
+      "queries/Similarity.scala" -> (4,
+        "ivfTrain sample (1) + ivfTrainChunks sample/seed/refined " +
+          "snapshots (3): every persist is materialized by an ACTION " +
+          "(Lloyd collect or an explicit count) before any other " +
+          "consumer reads it, and explicitly unpersist(blocking)ed — " +
+          "never a concurrent fan-out read of a lazy cache"),
       "queries/TextOps.scala" -> (1,
         "heavyHitters vocabulary frame: the CMS treeAggregate is an " +
           "ACTION that materializes the cache before the later probe " +
