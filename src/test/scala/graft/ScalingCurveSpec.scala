@@ -270,4 +270,51 @@ class ScalingCurveSpec extends SparkSpec {
         "tripwire — chunked cell training/probing has degenerated")
     assert(cands > 0L, "zero candidates — the join path emitted nothing")
   }
+
+  /** The semCells tripwire across the SAME ceiling: at n=513k the
+    * SemDeDup cell count is k=8016 > cellChunkSize, so the trainer
+    * dispatches to its escalated distributed regime WITHOUT a force
+    * flag — this is the production path engaging, not the parity
+    * spec driving it. The scale quantity SemDeDup actually pays is
+    * the within-cell pair volume (sum of C(size,2) over cells): a
+    * degenerate training run (one fat cell) collapses the pair join
+    * to O(n²) even while every vector is "assigned". dim 8 — the
+    * dispatch, sums and chunk join never read dim. */
+  test("semCells pair volume holds past the cell ceiling (escalated regime, real dispatch)") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    import graft.queries.Similarity
+    val n = 513000L
+    val k = math.ceil(n / 64.0).toLong
+    assert(k > Similarity.cellChunkSize,
+      "fixture must actually cross the ceiling")
+    // full-rank pseudo-random directions (per-coordinate frequencies;
+    // a sin(a*i + b*j) lattice is rank 2 — every vector on one circle)
+    val e = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), " +
+        "j -> sin(CAST((id + 1) * (j + 3) AS DOUBLE)))").as("vd"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("vd")))
+    val cells = Similarity.semCells(e, Some(n))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("c"))
+    val stats = sizes.agg(
+      sum(expr("c * (c - 1) DIV 2")).as("pairs"),
+      count(lit(1)).as("ncells"),
+      sum("c").as("assigned")).head
+    val pairs = stats.getLong(0)
+    info(s"semCells @ synthetic n=$n (k=$k, escalated): " +
+      s"${stats.getLong(1)} cells, $pairs within-cell pairs")
+    // every clean vector gets a cell — a silent null-drop in the
+    // chunk path would shrink the corpus instead of failing
+    assert(stats.getLong(2) === n)
+    // multi-cell regime at scale, or the blocking key is fiction
+    assert(stats.getLong(1) > Similarity.cellChunkSize.toLong)
+    // measured 27.1M pairs over 7472 live cells (~n·64/2 = 16.4M at
+    // perfectly even cells; skew ~1.65x after one Lloyd step); cap
+    // ~4x measured, ~1200x below the one-fat-cell collapse band
+    // n·(n-1)/2 ≈ 1.3e11
+    val cap = 110000000L
+    assert(pairs <= cap,
+      s"semCells escalated regime @ n=$n: $pairs within-cell pairs " +
+        s"exceeds the $cap tripwire — cell training has degenerated")
+  }
 }
