@@ -833,12 +833,7 @@ object Similarity {
     * chunk kernel's tie-break contract). Refined centroids are unit
     * vectors, so cnorms is all 1.0. Built entirely executor-side. */
   private def chunkifyCentroids(cents: DataFrame, chunkSize: Int): DataFrame =
-    cents.groupBy((col("cell") / chunkSize).cast("long").as("__chunk"))
-      .agg(array_sort(collect_list(struct(col("cell"), col("u")))).as("cs"))
-      .select(
-        expr("flatten(transform(cs, s -> s.u))").as("ccents"),
-        expr("transform(cs, s -> CAST(1.0 AS DOUBLE))").as("cnorms"),
-        expr("transform(cs, s -> s.cell)").as("cids"))
+    chunkifyWeighted(cents.withColumn("n2", lit(1.0)), chunkSize)
 
   /** The k seed cells (cell = 0..k-1 in ascending md5(vec_id) order)
     * for the distributed trainer, dispatched on what one task must
@@ -935,21 +930,10 @@ object Similarity {
             chunks, dim, "cell", hintBroadcast = bc)
           .select(col("u"), col("cell"))
           .filter(col("cell").isNotNull)
-        // exact ppm partial sums -> order-independent refined centroids
-        val refined = assigned
-          .select(col("cell"), posexplode(expr(
-            "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
-            .as(Seq("j", "xi")))
-          .groupBy("cell", "j")
-          .agg(sum("xi").as("sx"), count(lit(1)).as("cn"))
-          .groupBy("cell")
-          .agg(expr("array_sort(collect_list(struct(j, sx, cn)))").as("cs"))
-          .select(col("cell"), expr(
-            "transform(cs, s -> CAST(s.sx AS DOUBLE) / (s.cn * 1000000.0D))")
-            .as("comps"))
-          .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("comps")))
-          .filter(col("n2") > 0)
-          .select(col("cell"), expr("transform(comps, x -> x / n2)").as("u"))
+        // exact ppm partial sums -> order-independent refined
+        // centroids, unit-normalized (this trainer's chunk contract)
+        val refined = refineCellsExact(assigned, "cell")
+          .select(col("cell"), expr("transform(u, x -> x / n2)").as("u"))
         val next = cents.alias("p")
           .join(refined.alias("r"), Seq("cell"), "left")
           .select(col("cell"), coalesce(col("r.u"), col("p.u")).as("u"))
@@ -1977,20 +1961,63 @@ object Similarity {
     * clean vectors (no null/ragged embeddings), same as the driver
     * regime. */
   private def semCellsDistributed(u: DataFrame, k: Int): DataFrame = {
-    val dim = u.select(size(col("u"))).head.getInt(0) // one-row action
+    // loud empty-corpus refusal (the driver regime's seeds require) —
+    // without it the dim probe below dies with an opaque
+    // empty-iterator error
+    val dimRow = u.select(size(col("u"))).head(1) // one-row action
+    require(dimRow.nonEmpty,
+      s"semCells: corpus is empty but k=$k cells requested")
+    val dim = dimRow(0).getInt(0)
     val bc = k.toLong * dim * 8 <= chunkBroadcastBytes
+    // persist + materialize + unpersist, NOT localCheckpoint: the seed
+    // chunks are consumed by two SEQUENTIAL actions (the seed-count
+    // require, then the refined-chunks checkpoint) and then dead — a
+    // checkpoint would strand k·dim·8 bytes per call until driver GC
+    // (the ivfTrainChunks storage-lifecycle rule)
     val seedChunks = chunkifyCentroids(
-      seedCells(u, k, dim), cellChunkSize).localCheckpoint(true)
-    // the driver regime's loud too-few-seeds refusal, read off the
-    // already-checkpointed ceil(k/chunkSize)-row relation (no k-row job)
-    val got = seedChunks.agg(sum(size(col("cids")))).head.getLong(0)
-    require(got == k,
-      s"semCells: corpus holds $got vectors but k=$k cells requested")
-    val a0 = assignCellsViaChunks(u, "vec_id", col("u"), seedChunks,
-      dim, "cell0", hintBroadcast = bc)
-    val refined = a0
-      .filter(col("cell0").isNotNull)
-      .select(col("cell0").as("cell"), posexplode(expr(
+      seedCells(u, k, dim), cellChunkSize).persist()
+    try {
+      // the driver regime's loud too-few-seeds refusal, read off the
+      // ceil(k/chunkSize)-row chunk relation (no k-row job); this
+      // count also materializes the persist before a0 reads it
+      val got = seedChunks.agg(sum(size(col("cids")))).head.getLong(0)
+      require(got == k,
+        s"semCells: corpus holds $got vectors but k=$k cells requested")
+      val a0 = assignCellsViaChunks(u, "vec_id", col("u"), seedChunks,
+        dim, "cell0", hintBroadcast = bc)
+      val refined = refineCellsExact(a0.filter(col("cell0").isNotNull),
+        "cell0")
+      // the handed-out index residency: the returned assignment reads
+      // these chunks lazily, so they must outlive this call
+      // (ivfTrainChunks keeps its final chunks checkpointed the same
+      // way); materializing here also burns the a0 -> seedChunks
+      // lineage before the finally releases the seeds
+      val chunks = chunkifyWeighted(refined, cellChunkSize)
+        .localCheckpoint(true)
+      // all-degenerate training must refuse like the driver regime's
+      // require(cents.nonEmpty) — an empty chunk relation would
+      // silently assign NOTHING and no-op the whole dedup funnel
+      require(chunks.head(1).nonEmpty,
+        "semCells: every refined centroid degenerate")
+      assignCellsViaChunks(u, "vec_id", col("u"), chunks, dim, "cell",
+          hintBroadcast = bc)
+        .select(col("vec_id"), col("cell"))
+    } finally seedChunks.unpersist(blocking = true)
+  }
+
+  /** One exact Lloyd refinement step, shared by BOTH trainers so the
+    * bit-determinism-critical arithmetic has exactly one spelling:
+    * per-(cell, dim) ppm-BIGINT partial sums (association-order
+    * independent — bit-deterministic under any shuffle order), folded
+    * back to (cell, u = mean components, n2 = array-order L2 norm),
+    * degenerate zero-norm cells dropped. [[ivfTrainChunks]]
+    * unit-normalizes the result (its chunk contract);
+    * [[semCellsDistributed]] keeps the (u, n2) pair un-normalized
+    * (the SQL oracle's spelling). Input needs columns (cellCol, u). */
+  private def refineCellsExact(assigned: DataFrame, cellCol: String)
+      : DataFrame =
+    assigned
+      .select(col(cellCol).as("cell"), posexplode(expr(
         "transform(u, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT))"))
         .as(Seq("pos", "xi")))
       .groupBy("cell", "pos")
@@ -2002,11 +2029,6 @@ object Similarity {
         .as("u"))
       .withColumn("n2", graft.functions.VectorFunctions.l2norm(col("u")))
       .filter(col("n2") > 0)
-    val chunks = chunkifyWeighted(refined, cellChunkSize).localCheckpoint(true)
-    assignCellsViaChunks(u, "vec_id", col("u"), chunks, dim, "cell",
-        hintBroadcast = bc)
-      .select(col("vec_id"), col("cell"))
-  }
 
   /** [[chunkifyCentroids]] for centroids that carry their own norms
     * ((cell, u, n2) rows — [[semCellsDistributed]]'s refined

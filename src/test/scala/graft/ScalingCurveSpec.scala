@@ -295,7 +295,11 @@ class ScalingCurveSpec extends SparkSpec {
         "j -> sin(CAST((id + 1) * (j + 3) AS DOUBLE)))").as("vd"))
       .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("vd")))
     val cells = Similarity.semCells(e, Some(n))
-    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("c"))
+    // count over NON-NULL cells only: the chunk path emits cell=NULL
+    // for unassignable vectors, and a null-key group would keep
+    // sum(c)=n even if a regression null-assigned half the corpus
+    val sizes = cells.filter(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("c"))
     val stats = sizes.agg(
       sum(expr("c * (c - 1) DIV 2")).as("pairs"),
       count(lit(1)).as("ncells"),

@@ -96,12 +96,13 @@ class SourceAuditSpec extends AnyFunSuite {
       "streaming/ProductViewPipeline.scala" -> (1,
         "foreachBatch micro-batch: persisted then read by two sinks " +
           "SEQUENTIALLY within one batch, unpersisted at batch end"),
-      "queries/Similarity.scala" -> (4,
+      "queries/Similarity.scala" -> (5,
         "ivfTrain sample (1) + ivfTrainChunks sample/seed/refined " +
-          "snapshots (3): every persist is materialized by an ACTION " +
-          "(Lloyd collect or an explicit count) before any other " +
-          "consumer reads it, and explicitly unpersist(blocking)ed — " +
-          "never a concurrent fan-out read of a lazy cache"),
+          "snapshots (3) + semCellsDistributed seed chunks (1): every " +
+          "persist is materialized by an ACTION (Lloyd collect or an " +
+          "explicit count/agg) before any other consumer reads it, " +
+          "and explicitly unpersist(blocking)ed — never a concurrent " +
+          "fan-out read of a lazy cache"),
       "queries/TextOps.scala" -> (1,
         "heavyHitters vocabulary frame: the CMS treeAggregate is an " +
           "ACTION that materializes the cache before the later probe " +
