@@ -826,13 +826,13 @@ object WireEvents {
     } finally in.close()
   }
 
-  /** Name of the write-time per-file ts-stats manifest at the layout
-    * root (underscore prefix = invisible to data-file listing, the
-    * same convention as `_SUCCESS`). Since r13 the root file is a
-    * FALLBACK for layouts written before per-dir sidecars (kept one
-    * release): [[writeTsStats]] publishes the same entries sharded as
-    * [[TsStatsSidecar]] files inside each `event_type=` dir, and
-    * planning reads only SURVIVING dirs' sidecars. */
+  /** Name of the LEGACY root-level ts-stats manifest (underscore
+    * prefix = invisible to data-file listing, the same convention as
+    * `_SUCCESS`). READ-ONLY since end-of-r13: [[writeTsStats]]
+    * publishes only the per-dir [[TsStatsSidecar]] files (the root
+    * rewrite was the last O(total-files) serialization on the commit
+    * path); planning reads surviving dirs' sidecars and consults this
+    * file lazily only for layouts written before sidecars existed. */
   private[sources] val TsStatsFile = "_wire_ts_stats.json"
 
   /** Per-partition-dir ts-stats sidecar (`event_type=X/_ts_stats.json`,
@@ -896,9 +896,9 @@ object WireEvents {
     * file under `dir`, computed as a DISTRIBUTED job (one task per
     * bounded first/last-line probe — executors pay the two 64 KB reads
     * each, in parallel) and published as PER-DIR SIDECARS
-    * (`event_type=X/_ts_stats.json`, r12 verdict task 2) plus the
-    * legacy root manifest (fallback for pre-sidecar readers, one
-    * release). At 100 TB this is the difference between a ts-windowed
+    * (`event_type=X/_ts_stats.json`, r12 verdict task 2) — the ONLY
+    * store written; the legacy root manifest is read-only fallback
+    * for pre-sidecar layouts. At 100 TB this is the difference between a ts-windowed
     * query's PLANNING opening O(candidate-files) streams on the driver
     * (r11 behavior) — or, r12's shape, parsing one O(total-files) root
     * file — and parsing only the SURVIVING dirs' O(dir-files) entries:
@@ -1008,7 +1008,6 @@ object WireEvents {
     // entry set is unchanged (nothing probed, nothing removed) skips
     // its rename entirely
     val probedDirs = probed.map(p => dirOf(p._1)).toSet
-    var anyCommitted = false
     stats.groupBy(s => dirOf(s._1))
       .foreach { case (dirName, entries) =>
         val names = entries.map(e => nameOf(e._1)).toSet
@@ -1018,18 +1017,14 @@ object WireEvents {
             entries.sortBy(_._1).map { case (rel, len, mn, mx) =>
               line(nameOf(rel), len, mn, mx)
             })
-          anyCommitted = true
         }
       }
-    // root manifest: fallback for pre-sidecar readers, one release —
-    // rewritten only when some sidecar changed (it is the one
-    // remaining O(total-files) serialization on this path; a no-op
-    // rerun must not rebuild it) or when it is absent entirely
-    val rootStats = new HPath(root, TsStatsFile)
-    if (anyCommitted || !fs.exists(rootStats))
-      commit(rootStats,
-        stats.sortBy(_._1).map { case (rel, len, mn, mx) =>
-          line(rel, len, mn, mx) })
+    // the root manifest is READ-ONLY legacy from here on: it was the
+    // one remaining O(total-files) serialization on this commit path
+    // (rewritten whole on every append), and nothing writes it since
+    // the per-dir sidecars soaked a full round as the primary store.
+    // [[listWireFiles]] keeps the lazy read fallback for pre-sidecar
+    // layouts.
   }
 
   /** Driver-side census of the wire layout with directory pruning
@@ -1086,9 +1081,10 @@ object WireEvents {
       // stats come from each SURVIVING dir's own sidecar — a `type ∧
       // ts` plan parses only those dirs' entries, never one
       // O(total-files) root manifest (r12 verdict task 2). The root
-      // file remains a fallback for pre-sidecar layouts (one release)
-      // and is read LAZILY: a layout whose surviving dirs all carry
-      // sidecars never opens it. A sidecar, once present, is
+      // file — no longer written since end-of-r13 — remains a READ
+      // fallback for pre-sidecar layouts, consulted LAZILY: a layout
+      // whose surviving dirs all carry sidecars never opens it. A
+      // sidecar, once present, is
       // authoritative for its dir — an uncovered/stale entry there
       // goes straight to the per-file probe.
       lazy val rootManifest = readTsStats(fs, root)

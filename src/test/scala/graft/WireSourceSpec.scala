@@ -778,14 +778,49 @@ class WireSourceSpec extends SparkSpec {
         .selectExpr("get_json_object(value, '$.ts') AS ts")
         .filter(col("ts") >= cut).count()
     assert(WireEvents.read(spark, d).filter(col("ts") >= cut).count() === expected)
-    // the root fallback is NOT rebuilt by a no-op rerun (it is the one
-    // remaining O(total-files) serialization on the commit path)
-    val rootManifest = Paths.get(d, "_wire_ts_stats.json")
-    val rootBefore = Files.getLastModifiedTime(rootManifest)
-    Thread.sleep(200)
-    WireEvents.writeTsStats(spark, d)
-    assert(Files.getLastModifiedTime(rootManifest) === rootBefore,
-      "a no-op stats rerun must not rewrite the root manifest")
+    // the root manifest is never written anymore (end-of-r13: the
+    // root rewrite was the last O(total-files) serialization on the
+    // commit path; it survives only as a read fallback for layouts
+    // written before sidecars existed)
+    assert(!Files.exists(Paths.get(d, "_wire_ts_stats.json")),
+      "the stats commit path must not write the legacy root manifest")
+  }
+
+  test("a pre-sidecar layout (root manifest only) still prunes through the read fallback") {
+    // layouts written before sidecars existed carry one root-level
+    // manifest with dir-prefixed paths; the writer no longer produces
+    // them, but the read path must keep pruning from one — without
+    // opening data files at planning — until such layouts age out
+    val d = tmp()
+    WireEvents.writeWire(events.filter(col("event_id") < 200), d)
+    import scala.jdk.CollectionConverters._
+    // synthesize the legacy shape from the sidecars, then remove them
+    val rootLines = Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .flatMap { dir =>
+        val side = dir.resolve("_ts_stats.json")
+        Files.readAllLines(side).asScala.filter(_.nonEmpty).map(
+          _.replaceFirst("\"path\":\"", s""""path":"${dir.getFileName}/"""))
+      }.toSeq.sorted
+    Files.writeString(Paths.get(d, "_wire_ts_stats.json"),
+      rootLines.mkString("", "\n", "\n"))
+    Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .foreach { dir =>
+        Files.deleteIfExists(dir.resolve("_ts_stats.json"))
+        Files.deleteIfExists(dir.resolve("._ts_stats.json.crc"))
+      }
+    val cut = events.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val ranged = WireEvents.read(spark, d).filter(col("ts") >= cut)
+    val all = WireEvents.read(spark, d)
+    assert(filesOf(ranged.queryExecution.executedPlan.toString) <
+      filesOf(all.queryExecution.executedPlan.toString),
+      "the root-manifest fallback must still prune whole files")
+    assert(ranged.count() === events.filter(col("event_id") < 200)
+      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
   }
 
   test("a corrupt sidecar self-heals on the WRITE path: the stats job re-probes and rewrites it") {
