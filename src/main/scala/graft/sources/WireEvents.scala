@@ -886,8 +886,10 @@ object WireEvents {
     }.toMap)
   }
 
-  /** The ROOT manifest (pre-sidecar layouts; kept one release), keyed
-    * by dir-relative path (`event_type=X/part-...`). */
+  /** The ROOT manifest, keyed by dir-relative path
+    * (`event_type=X/part-...`). Read-only legacy: nothing writes it
+    * anymore; keep this fallback until pre-sidecar layouts are
+    * explicitly declared aged out (NOTES), not on a clock. */
   private[sources] def readTsStats(
       fs: FileSystem, root: HPath): Map[String, (Long, Option[String], Option[String])] =
     readStatsFile(fs, new HPath(root, TsStatsFile)).getOrElse(Map.empty)

@@ -49,6 +49,14 @@ class WireSourceSpec extends SparkSpec {
     d
   }
 
+  /** Planned file census off the scan description
+    * (`WireEventsScan files=N ...`) — ONE spelling for every
+    * pruning assertion in this spec. */
+  private def filesOf(plan: String): Int =
+    "files=(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+  private def filesOf(df: DataFrame): Int =
+    filesOf(df.queryExecution.executedPlan.toString)
+
   private def canon(df: DataFrame): Array[String] =
     df.select(col("event_id"), date_format(col("ts"), WireEvents.TsFmt),
               col("user_id"), col("event_type"), col("value").cast("string"),
@@ -77,9 +85,8 @@ class WireSourceSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(event_type,purchase)") && plan.contains("pushed=["), plan)
     val all = WireEvents.read(spark, wireDir)
-    val allFiles = "files=(\\d+)".r.findFirstMatchIn(
-      all.queryExecution.executedPlan.toString).get.group(1).toInt
-    val pruned = "files=(\\d+)".r.findFirstMatchIn(plan).get.group(1).toInt
+    val allFiles = filesOf(all)
+    val pruned = filesOf(plan)
     assert(pruned < allFiles,
       s"pruned scan must plan fewer files ($pruned vs $allFiles)")
     // and the surviving rows really are the one type, injected from the
@@ -134,8 +141,6 @@ class WireSourceSpec extends SparkSpec {
       .collect()(0).getString(0)
     val all = WireEvents.read(spark, wireDir)
     val ranged = WireEvents.read(spark, wireDir).filter(col("ts") >= cut)
-    val filesOf = (df: DataFrame) => "files=(\\d+)".r.findFirstMatchIn(
-      df.queryExecution.executedPlan.toString).get.group(1).toInt
     val plan = ranged.queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
     assert(filesOf(ranged) < filesOf(all),
@@ -674,7 +679,7 @@ class WireSourceSpec extends SparkSpec {
       !typedOpens.exists(_.endsWith("/_wire_ts_stats.json")),
       s"type ∧ ts planning opened beyond the one sidecar: $typedOpens")
     // the sidecar-backed pruning still prunes, and rows stay exact
-    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+
     val allPlan = WireEvents.read(spark, "cntfs:" + wireDir)
       .queryExecution.executedPlan.toString
     assert(filesOf(plan) < filesOf(allPlan),
@@ -810,17 +815,38 @@ class WireSourceSpec extends SparkSpec {
         Files.deleteIfExists(dir.resolve("_ts_stats.json"))
         Files.deleteIfExists(dir.resolve("._ts_stats.json.crc"))
       }
-    val cut = events.selectExpr(
+    // the cut must come from the WRITTEN SUBSET's distribution: the
+    // global median sits above every subset ts, which would prune ALL
+    // files and make both assertions below vacuous (0 < N and 0 === 0
+    // pass even with the fallback broken — review finding)
+    val written = events.filter(col("event_id") < 200)
+    val cut = written.selectExpr(
       s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
       .collect()(0).getString(0)
-    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
-    val ranged = WireEvents.read(spark, d).filter(col("ts") >= cut)
-    val all = WireEvents.read(spark, d)
-    assert(filesOf(ranged.queryExecution.executedPlan.toString) <
-      filesOf(all.queryExecution.executedPlan.toString),
-      "the root-manifest fallback must still prune whole files")
-    assert(ranged.count() === events.filter(col("event_id") < 200)
-      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count())
+    val expected = written
+      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count()
+    assert(expected > 0, "the cut must keep some rows or the test is vacuous")
+    // route through the counting FS: the fallback must prune from the
+    // ROOT MANIFEST at planning, never by opening data files
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingLocalFs].getName)
+    CountingLocalFs.opened.clear()
+    val ranged = WireEvents.read(spark, "cntfs:" + d).filter(col("ts") >= cut)
+    val rangedPlan = ranged.queryExecution.executedPlan.toString
+    val opens = {
+      import scala.jdk.CollectionConverters._
+      CountingLocalFs.opened.asScala.toList
+    }
+    assert(opens.exists(_.endsWith("/_wire_ts_stats.json")),
+      s"planning must read the legacy root manifest; opened: $opens")
+    assert(!opens.exists(p => p.contains("/event_type=") &&
+        !p.endsWith("/_ts_stats.json")),
+      s"fallback planning must not open data files; opened: $opens")
+    val all = WireEvents.read(spark, "cntfs:" + d)
+    val (nRanged, nAll) = (filesOf(rangedPlan), filesOf(all))
+    assert(nRanged > 0 && nRanged < nAll,
+      s"the root-manifest fallback must prune PARTIALLY ($nRanged of $nAll)")
+    assert(ranged.count() === expected)
   }
 
   test("a corrupt sidecar self-heals on the WRITE path: the stats job re-probes and rewrites it") {
@@ -849,7 +875,7 @@ class WireSourceSpec extends SparkSpec {
     // filters; a plain WHERE ts = 'X' must prune the same bands
     val earliest = events.selectExpr(
       s"date_format(min(ts), '${WireEvents.TsFmt}')").collect()(0).getString(0)
-    val filesOf = (s: String) => "files=(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+
     val eqPlan = WireEvents.read(spark, wireDir)
       .filter(col("ts") === earliest)
       .queryExecution.executedPlan.toString
