@@ -852,10 +852,25 @@ object WireEvents {
     * memo every trigger's census would re-open every uncovered file in
     * the listing — including long-consumed ones — putting per-trigger
     * driver I/O back on the O(total files) curve the manifest removed.
-    * Memory is O(uncovered files) × ~150 B, the same order as the
-    * census listing the driver already materializes per trigger. */
+    * Per-entry memory is ~150 B — but the map outlives any one query
+    * or trigger (it is JVM-scoped, shared across layouts), so a
+    * long-lived streaming driver would otherwise accumulate entries
+    * for files consumed months ago: [[probeMemo]] caps it and, being
+    * a PURE memo, drops it wholesale at the cap (worst case one
+    * re-probe per live uncovered file — stale growth is a leak,
+    * re-probing is not). */
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), (Option[String], Option[String])]()
+
+  /** [[probeCache]] upper bound: 64k entries ≈ 10 MB — generous next
+    * to the per-trigger census listing, tiny next to driver heap. */
+  private[graft] val probeCacheCap = 65536
+
+  private[graft] def probeMemo(key: (String, Long))(
+      f: => (Option[String], Option[String])): (Option[String], Option[String]) = {
+    if (probeCache.size() >= probeCacheCap) probeCache.clear()
+    probeCache.computeIfAbsent(key, _ => f)
+  }
 
   /** Read ONE stats file (root manifest or per-dir sidecar): entry
     * key -> (file length, min ts, max ts); None when the file is
@@ -1097,8 +1112,8 @@ object WireEvents {
             fs, new HPath(new HPath(root, dirName), TsStatsSidecar))
           group.filter { case (_, p, len, rel) =>
             val name = rel.substring(rel.indexOf('/') + 1)
-            def probe = probeCache.computeIfAbsent((p, len),
-              _ => fileTsRange(fs, new HPath(p), len))
+            def probe = probeMemo((p, len))(
+              fileTsRange(fs, new HPath(p), len))
             val (mn, mx) = sidecar match {
               case Some(entries) => entries.get(name) match {
                 case Some((mLen, mMin, mMax)) if mLen == len => (mMin, mMax)

@@ -849,6 +849,27 @@ class WireSourceSpec extends SparkSpec {
     assert(ranged.count() === expected)
   }
 
+  test("the probe memo is bounded: filling past the cap drops it instead of leaking") {
+    // the memo is JVM-scoped and outlives every query/trigger; a
+    // long-lived streaming driver under continuous out-of-band
+    // appends would otherwise accumulate entries forever. Being a
+    // pure memo, wholesale drop at the cap is always sound.
+    var computes = 0
+    for (i <- 0 until WireEvents.probeCacheCap + 10) {
+      WireEvents.probeMemo((s"synthetic/p$i", i.toLong)) {
+        computes += 1; (Some("a"), Some("b"))
+      }
+    }
+    // every key was fresh, so every fill computed; the point is the
+    // SIZE bound, observed via recompute-after-drop:
+    WireEvents.probeMemo(("synthetic/p0", 0L)) {
+      computes = -1; (Some("a"), Some("b"))
+    }
+    assert(computes === -1,
+      "p0 should have been dropped when the cap cleared the memo — " +
+        "an unbounded map would still hold it")
+  }
+
   test("a corrupt sidecar self-heals on the WRITE path: the stats job re-probes and rewrites it") {
     // the READ path fails loudly on a malformed sidecar (previous
     // test); the WRITE path must instead treat it as absent and
