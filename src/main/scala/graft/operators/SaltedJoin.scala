@@ -37,7 +37,7 @@ object SaltedJoin {
   def inner(skewed: DataFrame, replicated: DataFrame, key: String,
             salts: Int = 8): DataFrame = {
     val saltedL = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(salts)).cast("int"))
     val saltedR = replicated.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedL.join(saltedR, Seq(key, "__salt"), "inner").drop("__salt")

@@ -1283,8 +1283,8 @@ object Dedup {
       val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
         .groupBy(col("doc_id"))
         .agg(mh(0), (1 until 16).map(mh): _*)
-      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+      val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
       val matches = (0 until 16).map(i =>
         when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L)).reduce(_ + _)
       jaccardPairs(e)

@@ -1980,7 +1980,7 @@ object Similarity {
       // the driver regime's loud too-few-seeds refusal, read off the
       // ceil(k/chunkSize)-row chunk relation (no k-row job); this
       // count also materializes the persist before a0 reads it
-      val got = seedChunks.agg(sum(size(col("cids")))).head.getLong(0)
+      val got = seedChunks.agg(sum(size(col("cids")))).head().getLong(0)
       require(got == k,
         s"semCells: corpus holds $got vectors but k=$k cells requested")
       val a0 = assignCellsViaChunks(u, "vec_id", col("u"), seedChunks,

@@ -1031,7 +1031,7 @@ object WireEvents {
         if (probedDirs.contains(dirName) ||
             existing(dirName).keySet != names) {
           commit(new HPath(new HPath(root, dirName), TsStatsSidecar),
-            entries.sortBy(_._1).map { case (rel, len, mn, mx) =>
+            entries.sortBy(_._1).toIndexedSeq.map { case (rel, len, mn, mx) =>
               line(nameOf(rel), len, mn, mx)
             })
         }

@@ -71,7 +71,7 @@ object Stateful {
           // form their own session, merging with each other when
           // adjacent). The timeout path is the same body with no
           // events: partition what the watermark has finalized.
-          val wm = state.getCurrentWatermarkMs
+          val wm = state.getCurrentWatermarkMs()
           val carried = state.getOption.map(_.items).getOrElse(Seq.empty)
           val points = events.toSeq
             .map(e => SessionState(e.timestamp, e.timestamp, 1L))

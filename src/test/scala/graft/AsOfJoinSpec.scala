@@ -79,7 +79,7 @@ class AsOfJoinSpec extends SparkSpec {
     val tight = AsOfJoin.forward(trades, quotes,
         "sym", "tt", "sym", "qt", Seq("px"), joinType = "left",
         tolerance = Some("30 seconds"))
-    assert(tight.filter(col("trade_id") === 3L).head.isNullAt(
+    assert(tight.filter(col("trade_id") === 3L).head().isNullAt(
       tight.columns.indexOf("px")),
       "beyond-tolerance match must be null-extended under left join")
   }

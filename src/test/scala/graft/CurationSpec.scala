@@ -96,7 +96,7 @@ class CurationSpec extends SparkSpec {
       .join(evalShingles, Seq("hk"), "left_semi")
       .select("doc_id").distinct().count()
     val out = Curation.decontaminateBloom.fn(spark, sf)
-      .agg(sum("n_train"), sum("n_dropped"), sum("n_kept")).head
+      .agg(sum("n_train"), sum("n_dropped"), sum("n_kept")).head()
     assert(out.getLong(1) == exactBad,
       s"bloom path dropped ${out.getLong(1)} docs, exact path says $exactBad")
     assert(out.getLong(0) == out.getLong(1) + out.getLong(2),

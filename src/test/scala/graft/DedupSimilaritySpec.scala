@@ -65,7 +65,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sh_b"), "doc_b")
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-    val nearAvg = withSh.agg(avg("hamming")).head.getDouble(0)
+    val nearAvg = withSh.agg(avg("hamming")).head().getDouble(0)
     assert(nearAvg < 4.0, s"near-dup avg hamming $nearAvg should be small (16-bit sketch)")
   }
 
@@ -157,7 +157,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val ids = raw.filter(col("vec_id") % 50 === 0)
       .orderBy(col("vec_id")).limit(10)
       .select("vec_id").collect().map(_.getLong(0))
-    val planted = raw.filter(col("vec_id").isin(ids: _*))
+    val planted = raw.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
       .select((col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, (x, i) -> cast(x + 0.0005 * (i % 3) AS FLOAT))")
           .as("embedding"),

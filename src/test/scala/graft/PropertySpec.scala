@@ -141,7 +141,7 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"cents mismatch for $xs")
       // association-order independence of the BIGINT sum
       val s1 = df.repartition(7).select(sum(graft.model.Money.cents(col("x"))))
-        .head.getLong(0)
+        .head().getLong(0)
       assert(s1 == want.sum)
     }
   }
@@ -174,7 +174,7 @@ class PropertySpec extends SparkSpec {
                   'last', greatest(a.last, cast(p AS bigint) + $W)),
                 a -> a.cov)""").as("covered"))
       val expected = ps.flatMap(p => p until p + W).distinct.size.toLong
-      assert(df.head.getLong(0) === expected, s"positions $ps")
+      assert(df.head().getLong(0) === expected, s"positions $ps")
     }
   }
 

@@ -18,7 +18,7 @@ class RelationalSpec extends SparkSpec {
   test("flagship window counts sum to total event count") {
     val total = graft.model.Tables.events(spark, sf).count()
     val summed = Relational.windowCount.fn(spark, sf)
-      .agg(org.apache.spark.sql.functions.sum("source_number")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.sum("source_number")).head().getLong(0)
     assert(summed == total)
   }
 

@@ -303,7 +303,7 @@ class ScalingCurveSpec extends SparkSpec {
     val stats = sizes.agg(
       sum(expr("c * (c - 1) DIV 2")).as("pairs"),
       count(lit(1)).as("ncells"),
-      sum("c").as("assigned")).head
+      sum("c").as("assigned")).head()
     val pairs = stats.getLong(0)
     info(s"semCells @ synthetic n=$n (k=$k, escalated): " +
       s"${stats.getLong(1)} cells, $pairs within-cell pairs")

@@ -434,7 +434,7 @@ class VectorExpressionsSpec extends SparkSpec {
       """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                 shingle_hash(array('a', 'b', 'c', 'd'), 3) AS sh,
                 shingle_hash(array('a', 'b', 'c', 'd'), 3, false) AS shp,
-                wire_timestamp('2021-03-07 19:01:23.456+0000') AS ts""").head
+                wire_timestamp('2021-03-07 19:01:23.456+0000') AS ts""").head()
     assert(viaSql.getDouble(0) == 11.0)
     assert(viaSql.getSeq[Long](1).sorted == viaSql.getSeq[Long](2).sorted,
       "positional and distinct modes must hash identical windows here")
@@ -484,7 +484,7 @@ class VectorExpressionsSpec extends SparkSpec {
                 sorted_intersect_count(array(1L), CAST(NULL AS ARRAY<BIGINT>)) AS n,
                 sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e,
                 sorted_intersect_count(array(1L, CAST(NULL AS BIGINT), 5L),
-                                       array(1L, 5L)) AS ne""").head
+                                       array(1L, 5L)) AS ne""").head()
     assert(row.getInt(0) === 2)
     assert(row.isNullAt(1))
     assert(row.getInt(2) === 0)
