@@ -867,6 +867,21 @@ object CellTopNChunk {
         i += 1
       }
       val p = math.floor(acc / nv * 1000000.0 + 0.5).toLong
+      // packing precondition, enforced not just documented (ADVICE
+      // r13): the global combine packs (p + 2e6)·2^41 + (idMask−cell),
+      // which is order-correct and overflow-free only while
+      // |p| ≤ 2e6 — true for any unit-normalized u against the
+      // chunk's own norms (|cos|·1e6 ≤ 1e6, rounding slack aside). A
+      // caller feeding non-normalized vectors would otherwise wrap
+      // the packed Long SILENTLY and corrupt the global top-n order —
+      // the one malformed-input class every other check here catches
+      // loudly. A NaN dot never trips this (floor(NaN).toLong = 0,
+      // inside the bound) — NaN row data keeps CellTopN bit-parity.
+      if (p < -2000000L || p > 2000000L)
+        throw new IllegalArgumentException(
+          s"cell_topn_chunk: ppm=$p at index $c exceeds the ±2e6 packing " +
+            "bound — the caller must unit-normalize vectors before the " +
+            "chunk join (packed combine precondition)")
       var pos = filled
       var s = 0
       var found = false

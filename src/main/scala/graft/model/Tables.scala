@@ -80,14 +80,23 @@ object Tables {
   def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // ORDER-INDEPENDENT snapshot token (ADVICE r13): fs.listFiles
+    // iteration order is not a filesystem contract, and a digest over
+    // the concatenated listing churns on reorder, forcing spurious
+    // recounts of an unchanged table. XOR of per-entry MD5s is
+    // commutative (any listing order → same token) at constant memory;
+    // entries are unique by path, so no two can cancel.
     val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Byte](16)
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      md.update(s"${f.getPath}:${f.getLen}:${f.getModificationTime}|"
+      val h = md.digest(s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
         .getBytes("UTF-8"))
+      var i = 0
+      while (i < 16) { acc(i) = (acc(i) ^ h(i)).toByte; i += 1 }
     }
-    val digest = java.util.Base64.getEncoder.encodeToString(md.digest())
+    val digest = java.util.Base64.getEncoder.encodeToString(acc)
     val key = path.toString
     val cur = rowCountCache.get(key)
     if (cur != null && cur._1 == digest) cur._2

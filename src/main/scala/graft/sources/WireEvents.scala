@@ -855,12 +855,20 @@ object WireEvents {
     * Per-entry memory is ~150 B — but the map outlives any one query
     * or trigger (it is JVM-scoped, shared across layouts), so a
     * long-lived streaming driver would otherwise accumulate entries
-    * for files consumed months ago: [[probeMemo]] caps it and, being
-    * a PURE memo, drops it wholesale at the cap (worst case one
-    * re-probe per live uncovered file — stale growth is a leak,
-    * re-probing is not). */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Option[String], Option[String])]()
+    * for files consumed months ago: [[probeMemo]] bounds it as an
+    * access-order LRU. An LRU, not a drop-at-cap (ADVICE r13): the
+    * old check-then-clear raced (concurrent callers could overshoot
+    * the cap) and a wholesale clear discarded every LIVE entry at
+    * once, turning the next census into a synchronized re-probe wave
+    * of every uncovered file; evicting only the eldest keeps the hot
+    * tail memoized at all times. */
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), (Option[String], Option[String])](
+        1024, 0.75f, /* accessOrder = */ true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Option[String], Option[String])])
+          : Boolean = size() > probeCacheCap
+    })
 
   /** [[probeCache]] upper bound: 64k entries ≈ 10 MB — generous next
     * to the per-trigger census listing, tiny next to driver heap. */
@@ -868,8 +876,13 @@ object WireEvents {
 
   private[graft] def probeMemo(key: (String, Long))(
       f: => (Option[String], Option[String])): (Option[String], Option[String]) = {
-    if (probeCache.size() >= probeCacheCap) probeCache.clear()
-    probeCache.computeIfAbsent(key, _ => f)
+    // get-then-put (not computeIfAbsent) so eviction stays inside the
+    // synchronized map: two concurrent misses on the SAME key may both
+    // probe, but the probe is pure and idempotent — a benign double
+    // read beats holding the map lock across file I/O
+    val cur = probeCache.get(key)
+    if (cur != null) cur
+    else { val v = f; probeCache.put(key, v); v }
   }
 
   /** Read ONE stats file (root manifest or per-dir sidecar): entry

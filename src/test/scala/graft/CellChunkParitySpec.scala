@@ -274,5 +274,23 @@ class CellChunkParitySpec extends SparkSpec {
         ArrayData.toArrayData(Array(1.0, Double.NaN)),
         ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
     assert(e7.getMessage.contains("non-positive"))
+    // a non-normalized VECTOR breaks the packed combine's ±2e6 ppm
+    // precondition — ADVICE r13: the wrap was silent (a corrupted
+    // global top-n order), unlike every chunk invariant above.
+    // |u| = 3 against a unit-norm centroid → ppm = 3e6 > 2e6
+    val e8 = intercept[IllegalArgumentException](
+      graft.functions.CellTopNChunk.topn(
+        ArrayData.toArrayData(Array(1.8, 2.4)),
+        ArrayData.toArrayData(Array(0.6, 0.8, 0.0, 1.0)),
+        ArrayData.toArrayData(Array(1.0, 1.0)),
+        ArrayData.toArrayData(Array(10L, 20L)), 2, 2))
+    assert(e8.getMessage.contains("packing"), e8.getMessage)
+    // ...and a unit vector (the caller contract) stays comfortably
+    // inside the bound on the same chunk
+    val ok = graft.functions.CellTopNChunk.topn(u,
+      ArrayData.toArrayData(Array(0.6, 0.8, 0.0, 1.0)),
+      ArrayData.toArrayData(Array(1.0, 1.0)),
+      ArrayData.toArrayData(Array(10L, 20L)), 2, 1)
+    assert(ok.numElements() == 1)
   }
 }

@@ -849,24 +849,35 @@ class WireSourceSpec extends SparkSpec {
     assert(ranged.count() === expected)
   }
 
-  test("the probe memo is bounded: filling past the cap drops it instead of leaking") {
+  test("the probe memo is a bounded LRU: eldest evicts, the hot tail stays memoized") {
     // the memo is JVM-scoped and outlives every query/trigger; a
     // long-lived streaming driver under continuous out-of-band
-    // appends would otherwise accumulate entries forever. Being a
-    // pure memo, wholesale drop at the cap is always sound.
+    // appends would otherwise accumulate entries forever. The bound
+    // is an access-order LRU (ADVICE r13): the old drop-at-cap
+    // discarded every LIVE entry at once — the next census re-probed
+    // every uncovered file in a synchronized wave.
     var computes = 0
     for (i <- 0 until WireEvents.probeCacheCap + 10) {
       WireEvents.probeMemo((s"synthetic/p$i", i.toLong)) {
         computes += 1; (Some("a"), Some("b"))
       }
     }
-    // every key was fresh, so every fill computed; the point is the
-    // SIZE bound, observed via recompute-after-drop:
+    // the hot tail (most-recent inserts) must still be memoized — a
+    // wholesale clear at the cap would have dropped these too
+    val before = computes
+    WireEvents.probeMemo(
+        (s"synthetic/p${WireEvents.probeCacheCap + 9}",
+          (WireEvents.probeCacheCap + 9).toLong)) {
+      computes += 1; (Some("a"), Some("b"))
+    }
+    assert(computes === before,
+      "the most-recent entry must survive eviction — LRU, not drop-all")
+    // the eldest (p0, inserted first, never re-accessed) must be gone
     WireEvents.probeMemo(("synthetic/p0", 0L)) {
       computes = -1; (Some("a"), Some("b"))
     }
     assert(computes === -1,
-      "p0 should have been dropped when the cap cleared the memo — " +
+      "p0 (the eldest) should have been evicted at the cap — " +
         "an unbounded map would still hold it")
   }
 
