@@ -29,7 +29,8 @@ class OracleSanitySpec extends SparkSpec {
     // threshold. Pin both sides to the same integers directly.
     import graft.queries.Similarity.{srpBitsLadder, srpNbCaseSql, srpRungs}
     val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
-      3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11)
+      3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11,
+      51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
@@ -37,18 +38,53 @@ class OracleSanitySpec extends SparkSpec {
     // past the last rung the Scala ladder refuses LOUDLY (the old
     // spelling silently stepped past the hand-kept SQL envelope and
     // failed only at the driver's hash compare)
-    val past = intercept[IllegalArgumentException](srpBitsLadder(51201L))
+    val past = intercept[IllegalArgumentException](srpBitsLadder(819201L))
     assert(past.getMessage.contains("srpRungs"), past.getMessage)
     // both sides generate from ONE rung list: every SRP consumer's SQL
     // must embed srpNbCaseSql verbatim — a hand-edited CASE that
     // drifts from srpRungs cannot pass this
-    assert(srpRungs == Seq(5, 7, 9, 11))
+    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>
       val sql = SparkEntry.oracleSql(q)
       assert(sql.contains(srpNbCaseSql),
         s"$q oracle lost the generated ladder CASE ($srpNbCaseSql)")
+    }
+  }
+
+  test("deep-rung SRP pipeline is hash-pinned to its DuckDB-audited result (rungs 9, 11, 13)") {
+    // r13 verdict task 2: the driver's oracle gate exercises only
+    // rung 5 (sf0.01) and rung 7 (sf0.1); deeper rungs were engaged by
+    // unit boundaries alone. These constants were produced by the
+    // one-off cross-engine audit tools/audit_srp_rung.py (2026-08-15,
+    // DuckDB 1.0.0): the FULL q_ann_srp pipeline — generated ladder
+    // CASE, 120 md5-derived plane dots, weakest-bit multi-probe,
+    // exact-cosine rerank — ran on both engines over the
+    // bit-reproducible SyntheticEmbeddings corpus and matched
+    // row-exactly at n=4,000 (rung 9) and n=16,000 (rung 11). The
+    // suite re-derives the Spark side and pins it to that audited
+    // value, so any later drift in ladder/bucket/rerank arithmetic at
+    // deep rungs fails HERE, not at a future driver hash-compare.
+    // Rung 13 (n=60,000 — PAST the old 51,200 envelope, through the
+    // r14-appended rung) matched row-exactly too; the audit needed a
+    // DuckDB spill path (the 16-way OR collision join plans as a
+    // nested loop there — 3.6B pairings at 60k, OOM without
+    // temp_directory; the script sets it).
+    import graft.queries.Similarity.srpBitsLadder
+    val pinned = Seq(
+      (4000L, 9, "7b5db01657182b2f6c7eb9886825d0d6"),
+      (16000L, 11, "aae3f7d4b684a10b70012a59a57f858c"),
+      (60000L, 13, "9d7946096e50fb616426a7cefa3784bc"))
+    pinned.foreach { case (n, rung, expected) =>
+      assert(srpBitsLadder(n) == rung)
+      val dir = java.nio.file.Files.createTempDirectory(s"srp_pin_$n").toString
+      SyntheticEmbeddings.write(spark, n, dir)
+      val got = SyntheticEmbeddings.canonicalHash(
+        SparkEntry.queries("q_ann_srp")(spark, dir))
+      assert(got == expected,
+        s"q_ann_srp @ n=$n (rung $rung): canonical hash $got drifted from " +
+          s"the DuckDB-audited $expected — deep-rung SRP arithmetic changed")
     }
   }
 
