@@ -77,15 +77,18 @@ object Tables {
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
+  /** Fixed-size ORDER-INDEPENDENT token of a table directory's file
+    * listing (ADVICE r13: fs.listFiles iteration order is not a
+    * filesystem contract, and a digest over the concatenated listing
+    * churns on reorder, forcing spurious recomputes of an unchanged
+    * table). XOR of per-entry MD5s is commutative (any listing order →
+    * same token) at constant memory; entries are unique by path, so no
+    * two can cancel. Shared by [[cachedRowCount]] and every other
+    * snapshot-keyed memo (the exact-kNN ground-truth cache in
+    * Similarity). */
+  private[graft] def snapshotDigest(s: SparkSession, d: String, name: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // ORDER-INDEPENDENT snapshot token (ADVICE r13): fs.listFiles
-    // iteration order is not a filesystem contract, and a digest over
-    // the concatenated listing churns on reorder, forcing spurious
-    // recounts of an unchanged table. XOR of per-entry MD5s is
-    // commutative (any listing order → same token) at constant memory;
-    // entries are unique by path, so no two can cancel.
     val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Byte](16)
     val it = fs.listFiles(path, true)
@@ -96,8 +99,12 @@ object Tables {
       var i = 0
       while (i < 16) { acc(i) = (acc(i) ^ h(i)).toByte; i += 1 }
     }
-    val digest = java.util.Base64.getEncoder.encodeToString(acc)
-    val key = path.toString
+    java.util.Base64.getEncoder.encodeToString(acc)
+  }
+
+  def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
+    val digest = snapshotDigest(s, d, name)
+    val key = new org.apache.hadoop.fs.Path(s"$d/$name.parquet").toString
     val cur = rowCountCache.get(key)
     if (cur != null && cur._1 == digest) cur._2
     else {

@@ -162,6 +162,35 @@ object Similarity {
       "q_id", "vec_id")
   }
 
+  /** Snapshot-keyed memo of the exact-kNN ground truth (r13 verdict
+    * task 5): three recall contracts (q_ann_ivf, q_ann_pq,
+    * q_ann_ivfpq_recall) re-derived the same [[exactKnnTop1]] table on
+    * every run — the battery's top measurement-only cost re-priced per
+    * rep. The table is bounded by construction ([[knnQueryIdCap]]:
+    * ≤ 1000 rows of (q_id, nn_id, sim)), so holding the COLLECTED rows
+    * per (embeddings dir, snapshot) is O(config) driver memory — the
+    * cachedRowCount discipline with the same staleness key
+    * ([[Tables.snapshotDigest]]): any file change under the table
+    * forces a recompute. q_cosine_knn itself stays LIVE — it IS the
+    * priced exact query, not a measurement consumer. */
+  private val exactKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Long, Long, Double)])]()
+
+  private[graft] def exactKnnTop1Cached(spark: SparkSession, dir: String): DataFrame = {
+    val digest = Tables.snapshotDigest(spark, dir, "embeddings")
+    val cur = exactKnnCache.get(dir)
+    val rows =
+      if (cur != null && cur._1 == digest) cur._2
+      else {
+        val computed = exactKnnTop1(emb(spark, dir)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        exactKnnCache.put(dir, (digest, computed))
+        computed
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("q_id", "nn_id", "sim")
+  }
+
   val cosineKnn = Q(
     "q_cosine_knn",
     (spark, dir) => exactKnnTop1(emb(spark, dir)),
@@ -1122,7 +1151,7 @@ object Similarity {
     "q_ann_ivf",
     (spark, dir) => {
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
+      val exact = exactKnnTop1Cached(spark, dir).select(col("q_id"), col("nn_id").as("exact_nn"))
       val ivf = ivfTop1From(e, Tables.cachedRowCount(spark, dir, "embeddings"))
         .select(col("q_id"), col("nn_id").as("ivf_nn"))
       // anchor the denominator on the query SUBSET itself, not on
@@ -1493,7 +1522,7 @@ object Similarity {
                          col("nrm").as("cnrm")), "c_id")
           .withColumn("sim", round(dot("qv", "cv") / (col("qnrm") * col("cnrm")), 6)),
         "q_id", "c_id")
-      val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
+      val exact = exactKnnTop1Cached(spark, dir).select(col("q_id"), col("nn_id").as("exact_nn"))
       reranked.join(exact, Seq("q_id"), "left")
         .select(col("q_id"), col("nn_id"), col("sim"),
           (col("exact_nn").isNull || col("exact_nn") === col("nn_id")).as("hit"))
@@ -1691,15 +1720,18 @@ object Similarity {
     * whether ADC+rerank saturates the ceiling or loses more on top).
     * Deterministic throughout, so the whole contract is hash-oracled
     * row-by-row — stronger than a floor boolean. The exact reference
-    * side keeps the audited capped crossJoin ([[exactKnnTop1]]); it
-    * is the measurement, not the serving plan, and Bench prices it
-    * under `measurement_only`. */
+    * side keeps the audited capped crossJoin ([[exactKnnTop1]]),
+    * MEMOIZED per (dir, snapshot) ([[exactKnnTop1Cached]] — r13
+    * verdict task 5: the ground truth never changes within a corpus
+    * snapshot, so re-deriving it per rep priced the battery's #3
+    * cost into a measurement); it is the measurement, not the
+    * serving plan, and Bench prices it under `measurement_only`. */
   val annIvfPqRecall = Q(
     "q_ann_ivfpq_recall",
     (spark, dir) => {
       val (index, _, served) = ivfPqPlan(spark, dir)
       val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
-      val exact = exactKnnTop1(e).select(col("q_id"), col("nn_id").as("exact_nn"))
+      val exact = exactKnnTop1Cached(spark, dir).select(col("q_id"), col("nn_id").as("exact_nn"))
         .join(index.select(col("c_id").as("exact_nn"), col("cell").as("nn_cell")),
               Seq("exact_nn"), "left")
       served.join(exact, Seq("q_id"), "left")

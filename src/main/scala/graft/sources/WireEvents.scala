@@ -915,12 +915,43 @@ object WireEvents {
   }
 
   /** The ROOT manifest, keyed by dir-relative path
-    * (`event_type=X/part-...`). Read-only legacy: nothing writes it
-    * anymore; keep this fallback until pre-sidecar layouts are
-    * explicitly declared aged out (NOTES), not on a clock. */
+    * (`event_type=X/part-...`). MIGRATION-ONLY legacy (r13 verdict
+    * task 4 — the write path died end-of-r13, and a fallback that
+    * lives forever rots): [[listWireFiles]] consults it exactly once
+    * per pre-sidecar dir, to mint that dir's sidecar on first ranged
+    * read; every later plan is sidecar-only (spec-pinned by the
+    * counting-FS legacy test's second read). */
   private[sources] def readTsStats(
       fs: FileSystem, root: HPath): Map[String, (Long, Option[String], Option[String])] =
     readStatsFile(fs, new HPath(root, TsStatsFile)).getOrElse(Map.empty)
+
+  /** One ts-stats sidecar COMMIT — entries (fileName, len, min, max)
+    * sorted by name, temp-then-rename so a reader never sees a torn
+    * file. The one spelling shared by the write-time stats job and
+    * the legacy-manifest migration. */
+  private[sources] def commitStatsFile(fs: FileSystem, target: HPath,
+      entries: Seq[(String, Long, Option[String], Option[String])]): Unit = {
+    val mapper = new ObjectMapper()
+    val lines = entries.sortBy(_._1).map { case (name, len, mn, mx) =>
+      val n = mapper.createObjectNode()
+      n.put("path", name)
+      n.put("len", len)
+      mn.foreach(n.put("min", _))
+      mx.foreach(n.put("max", _))
+      mapper.writeValueAsString(n)
+    }
+    val tmp = new HPath(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"wire-events: failed to commit ts-stats manifest $target")
+    }
+  }
 
   /** Write-time stats job: per-file (min ts, max ts) for every data
     * file under `dir`, computed as a DISTRIBUTED job (one task per
@@ -1008,30 +1039,6 @@ object WireEvents {
       val (_, mn, mx) = existing(dirOf(rel))(nameOf(rel))
       (rel, len, mn, mx)
     }
-    val mapper = new ObjectMapper()
-    def line(path: String, len: Long, mn: Option[String],
-             mx: Option[String]): String = {
-      val n = mapper.createObjectNode()
-      n.put("path", path)
-      n.put("len", len)
-      mn.foreach(n.put("min", _))
-      mx.foreach(n.put("max", _))
-      mapper.writeValueAsString(n)
-    }
-    // temp-then-rename so a reader never sees a torn stats file
-    def commit(target: HPath, lines: Seq[String]): Unit = {
-      val tmp = new HPath(target.getParent,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(target, false)
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"wire-events: failed to commit ts-stats manifest $target")
-      }
-    }
     // per-dir sidecars are the PRIMARY store (r12 verdict task 2): a
     // `type ∧ ts` plan parses only surviving dirs' entries, and an
     // append commit rewrites only the dirs it touched — a dir whose
@@ -1043,9 +1050,9 @@ object WireEvents {
         val names = entries.map(e => nameOf(e._1)).toSet
         if (probedDirs.contains(dirName) ||
             existing(dirName).keySet != names) {
-          commit(new HPath(new HPath(root, dirName), TsStatsSidecar),
-            entries.sortBy(_._1).toIndexedSeq.map { case (rel, len, mn, mx) =>
-              line(nameOf(rel), len, mn, mx)
+          commitStatsFile(fs, new HPath(new HPath(root, dirName), TsStatsSidecar),
+            entries.toIndexedSeq.map { case (rel, len, mn, mx) =>
+              (nameOf(rel), len, mn, mx)
             })
         }
       }
@@ -1110,19 +1117,39 @@ object WireEvents {
     else {
       // stats come from each SURVIVING dir's own sidecar — a `type ∧
       // ts` plan parses only those dirs' entries, never one
-      // O(total-files) root manifest (r12 verdict task 2). The root
-      // file — no longer written since end-of-r13 — remains a READ
-      // fallback for pre-sidecar layouts, consulted LAZILY: a layout
-      // whose surviving dirs all carry sidecars never opens it. A
-      // sidecar, once present, is
-      // authoritative for its dir — an uncovered/stale entry there
-      // goes straight to the per-file probe.
+      // O(total-files) root manifest (r12 verdict task 2). A dir with
+      // NO sidecar MIGRATES on first read (r13 verdict task 4 — the
+      // root manifest's explicit end-of-life): its legacy root-manifest
+      // entries are committed as the dir's own sidecar right here, so
+      // the root file is parsed at most once per pre-sidecar dir and
+      // every later plan on the layout is sidecar-only. The commit is
+      // best-effort — on a read-only filesystem the minted entries
+      // still serve THIS plan from memory and migration retries next
+      // read. A sidecar, once present, is authoritative for its dir —
+      // an uncovered/stale entry there goes straight to the per-file
+      // probe.
       lazy val rootManifest = readTsStats(fs, root)
       listed.groupBy { case (_, _, _, rel) => rel.substring(0, rel.indexOf('/')) }
         .toSeq.sortBy(_._1)
         .flatMap { case (dirName, group) =>
-          val sidecar = readStatsFile(
-            fs, new HPath(new HPath(root, dirName), TsStatsSidecar))
+          val sidecarPath = new HPath(new HPath(root, dirName), TsStatsSidecar)
+          val sidecar = readStatsFile(fs, sidecarPath).orElse {
+            val legacy = rootManifest.collect {
+              case (rel, v) if rel.startsWith(dirName + "/") =>
+                rel.substring(dirName.length + 1) -> v
+            }
+            if (legacy.isEmpty) None
+            else {
+              try commitStatsFile(fs, sidecarPath,
+                legacy.toSeq.map { case (n, (len, mn, mx)) => (n, len, mn, mx) })
+              catch {
+                case e: java.io.IOException =>
+                  System.err.println(s"[wire-events] could not migrate legacy " +
+                    s"ts-stats to $sidecarPath (read-only layout?): ${e.getMessage}")
+              }
+              Some(legacy)
+            }
+          }
           group.filter { case (_, p, len, rel) =>
             val name = rel.substring(rel.indexOf('/') + 1)
             def probe = probeMemo((p, len))(
@@ -1132,10 +1159,7 @@ object WireEvents {
                 case Some((mLen, mMin, mMax)) if mLen == len => (mMin, mMax)
                 case _ => probe
               }
-              case None => rootManifest.get(rel) match {
-                case Some((mLen, mMin, mMax)) if mLen == len => (mMin, mMax)
-                case _ => probe
-              }
+              case None => probe
             }
             val entirelyAbove = hi.exists(h => mn.exists(_ > h))
             val entirelyBelow = lo.exists(l => mx.exists(_ < l))

@@ -65,4 +65,52 @@ class RowCountCacheSpec extends SparkSpec {
       tmp.delete()
     }
   }
+
+  test("exactKnnTop1Cached: compute once per snapshot, zero jobs warm, recompute on file change") {
+    // the same snapshot-memo contract for the exact-kNN ground truth
+    // (r13 verdict task 5): three recall contracts share one compute
+    // per (dir, snapshot); results must be IDENTICAL cold vs warm, a
+    // warm build costs zero Spark jobs (the rows are driver-resident,
+    // bounded by knnQueryIdCap), and a rewritten file recomputes.
+    val tmp = Files.createTempDirectory("graft-knn").toFile
+    val src = Paths.get(sf, "embeddings.parquet")
+    val dst = Paths.get(tmp.getAbsolutePath, "embeddings.parquet")
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def drained(): Int = {
+      var last = -1
+      var cur = jobs.get()
+      while (cur != last) { Thread.sleep(200); last = cur; cur = jobs.get() }
+      cur
+    }
+    import graft.queries.Similarity
+    val d = tmp.getAbsolutePath
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cold = Similarity.exactKnnTop1Cached(spark, d).collect()
+        .map(_.toString).sorted
+      assert(cold.nonEmpty)
+      val afterCold = drained()
+      assert(afterCold >= 1, "cold memo must run the real exact-kNN jobs")
+      val warm = Similarity.exactKnnTop1Cached(spark, d)
+      assert(drained() === afterCold,
+        "BUILDING the warm ground-truth frame must cost zero Spark jobs")
+      assert(warm.collect().map(_.toString).sorted.toSeq === cold.toSeq,
+        "warm rows must be identical to the cold compute")
+      val f = dst.toFile
+      assert(f.setLastModified(f.lastModified() + 60000))
+      val fresh = drained()
+      Similarity.exactKnnTop1Cached(spark, d).collect()
+      assert(drained() > fresh,
+        "a changed file snapshot must force a fresh exact-kNN compute")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Files.deleteIfExists(dst)
+      tmp.delete()
+    }
+  }
 }

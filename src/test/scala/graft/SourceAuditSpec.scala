@@ -46,10 +46,12 @@ class SourceAuditSpec extends AnyFunSuite {
   test("driver-side .collect() confined to audited bounded sites") {
     // every entry's bound must be independent of corpus size
     audit(".collect()", """\.collect\(\)""", Map(
-      "queries/Similarity.scala" -> (5,
+      "queries/Similarity.scala" -> (6,
         "ivfTrain seeds k x dim + Lloyd k x dim partials (2); pqSeeds " +
           "pqM x pqK x dim (1); semCells seeds + Lloyd k x dim (2) — " +
-          "all centroid/codebook matrices, a few KB at any corpus size"),
+          "all centroid/codebook matrices, a few KB at any corpus size; " +
+          "exactKnnTop1Cached ground-truth memo (1): <= knnQueryIdCap/10 " +
+          "rows by construction, snapshot-keyed (r13 verdict task 5)"),
       "queries/Curation.scala" -> (1,
         "decontaminate_bloom eval probe: LIMIT evalSetCap+1 ships at " +
           "most cap+1 longs, then falls back to the distributed semi-join"),

@@ -847,6 +847,26 @@ class WireSourceSpec extends SparkSpec {
     assert(nRanged > 0 && nRanged < nAll,
       s"the root-manifest fallback must prune PARTIALLY ($nRanged of $nAll)")
     assert(ranged.count() === expected)
+    // MIGRATE-ON-FIRST-READ (r13 verdict task 4 — the fallback's
+    // explicit end-of-life): that first ranged plan must have MINTED
+    // each dir's sidecar from its root-manifest entries…
+    Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .foreach { dir =>
+        assert(Files.exists(dir.resolve("_ts_stats.json")),
+          s"first ranged read must migrate $dir to a per-dir sidecar")
+      }
+    // …so a SECOND ranged read plans sidecar-only: the root manifest
+    // is never opened again on this layout (the fallback has retired
+    // itself), and the answer is unchanged
+    CountingLocalFs.opened.clear()
+    val ranged2 = WireEvents.read(spark, "cntfs:" + d).filter(col("ts") >= cut)
+    assert(ranged2.count() === expected)
+    val opens2 = CountingLocalFs.opened.asScala.toList
+    assert(opens2.exists(_.endsWith("/_ts_stats.json")),
+      s"post-migration planning must read the minted sidecars; opened: $opens2")
+    assert(!opens2.exists(_.endsWith("/_wire_ts_stats.json")),
+      s"post-migration planning must not reopen the root manifest; opened: $opens2")
   }
 
   test("the probe memo is a bounded LRU: eldest evicts, the hot tail stays memoized") {
