@@ -173,8 +173,18 @@ object Similarity {
     * ([[Tables.snapshotDigest]]): any file change under the table
     * forces a recompute. q_cosine_knn itself stays LIVE — it IS the
     * priced exact query, not a measurement consumer. */
-  private val exactKnnCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Long, Long, Double)])]()
+  // bounded LRU, not a bare ConcurrentHashMap (review finding — the
+  // same leak class the probeCache LRU closes): one entry per DISTINCT
+  // dir would otherwise pin its collected rows forever on a long-lived
+  // driver sweeping many corpus directories; 64 × ~40 KB caps the memo
+  // at ~2.5 MB with the hot dirs always resident
+  private val exactKnnCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Array[(Long, Option[Long], Option[Double])])](
+        16, 0.75f, /* accessOrder = */ true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Array[(Long, Option[Long], Option[Double])])])
+          : Boolean = size() > 64
+    })
 
   private[graft] def exactKnnTop1Cached(spark: SparkSession, dir: String): DataFrame = {
     val digest = Tables.snapshotDigest(spark, dir, "embeddings")
@@ -182,8 +192,16 @@ object Similarity {
     val rows =
       if (cur != null && cur._1 == digest) cur._2
       else {
+        // nn_id/sim stay Options: a query vector with no scorable
+        // neighbor (e.g. a null embedding poisons every sim) decodes
+        // to null nn_id/sim, which the recall contracts' left joins
+        // explicitly tolerate — getLong on it would NPE the whole
+        // query where the pre-memo plan propagated the null
+        // (review finding)
         val computed = exactKnnTop1(emb(spark, dir)).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         exactKnnCache.put(dir, (digest, computed))
         computed
       }

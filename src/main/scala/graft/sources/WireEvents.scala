@@ -1140,12 +1140,19 @@ object WireEvents {
             }
             if (legacy.isEmpty) None
             else {
+              // NonFatal, not just IOException: commitStatsFile signals
+              // a refused rename (e.g. a CONCURRENT reader migrating the
+              // same dir won the race, and the FS refuses rename-onto-
+              // existing) as IllegalStateException — any commit failure
+              // must leave this plan serving from the in-memory entries,
+              // never kill the read (review finding)
               try commitStatsFile(fs, sidecarPath,
                 legacy.toSeq.map { case (n, (len, mn, mx)) => (n, len, mn, mx) })
               catch {
-                case e: java.io.IOException =>
+                case scala.util.control.NonFatal(e) =>
                   System.err.println(s"[wire-events] could not migrate legacy " +
-                    s"ts-stats to $sidecarPath (read-only layout?): ${e.getMessage}")
+                    s"ts-stats to $sidecarPath (read-only layout, or a " +
+                    s"concurrent migration won): ${e.getMessage}")
               }
               Some(legacy)
             }

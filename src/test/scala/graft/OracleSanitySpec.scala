@@ -79,12 +79,14 @@ class OracleSanitySpec extends SparkSpec {
     pinned.foreach { case (n, rung, expected) =>
       assert(srpBitsLadder(n) == rung)
       val dir = java.nio.file.Files.createTempDirectory(s"srp_pin_$n").toString
-      SyntheticEmbeddings.write(spark, n, dir)
-      val got = SyntheticEmbeddings.canonicalHash(
-        SparkEntry.queries("q_ann_srp")(spark, dir))
-      assert(got == expected,
-        s"q_ann_srp @ n=$n (rung $rung): canonical hash $got drifted from " +
-          s"the DuckDB-audited $expected — deep-rung SRP arithmetic changed")
+      try {
+        SyntheticEmbeddings.write(spark, n, dir)
+        val got = SyntheticEmbeddings.canonicalHash(
+          SparkEntry.queries("q_ann_srp")(spark, dir))
+        assert(got == expected,
+          s"q_ann_srp @ n=$n (rung $rung): canonical hash $got drifted from " +
+            s"the DuckDB-audited $expected — deep-rung SRP arithmetic changed")
+      } finally SyntheticEmbeddings.rm(dir)
     }
   }
 

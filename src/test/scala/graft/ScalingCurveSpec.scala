@@ -293,11 +293,13 @@ class ScalingCurveSpec extends SparkSpec {
       "fixture must actually cross the old envelope onto rung 13")
     def point(n: Long): Long = {
       val d = java.nio.file.Files.createTempDirectory(s"srp_rung_$n").toString
-      SyntheticEmbeddings.write(spark, n, d)
-      val c = Similarity.srpProbePairs(spark, d).count()
-      info(s"srp @ synthetic n=$n (rung ${Similarity.srpBitsLadder(n)}): " +
-        s"$c collision pairs (${c / n} per vector)")
-      c
+      try {
+        SyntheticEmbeddings.write(spark, n, d)
+        val c = Similarity.srpProbePairs(spark, d).count()
+        info(s"srp @ synthetic n=$n (rung ${Similarity.srpBitsLadder(n)}): " +
+          s"$c collision pairs (${c / n} per vector)")
+        c
+      } finally SyntheticEmbeddings.rm(d)
     }
     val c1 = point(16000L)
     val c2 = point(64000L)

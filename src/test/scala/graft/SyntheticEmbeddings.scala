@@ -53,6 +53,16 @@ object SyntheticEmbeddings {
       .map("%02x".format(_)).mkString
   }
 
+  /** Recursive delete for the specs' throwaway corpus dirs — a suite
+    * run must not deposit tens of MB of parquet under /tmp forever. */
+  def rm(dir: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(go)
+      f.delete(): Unit
+    }
+    go(new java.io.File(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val (n, dir) = (args(0).toLong, args(1))
     val spark = SparkSession.builder()
