@@ -337,8 +337,18 @@ object Similarity {
     * 8-bit blocker this replaces. Scala bits column and oracle CASE
     * both generate from this one list; the last rung serves as the
     * SQL's ELSE (the srpNbCaseSql precedent) while the Scala side
-    * refuses loudly past it. */
-  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12)
+    * refuses loudly past it.
+    *
+    * Rung 14 (r14, alongside the srpRungs 13/15 extension — the r13
+    * ADVICE flagged both refusals together): hot labels up to 409,600
+    * vectors now step to 16,384 buckets/table instead of aborting the
+    * query; ScalingCurveSpec measures the rung-14 engagement by
+    * collision density on the same vector family (engaged = density
+    * falls ~4× stepping 12 → 14; stuck = it rises). Past 409,600 the
+    * refusal stands — at label granularity that corpus shape is a
+    * degenerate blocking key (one label = 400k+ near-neighbors)
+    * before it is a scale problem; see SCALE.md. */
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14)
   private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
   private[graft] def embedLshCaseSql: String =
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>

@@ -196,7 +196,9 @@ class ScalingCurveSpec extends SparkSpec {
     * blocker must take rung 10 (1024 buckets/table): measured volume
     * must fall well under the retired fixed-8-bit expectation
     * (~allPairs · (1-(1-1/256)^4) ≈ 499k on near-uniform vectors).
-    * And a label past the last rung's envelope refuses loudly. */
+    * Rung 14 (appended r14) gets the same engagement treatment at a
+    * 128k hot label, and a label past the 409,600 envelope refuses
+    * loudly. */
   test("embed-LSH per-label ladder engages on a hot label and refuses past its envelope") {
     import org.apache.spark.sql.functions.{col, expr, lit}
     // dim must match the 64-dim plane tensor (shorter vectors null-
@@ -224,11 +226,33 @@ class ScalingCurveSpec extends SparkSpec {
       f"rung-10 density $d10%.5f not below 0.6x the rung-8 density " +
         f"$d8%.5f — the per-label ladder did not engage")
     assert(d10 > 0)
+    // rung 14 (r14 — extended with srpRungs 13/15): a 128,000-vector
+    // hot label must step to 16,384 buckets/table. These deep points
+    // use the md5-derived [[SyntheticEmbeddings]] family, NOT the sin
+    // family above: at 100k+ the sin family develops structural
+    // near-duplicate pairs that floor collision density ~5x above the
+    // uniform model (measured — wider buckets cannot cut a pair whose
+    // vectors are nearly identical), which drowns the engagement
+    // signal. On the uniform family occupancy math separates engaged
+    // from stuck cleanly: engaged, density ≈ 4·occ/n falls ~4x vs the
+    // rung-12 point at its cap (occupancy 25 → 7.8); stuck at 12 bits
+    // it stays ~equal (occupancy 31). Threshold 0.5 sits between.
+    def densityMd5(n: Long): Double =
+      graft.queries.Similarity.embedLshCandidates(
+        SyntheticEmbeddings.frame(spark, n).withColumn("label", lit(7)))
+        .count().toDouble / (n * (n - 1) / 2)
+    val d12 = densityMd5(102400)
+    val d14 = densityMd5(128000)
+    info(f"embed-lsh density: rung 12 @102400 = $d12%.6f, rung 14 @128000 = $d14%.6f")
+    assert(d14 < d12 * 0.5,
+      f"rung-14 density $d14%.6f not below 0.5x the rung-12 density " +
+        f"$d12%.6f — rung 14 did not engage")
+    assert(d14 > 0)
     // past the audited envelope the Scala side refuses loudly instead
     // of silently running the last rung ever hotter
     // dim 64 so the bucket array is non-null and the masking lambda
     // (where the ladder CASE lives) actually evaluates per row
-    val over = spark.range(graft.queries.Similarity.embedLshRungCap(2) + 1)
+    val over = spark.range(graft.queries.Similarity.embedLshRungCap(3) + 1)
       .select(col("id").as("vec_id"), lit(9).as("label"),
         expr("array_repeat(1.0D, 64)").as("embedding"))
     val e = intercept[Exception](

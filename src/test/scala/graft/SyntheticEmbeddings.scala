@@ -27,15 +27,20 @@ object SyntheticEmbeddings {
 
   val dim = 64
 
-  def write(spark: SparkSession, n: Long, dir: String): Unit = {
+  /** The corpus as an unwritten frame — [[write]] persists it with the
+    * fixture's 5-label split; tests needing a different label shape
+    * (e.g. one hot label for the embed-LSH ladder) override `label`. */
+  def frame(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
       expr(s"""transform(sequence(0, ${dim - 1}), j -> CAST(
           CAST(conv(substr(md5(concat(CAST(id AS STRING), '_', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)
             / 576460752303423488.0D - 1.0D AS FLOAT))""").as("embedding"),
       (col("id") % 5).cast("int").as("label"))
+
+  def write(spark: SparkSession, n: Long, dir: String): Unit =
+    frame(spark, n)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
 
   /** Canonical result digest for hash-pinned oracle assertions:
     * columns sorted by name, each row rendered `v1|v2|…` via
