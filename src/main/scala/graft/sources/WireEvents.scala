@@ -925,12 +925,31 @@ object WireEvents {
       fs: FileSystem, root: HPath): Map[String, (Long, Option[String], Option[String])] =
     readStatsFile(fs, new HPath(root, TsStatsFile)).getOrElse(Map.empty)
 
+  /** Sidecar paths whose legacy migration failed once this JVM —
+    * consulted so a read-only pre-sidecar layout pays the doomed
+    * create + stderr line ONCE per dir, not once per ranged plan
+    * (review finding). Bounded by the layout's dir count (one string
+    * per event_type dir), so no eviction needed. */
+  private val migrationFailed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** One ts-stats sidecar COMMIT — entries (fileName, len, min, max)
     * sorted by name, temp-then-rename so a reader never sees a torn
     * file. The one spelling shared by the write-time stats job and
-    * the legacy-manifest migration. */
+    * the legacy-manifest migration.
+    *
+    * `overwrite = false` (the MIGRATION mode) yields to any sidecar
+    * that appeared since the caller looked: a migrating READER racing
+    * a WRITER's writeTsStats must never replace the writer's fresh
+    * entries with its stale root-manifest copy (review finding — the
+    * unconditional delete-then-rename did exactly that; and POSIX
+    * rename onto an existing target succeeds by overwriting, so
+    * "the rename will refuse" was never a safe assumption). The
+    * residual exists→rename window is microseconds, and losing it
+    * costs only conservative re-probes, never wrong pruning. */
   private[sources] def commitStatsFile(fs: FileSystem, target: HPath,
-      entries: Seq[(String, Long, Option[String], Option[String])]): Unit = {
+      entries: Seq[(String, Long, Option[String], Option[String])],
+      overwrite: Boolean = true): Unit = {
     val mapper = new ObjectMapper()
     val lines = entries.sortBy(_._1).map { case (name, len, mn, mx) =>
       val n = mapper.createObjectNode()
@@ -945,7 +964,8 @@ object WireEvents {
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.delete(target, false)
+    if (overwrite) fs.delete(target, false)
+    else if (fs.exists(target)) { fs.delete(tmp, false); return }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
@@ -1128,31 +1148,43 @@ object WireEvents {
       // read. A sidecar, once present, is authoritative for its dir —
       // an uncovered/stale entry there goes straight to the per-file
       // probe.
-      lazy val rootManifest = readTsStats(fs, root)
+      // ONE pass over the root manifest, grouped by dir (a per-dir
+      // startsWith scan was O(dirs × entries) per plan on a layout
+      // that never migrates — review finding)
+      lazy val legacyByDir: Map[String, Map[String, (Long, Option[String], Option[String])]] =
+        readTsStats(fs, root).toSeq
+          .groupBy { case (rel, _) => rel.substring(0, rel.indexOf('/')) }
+          .map { case (dn, es) =>
+            dn -> es.map { case (rel, v) =>
+              rel.substring(rel.indexOf('/') + 1) -> v }.toMap
+          }
       listed.groupBy { case (_, _, _, rel) => rel.substring(0, rel.indexOf('/')) }
         .toSeq.sortBy(_._1)
         .flatMap { case (dirName, group) =>
           val sidecarPath = new HPath(new HPath(root, dirName), TsStatsSidecar)
           val sidecar = readStatsFile(fs, sidecarPath).orElse {
-            val legacy = rootManifest.collect {
-              case (rel, v) if rel.startsWith(dirName + "/") =>
-                rel.substring(dirName.length + 1) -> v
-            }
+            val legacy = legacyByDir.getOrElse(dirName, Map.empty)
             if (legacy.isEmpty) None
             else {
-              // NonFatal, not just IOException: commitStatsFile signals
-              // a refused rename (e.g. a CONCURRENT reader migrating the
-              // same dir won the race, and the FS refuses rename-onto-
-              // existing) as IllegalStateException — any commit failure
-              // must leave this plan serving from the in-memory entries,
-              // never kill the read (review finding)
-              try commitStatsFile(fs, sidecarPath,
-                legacy.toSeq.map { case (n, (len, mn, mx)) => (n, len, mn, mx) })
-              catch {
-                case scala.util.control.NonFatal(e) =>
-                  System.err.println(s"[wire-events] could not migrate legacy " +
-                    s"ts-stats to $sidecarPath (read-only layout, or a " +
-                    s"concurrent migration won): ${e.getMessage}")
+              // NonFatal, not just IOException: any commit failure must
+              // leave this plan serving from the in-memory entries,
+              // never kill the read (review finding). A dir whose
+              // migration failed once (read-only layout) is remembered
+              // and not re-attempted — a long-lived streaming reader
+              // must not pay a doomed create + a stderr line per dir
+              // per trigger (second review batch).
+              if (!migrationFailed.contains(sidecarPath.toString)) {
+                try commitStatsFile(fs, sidecarPath,
+                  legacy.toSeq.map { case (n, (len, mn, mx)) => (n, len, mn, mx) },
+                  overwrite = false)
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    migrationFailed.add(sidecarPath.toString): Unit
+                    System.err.println(s"[wire-events] could not migrate legacy " +
+                      s"ts-stats to $sidecarPath (read-only layout?): " +
+                      s"${e.getMessage} — serving this plan from the root " +
+                      "manifest; will not re-attempt this JVM")
+                }
               }
               Some(legacy)
             }

@@ -1,34 +1,39 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
 import graft.model.Tables
 
-/** Pins the [[Tables.cachedRowCount]] contract (r12 verdict task 3):
-  * the index-scaling formulas (srpBitsLadder, ivfCellCount, semCells'
-  * k) read the corpus cardinality through a cache keyed on the table
-  * path's filesystem snapshot, so a warm snapshot costs ZERO Spark
-  * jobs and a changed file (the staleness hazard the memo introduces)
-  * forces a recount. Uses a private temp copy of the sf0.001
+/** Pins the snapshot-memo contracts: [[Tables.cachedRowCount]] (r12
+  * verdict task 3) and the exact-kNN ground-truth memo (r13 verdict
+  * task 5). Both read through a cache keyed on the table path's
+  * filesystem snapshot, so a warm snapshot costs ZERO Spark jobs and a
+  * changed file (the staleness hazard a memo introduces) forces a
+  * recompute. Each test uses a private temp copy of the sf0.001
   * embeddings table so no other suite can have warmed the key.
   */
 class RowCountCacheSpec extends SparkSpec {
 
-  test("cachedRowCount: one count job per snapshot, zero on reuse, recount on file change") {
-    val tmp = Files.createTempDirectory("graft-rcc").toFile
-    val src = Paths.get(sf, "embeddings.parquet")
+  /** The scaffolding both snapshot-memo tests share (review finding —
+    * it was copied verbatim): a private temp copy of the embeddings
+    * table, an async-DRAINED Spark job counter (listener delivery is
+    * async: poll until the count is stable for a full interval, never
+    * a single sleep), and teardown. Body receives (tableDir,
+    * parquetFile, jobCounter, drained). */
+  private def withEmbeddingsCopyAndJobCounter(
+      body: (String, Path, java.util.concurrent.atomic.AtomicInteger, () => Int) => Unit)
+      : Unit = {
+    val tmp = Files.createTempDirectory("graft-snap").toFile
     val dst = Paths.get(tmp.getAbsolutePath, "embeddings.parquet")
-    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-
+    Files.copy(Paths.get(sf, "embeddings.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        jobs.incrementAndGet(): Unit
     }
-    // listener delivery is ASYNC: drain by polling until the count is
-    // stable for a full poll interval, never by a single sleep
     def drained(): Int = {
       var last = -1
       var cur = jobs.get()
@@ -36,17 +41,26 @@ class RowCountCacheSpec extends SparkSpec {
       cur
     }
     spark.sparkContext.addSparkListener(listener)
-    try {
+    try body(tmp.getAbsolutePath, dst, jobs, () => drained())
+    finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Files.deleteIfExists(dst)
+      tmp.delete(): Unit
+    }
+  }
+
+  test("cachedRowCount: one count job per snapshot, zero on reuse, recount on file change") {
+    withEmbeddingsCopyAndJobCounter { (d, dst, jobs, drained) =>
       val expected = spark.read.parquet(dst.toString).count()
       drained()
       jobs.set(0)
 
-      val n1 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      val n1 = Tables.cachedRowCount(spark, d, "embeddings")
       assert(n1 === expected)
       val afterFirst = drained()
       assert(afterFirst >= 1, "cold cache must run a real count job")
 
-      val n2 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      val n2 = Tables.cachedRowCount(spark, d, "embeddings")
       assert(n2 === expected)
       assert(drained() === afterFirst,
         "warm snapshot must cost zero Spark jobs — the memo is the point")
@@ -55,14 +69,10 @@ class RowCountCacheSpec extends SparkSpec {
       // snapshot key and must recount, not serve the stale value
       val f = dst.toFile
       assert(f.setLastModified(f.lastModified() + 60000))
-      val n3 = Tables.cachedRowCount(spark, tmp.getAbsolutePath, "embeddings")
+      val n3 = Tables.cachedRowCount(spark, d, "embeddings")
       assert(n3 === expected)
       assert(drained() > afterFirst,
         "a changed file snapshot must force a fresh count job")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      Files.deleteIfExists(dst)
-      tmp.delete()
     }
   }
 
@@ -72,25 +82,8 @@ class RowCountCacheSpec extends SparkSpec {
     // per (dir, snapshot); results must be IDENTICAL cold vs warm, a
     // warm build costs zero Spark jobs (the rows are driver-resident,
     // bounded by knnQueryIdCap), and a rewritten file recomputes.
-    val tmp = Files.createTempDirectory("graft-knn").toFile
-    val src = Paths.get(sf, "embeddings.parquet")
-    val dst = Paths.get(tmp.getAbsolutePath, "embeddings.parquet")
-    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-    }
-    def drained(): Int = {
-      var last = -1
-      var cur = jobs.get()
-      while (cur != last) { Thread.sleep(200); last = cur; cur = jobs.get() }
-      cur
-    }
-    import graft.queries.Similarity
-    val d = tmp.getAbsolutePath
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    withEmbeddingsCopyAndJobCounter { (d, dst, _, drained) =>
+      import graft.queries.Similarity
       val cold = Similarity.exactKnnTop1Cached(spark, d).collect()
         .map(_.toString).sorted
       assert(cold.nonEmpty)
@@ -107,10 +100,6 @@ class RowCountCacheSpec extends SparkSpec {
       Similarity.exactKnnTop1Cached(spark, d).collect()
       assert(drained() > fresh,
         "a changed file snapshot must force a fresh exact-kNN compute")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      Files.deleteIfExists(dst)
-      tmp.delete()
     }
   }
 }

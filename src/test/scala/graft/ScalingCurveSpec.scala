@@ -340,6 +340,20 @@ class ScalingCurveSpec extends SparkSpec {
     assert(exponent < 1.3,
       f"srp past-envelope exponent $exponent%.2f — rung 13 is not holding " +
         "occupancy (a non-engaging ladder measures ~2 over this step)")
+    // rung 15 — the envelope's LAST rung (a 100x sf0.1 scale-up lands
+    // on rung 13; 15 is the 4x margin above it): one more
+    // occupancy-matched 4x step, so every audited rung's engagement is
+    // MEASURED through the real dispatch, none derived. Measured:
+    // 59.0M @ 256k (230/vec), exponent 1.11 over the 64k step; cap
+    // ~2.7x measured, far under the rung-13-stuck band (~4x/vec).
+    assert(graft.queries.Similarity.srpBitsLadder(256000L) == 15)
+    val c3 = point(256000L)
+    assert(c3 <= 160000000L,
+      s"srp @ 256k: $c3 pairs exceeds the 160M tripwire — rung 15 did not engage")
+    val exponent2 = math.log(c3.toDouble / c2) / math.log(4.0)
+    info(f"srp rung-15 growth exponent over the second 4x step = $exponent2%.2f")
+    assert(exponent2 < 1.3,
+      f"srp rung-15 exponent $exponent2%.2f — rung 15 is not holding occupancy")
   }
 
   /** The regime PAST [[graft.queries.Similarity.chunkBroadcastBytes]]
@@ -459,13 +473,7 @@ class ScalingCurveSpec extends SparkSpec {
       val served = got.find(_.getLong(0) == 0L).get.getSeq[Long](1)
       assert(served == expect,
         s"vec 0: served $served, driver-exact $expect")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir)
-    }
+    } finally SyntheticEmbeddings.rm(dir.toString)
   }
 
   /** The semCells tripwire across the SAME ceiling: at n=513k the

@@ -62,7 +62,8 @@ object SyntheticEmbeddings {
     * run must not deposit tens of MB of parquet under /tmp forever. */
   def rm(dir: String): Unit = {
     def go(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(go)
+      val kids = f.listFiles() // null for non-dirs AND vanished dirs
+      if (kids != null) kids.foreach(go)
       f.delete(): Unit
     }
     go(new java.io.File(dir))

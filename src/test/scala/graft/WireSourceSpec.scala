@@ -850,10 +850,12 @@ class WireSourceSpec extends SparkSpec {
     // MIGRATE-ON-FIRST-READ (r13 verdict task 4 — the fallback's
     // explicit end-of-life): that first ranged plan must have MINTED
     // each dir's sidecar from its root-manifest entries…
-    Files.list(Paths.get(d)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("event_type="))
+    // (File.listFiles, not Files.list: the stream variant holds an
+    // open directory fd until GC unless closed — review finding)
+    new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("event_type="))
       .foreach { dir =>
-        assert(Files.exists(dir.resolve("_ts_stats.json")),
+        assert(Files.exists(dir.toPath.resolve("_ts_stats.json")),
           s"first ranged read must migrate $dir to a per-dir sidecar")
       }
     // …so a SECOND ranged read plans sidecar-only: the root manifest

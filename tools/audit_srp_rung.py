@@ -54,19 +54,26 @@ def main():
                 f"FROM '{corpus}/embeddings.parquet/*.parquet'")
     duck_tbl = con.execute(oracle).fetch_arrow_table()
     spark_tbl = pq.read_table(glob.glob(f"{out}/q_ann_srp/*.parquet"))
+    # explicit checks + exit(1), never bare asserts: `python -O`
+    # strips asserts and would print PASS on unchecked schemas; and a
+    # ROW-COUNT mismatch (the usual shape of a collision-set drift)
+    # must still print its sample diff instead of aborting before it
+    # (review finding)
     s_cols = sorted(spark_tbl.column_names)
     d_cols = sorted(duck_tbl.column_names)
-    assert s_cols == d_cols, f"schema: spark={s_cols} duck={d_cols}"
+    if s_cols != d_cols:
+        print(f"[FAIL] schema: spark={s_cols} duck={d_cols}")
+        sys.exit(1)
     def rows(tbl, cols):
         return sorted((tuple(map(repr, r)) for r in
                        zip(*[tbl.column(c).to_pylist() for c in cols])))
     s_rows, d_rows = rows(spark_tbl, s_cols), rows(duck_tbl, d_cols)
-    assert len(s_rows) == len(d_rows), \
-        f"rows: spark={len(s_rows)} duck={len(d_rows)}"
     if s_rows == d_rows:
         print(f"[PASS] q_ann_srp @ n={n}: {len(s_rows)} rows row-exact "
               "across Spark and DuckDB")
     else:
+        print(f"[FAIL] q_ann_srp @ n={n}: spark={len(s_rows)} rows, "
+              f"duck={len(d_rows)} rows")
         sset, dset = set(s_rows), set(d_rows)
         for r in list(sset - dset)[:3]:
             print(f"   spark-only: {r}")
