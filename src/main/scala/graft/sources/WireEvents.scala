@@ -947,7 +947,7 @@ object WireEvents {
     * "the rename will refuse" was never a safe assumption). The
     * residual exists→rename window is microseconds, and losing it
     * costs only conservative re-probes, never wrong pruning. */
-  private[sources] def commitStatsFile(fs: FileSystem, target: HPath,
+  private[graft] def commitStatsFile(fs: FileSystem, target: HPath,
       entries: Seq[(String, Long, Option[String], Option[String])],
       overwrite: Boolean = true): Unit = {
     val mapper = new ObjectMapper()
@@ -1153,6 +1153,10 @@ object WireEvents {
       // that never migrates — review finding)
       lazy val legacyByDir: Map[String, Map[String, (Long, Option[String], Option[String])]] =
         readTsStats(fs, root).toSeq
+          // a root entry without a dir prefix can never address a
+          // partition file — drop it rather than letting substring
+          // throw on a hand-edited manifest line
+          .filter { case (rel, _) => rel.indexOf('/') > 0 }
           .groupBy { case (rel, _) => rel.substring(0, rel.indexOf('/')) }
           .map { case (dn, es) =>
             dn -> es.map { case (rel, v) =>

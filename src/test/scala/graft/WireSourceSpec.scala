@@ -871,6 +871,35 @@ class WireSourceSpec extends SparkSpec {
       s"post-migration planning must not reopen the root manifest; opened: $opens2")
   }
 
+  test("a no-overwrite stats commit yields to an existing sidecar (migration loses races, never clobbers)") {
+    // the second review batch's race: a migrating READER must never
+    // replace a WRITER's fresh sidecar with its stale root-manifest
+    // copy — POSIX rename onto an existing target OVERWRITES, so the
+    // yield has to be explicit, not an assumed refused rename
+    val d = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(d)
+    val fs = root.getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(root, "_ts_stats.json")
+    WireEvents.commitStatsFile(fs, target,
+      Seq(("fresh.txt", 10L, Some("a"), Some("b"))))
+    val fresh = Files.readString(Paths.get(d, "_ts_stats.json"))
+    // a stale no-overwrite commit must leave the fresh content intact…
+    WireEvents.commitStatsFile(fs, target,
+      Seq(("stale.txt", 5L, Some("x"), Some("y"))), overwrite = false)
+    assert(Files.readString(Paths.get(d, "_ts_stats.json")) === fresh,
+      "no-overwrite commit clobbered an existing sidecar")
+    // …and leave no orphaned temp file behind (checksummed LocalFS
+    // also writes .crc shadows, so count .tmp files, not name matches)
+    assert(new java.io.File(d).listFiles().map(_.getName)
+        .count(_.endsWith(".tmp")) === 0,
+      "no-overwrite commit leaked its temp file")
+    // an OVERWRITE commit (the write-time stats job) still replaces
+    WireEvents.commitStatsFile(fs, target,
+      Seq(("newer.txt", 7L, None, None)))
+    assert(Files.readString(Paths.get(d, "_ts_stats.json")).contains("newer.txt"))
+  }
+
   test("the probe memo is a bounded LRU: eldest evicts, the hot tail stays memoized") {
     // the memo is JVM-scoped and outlives every query/trigger; a
     // long-lived streaming driver under continuous out-of-band
