@@ -28,6 +28,7 @@ object PipelineQueries {
              event_type AS source,
              count(*) AS source_number
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2, 3
     """))
 
@@ -65,7 +66,14 @@ object PipelineQueries {
     * distinct-content counts — the oracle computes them from the
     * events table directly (userid/productid/messageid derive
     * injectively from user_id/event_id, so distinct content ==
-    * distinct (event_type, user_id, event_id%100, ts)). */
+    * distinct (event_type, user_id, event_id%100, ts) AT MILLISECOND
+    * granularity: the wire format renders `.SSS`, so the content key
+    * hashes the ms-truncated timestamp and the oracle must DISTINCT
+    * on the same truncation — raw-µs DISTINCT would keep two events
+    * apart that the wire collapses (review finding; window buckets
+    * are unaffected, floor-to-ms never crosses a 5-minute boundary).
+    * Null-ts rows are filtered on both sides — Spark's window()
+    * rewrite silently drops them, so the oracle must too. */
   val streamContentDedup = Q(
     "q_stream_content_dedup",
     (spark, dir) => {
@@ -84,8 +92,9 @@ object PipelineQueries {
              time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS "end",
              event_type AS source,
              count(*) AS source_number
-      FROM (SELECT DISTINCT event_type, user_id, event_id % 100 AS pid, ts
-            FROM events)
+      FROM (SELECT DISTINCT event_type, user_id, event_id % 100 AS pid,
+                   date_trunc('milliseconds', ts) AS ts
+            FROM events WHERE ts IS NOT NULL)
       GROUP BY 1, 2, 3
     """))
 

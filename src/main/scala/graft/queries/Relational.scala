@@ -42,6 +42,9 @@ object Relational {
              event_type AS source,
              count(*) AS source_number
       FROM events
+      -- Spark's window() rewrite silently drops NULL-ts rows; the
+      -- oracle must state the same filter (latent-parity class, r14)
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2, 3
       ORDER BY source_number DESC, source, window_start
     """))
@@ -67,6 +70,7 @@ object Relational {
              count(DISTINCT user_id) AS distinct_users,
              count(*) AS source_number
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
     """))
 

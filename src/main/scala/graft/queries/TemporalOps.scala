@@ -70,6 +70,7 @@ object TemporalOps {
                          > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
       s AS (
         SELECT user_id, ts,
@@ -103,7 +104,7 @@ object TemporalOps {
                    unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
                            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
                              - INTERVAL '5 minutes']) AS s
-            FROM events)
+            FROM events WHERE ts IS NOT NULL)
       GROUP BY 1, 2, 3
     """))
 

@@ -127,9 +127,6 @@ object ProductViewPipeline {
       .trigger(trigger)
       .start()
 
-  /** Windowed count per source (reference v1:45-55): watermark ->
-    * tumbling window -> count -> flat rename. Watermark applies only
-    * on streaming input (batch parity path skips it). */
   /** Does the stream already carry an event-time watermark on THIS
     * column? Stateful transforms ([[dedupedByContent]],
     * [[dedupedByMessageId]]) stamp one; a downstream stage must then
@@ -161,6 +158,9 @@ object ProductViewPipeline {
       parsed.withWatermark("timestamp", delay)
     else parsed
 
+  /** Windowed count per source (reference v1:45-55): watermark ->
+    * tumbling window -> count -> flat rename. Watermark applies only
+    * on streaming input (batch parity path skips it). */
   def windowedCounts(
       parsed: DataFrame,
       windowLength: String = "5 minutes",
@@ -306,7 +306,20 @@ object ProductViewPipeline {
       emit: (DataFrame, Long) => Unit = (df, _) => df.show(20, truncate = false))
       : (StreamingQuery, StreamingQuery) = {
     val console = sortedBatchQuery(counts, s"$checkpointBase/console", trigger)(emit)
-    val parquet = parquetQuery(counts, outputDir, s"$checkpointBase/parquet", trigger)
+    // if the SECOND start throws (unwritable output dir, checkpoint
+    // conflict), stop the first before rethrowing — otherwise the
+    // console query keeps running with no handle returned to the
+    // caller, holding its checkpoint lock (review finding; exactly
+    // the orphaned-query failure the scaladoc faults the reference
+    // for)
+    val parquet =
+      try parquetQuery(counts, outputDir, s"$checkpointBase/parquet", trigger)
+      catch {
+        case t: Throwable =>
+          try console.stop()
+          catch { case scala.util.control.NonFatal(e) => t.addSuppressed(e) }
+          throw t
+      }
     (console, parquet)
   }
 
@@ -357,9 +370,19 @@ object ProductViewPipeline {
     * accumulate stale versions; each emitted row instead
     * DELETE-then-INSERTs its (window-start, source) key inside one
     * transaction per partition. Key-overwrite makes the sink
-    * IDEMPOTENT per key: a replayed epoch (checkpoint recovery)
-    * rewrites the same rows instead of double-counting — the
-    * exactly-once recipe for a non-transactional-sink.
+    * IDEMPOTENT per key for SEQUENTIAL replays (checkpoint recovery,
+    * task retry): a replayed epoch rewrites the same rows instead of
+    * double-counting — the exactly-once recipe for a
+    * non-transactional sink. CONCURRENT duplicate attempts of one
+    * partition (speculative execution, a zombie attempt surviving a
+    * network partition) are the one case delete-then-insert alone
+    * cannot serialize under read-committed: both attempts can pass
+    * their DELETE before either INSERTs. The target table must
+    * therefore declare a PRIMARY KEY/unique constraint on
+    * (start_ts, source) — the loser's INSERT then violates it, its
+    * transaction rolls back (see the catch below), and its retry
+    * converges by rewriting the key (review finding; JdbcExportSpec's
+    * DDL declares the key).
     *
     * 100 TB shape: connections and prepared statements are
     * per-PARTITION (never per-row, never on the driver), batches ride
@@ -386,17 +409,30 @@ object ProductViewPipeline {
                 val ins = conn.prepareStatement(
                   s"INSERT INTO $table (start_ts, source, source_number) " +
                     "VALUES (?, ?, ?)")
-                rows.foreach { r =>
-                  val ts = r.getTimestamp(0)
-                  val src = r.getString(1)
-                  del.setTimestamp(1, ts); del.setString(2, src)
-                  del.addBatch()
-                  ins.setTimestamp(1, ts); ins.setString(2, src)
-                  ins.setLong(3, r.getLong(2))
-                  ins.addBatch()
-                }
-                del.executeBatch(); ins.executeBatch()
-                conn.commit()
+                try {
+                  rows.foreach { r =>
+                    val ts = r.getTimestamp(0)
+                    val src = r.getString(1)
+                    del.setTimestamp(1, ts); del.setString(2, src)
+                    del.addBatch()
+                    ins.setTimestamp(1, ts); ins.setString(2, src)
+                    ins.setLong(3, r.getLong(2))
+                    ins.addBatch()
+                  }
+                  del.executeBatch(); ins.executeBatch()
+                  conn.commit()
+                } catch {
+                  // ROLL BACK before the finally's close, keeping the
+                  // ORIGINAL failure: closing with a live transaction
+                  // is driver-defined — Derby throws (masking the real
+                  // error AND leaking the connection across retries),
+                  // other drivers may COMMIT the partial deletes
+                  // (review finding)
+                  case t: Throwable =>
+                    try conn.rollback()
+                    catch { case _: java.sql.SQLException => () }
+                    throw t
+                } finally { del.close(); ins.close() }
               } finally conn.close()
             }
           }

@@ -36,9 +36,14 @@ class JdbcExportSpec extends SparkSpec {
     import spark.implicits._
 
     val c = java.sql.DriverManager.getConnection(url)
+    // the PRIMARY KEY is part of the upsert contract, not decoration:
+    // delete-then-insert is idempotent for sequential replays, and the
+    // key is what serializes CONCURRENT duplicate attempts (the
+    // jdbcUpsertQuery scaladoc's one residual case)
     c.createStatement().execute(
-      "CREATE TABLE win_counts (start_ts TIMESTAMP, source VARCHAR(32), " +
-        "source_number BIGINT)")
+      "CREATE TABLE win_counts (start_ts TIMESTAMP NOT NULL, " +
+        "source VARCHAR(32) NOT NULL, source_number BIGINT, " +
+        "PRIMARY KEY (start_ts, source))")
     c.close()
 
     def rec(ts: String, source: String): String =
