@@ -82,8 +82,12 @@ object Multimodal {
     val b = m.payload
     val n = b.length
     def chunkMean(j: Int): Double = {
-      val start = j * n / 4
-      val end = (j + 1) * n / 4
+      // Long multiply before the divide: j*n as Int wraps past ~512 MB
+      // payloads, silently zeroing chunk means (the exact silent-zero
+      // poison the imageIoDecoder scaladoc forbids — r14 review);
+      // results are < n, so the narrowing back to Int is exact
+      val start = (j.toLong * n / 4).toInt
+      val end = ((j + 1).toLong * n / 4).toInt
       if (end <= start) 0.0
       else {
         var s = 0L
@@ -249,7 +253,15 @@ object Multimodal {
     val riffEnd = math.min(b.length.toLong, 8L + u32(4)).toInt
     var microSecPerFrame = 0L
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int = 0): Unit = {
+      // bounded recursion: a hostile container of ~80k nested 12-byte
+      // LIST headers passes every size check and would otherwise
+      // StackOverflowError — which is NOT NonFatal, so Spark's
+      // uncaught handler kills the whole executor JVM, not the task
+      // (r14 review). Real AVI nests ~3 deep; 64 is generous.
+      require(depth <= 64,
+        s"aviMjpegDecoder: LIST nesting deeper than 64 at offset $start " +
+          s"for doc_id=${m.doc_id} — hostile container")
       var off = start
       while (off + 8 <= end) {
         val id = fourcc(off)
@@ -268,7 +280,7 @@ object Multimodal {
         require(body.toLong + sz <= end,
           s"aviMjpegDecoder: chunk '$id' at $off overruns its parent " +
             s"(size $sz, parent end $end) for doc_id=${m.doc_id}")
-        if (id == "LIST") walk(body + 4, body + sz) // skip the list-type fourcc
+        if (id == "LIST") walk(body + 4, body + sz, depth + 1) // skip the list-type fourcc
         else if (id == "avih") microSecPerFrame = u32(body)
         else if (sz > 0 && id.endsWith("dc")) frames += ((body, sz))
         off = body + sz + (sz & 1) // chunks are word-aligned
@@ -315,7 +327,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.toDF()
-      .withColumn("n_bytes", length(col("payload")))
+      // LONG from the start: frame_id * n_bytes in Int wraps negative
+      // past ~306 MB payloads at nFrames=8, silently corrupting frame
+      // offsets (r14 review); the products stay ≤ 2^34, exact in the
+      // double division below
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
       .select(col("doc_id"), col("n_bytes"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_id"))
       .filter(pmod(col("frame_id"), lit(stride)) === 0)
@@ -341,27 +357,58 @@ object Multimodal {
     * [[decodeFeatures]] distributed shape: partition-local, no
     * per-row setup, no driver collect. [[resizeImageNearest]] is the
     * same map over a REAL decoded `BufferedImage` (spec-driven). */
+  /** The ONE spelling of the payload-as-grid nearest-neighbor sample
+    * (r14 review: it lived copied in [[resizeNearest]] and
+    * [[perceptualHash]]): destination (r, c) samples source
+    * ((r*h) div dstH, (c*w) div dstW), row-major index modulo payload
+    * length. Index math is LONG — claimed metadata dims near
+    * Int.MaxValue would wrap `sr*width` as Int and sample garbage
+    * offsets; the modulo result fits Int because the payload length
+    * does. Caller guarantees a non-empty payload. */
+  private def samplePixels(payload: Array[Byte], width: Int, height: Int,
+                           dstW: Int, dstH: Int): Array[Long] = {
+    val n = payload.length
+    val px = new Array[Long](dstW * dstH)
+    var r = 0
+    while (r < dstH) {
+      val sr = r.toLong * height / dstH
+      var c = 0
+      while (c < dstW) {
+        val sc = c.toLong * width / dstW
+        px(r * dstW + c) =
+          (payload(((sr * width + sc) % n).toInt) & 0xff).toLong
+        c += 1
+      }
+      r += 1
+    }
+    px
+  }
+
+  /** The aHash bit rule, shared by [[perceptualHash]] and
+    * [[perceptualHashImage]]: bit i set iff vals(i) is STRICTLY above
+    * the mean, compared in exact integers (v*k > sum — never a float
+    * mean, so the SQL oracle mirrors it bit for bit). */
+  private def bitsAboveMean(vals: Array[Long]): Long = {
+    val tot = vals.sum
+    val k = vals.length
+    var bits = 0L
+    var i = 0
+    while (i < k) {
+      if (vals(i) * k > tot) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   def resizeNearest(media: Dataset[MediaRecord], dstW: Int = 4, dstH: Int = 4)
       : Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { m =>
-          val n = m.payload.length
-          var s = 0L
-          if (n > 0) {
-            var r = 0
-            while (r < dstH) {
-              val sr = r * m.height / dstH
-              var c = 0
-              while (c < dstW) {
-                val sc = c * m.width / dstW
-                s += (m.payload((sr * m.width + sc) % n) & 0xff)
-                c += 1
-              }
-              r += 1
-            }
-          }
+          val s =
+            if (m.payload.length == 0) 0L
+            else samplePixels(m.payload, m.width, m.height, dstW, dstH).sum
           ResizedMedia(m.doc_id, m.fmt, dstW, dstH, s)
         }
       }
@@ -391,31 +438,9 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { m =>
-          val n = m.payload.length
-          if (n == 0) MediaHash(m.doc_id, m.fmt, -1L)
-          else {
-            val px = new Array[Long](dstW * dstH)
-            var r = 0
-            while (r < dstH) {
-              val sr = r * m.height / dstH
-              var c = 0
-              while (c < dstW) {
-                val sc = c * m.width / dstW
-                px(r * dstW + c) = (m.payload((sr * m.width + sc) % n) & 0xff).toLong
-                c += 1
-              }
-              r += 1
-            }
-            val tot = px.sum
-            val k = px.length
-            var bits = 0L
-            var i = 0
-            while (i < k) {
-              if (px(i) * k > tot) bits |= (1L << i)
-              i += 1
-            }
-            MediaHash(m.doc_id, m.fmt, bits)
-          }
+          if (m.payload.length == 0) MediaHash(m.doc_id, m.fmt, -1L)
+          else MediaHash(m.doc_id, m.fmt, bitsAboveMean(
+            samplePixels(m.payload, m.width, m.height, dstW, dstH)))
         }
       }
     }
@@ -442,14 +467,7 @@ object Multimodal {
       }
       r += 1
     }
-    val tot = lum.sum
-    var bits = 0L
-    var i = 0
-    while (i < k) {
-      if (lum(i) * k > tot) bits |= (1L << i)
-      i += 1
-    }
-    bits
+    bitsAboveMean(lum)
   }
 
   /** REAL nearest-neighbor image resize (the [[resizeNearest]] index

@@ -27,27 +27,76 @@ import org.apache.spark.storage.StorageLevel
   * With raw RDDs each round is persist/unpersist of exactly one label
   * RDD, lineage is linear and truncated at persisted parents, and the
   * edge, label and neighbor-min RDDs all share one HashPartitioner so
-  * the propagation join and the merge join are shuffle-free — the only
-  * data that shuffles per round is the propagated (neighbor, label)
-  * pair stream into its min-combine.
+  * per-round attaches are narrow — the only data that shuffles per
+  * round is the propagated (neighbor, label) pair stream into its
+  * min-combine.
   *
   * Scale design (the 100 TB lens):
-  *  - each round is one join (edges co-partitioned, labels shuffled) +
-  *    `reduceByKey(min)` with map-side combine — no all-pairs anything;
+  *  - each round is one co-partitioned [[attachOne]] (see below — a
+  *    streaming hash-attach, NEVER an RDD cogroup join, because
+  *    cogroup buffers a hot key's whole value list in one un-spillable
+  *    CompactBuffer: a boilerplate-page star center with 10^8
+  *    neighbors would OOM one task; r14 review finding) +
+  *    `reduceByKey(min)` with map-side combine — no all-pairs
+  *    anything, and no per-KEY buffering of the many side anywhere;
   *  - rounds = graph diameter. Near-dup graphs are overwhelmingly tiny
   *    star/chain clusters (diameter 2-4) so the per-round cost stays
   *    minimal; for adversarial long chains the loop ESCALATES to the
   *    alternating large-star/small-star contraction of Kiveris et al.
   *    2014 ([[starContract]]) instead of aborting — O(log^2 n) rounds
   *    regardless of diameter;
-  *  - memory holds at most two label RDDs plus the edge RDD, all
-  *    MEMORY_AND_DISK (spill, not OOM);
+  *  - memory: the plain path holds two label RDDs plus the edge RDD
+  *    (MEMORY_AND_DISK — spill, not OOM); the STAR path's rounds
+  *    additionally persist the directed adjacency (~2x edges) and the
+  *    two star outputs, ~5 edge-class RDDs at peak (stated so capacity
+  *    planning reads the real bound, not the plain path's — r14
+  *    review). Per-task heap is bounded by one partition's ONE-SIDE
+  *    map ([[attachOne]]) / seen-set ([[dedupByKey]]) — sized by the
+  *    partitioner, immune to per-key skew;
   *  - convergence is a count action per round (one Long to the
   *    driver); exhausting the star phase's round cap without
   *    converging THROWS — a silently partial labeling would assign
-  *    wrong canonical docs.
+  *    wrong canonical docs;
+  *  - every persisted intermediate is registered in a per-call set and
+  *    released in a catch-all on failure (the loud-validation paths
+  *    themselves used to leak persisted blocks — r14 review).
   */
 object ConnectedComponents {
+
+  /** Skew-safe co-partitioned 1:N attach: for each (k, v) in `many`
+    * emit (k, v, m) where `one` holds EXACTLY one m per key and both
+    * RDDs are partitioned by the same partitioner. zipPartitions
+    * builds a per-partition primitive map of the ONE side (bounded by
+    * nodes-per-partition — the partitioner's knob, never a hot key's
+    * degree) and STREAMS the many side through it: the hot-center
+    * neighbor list is never materialized, which is the whole point
+    * (an RDD cogroup join buffers it per key). A many-key absent from
+    * `one` throws — every caller's one side is a reduceByKey over the
+    * same keys, so a miss is a partitioning bug, not data. */
+  private def attachOne(many: RDD[(Long, Long)], one: RDD[(Long, Long)])
+      : RDD[(Long, Long, Long)] =
+    many.zipPartitions(one) { (mIt, oIt) =>
+      val lm = scala.collection.mutable.LongMap.empty[Long]
+      oIt.foreach { case (k, m) => lm(k) = m }
+      mIt.map { case (k, v) =>
+        (k, v, lm.getOrElse(k,
+          throw new IllegalStateException(
+            s"attachOne: key $k present on the many side but absent " +
+              "from the one side — co-partitioning broken")))
+      }
+    }
+
+  /** Key-partitioned distinct: one shuffle into `part`, then a
+    * partition-local seen-set (bounded by distinct pairs per
+    * partition). Replaces RDD.distinct, whose trailing map DROPS the
+    * partitioner and forced every downstream stage to re-shuffle the
+    * big side (r14 review). */
+  private def dedupByKey(pairs: RDD[(Long, Long)], part: HashPartitioner)
+      : RDD[(Long, Long)] =
+    pairs.partitionBy(part).mapPartitions({ it =>
+      val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      it.filter(seen.add)
+    }, preservesPartitioning = true)
 
   /** Labels every node of the undirected edge list with its component's
     * min node id. Node id columns must be integral (int/long) and
@@ -57,8 +106,9 @@ object ConnectedComponents {
     * The final label table is returned as a DataFrame over the last
     * round's persisted RDD; its blocks are reclaimed by the
     * ContextCleaner once the result is unreferenced (Bench's
-    * between-query `System.gc()` forces exactly that), and every
-    * intermediate round is unpersisted eagerly inside the loop. */
+    * between-query `System.gc()` forces exactly that), every
+    * intermediate round is unpersisted eagerly inside the loop, and a
+    * FAILED call releases everything it pinned before rethrowing. */
   def minLabel(edges: DataFrame, src: String, dst: String,
                maxIters: Int = 20): DataFrame = {
     val spark = edges.sparkSession
@@ -68,7 +118,15 @@ object ConnectedComponents {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val part = new HashPartitioner(nPart)
 
-    val sym: RDD[(Long, Long)] = edges
+    val pinned = scala.collection.mutable.Set.empty[RDD[_]]
+    def pin[T](r: RDD[T]): RDD[T] = {
+      r.persist(StorageLevel.MEMORY_AND_DISK); pinned += r; r
+    }
+    def release(r: RDD[_]): Unit = {
+      r.unpersist(blocking = true); pinned -= r; ()
+    }
+
+    val sym: RDD[(Long, Long)] = pin(edges
       .select(col(src).cast("long"), col(dst).cast("long")).rdd
       .flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1))
@@ -77,66 +135,78 @@ object ConnectedComponents {
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))
       }
-      .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(part))
 
-    // init labels(id) = id with ZERO extra shuffles: sym already has
-    // `part`, so the dedup reduceByKey is partition-local, and the
-    // identity relabel preserves the partitioner
-    var labels: RDD[(Long, Long)] = sym
-      .mapValues(_ => 0L)
-      .reduceByKey(part, (a: Long, _: Long) => a)
-      .mapPartitions(_.map { case (id, _) => (id, id) },
-        preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize so the first round starts from blocks
-    var labelsStore: RDD[_] = labels // the persisted RDD to release
-
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // sym and labels share `part`: the propagation join is
-      // shuffle-free; ONLY the propagated (neighbor, label) pairs
-      // shuffle, in the reduceByKey's min-combine
-      val prop = sym.join(labels).map { case (_, (b, lbl)) => (b, lbl) }
-      val nbrMin = prop.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      // co-partitioned (part, part) outer join: no shuffle; keep (old,
-      // new) per node so the convergence count reads the same blocks
-      val merged = labels.leftOuterJoin(nbrMin)
-        .mapValues { case (own, nbr) => (own, math.min(own, nbr.getOrElse(own))) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = merged.values.filter { case (o, n) => n < o }.count()
-      labelsStore.unpersist(blocking = true)
-      labels = merged.mapValues(_._2) // partitioner-preserving view
-      labelsStore = merged
-      iter += 1
-    }
-    if (changed > 0) {
-      // the graph's diameter exceeded the plain-propagation cap: an
-      // adversarial chain in the corpus. Escalate to star contraction
-      // (O(log^2 n) rounds) rather than abort — the min-label rounds
-      // already spent are discarded (labels are derivable from the
-      // edge set alone) but the cap is sized so real near-dup graphs
-      // never reach this branch.
-      labelsStore.unpersist(blocking = true)
-      val canon = sym.filter { case (a, b) => a > b } // each edge once, self-loops out
-      val (stars, _) = starContract(canon, part)
-      // star edges label every attached node; (id, id) seeds cover
-      // roots and self-loop-only nodes; min-combine resolves both
-      labels = stars.flatMap { case (u, m) => Iterator((u, m), (m, m)) }
-        .union(sym.mapPartitions(_.map { case (id, _) => (id, id) },
+    try {
+      // init labels(id) = id with ZERO extra shuffles: sym already has
+      // `part`, so the dedup reduceByKey is partition-local, and the
+      // identity relabel preserves the partitioner
+      var labels: RDD[(Long, Long)] = pin(sym
+        .mapValues(_ => 0L)
+        .reduceByKey(part, (a: Long, _: Long) => a)
+        .mapPartitions(_.map { case (id, _) => (id, id) },
           preservesPartitioning = true))
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      stars.unpersist(blocking = true)
-    }
-    sym.unpersist(blocking = true)
+      labels.count() // materialize so the first round starts from blocks
+      var labelsStore: RDD[_] = labels // the persisted RDD to release
 
-    val out = labels.map { case (id, lbl) => Row(id, lbl) }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("lbl", LongType, nullable = false))))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        // sym and labels share `part`: the propagation attach is
+        // narrow AND per-key-bufferless; ONLY the propagated
+        // (neighbor, label) pairs shuffle, in the reduceByKey's
+        // min-combine
+        val prop = attachOne(sym, labels).map { case (_, b, lbl) => (b, lbl) }
+        val nbrMin = prop.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        // co-partitioned (part, part) outer join: no shuffle, and 1:1
+        // per key (cogroup buffers at most one value per side); keep
+        // (old, new) per node so the convergence count reads the same
+        // blocks
+        val merged = pin(labels.leftOuterJoin(nbrMin)
+          .mapValues { case (own, nbr) => (own, math.min(own, nbr.getOrElse(own))) })
+        changed = merged.values.filter { case (o, n) => n < o }.count()
+        release(labelsStore)
+        labels = merged.mapValues(_._2) // partitioner-preserving view
+        labelsStore = merged
+        iter += 1
+      }
+      if (changed > 0) {
+        // the graph's diameter exceeded the plain-propagation cap: an
+        // adversarial chain in the corpus. Escalate to star contraction
+        // (O(log^2 n) rounds) rather than abort — the min-label rounds
+        // already spent are discarded (labels are derivable from the
+        // edge set alone) but the cap is sized so real near-dup graphs
+        // never reach this branch.
+        release(labelsStore)
+        val canon = sym.filter { case (a, b) => a > b } // each edge once, self-loops out
+        val (stars, _) = starContract(canon, part)
+        pinned += stars // starContract returns it persisted; cover it here
+        // star edges label every attached node; (id, id) seeds cover
+        // roots and self-loop-only nodes; min-combine resolves both
+        labels = pin(stars.flatMap { case (u, m) => Iterator((u, m), (m, m)) }
+          .union(sym.mapPartitions(_.map { case (id, _) => (id, id) },
+            preservesPartitioning = true))
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)))
+        labels.count()
+        release(stars)
+      }
+      release(sym)
+
+      val out = labels.map { case (id, lbl) => Row(id, lbl) }
+      spark.createDataFrame(out, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("lbl", LongType, nullable = false))))
+    } catch {
+      case t: Throwable =>
+        // the RESULT labels stay pinned on success (the DataFrame
+        // reads them); on failure nothing survives this call — release
+        // every block it pinned, best-effort, original error first
+        pinned.toSeq.foreach { r =>
+          try r.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(e) => t.addSuppressed(e) }
+        }
+        throw t
+    }
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.
@@ -147,12 +217,18 @@ object ConnectedComponents {
     * star edge set — every non-minimum node paired directly with its
     * component's minimum id — plus the round count (for the spec's
     * O(log n) assertion); the returned RDD is left persisted for the
-    * caller to consume and release.
+    * caller to consume and release (on FAILURE this method releases
+    * everything it pinned itself).
     *
     * Both star operations are expressed as reduceByKey(min) + a
-    * co-partitioned join — never groupByKey — so a hot star center
-    * (every near-dup of a boilerplate page) never materializes its
-    * neighbor list in one task: the 100 TB skew story.
+    * co-partitioned [[attachOne]] — never groupByKey, never an RDD
+    * cogroup join — so a hot star center (every near-dup of a
+    * boilerplate page) never materializes its neighbor list in one
+    * task: reduceByKey's map-side combine carries only one partial min
+    * per key per map task, and attachOne streams the many side; the
+    * 100 TB skew story, now with no cogroup caveat (r14 review: the
+    * previous join-based spelling buffered the hot key's pairs in one
+    * CompactBuffer despite this paragraph's claim).
     *   large-star: every directed (u, v) with v > u re-attaches v to
     *     m(u) = min(Γ(u) ∪ u) — tall trees halve;
     *   small-star: every canonical (u, v) re-attaches v (and u) to
@@ -164,55 +240,73 @@ object ConnectedComponents {
                                   part: HashPartitioner,
                                   maxRounds: Int = 50): (RDD[(Long, Long)], Int) = {
     val min2 = (a: Long, b: Long) => math.min(a, b)
-    var edges = edges0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val pinned = scala.collection.mutable.Set.empty[RDD[_]]
+    def pin[T](r: RDD[T]): RDD[T] = {
+      r.persist(StorageLevel.MEMORY_AND_DISK); pinned += r; r
+    }
+    def release(r: RDD[_]): Unit = {
+      r.unpersist(blocking = true); pinned -= r; ()
+    }
+    var edges = pin(edges0.partitionBy(part))
     edges.count()
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
-      // -------- large-star over the symmetrized adjacency
-      // `directed` and `large` each feed TWO consumers (the min-reduce
-      // and the join); persisted for the round so the flatMap/large-star
-      // stages run once, not once per consumer
-      val directed = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // m(u) = min(u, min Γ(u)); reduceByKey keeps `part`, the
-      // key-preserving mapValues keeps it too
-      val mins = directed.reduceByKey(part, min2)
-        .mapPartitions(_.map { case (u, m) => (u, math.min(u, m)) },
-          preservesPartitioning = true)
-      // (u, v>u) join m(u): v re-attaches to m(u); v > u >= m(u) so the
-      // output is canonical by construction and never a self-loop
-      val large = directed.filter { case (u, v) => v > u }
-        .join(mins)
-        .map { case (_, (v, m)) => (v, m) }
-        .distinct(part.numPartitions)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // -------- small-star over canonical edges (all neighbors < u)
-      val mins2 = large.reduceByKey(part, min2)
-      val small = large.join(mins2).flatMap { case (u, (v, m)) =>
-        // m ∈ Γ_small(u) always (it IS the min): the v == m edge
-        // carries u's own re-attachment; others re-attach v — both
-        // canonical ((u or v) > m), no self-loops
-        if (v == m) Iterator((u, m)) else Iterator((v, m))
-      }.distinct(part.numPartitions)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // fixpoint test: set equality via two co-partitioned subtracts
-      // (these also materialize `small`, so the round's intermediates
-      // can be released before the next round starts)
-      converged = small.subtract(edges, part).isEmpty() &&
-        edges.subtract(small, part).isEmpty()
-      directed.unpersist(blocking = true)
-      large.unpersist(blocking = true)
-      edges.unpersist(blocking = true)
-      edges = small
-      rounds += 1
+    try {
+      while (!converged && rounds < maxRounds) {
+        // -------- large-star over the symmetrized adjacency
+        // `directed` feeds TWO consumers (the min-reduce and the
+        // attach); persisted — PARTITIONED BY `part` first, so the
+        // reduce is map-side-combine + narrow and the attach is
+        // narrow (the un-partitioned spelling re-shuffled the big
+        // side into every consumer — r14 review)
+        val directed = pin(edges
+          .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+          .partitionBy(part))
+        // m(u) = min(u, min Γ(u)); reduceByKey keeps `part`, the
+        // key-preserving mapValues keeps it too
+        val mins = directed.reduceByKey(part, min2)
+          .mapPartitions(_.map { case (u, m) => (u, math.min(u, m)) },
+            preservesPartitioning = true)
+        // (u, v>u) attach m(u): v re-attaches to m(u); v > u >= m(u) so
+        // the output is canonical by construction and never a self-loop
+        val large = pin(dedupByKey(
+          attachOne(directed.filter { case (u, v) => v > u }, mins)
+            .map { case (_, v, m) => (v, m) },
+          part))
+        // -------- small-star over canonical edges (all neighbors < u)
+        val mins2 = large.reduceByKey(part, min2)
+        val small = pin(dedupByKey(
+          attachOne(large, mins2).flatMap { case (u, v, m) =>
+            // m ∈ Γ_small(u) always (it IS the min): the v == m edge
+            // carries u's own re-attachment; others re-attach v — both
+            // canonical ((u or v) > m), no self-loops
+            if (v == m) Iterator((u, m)) else Iterator((v, m))
+          },
+          part))
+        // fixpoint test: set equality via two co-partitioned subtracts
+        // (these also materialize `small`, so the round's intermediates
+        // can be released before the next round starts)
+        converged = small.subtract(edges, part).isEmpty() &&
+          edges.subtract(small, part).isEmpty()
+        release(directed)
+        release(large)
+        release(edges)
+        edges = small
+        rounds += 1
+      }
+      if (!converged) {
+        throw new IllegalStateException(
+          s"star contraction did not converge in $maxRounds rounds — " +
+          "O(log^2 n) bound violated; the edge list is likely corrupt")
+      }
+      (edges, rounds)
+    } catch {
+      case t: Throwable =>
+        pinned.toSeq.foreach { r =>
+          try r.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(e) => t.addSuppressed(e) }
+        }
+        throw t
     }
-    if (!converged) {
-      edges.unpersist(blocking = true)
-      throw new IllegalStateException(
-        s"star contraction did not converge in $maxRounds rounds — " +
-        "O(log^2 n) bound violated; the edge list is likely corrupt")
-    }
-    (edges, rounds)
   }
 }

@@ -13,15 +13,18 @@ import org.apache.spark.sql.types.LongType
   *
   *   1. range-repartition on the sort key + sort within partitions
   *      (the same machinery as a global ORDER BY — data stays spread);
-  *   2. `RDD.zipWithIndex`: a count job over the sorted partitions,
-  *      then per-partition index + cumulative offset.
+  *   2. a hand-rolled zipWithIndex: one `runJob` counts each sorted
+  *      partition (and piggybacks the keyCols null check), `scanLeft`
+  *      turns the counts into per-partition offsets, and a
+  *      `mapPartitionsWithIndex` stamps offset + local index. (It WAS
+  *      `RDD.zipWithIndex` until the null check needed a ride on the
+  *      count pass — same two-job shape, now spelled out.)
   *
-  * zipWithIndex is used deliberately instead of a DataFrame-side
-  * count-then-offset: its two internal jobs run over the SAME RDD, so
-  * the second job reuses the first's shuffle files and the partition
-  * layout is consistent by construction. Two separate DataFrame
-  * actions do NOT guarantee that (AQE / sampling can re-plan the
-  * exchange between actions — observed as misaligned offsets at
+  * The two-jobs-over-ONE-RDD shape is deliberate, not a DataFrame-side
+  * count-then-offset: the second job reuses the first's shuffle files,
+  * so the partition layout is consistent by construction. Two separate
+  * DataFrame actions do NOT guarantee that (AQE / sampling can re-plan
+  * the exchange between actions — observed as misaligned offsets at
   * sf0.01). The row-level hop costs codegen for this one operator but
   * buys determinism; everything downstream is DataFrame again.
   *
@@ -37,7 +40,7 @@ object GlobalRank {
     rankedWithTotal(df, sortCols, rankCol, numPartitions, keyCols)._1
 
   /** Same, also returning the total row count (already computed by
-    * zipWithIndex's count job — callers needing N avoid a re-scan).
+    * the ranking's count job — callers needing N avoid a re-scan).
     *
     * `keyCols` (a unique key, usually the tie-break column) opts into
     * the NARROW path: only a `(keyCols, sortCols)` projection takes
@@ -54,7 +57,7 @@ object GlobalRank {
     * several rows, silently inflating the output — callers needing a
     * guaranteed-unique key use the row's primary key or include one
     * in the projection). Nulls are detected for free inside the count
-    * job that zipWithIndex already runs, so a violation fails the job
+    * job the ranking already runs, so a violation fails the job
     * loudly instead of corrupting ranks. */
   def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
                       rankCol: String = "global_rank",
@@ -78,38 +81,22 @@ object GlobalRank {
                            rankCol: String,
                            numPartitions: Option[Int],
                            nNullCheckedKeys: Int = 0): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val n = numPartitions.getOrElse(
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val sorted = df.repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val sortedRdd = sorted.rdd // ONE RDD: both jobs below reuse its shuffle
     val nKeys = nNullCheckedKeys // avoid closing over `this`
-    val counts = spark.sparkContext.runJob(sortedRdd,
-      (it: Iterator[Row]) => {
-        var c = 0L
-        while (it.hasNext) {
-          val row = it.next()
-          // piggyback the keyCols null contract on the count pass —
-          // zero extra jobs, and the failure names the row
-          var k = 0
-          while (k < nKeys) {
-            if (row.isNullAt(k)) throw new IllegalArgumentException(
-              s"GlobalRank keyCols contract violated: NULL key (field $k) in row $row — " +
-                "an inner join-back would silently drop this row; rank on non-null keys")
-            k += 1
-          }
-          c += 1
+    // rank = inclusive count scan over the shared one-RDD scaffold;
+    // the keyCols null contract piggybacks on the fold pass — zero
+    // extra jobs, and the failure names the row
+    val (out, offsets) = ScannedFold(df, sortCols, numPartitions,
+      zero = 0L, combine = _ + _, contribution = _ => 1L,
+      emitBeforeCombine = false, outCol = rankCol,
+      validate = { row =>
+        var k = 0
+        while (k < nKeys) {
+          if (row.isNullAt(k)) throw new IllegalArgumentException(
+            s"GlobalRank keyCols contract violated: NULL key (field $k) in row $row — " +
+              "an inner join-back would silently drop this row; rank on non-null keys")
+          k += 1
         }
-        c
       })
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val ranked = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = offsets(pid)
-      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
-    }
-    val out = spark.createDataFrame(
-      ranked, sorted.schema.add(rankCol, LongType, nullable = false))
     (out, offsets.last)
   }
 

@@ -81,10 +81,14 @@ class SourceAuditSpec extends AnyFunSuite {
         "co-partitioned RDD label propagation — the documented " +
           "DataFrame-loop exception (exponential Catalyst plans)"),
       "operators/GlobalRank.scala" -> (99,
-        "distributed zipWithIndex: per-partition offset scan"),
+        "distributed ranking: per-partition offset scan"),
       "operators/PrefixSum.scala" -> (99,
         "distributed exclusive prefix sum: per-partition totals + " +
-          "offset scan")))
+          "offset scan"),
+      "operators/ScannedFold.scala" -> (99,
+        "the ONE extracted spelling of the GlobalRank/PrefixSum " +
+          "one-RDD offset-scan scaffold (r14 review): fold job + " +
+          "stamping pass over the same shuffle")))
   }
 
   test("lazy .persist() confined to sites audited against the stampede pattern") {
