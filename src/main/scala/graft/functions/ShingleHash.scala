@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** tokens -> 60-bit hashes of the n-token shingles, in one compiled
@@ -32,8 +33,20 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
+  require(n > 0, s"shingle_hash: n=$n must be positive")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash"
+
+  /** SQL-registered (GraftFunctions), so a mistyped argument must fail
+    * at ANALYSIS, not as garbage hashes or an out-of-bounds crash
+    * mid-job: getUTF8String over an int array misreads the 8-byte
+    * slots as (offset, length) string pointers (r14 review). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash requires array<string> tokens, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     ShingleHash.compute(input.asInstanceOf[ArrayData], n, distinct)
@@ -62,11 +75,22 @@ object ShingleHash {
     var i = 0
     while (i < m) {
       md.reset()
+      // concat_ws semantics EXACTLY, nulls included: concat_ws skips a
+      // null token AND its separator, so the kernel must too — the
+      // empty-string substitution it replaced kept both separators and
+      // hashed a different shingle for any null-bearing array,
+      // breaking the documented HOF/oracle equivalence (r14 review;
+      // split()-produced fixtures are null-free, so hashes there are
+      // unchanged)
       var j = 0
+      var emitted = false
       while (j < n) {
-        if (j > 0) md.update(SPACE)
         val tok = tokens.getUTF8String(i + j)
-        md.update(if (tok == null) Array.emptyByteArray else tok.getBytes)
+        if (tok != null) {
+          if (emitted) md.update(SPACE)
+          md.update(tok.getBytes)
+          emitted = true
+        }
         j += 1
       }
       val d = md.digest()

@@ -299,6 +299,11 @@ case class CellArgMax(child: Expression, cents: Array[Double],
       ids.length == norms.length,
     s"CellArgMax: ${cents.length} centroid doubles / ${norms.length} norms / " +
       s"${ids.length} ids inconsistent with dim=$dim")
+  // fail at construction, not as an opaque per-row AIOOBE (ids(-1))
+  // mid-job: an empty centroid set passes the consistency check above
+  // (0 == 0·dim) but argmax over zero cells is undefined (r14 review)
+  require(ids.nonEmpty, "CellArgMax: empty centroid set — argmax over " +
+    "zero cells is undefined (filter degenerate cells before the kernel)")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
@@ -434,6 +439,36 @@ case class CellTopN(child: Expression, cents: Array[Double],
     copy(child = newChild)
 }
 
+/** The ONE spelling of the (ppm desc, earlier-entry-first) m-slot
+  * sorted-insertion step shared by [[CellTopN.topn]] and
+  * [[CellTopNChunk.topn]]: CellChunkParitySpec pins those two paths
+  * bit-equal, so the subtle selection logic (strict-> scan, shift,
+  * equal-ppm-never-displaces) must not exist as two hand-kept copies
+  * a future edit could de-synchronize (r14 review). Entries arrive in
+  * ascending cell order on both paths, so "equal ppm never displaces"
+  * reproduces the packed-long smaller-id tie-break. Returns the
+  * updated filled count. */
+private[functions] object TopNInsert {
+  def insert(topP: Array[Long], topC: Array[Int], filled: Int, m: Int,
+             p: Long, c: Int): Int = {
+    // find insertion slot: first slot whose ppm is STRICTLY smaller
+    var pos = filled
+    var s = 0
+    var found = false
+    while (s < filled && !found) {
+      if (p > topP(s)) { pos = s; found = true } else s += 1
+    }
+    if (pos < m) {
+      val last = math.min(filled, m - 1)
+      var t = last
+      while (t > pos) { topP(t) = topP(t - 1); topC(t) = topC(t - 1); t -= 1 }
+      topP(pos) = p
+      topC(pos) = c
+      if (filled < m) filled + 1 else filled
+    } else filled
+  }
+}
+
 object CellTopN {
   /** Shared by interpreted eval and generated code (named `topn`, not
     * `eval`, for the same static-forwarder reason as
@@ -465,22 +500,8 @@ object CellTopN {
       val base = c * dim
       while (i < dim) { acc += arr(i) * cents(base + i); i += 1 }
       val p = math.floor(acc / norms(c) * 1000000.0 + 0.5).toLong
-      // find insertion slot: first slot whose ppm is STRICTLY smaller
       // (ascending c ⇒ equal-ppm keeps the earlier, smaller cell id)
-      var pos = filled
-      var s = 0
-      var found = false
-      while (s < filled && !found) {
-        if (p > topP(s)) { pos = s; found = true } else s += 1
-      }
-      if (pos < m) {
-        val last = math.min(filled, m - 1)
-        var t = last
-        while (t > pos) { topP(t) = topP(t - 1); topC(t) = topC(t - 1); t -= 1 }
-        topP(pos) = p
-        topC(pos) = c
-        if (filled < m) filled += 1
-      }
+      filled = TopNInsert.insert(topP, topC, filled, m, p, c)
       c += 1
     }
     val out = new Array[Long](filled)
@@ -882,20 +903,7 @@ object CellTopNChunk {
           s"cell_topn_chunk: ppm=$p at index $c exceeds the ±2e6 packing " +
             "bound — the caller must unit-normalize vectors before the " +
             "chunk join (packed combine precondition)")
-      var pos = filled
-      var s = 0
-      var found = false
-      while (s < filled && !found) {
-        if (p > topP(s)) { pos = s; found = true } else s += 1
-      }
-      if (pos < m) {
-        val last = math.min(filled, m - 1)
-        var t = last
-        while (t > pos) { topP(t) = topP(t - 1); topC(t) = topC(t - 1); t -= 1 }
-        topP(pos) = p
-        topC(pos) = c
-        if (filled < m) filled += 1
-      }
+      filled = TopNInsert.insert(topP, topC, filled, m, p, c)
       c += 1
     }
     val rows = new Array[Any](filled)

@@ -28,6 +28,21 @@ case class WireTimestamp(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "wire_timestamp"
 
+  /** SQL-registered (GraftFunctions): a non-string argument must fail
+    * at ANALYSIS — without this check `wire_timestamp(123)` failed
+    * Janino compilation (no parseMicros(int) overload), silently fell
+    * back to interpreted mode, then threw ClassCastException per row
+    * (r14 review). */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"wire_timestamp requires a string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val v = WireTimestamp.parseMicros(input.asInstanceOf[UTF8String])
     if (v == WireTimestamp.INVALID) null else java.lang.Long.valueOf(v)

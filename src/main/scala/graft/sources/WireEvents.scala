@@ -505,7 +505,7 @@ private[sources] object WireLogOffset {
   * into place (atomic on HDFS-like stores), and an already-present
   * delta is trusted rather than rewritten — that idempotency is what
   * makes crash-replay deterministic. */
-private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
+private[graft] class WireFileLog(fs: FileSystem, dir: HPath) {
   import WireFileLog.CompactInterval
   fs.mkdirs(dir)
 
@@ -546,25 +546,35 @@ private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
   def readDelta(i: Long): Seq[String] = readLines(deltaPath(i))
 
   /** Union of deltas 1..i — one snapshot read plus a bounded delta
-    * tail. */
+    * tail.
+    *
+    * The base snapshot is the NEWEST one that exists at or below i's
+    * boundary, not only the exact boundary (r14 review): a crash
+    * between [[append]]'s delta write and its snapshot write leaves
+    * that boundary snapshot missing FOREVER — the engine replays the
+    * batch from the delta and never re-invokes append — and the old
+    * spelling then demanded deltas 1..boundary, which retention had
+    * already pruned: the log bricked even though an older retained
+    * snapshot plus the retained delta tail fully covered the range.
+    * With the walk-back the log SELF-HEALS: retention keeps everything
+    * above the newest snapshot (pruneCommitted no-ops while the
+    * boundary snapshot is absent), reads pay at most one extra
+    * CompactInterval of deltas, and the next boundary append writes a
+    * fresh snapshot, restoring the steady state. A missing DELTA in
+    * the tail still refuses loudly — silently recounting from a
+    * partial log would un-see consumed files. */
   def seenUpTo(i: Long): Set[String] = {
     if (i <= 0) return Set.empty
-    val snapIdx = (i / CompactInterval) * CompactInterval
+    var snapBase = (i / CompactInterval) * CompactInterval
+    while (snapBase > 0 && !fs.exists(snapPath(snapBase)))
+      snapBase -= CompactInterval
     val base: Set[String] =
-      if (snapIdx > 0 && fs.exists(snapPath(snapIdx))) readLines(snapPath(snapIdx)).toSet
-      else if (snapIdx > 0) {
-        // snapshot lost: degrade through the raw deltas if retention
-        // has not pruned them yet — and refuse LOUDLY if it has (after
-        // pruning the snapshot is required state; silently recounting
-        // from a partial log would un-see consumed files)
-        val missing = (1L to snapIdx).filterNot(j => fs.exists(deltaPath(j)))
-        require(missing.isEmpty,
-          s"wire-file-log: snapshot $snapIdx missing and deltas " +
-            s"${missing.take(3).mkString(",")}… already pruned — log unrecoverable")
-        ((1L to snapIdx).flatMap(readDelta)).toSet
-      }
-      else Set.empty
-    base ++ ((snapIdx + 1) to i).flatMap(readDelta)
+      if (snapBase > 0) readLines(snapPath(snapBase)).toSet else Set.empty
+    val missing = ((snapBase + 1) to i).filterNot(j => fs.exists(deltaPath(j)))
+    require(missing.isEmpty,
+      s"wire-file-log: no snapshot covers ${missing.head} and delta(s) " +
+        s"${missing.take(3).mkString(",")}… already pruned — log unrecoverable")
+    base ++ ((snapBase + 1) to i).flatMap(readDelta)
   }
 
   def append(i: Long, files: Seq[String]): Unit = {
@@ -597,7 +607,7 @@ private[sources] class WireFileLog(fs: FileSystem, dir: HPath) {
   }
 }
 
-private[sources] object WireFileLog {
+private[graft] object WireFileLog {
   /** Snapshot cadence: seenUpTo reads <= 1 snapshot + 9 deltas. */
   val CompactInterval = 10L
 }
@@ -650,7 +660,17 @@ private[sources] class WireReader(
   private val in = {
     val fs = hPath.getFileSystem(hadoopConf)
     val s = fs.open(hPath)
-    s.seek(p.start)
+    // constructor-time I/O must not leak the stream: a reader whose
+    // construction throws is never registered for close() by the
+    // DataSourceRDD, so each task retry would strand one open
+    // connection (r14 review)
+    try s.seek(p.start)
+    catch {
+      case t: Throwable =>
+        try s.close()
+        catch { case scala.util.control.NonFatal(e) => t.addSuppressed(e) }
+        throw t
+    }
     s
   }
   private val buf = new java.io.BufferedInputStream(in, 1 << 16)
@@ -685,10 +705,18 @@ private[sources] class WireReader(
     b
   }
 
-  // discard the partial line a mid-file split lands in
+  // discard the partial line a mid-file split lands in (same
+  // constructor-leak rule as the open/seek above: close on failure)
   if (p.start > 0) {
-    var b = readByte()
-    while (b >= 0 && b != '\n') b = readByte()
+    try {
+      var b = readByte()
+      while (b >= 0 && b != '\n') b = readByte()
+    } catch {
+      case t: Throwable =>
+        try buf.close()
+        catch { case scala.util.control.NonFatal(e) => t.addSuppressed(e) }
+        throw t
+    }
   }
 
   override def next(): Boolean = {
@@ -1222,7 +1250,13 @@ object WireEvents {
       files: Seq[(String, String, Long)],
       maxSplitBytes: Long): Array[InputPartition] =
     files.flatMap { case (v, p, len) =>
-      val n = math.max(1L, len / math.max(1L, maxSplitBytes))
+      // CEILING division: maxSplitBytes is a MAXIMUM — floor gave a
+      // file in (max, 2·max) ONE oversized split and sized every
+      // split at up to 2x the configured bound (r14 review); with the
+      // ceiling, base = len/n <= max and only the last split absorbs
+      // the sub-split (< n bytes) remainder, as documented
+      val mx = math.max(1L, maxSplitBytes)
+      val n = math.max(1L, (len + mx - 1) / mx)
       val base = len / n
       (0L until n).map { i =>
         val start = i * base

@@ -871,6 +871,44 @@ class WireSourceSpec extends SparkSpec {
       s"post-migration planning must not reopen the root manifest; opened: $opens2")
   }
 
+  test("a crash between append's delta and snapshot writes does not brick the log (walk-back + self-heal)") {
+    // r14 review, the round's top streaming-source find: append(20)
+    // writes 20.delta, crashes before 20.snapshot; the engine REPLAYS
+    // batch 20 from the delta and never re-invokes append, so the
+    // boundary snapshot is missing forever. The old seenUpTo demanded
+    // deltas 1..20 — 1..10 already pruned — and threw 'unrecoverable'
+    // on every later trigger, even though snapshot 10 + deltas 11..20
+    // fully cover the range. The walk-back must serve from that state
+    // AND the log must self-heal at the next boundary.
+    import graft.sources.WireFileLog
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(tmp(), "log")
+    val fs = dir.getFileSystem(fsConf)
+    val log = new WireFileLog(fs, dir)
+    (1L to 19L).foreach(i => log.append(i, Seq(f"f$i%03d")))
+    log.pruneCommitted(19) // deltas 1..10 pruned; snapshot 10 retained
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, f"${5L}%020d.delta")))
+    // the crash window, reproduced on disk: delta 20 present,
+    // snapshot 20 absent
+    log.append(20L, Seq("f020"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, f"${20L}%020d.snapshot"), false)
+    assert(log.seenUpTo(20L) === (1L to 20L).map(i => f"f$i%03d").toSet,
+      "walk-back must serve from snapshot 10 + the retained delta tail")
+    // self-heal: the next boundary append writes a fresh snapshot and
+    // retention resumes bounding the log
+    (21L to 30L).foreach(i => log.append(i, Seq(f"f$i%03d")))
+    log.pruneCommitted(30L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, f"${30L}%020d.snapshot")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, f"${11L}%020d.delta")),
+      "post-heal retention must prune the old tail again")
+    assert(log.seenUpTo(30L) === (1L to 30L).map(i => f"f$i%03d").toSet)
+    // the loud-refusal contract stands where state is GENUINELY gone:
+    // no covering snapshot and a pruned tail
+    fs.delete(new org.apache.hadoop.fs.Path(dir, f"${30L}%020d.snapshot"), false)
+    val e = intercept[IllegalArgumentException](log.seenUpTo(30L))
+    assert(e.getMessage.contains("unrecoverable"), e.getMessage)
+  }
+
   test("a no-overwrite stats commit yields to an existing sidecar (migration loses races, never clobbers)") {
     // the second review batch's race: a migrating READER must never
     // replace a WRITER's fresh sidecar with its stale root-manifest
