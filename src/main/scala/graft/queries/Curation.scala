@@ -756,12 +756,22 @@ object Curation {
     * floor(log2 x) in both engines; on x-1 it yields ceil) — zero
     * transcendentals, zero floats. One scan of two pruned columns,
     * one ~10-row aggregate: the cheapest query in the battery at any
-    * scale. */
+    * scale.
+    *
+    * Empty documents bucket as 1 EXPLICITLY (`greatest(n_chars, 1)`,
+    * both engines): without the floor, n_chars = 0 reaches
+    * `1 << length(bin(-1))` = `1 << 64`, where the engines diverge
+    * CATASTROPHICALLY — Spark's shiftleft masks the count to 6 bits
+    * (Java semantics, silent bucket 1) while DuckDB raises an
+    * out-of-range ERROR and aborts the whole query (r14 review,
+    * verified empirically; fixtures carry no empty docs, so the
+    * divergence was latent). */
   val lengthBuckets = Q(
     "q_length_buckets",
     (spark, dir) => {
       Tables.documents(spark, dir)
-        .select(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_chars - 1)))")
+        .select(expr(
+          "shiftleft(CAST(1 AS BIGINT), length(bin(greatest(n_chars, 1) - 1)))")
                   .as("bucket"),
                 col("n_chars"))
         .groupBy(col("bucket"))
@@ -770,10 +780,10 @@ object Curation {
           col("bucket") * col("n_docs") - col("sum_chars"))
     },
     Some("""
-      SELECT CAST(1 << length(bin(n_chars - 1)) AS BIGINT) AS bucket,
+      SELECT CAST(1 << length(bin(greatest(n_chars, 1) - 1)) AS BIGINT) AS bucket,
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-             CAST(CAST(1 << length(bin(n_chars - 1)) AS BIGINT) * count(*)
+             CAST(CAST(1 << length(bin(greatest(n_chars, 1) - 1)) AS BIGINT) * count(*)
                   - sum(n_chars) AS BIGINT) AS padding_waste
       FROM documents
       GROUP BY 1

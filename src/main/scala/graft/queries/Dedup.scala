@@ -730,8 +730,14 @@ object Dedup {
           .select(col("doc_id")).distinct().withColumn("hit", lit(1L))
         train.select(col("doc_id")).distinct()
           .join(flagged, Seq("doc_id"), "left")
+          // coalesce OUTSIDE the sum too: over ZERO train rows (every
+          // train doc shorter than n tokens) sum(coalesce(...)) is
+          // NULL while the oracle's scalar count(*) subquery is 0 —
+          // a latent empty-group divergence (r14 review; fixtures
+          // always have train docs at n ≤ 3)
           .agg(count(lit(1)).as("n_train"),
-               sum(coalesce(col("hit"), lit(0L))).as("n_flagged"))
+               coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L))
+                 .as("n_flagged"))
           .withColumn("n", lit(n))
       }
       atN(1).unionByName(atN(2)).unionByName(atN(3))
@@ -1075,7 +1081,15 @@ object Dedup {
     * (`max(count * 2^40 + (2^40-1 - label))`), so the fixed-round
     * result is bit-deterministic on any engine (asynchronous LPA is
     * order-dependent; this is the synchronous variant). Returns
-    * `(id, label)`. Factored out so the spec can drive it with a
+    * `(id, label)`.
+    *
+    * PRECONDITION (r14 review): labels are raw doc_ids and the
+    * packing is only order-correct while every id < 2^40 — a
+    * snowflake-style 64-bit id goes negative in (2^40-1 - label),
+    * corrupting the argmax AND the label reconstruction on BOTH
+    * engines identically, so the oracle compare would stay green on
+    * garbage. A corpus with larger ids must dense-rank ids below 2^40
+    * first (r15 thread: enforce with a loud max(doc_id) guard). Factored out so the spec can drive it with a
     * constructed graph — communities are only distinguishable from
     * connected components on a graph with a weak bridge, which the
     * fixture's dup graph may not provide at every SF.
@@ -1161,7 +1175,13 @@ object Dedup {
     * confirmation pass behind shingle-level Jaccard: two documents can
     * share most 3-gram shingles while differing by scattered
     * single-token edits, and Levenshtein distance (unit costs,
-    * identical in Spark and DuckDB) measures exactly how many such
+    * identical in Spark and DuckDB FOR ASCII TEXT — parity boundary,
+    * r14 review, verified empirically: Spark's levenshtein counts
+    * CODEPOINT edits while DuckDB's counts BYTES, so one CJK
+    * substitution measures 1 vs 2-3 and the 5*lev <= maxlen verdict
+    * can flip on non-ASCII corpora; the fixtures are ASCII, and a
+    * multilingual deployment must normalize or compare on a
+    * byte-level column on both sides) measures exactly how many such
     * edits separate them. Emits distance, normalized edit similarity
     * (ppm BIGINT over max length) and a keep/drop verdict at >= 80%
     * similarity via the exact integer compare `5*lev <= maxlen`.
@@ -1278,7 +1298,12 @@ object Dedup {
   val minhashEstimate = Q(
     "q_minhash_estimate",
     (spark, dir) => {
-      val s = withShingles(Tables.documents(spark, dir))
+      // eager checkpoint: FOUR consumers read this scan in one action
+      // (both sides of jaccardPairs' self-join, sa, sb) — un-pinned,
+      // each branch recomputes the full md5 shingle pass, the exact
+      // lazy-recompute stampede prefixFilterParts/exactSubstring
+      // document and fix the same way (r14 review)
+      val s = withShingles(Tables.documents(spark, dir)).localCheckpoint(true)
       val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
       val sig = withHh(s.select(col("doc_id"), explode(col("shs")).as("hk")))
         .groupBy(col("doc_id"))
