@@ -500,6 +500,17 @@ object CellTopN {
       val base = c * dim
       while (i < dim) { acc += arr(i) * cents(base + i); i += 1 }
       val p = math.floor(acc / norms(c) * 1000000.0 + 0.5).toLong
+      // same ±2e6 check as CellTopNChunk.topn (r14 ADVICE): this path
+      // has no packed combine downstream, but the two kernels are
+      // spec-pinned bit-equal and must not DIVERGE IN FAILURE BEHAVIOR
+      // exactly where inputs are malformed — a non-normalized caller
+      // fails loudly on both paths instead of only on the chunked one.
+      // NaN dots still pass on both (floor(NaN).toLong = 0).
+      if (p < -2000000L || p > 2000000L)
+        throw new IllegalArgumentException(
+          s"cell_topn: ppm=$p at index $c exceeds the ±2e6 bound — the " +
+            "caller must unit-normalize vectors (CellTopNChunk parity: " +
+            "both top-n paths refuse non-normalized input identically)")
       // (ascending c ⇒ equal-ppm keeps the earlier, smaller cell id)
       filled = TopNInsert.insert(topP, topC, filled, m, p, c)
       c += 1

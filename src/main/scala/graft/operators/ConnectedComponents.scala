@@ -51,8 +51,11 @@ import org.apache.spark.storage.StorageLevel
   *    two star outputs, ~5 edge-class RDDs at peak (stated so capacity
   *    planning reads the real bound, not the plain path's — r14
   *    review). Per-task heap is bounded by one partition's ONE-SIDE
-  *    map ([[attachOne]]) / seen-set ([[dedupByKey]]) — sized by the
-  *    partitioner, immune to per-key skew;
+  *    map ([[attachOne]]) / seen-set ([[dedupByKey]]) — and the
+  *    partitioner is SIZED FROM THE MEASURED EDGE COUNT
+  *    ([[defaultRowsPerPartition]] rows per partition, r14 ADVICE),
+  *    not from spark.sql.shuffle.partitions, so the bound holds
+  *    without operator tuning and is immune to per-key skew;
   *  - convergence is a count action per round (one Long to the
   *    driver); exhausting the star phase's round cap without
   *    converging THROWS — a silently partial labeling would assign
@@ -62,6 +65,14 @@ import org.apache.spark.storage.StorageLevel
   *    themselves used to leak persisted blocks — r14 review).
   */
 object ConnectedComponents {
+
+  /** Partition-sizing target for the derived HashPartitioner (see
+    * [[minLabel]]): ~2M symmetrized edge rows per partition bounds
+    * attachOne's per-task ONE-side LongMap and dedupByKey's seen-set
+    * at tens of MB regardless of what spark.sql.shuffle.partitions
+    * says — the conf knob (default 32) is NOT a safety contract at
+    * 100 TB (r14 ADVICE). Overridable per call for tests. */
+  val defaultRowsPerPartition: Long = 1L << 21
 
   /** Skew-safe co-partitioned 1:N attach: for each (k, v) in `many`
     * emit (k, v, m) where `one` holds EXACTLY one m per key and both
@@ -110,13 +121,14 @@ object ConnectedComponents {
     * intermediate round is unpersisted eagerly inside the loop, and a
     * FAILED call releases everything it pinned before rethrowing. */
   def minLabel(edges: DataFrame, src: String, dst: String,
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20,
+               rowsPerPartition: Long = defaultRowsPerPartition): DataFrame = {
     val spark = edges.sparkSession
     val idTypes = Seq(src, dst).map(c => edges.schema(c).dataType)
     require(idTypes.forall(t => t == LongType || t == org.apache.spark.sql.types.IntegerType),
       s"node id columns ($src, $dst) must be integral, got $idTypes")
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val part = new HashPartitioner(nPart)
+    require(rowsPerPartition > 0, s"rowsPerPartition must be positive, got $rowsPerPartition")
+    val confPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     val pinned = scala.collection.mutable.Set.empty[RDD[_]]
     def pin[T](r: RDD[T]): RDD[T] = {
@@ -126,7 +138,7 @@ object ConnectedComponents {
       r.unpersist(blocking = true); pinned -= r; ()
     }
 
-    val sym: RDD[(Long, Long)] = pin(edges
+    val sym0: RDD[(Long, Long)] = pin(edges
       .select(col(src).cast("long"), col(dst).cast("long")).rdd
       .flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1))
@@ -135,9 +147,30 @@ object ConnectedComponents {
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))
       }
-      .partitionBy(part))
+      .partitionBy(new HashPartitioner(confPart)))
 
     try {
+      // DERIVE the partition count from the measured edge count rather
+      // than trusting spark.sql.shuffle.partitions (r14 ADVICE): every
+      // per-task structure here — attachOne's ONE-side LongMap,
+      // dedupByKey's seen-set — is sized by rows-per-partition, and the
+      // conf knob (default 32) would yield multi-GB per-task maps on a
+      // 100 TB edge list unless someone remembered to raise it. One
+      // count on the already-persisted blocks; the re-partition shuffle
+      // only happens in the oversized regime the conf knob mis-sizes.
+      val nSym = sym0.count()
+      val needed = math.max(confPart.toLong,
+        (nSym + rowsPerPartition - 1) / rowsPerPartition)
+      require(needed <= Int.MaxValue, s"edge list needs $needed partitions")
+      val part = new HashPartitioner(needed.toInt)
+      val sym: RDD[(Long, Long)] =
+        if (needed.toInt == confPart) sym0
+        else {
+          val re = pin(sym0.partitionBy(part))
+          re.count()
+          release(sym0)
+          re
+        }
       // init labels(id) = id with ZERO extra shuffles: sym already has
       // `part`, so the dedup reduceByKey is partition-local, and the
       // identity relabel preserves the partitioner

@@ -1083,13 +1083,16 @@ object Dedup {
     * order-dependent; this is the synchronous variant). Returns
     * `(id, label)`.
     *
-    * PRECONDITION (r14 review): labels are raw doc_ids and the
-    * packing is only order-correct while every id < 2^40 — a
-    * snowflake-style 64-bit id goes negative in (2^40-1 - label),
-    * corrupting the argmax AND the label reconstruction on BOTH
-    * engines identically, so the oracle compare would stay green on
-    * garbage. A corpus with larger ids must dense-rank ids below 2^40
-    * first (r15 thread: enforce with a loud max(doc_id) guard). Factored out so the spec can drive it with a
+    * PRECONDITION (r14 review, ENFORCED r15): labels are raw doc_ids
+    * and the packing is only order-correct while every id is in
+    * [0, 2^40) — a snowflake-style 64-bit id goes negative in
+    * (2^40-1 - label), corrupting the argmax AND the label
+    * reconstruction on BOTH engines identically, so the oracle compare
+    * would stay green on garbage. The guard below raise_errors on the
+    * first out-of-range id during the eager edge checkpoint (one long
+    * compare per edge row — the call fails loudly before any round
+    * runs). A corpus with larger ids must dense-rank ids below 2^40
+    * first. Factored out so the spec can drive it with a
     * constructed graph — communities are only distinguishable from
     * connected components on a graph with a weak bridge, which the
     * fixture's dup graph may not provide at every SF.
@@ -1102,9 +1105,19 @@ object Dedup {
     * degree bound far above any near-dup graph's banded degree. */
   def lpaCommunities(pairs: DataFrame, rounds: Int): DataFrame = {
     val T = 1099511627776L // 2^40
+    // the loud 2^40 precondition guard: every node id appears as src
+    // (both orientations are unioned), so checking src covers the
+    // graph; raise_error fires inside the eager checkpoint below
+    val checkedSrc = when(col("src") < 0L || col("src") >= T,
+        raise_error(concat(lit("lpaCommunities: node id "),
+          col("src").cast("string"),
+          lit(s" outside [0, 2^40) — the packed argmax would corrupt " +
+            "labels silently on BOTH engines; dense-rank ids first"))))
+      .otherwise(col("src")).as("src")
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(checkedSrc, col("dst"))
       .localCheckpoint(true) // read by every round: the stampede class
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))

@@ -186,10 +186,20 @@ object Similarity {
           : Boolean = size() > 64
     })
 
+  // per-dir compute latch (r14 ADVICE): get-then-put alone lets the
+  // three recall contracts' concurrent COLD callers each run the full
+  // exact-kNN crossJoin — the exact re-derivation the memo exists to
+  // eliminate. One monitor Object per distinct dir ever probed
+  // (bytes each, O(dirs-swept) — the VALUE map above stays the
+  // bounded LRU); computeIfAbsent makes the lock itself race-free.
+  private val exactKnnLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def exactKnnTop1Cached(spark: SparkSession, dir: String): DataFrame = {
     val digest = Tables.snapshotDigest(spark, dir, "embeddings")
-    val cur = exactKnnCache.get(dir)
-    val rows =
+    val lock = exactKnnLocks.computeIfAbsent(dir, _ => new Object)
+    val rows = lock.synchronized {
+      val cur = exactKnnCache.get(dir)
       if (cur != null && cur._1 == digest) cur._2
       else {
         // nn_id/sim stay Options: a query vector with no scorable
@@ -205,6 +215,7 @@ object Similarity {
         exactKnnCache.put(dir, (digest, computed))
         computed
       }
+    }
     import spark.implicits._
     rows.toSeq.toDF("q_id", "nn_id", "sim")
   }

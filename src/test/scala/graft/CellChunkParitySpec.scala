@@ -293,4 +293,26 @@ class CellChunkParitySpec extends SparkSpec {
       ArrayData.toArrayData(Array(10L, 20L)), 2, 1)
     assert(ok.numElements() == 1)
   }
+
+  test("the ±2e6 refusal is parity-covered: CellTopN rejects the same non-normalized input") {
+    // r14 ADVICE: the chunk kernel refused |ppm| > 2e6 loudly while
+    // CellTopN — spec-pinned bit-equal — silently accepted the same
+    // out-of-contract vector, so the two paths diverged in failure
+    // behavior exactly where inputs are malformed. Both must refuse.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val over = ArrayData.toArrayData(Array(1.8, 2.4)) // |u| = 3 → ppm 3e6
+    val e = intercept[IllegalArgumentException](
+      graft.functions.CellTopN.topn(over,
+        Array(0.6, 0.8, 0.0, 1.0), Array(1.0, 1.0), Array(10L, 20L), 2, 2))
+    assert(e.getMessage.contains("2e6"), e.getMessage)
+    // the unit vector passes on both paths with the same winner
+    val u = ArrayData.toArrayData(Array(0.6, 0.8))
+    val viaPlain = graft.functions.CellTopN.topn(u,
+      Array(0.6, 0.8, 0.0, 1.0), Array(1.0, 1.0), Array(10L, 20L), 2, 1)
+    val viaChunk = graft.functions.CellTopNChunk.topn(u,
+      ArrayData.toArrayData(Array(0.6, 0.8, 0.0, 1.0)),
+      ArrayData.toArrayData(Array(1.0, 1.0)),
+      ArrayData.toArrayData(Array(10L, 20L)), 2, 1)
+    assert(viaPlain.getLong(0) === viaChunk.getStruct(0, 2).getLong(1))
+  }
 }

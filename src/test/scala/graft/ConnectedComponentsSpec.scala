@@ -51,6 +51,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"star set wrong: $got")
   }
 
+  test("partitioner is sized from the measured edge count, not the shuffle conf") {
+    // r14 ADVICE: attachOne's per-task ONE-side LongMap is bounded by
+    // rows-per-partition, and deriving nPart from
+    // spark.sql.shuffle.partitions (32) alone would make that bound a
+    // tuning obligation at 100 TB. With rowsPerPartition forced tiny,
+    // the 300-row symmetrized edge list must UPSIZE past the conf knob
+    // — observable on the result's partition count — and still label
+    // correctly through both the re-partition and the narrow rounds.
+    import spark.implicits._
+    val confPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = (0L until 150L).map(i => (2 * i, 2 * i + 1)) // 150 pairs
+    val df = pairs.toDF("src", "dst")
+    // sym = 300 rows; a target WIDER than the edge list must keep the
+    // conf floor (never downsize below the session's parallelism)
+    val out = ConnectedComponents.minLabel(df, "src", "dst",
+      rowsPerPartition = 1000L)
+    assert(out.rdd.getNumPartitions == confPart,
+      "conf floor must hold when the derived count is smaller")
+    val big = ConnectedComponents.minLabel(df, "src", "dst",
+      rowsPerPartition = 4L) // ceil(300/4) = 75 > any test conf -> upsized
+    assert(big.rdd.getNumPartitions == 75,
+      s"expected the derived 75-partition layout, got ${big.rdd.getNumPartitions}")
+    val labels = big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == pairs.flatMap { case (a, b) => Seq(a -> a, b -> a) }.toMap)
+  }
+
   test("dedup clusters: every doc maps to a canon_id <= doc_id within its pair set") {
     val out = graft.queries.Dedup.dedupClusters.fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

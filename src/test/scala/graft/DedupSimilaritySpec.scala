@@ -342,4 +342,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("lbl").distinct().count()
     assert(cc == 1L, "bridge graph should be ONE connected component")
   }
+
+  test("LPA refuses a node id >= 2^40 loudly instead of corrupting labels") {
+    // r14 ADVICE: the packed argmax (count*2^40 + (2^40-1-label))
+    // corrupts IDENTICALLY on both engines past 2^40, so the oracle
+    // compare would stay green on garbage — the only silent-corruption
+    // path left in the family. The guard must fire at CALL time (the
+    // eager edge checkpoint), before any round runs.
+    import spark.implicits._
+    val big = 1L << 40 // exactly the first out-of-range id
+    val pairs = Seq((1L, 2L), (2L, big)).toDF("doc_a", "doc_b")
+    val e = intercept[Exception](Dedup.lpaCommunities(pairs, 3))
+    assert(e.getMessage != null && e.getMessage.contains("2^40"),
+      s"expected the loud 2^40 guard, got: $e")
+    // the max in-range id still works (2^40 - 1 packs exactly)
+    val edge = Seq((1L, (1L << 40) - 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.lpaCommunities(edge, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> ((1L << 40) - 1), ((1L << 40) - 1) -> 1L),
+      s"one-round swap on a single edge: $labels")
+  }
 }

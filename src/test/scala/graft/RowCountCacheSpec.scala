@@ -102,4 +102,35 @@ class RowCountCacheSpec extends SparkSpec {
         "a changed file snapshot must force a fresh exact-kNN compute")
     }
   }
+
+  test("exactKnnTop1Cached: concurrent COLD callers pay the compute once (per-dir latch)") {
+    // r14 ADVICE: get-then-put had no per-key latch, so the three
+    // recall contracts racing a cold dir could EACH run the full
+    // exact-kNN crossJoin — the re-derivation the memo exists to kill.
+    // Measure a single cold compute's job count on one fresh copy,
+    // then race three cold callers on a second fresh copy: the total
+    // must match one compute, not three.
+    withEmbeddingsCopyAndJobCounter { (d1, _, jobs, drained) =>
+      import graft.queries.Similarity
+      Similarity.exactKnnTop1Cached(spark, d1).collect()
+      val oneCold = drained()
+      assert(oneCold >= 1)
+      withEmbeddingsCopyAndJobCounter { (d2, _, _, drained2) =>
+        jobs.set(0)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val rows = Await.result(
+          Future.sequence((1 to 3).map(_ => Future(
+            Similarity.exactKnnTop1Cached(spark, d2).collect()
+              .map(_.toString).sorted.toSeq))),
+          5.minutes)
+        assert(rows.distinct.size == 1, "racers must observe identical rows")
+        val raced = drained2()
+        assert(raced <= oneCold + 1,
+          s"3 concurrent cold callers ran $raced jobs vs $oneCold for one " +
+            "compute — the per-dir latch is not serializing the cold path")
+      }
+    }
+  }
 }
