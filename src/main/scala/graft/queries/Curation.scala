@@ -203,50 +203,23 @@ object Curation {
     * is EXACT — the Bloom filter affects cost, never results — and the
     * corpus is never shuffled; only per-doc contamination ids
     * (<= corpus doc count) aggregate. */
-  /** Hard cap on the driver-side eval-shingle materialization in
-    * [[decontaminateBloom]]: 2^22 longs = 32 MB off the wire, a few
-    * hundred MB as a broadcast hash set — comfortably driver-sized,
-    * and NOT corpus-proportional because the collect is LIMIT-capped
-    * below, not open-ended. A real benchmark suite (the thing being
-    * decontaminated against) is millions of shingles at most. */
-  private val evalSetCap = 1 << 22
-
   val decontaminateBloom = Q(
     "q_decontaminate_bloom",
     (spark, dir) => {
-      import spark.implicits._
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(col("shs")).as("hk"))
       val evalDistinct = e.filter(col("doc_id") % 97 === 0)
         .select(col("hk")).distinct()
-      // ONE distributed job materializes the eval shingle set, but the
-      // driver round-trip is BOUNDED BY CONSTRUCTION: LIMIT cap+1
-      // ships at most cap+1 longs regardless of corpus size. Under the
-      // cap (every real benchmark suite) the bloom+exact-set fast path
-      // runs; over it, fall back to the distributed semi-join (the
-      // [[Dedup.decontaminate]] shape) — exact either way, and no
-      // collect() in this query ever grows with the corpus.
-      val probe = evalDistinct.limit(evalSetCap + 1).as[Long].collect()
-      val contaminated = if (probe.length <= evalSetCap) {
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(probe.length.toLong, 64L), 0.01)
-        probe.foreach(bf.putLong)
-        val bfB = spark.sparkContext.broadcast(bf)
-        val evalSetB = spark.sparkContext.broadcast(probe.toSet)
-        // bloom first (10 bits/element, cache-friendly — the thing
-        // cheap enough to test EVERY corpus window against), exact set
-        // only on the ~1% bloom positives: results are exact, bloom
-        // shapes cost
-        val hitsEval = udf((h: Long) =>
-          bfB.value.mightContainLong(h) && evalSetB.value.contains(h))
-        e.filter(col("doc_id") % 97 =!= 0)
-          .filter(hitsEval(col("hk")))
+      // the capped-probe bloom / distributed-semi-join dispatch was
+      // born here and is now the family-wide single source
+      // ([[Dedup.evalBoundedSemiJoin]], r15): LIMIT cap+1 ships at
+      // most cap+1 longs regardless of corpus size; under the cap the
+      // bloom+exact-set map-side path runs, over it the unhinted
+      // semi-join — exact either way.
+      val contaminated =
+        Dedup.evalBoundedSemiJoin(spark, e.filter(col("doc_id") % 97 =!= 0),
+            evalDistinct, "hk")
           .select(col("doc_id")).distinct()
-      } else {
-        e.filter(col("doc_id") % 97 =!= 0)
-          .join(evalDistinct, Seq("hk"), "left_semi")
-          .select(col("doc_id")).distinct()
-      }
       // No broadcast hint on `contaminated`: unlike the eval shingle
       // set (bounded by the benchmark contract), the flagged-doc set is
       // corpus-derived — one common n-gram in the eval split can flag a
@@ -291,11 +264,12 @@ object Curation {
     * small relative to the corpus but CORPUS-PROPORTIONAL, so they
     * carry NO broadcast hint — AQE broadcasts them while they fit and
     * falls back to shuffled joins at 100× rather than dying on a
-    * forced hint. Only `evalShingles` is hint-broadcast: the eval
-    * benchmark is bounded by contract (benchmarks are MBs in
-    * production; the `% 97` fixture derivation stands in for that
-    * fixed external set), the same boundedness argument the crossJoin
-    * allowlist documents for 1-row sides. */
+    * forced hint. The eval-shingle membership pass runs through
+    * [[Dedup.evalBoundedSemiJoin]] (r15 — the old unconditional
+    * broadcast hint was justified by an "eval is MBs by contract"
+    * claim the fixture's corpus-derived eval set does not satisfy):
+    * capped probe + bloom map-side filter while eval is bounded,
+    * unhinted distributed semi-join past the cap. */
   val curationFunnel = Q(
     "q_curation_funnel",
     (spark, dir) => {
@@ -315,8 +289,8 @@ object Curation {
           Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b")))
         .withColumn("dup", lit(true))
       val evalShingles = e.filter(col("doc_id") % 97 === 0).select(col("hk")).distinct()
-      val contaminated = e.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalShingles), Seq("hk"), "left_semi")
+      val contaminated = Dedup.evalBoundedSemiJoin(spark,
+          e.filter(col("doc_id") % 97 =!= 0), evalShingles, "hk")
         .select(col("doc_id")).distinct().withColumn("bad", lit(true))
       flags.filter(col("doc_id") % 97 =!= 0)
         .join(dup, Seq("doc_id"), "left")

@@ -592,8 +592,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_corpus_drift" -> (1, "1ROW slice totals"),
       "q_cosine_knn" -> (1, "CAPPED query subset"),
       "q_cosine_topk" -> (1, "1ROW single query vector"),
-      "q_curation_funnel" -> (1, "CONTRACT evalShingles"),
-      "q_decontaminate" -> (2, "CONTRACT evalShingles + matched (<= eval)"),
+      // q_curation_funnel / q_decontaminate / q_overlap_profile lost
+      // their CONTRACT entries in r15: the "eval is bounded by
+      // external contract" justification did not survive the
+      // fixture's corpus-derived eval set, so the whole family now
+      // dispatches through Dedup.evalBoundedSemiJoin (capped probe +
+      // bloom map-side filter, or an UNHINTED semi-join) — zero
+      // broadcast hints by construction.
       "q_dominant_supplier" -> (1, "1ROW/KROW share stats"),
       "q_dsir_weights" -> (1, "KROW 64-bucket importance stats"),
       "q_embed_outliers" -> (1, "KROW label-centroid sums"),
@@ -614,7 +619,6 @@ class PlanShapeSpec extends SparkSpec {
       "q_min_cost_supplier" -> (2, "RATIO supplier + FIXED nation/region chain"),
       "q_nation_profit" -> (3, "RATIO part + supplier, FIXED nation"),
       "q_nation_volume" -> (2, "FIXED nation slices x2"),
-      "q_overlap_profile" -> (3, "CONTRACT eval n-gram sets for n = 1, 2, 3"),
       "q_pack_chunks" -> (1, "1ROW packing params"),
       "q_returned_items" -> (1, "RATIO customer"),
       "q_rollup_region_nation" -> (2, "FIXED nation + region"),
@@ -636,6 +640,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "unclassified broadcast hints (add to the audit map with a bounded-side " +
         s"justification, or remove the hint): ${offenders.mkString("; ")}")
+  }
+
+  test("overlap family: no unconditional eval-side broadcast in either dispatch branch (r14 verdict weak #1)") {
+    // the fixture derives "eval" FROM the corpus (doc_id % 97 ≈ 1/97
+    // of distinct shingles), so a forced broadcast(evalShingles) grows
+    // linearly with the corpus — an executor-OOM at 100×. All four
+    // family members now dispatch through Dedup.evalBoundedSemiJoin;
+    // neither branch may plan a broadcast HINT (AQE remains free to
+    // broadcast the semi-join build side adaptively at runtime).
+    import graft.queries.{Curation, Dedup}
+    for (q <- Seq(Dedup.decontaminate, Dedup.overlapProfile,
+                  Curation.curationFunnel, Curation.decontaminateBloom)) {
+      val logical = q.fn(spark, sf).queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!logical.contains("strategy=broadcast"),
+        s"${q.name}: eval side regained a forced broadcast hint:\n$logical")
+    }
+    // branch behavior, pinned on a constructed frame: under the cap
+    // the filter is the bloom UDF (no join node on hk at all); over
+    // the cap (forced with cap = 0) it is an UNHINTED left-semi join;
+    // both return the identical row set.
+    import spark.implicits._
+    val big = (1L to 100L).map(h => (h % 7, h)).toDF("hk", "doc_id")
+    val keys = Seq(1L, 3L).toDF("hk")
+    val bounded = Dedup.evalBoundedSemiJoin(spark, big, keys, "hk")
+    val fallback = Dedup.evalBoundedSemiJoin(spark, big, keys, "hk", cap = 0)
+    val boundedPlan = bounded.queryExecution.optimizedPlan.toString
+    assert(!boundedPlan.toLowerCase.contains("join"),
+      s"bounded branch must be a map-side filter, not a join:\n$boundedPlan")
+    val fbPlan = fallback.queryExecution.optimizedPlan.toString
+    assert(fbPlan.contains("LeftSemi"),
+      s"over-cap branch must be the distributed semi-join:\n$fbPlan")
+    assert(!fbPlan.toLowerCase.contains("strategy=broadcast"),
+      s"over-cap branch must stay unhinted (AQE's call):\n$fbPlan")
+    val l = bounded.collect().map(_.toString).sorted.toSeq
+    val r = fallback.collect().map(_.toString).sorted.toSeq
+    assert(l === r, "the two dispatch branches must agree row-for-row")
+    assert(l.nonEmpty)
   }
 
   test("de-hinted drop-set joins: AQE still broadcasts at fixture scale (adaptivity preserved)") {

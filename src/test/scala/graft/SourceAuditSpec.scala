@@ -52,9 +52,11 @@ class SourceAuditSpec extends AnyFunSuite {
           "all centroid/codebook matrices, a few KB at any corpus size; " +
           "exactKnnTop1Cached ground-truth memo (1): <= knnQueryIdCap/10 " +
           "rows by construction, snapshot-keyed (r13 verdict task 5)"),
-      "queries/Curation.scala" -> (1,
-        "decontaminate_bloom eval probe: LIMIT evalSetCap+1 ships at " +
-          "most cap+1 longs, then falls back to the distributed semi-join"),
+      "queries/Dedup.scala" -> (1,
+        "evalBoundedSemiJoin probe (the family-wide single source, " +
+          "r15 — was decontaminate_bloom's): LIMIT evalSetCap+1 ships " +
+          "at most cap+1 longs, then falls back to the distributed " +
+          "semi-join"),
       "sources/WireEvents.scala" -> (1,
         "writeTsStats manifest collect: one ~100 B (path, len, min, max) " +
           "tuple per FILE — O(files), the same order as the listing the " +
@@ -66,10 +68,10 @@ class SourceAuditSpec extends AnyFunSuite {
       "queries/TextOps.scala" -> (1,
         "CMS probe: count-min sketch lookup has no builtin; sketch is " +
           "a broadcast array, probe is O(depth)"),
-      "queries/Curation.scala" -> (1,
-        "bloom+exact-set probe: BloomFilter.mightContainLong has no " +
-          "builtin Column form; both sides broadcast, bounded by " +
-          "evalSetCap")))
+      "queries/Dedup.scala" -> (1,
+        "evalBoundedSemiJoin bloom+exact-set probe: " +
+          "BloomFilter.mightContainLong has no builtin Column form; " +
+          "both sides broadcast, bounded by evalSetCap")))
   }
 
   test("mapPartitions confined to the audited imperative operators") {
