@@ -343,6 +343,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc == 1L, "bridge graph should be ONE connected component")
   }
 
+  test("degenerate hot shingle: the helper-enforced df cap keeps candidates linear (r14 verdict weak #2)") {
+    // one boilerplate shingle in ALL of 300 docs used to make the
+    // shared pair generator emit C(300,2) = 44,850 candidate pairs
+    // (quadratic, and an un-spillable shuffle_hash build partition at
+    // scale) because the df cap was each CALLER's responsibility and
+    // q_dedup_ngram_jaccard applied none. The cap now lives inside
+    // jaccardPairs: the hot posting list (df 300 > 256) is dropped
+    // from the index, candidates collapse to the genuinely-shared-rare
+    // pairs, and the planted true duplicate still surfaces.
+    import spark.implicits._
+    val boiler = (0 until 300).map(i => (i.toLong, s"hot hot hot u${i}a u${i}b"))
+    val planted = Seq((300L, "alpha beta gamma delta epsilon"),
+                      (301L, "alpha beta gamma delta epsilon"))
+    val docs = (boiler ++ planted).toDF("doc_id", "text")
+    val e = Dedup.withShingles(docs)
+      .select($"doc_id", $"n_sh", explode($"shs").as("hk"))
+    // uncapped candidate volume IS quadratic on this corpus — the
+    // regression band the cap must sit below
+    val uncapped = Dedup.sharedCounts(e).count()
+    assert(uncapped >= 300L * 299 / 2, s"fixture lost its hot shingle: $uncapped")
+    val capped = Dedup.sharedCounts(Dedup.cappedIndex(e, Dedup.jaccardMaxDf)).count()
+    assert(capped == 1,
+      s"helper cap must collapse candidates to the planted pair, got $capped")
+    val pairs = Dedup.jaccardPairs(e).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((300L, 301L)),
+      s"planted exact dup must survive the cap: ${pairs.mkString(",")}")
+    assert(pairs.head.getLong(2) == 1000000L, "identical docs score ppm 1e6")
+  }
+
   test("LPA refuses a node id >= 2^40 loudly instead of corrupting labels") {
     // r14 ADVICE: the packed argmax (count*2^40 + (2^40-1-label))
     // corrupts IDENTICALLY on both engines past 2^40, so the oracle
