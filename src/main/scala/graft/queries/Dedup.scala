@@ -1293,17 +1293,25 @@ object Dedup {
   /** Edit-distance rerank of near-dup candidates — the character-level
     * confirmation pass behind shingle-level Jaccard: two documents can
     * share most 3-gram shingles while differing by scattered
-    * single-token edits, and Levenshtein distance (unit costs,
-    * identical in Spark and DuckDB FOR ASCII TEXT — parity boundary,
-    * r14 review, verified empirically: Spark's levenshtein counts
-    * CODEPOINT edits while DuckDB's counts BYTES, so one CJK
-    * substitution measures 1 vs 2-3 and the 5*lev <= maxlen verdict
-    * can flip on non-ASCII corpora; the fixtures are ASCII, and a
-    * multilingual deployment must normalize or compare on a
-    * byte-level column on both sides) measures exactly how many such
-    * edits separate them. Emits distance, normalized edit similarity
-    * (ppm BIGINT over max length) and a keep/drop verdict at >= 80%
-    * similarity via the exact integer compare `5*lev <= maxlen`.
+    * single-token edits, and Levenshtein distance (unit costs)
+    * measures exactly how many such edits separate them. Emits
+    * distance, normalized edit similarity (ppm BIGINT over max length)
+    * and a keep/drop verdict at >= 80% similarity via the exact
+    * integer compare `5*lev <= maxlen`.
+    *
+    * ASCII CONTRACT, ENFORCED (r14 review found it, r15 closed it):
+    * Spark's levenshtein counts CODEPOINT edits while DuckDB's counts
+    * BYTES, so one CJK substitution measures 1 vs 2-3 and the verdict
+    * can flip on non-ASCII text — a divergence the ASCII fixtures
+    * never trip but a multilingual corpus would. Both engines now
+    * restrict the rerank to pairs whose texts are single-byte
+    * (`length = octet_length` / `length = strlen` — the same integer
+    * compare), making the divergence UNREACHABLE instead of
+    * incidental: a non-ASCII pair is excluded on both sides rather
+    * than scored differently. A multilingual deployment swaps the
+    * filter for NFC-normalized byte-level columns on both engines
+    * (documented limitation, SCALE.md). DedupSimilaritySpec pins the
+    * exclusion on a planted CJK near-dup.
     *
     * 100 TB discipline: Levenshtein is O(|a|*|b|) per pair — it NEVER
     * runs corpus-wide. It runs only on the banded candidate set (here
@@ -1311,23 +1319,27 @@ object Dedup {
     * index; in production the MinHash-LSH candidates), which is
     * linear-ish in the corpus by the df-cap/banding arguments. The
     * two text lookups are equi-joins on doc_id against the pruned
-    * (doc_id, text) scan. */
+    * (doc_id, text) scan; the ASCII check is a map-side integer
+    * compare on each. */
+  private[graft] def fuzzyRerank(docs: DataFrame): DataFrame = {
+    val e = withShingles(docs)
+      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+    def ascii(c: Column) = length(c) === octet_length(c)
+    jaccardPairs(e).select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .filter(ascii(col("ta")) && ascii(col("tb")))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        graft.model.Money.cents(lit(1.0) - col("lev") / col("maxlen"), 1000000.0)
+          .as("edit_sim_ppm"),
+        (col("lev") * 5L <= col("maxlen")).as("is_dup"))
+  }
+
   val fuzzy = Q(
     "q_dedup_fuzzy",
-    (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val e = withShingles(docs)
-        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
-      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
-        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-        .withColumn("maxlen", greatest(length(col("ta")), length(col("tb"))).cast("long"))
-        .select(col("doc_a"), col("doc_b"), col("lev"),
-          graft.model.Money.cents(lit(1.0) - col("lev") / col("maxlen"), 1000000.0)
-            .as("edit_sim_ppm"),
-          (col("lev") * 5L <= col("maxlen")).as("is_dup"))
-    },
+    (spark, dir) => fuzzyRerank(Tables.documents(spark, dir)),
     Some(s"""
       WITH $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
@@ -1341,6 +1353,8 @@ object Dedup {
                AS is_dup
       FROM pairs pr JOIN documents a ON pr.doc_a = a.doc_id
                     JOIN documents b ON pr.doc_b = b.doc_id
+      WHERE length(a.text) = strlen(a.text)
+        AND length(b.text) = strlen(b.text)
     """))
 
   /** Incremental content novelty — the corpus-redundancy profile a

@@ -372,6 +372,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.head.getLong(2) == 1000000L, "identical docs score ppm 1e6")
   }
 
+  test("fuzzy rerank enforces its ASCII contract: CJK near-dups are excluded on BOTH engines, not mis-scored") {
+    // Spark levenshtein counts codepoints, DuckDB bytes — one CJK
+    // substitution measures 1 vs 3, so the is_dup verdict could flip
+    // between engines on non-ASCII text while every ASCII fixture
+    // stays green (the r14 latent-parity class). The contract is now
+    // ENFORCED: texts must satisfy length = octet_length; a planted
+    // CJK exact-dup pair (which jaccardPairs DOES find) never reaches
+    // the rerank, while the ASCII pair scores normally.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "天 地 人 和 平"),
+      (4L, "天 地 人 和 平")).toDF("doc_id", "text")
+    val e = Dedup.withShingles(docs)
+      .select($"doc_id", $"n_sh", explode($"shs").as("hk"))
+    val candidates = Dedup.jaccardPairs(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candidates == Set((1L, 2L), (3L, 4L)),
+      s"both planted dups must be jaccard candidates: $candidates")
+    val reranked = Dedup.fuzzyRerank(docs).collect()
+    assert(reranked.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      s"the CJK pair must be excluded by the ASCII contract: ${reranked.mkString(",")}")
+    assert(reranked.head.getBoolean(4), "the ASCII exact dup is kept")
+  }
+
   test("LPA refuses a node id >= 2^40 loudly instead of corrupting labels") {
     // r14 ADVICE: the packed argmax (count*2^40 + (2^40-1-label))
     // corrupts IDENTICALLY on both engines past 2^40, so the oracle
