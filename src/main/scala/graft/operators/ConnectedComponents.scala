@@ -138,8 +138,16 @@ object ConnectedComponents {
       r.unpersist(blocking = true); pinned -= r; ()
     }
 
-    val sym0: RDD[(Long, Long)] = pin(edges
-      .select(col(src).cast("long"), col(dst).cast("long")).rdd
+    val input = edges.select(col(src).cast("long"), col(dst).cast("long")).rdd
+    // initial partitioner: the conf knob floored by the INPUT's own
+    // partition count — an action-free estimate (upstream shuffles are
+    // already sized to sane-MB partitions), so a huge edge list never
+    // funnels through confPart giant tasks just to be counted; the
+    // exact count-derived partitioner below then corrects upward if
+    // even that underestimates (review finding on the first spelling,
+    // which shuffled everything into confPart partitions first)
+    val initPart = math.max(confPart, input.getNumPartitions)
+    val sym0: RDD[(Long, Long)] = pin(input
       .flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1))
           throw new IllegalArgumentException(
@@ -147,7 +155,7 @@ object ConnectedComponents {
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))
       }
-      .partitionBy(new HashPartitioner(confPart)))
+      .partitionBy(new HashPartitioner(initPart)))
 
     try {
       // DERIVE the partition count from the measured edge count rather
@@ -159,12 +167,12 @@ object ConnectedComponents {
       // count on the already-persisted blocks; the re-partition shuffle
       // only happens in the oversized regime the conf knob mis-sizes.
       val nSym = sym0.count()
-      val needed = math.max(confPart.toLong,
+      val needed = math.max(initPart.toLong,
         (nSym + rowsPerPartition - 1) / rowsPerPartition)
       require(needed <= Int.MaxValue, s"edge list needs $needed partitions")
       val part = new HashPartitioner(needed.toInt)
       val sym: RDD[(Long, Long)] =
-        if (needed.toInt == confPart) sym0
+        if (needed.toInt == initPart) sym0
         else {
           val re = pin(sym0.partitionBy(part))
           re.count()

@@ -473,8 +473,8 @@ object Similarity {
     * and the oracle's generated CASE ([[srpNbCaseSql]]) read
     * [[srpRungs]] — rung i uses srpRungs(i) bits and covers n <=
     * [[srpRungCap]](i) = 800·4^i. Extending the envelope is ONE edit:
-    * append the next odd width to srpRungs (currently 5/7/9/11/13/15,
-    * n <= 819,200); the Scala ladder, the oracle thresholds, the plane
+    * append the next odd width to srpRungs (currently 5/7/9/11/13/15/17,
+    * n <= 3,276,800); the Scala ladder, the oracle thresholds, the plane
     * dots and the weakest-bit argmin variants all re-generate from the
     * list. Past the last rung the Scala side refuses LOUDLY — the old
     * spelling kept stepping while the hand-kept SQL envelope stood
@@ -488,9 +488,19 @@ object Similarity {
     * real dispatch at rung-matched 16k → 64k points (~linear, exponent
     * ≈ 1), and OracleSanitySpec hash-pins the FULL q_ann_srp pipeline
     * at rung 13 against a DuckDB run of the generated oracle SQL on
-    * the same deterministic corpus. Past 819,200 the refusal stands —
-    * append rung 17 with the same three audits (SCALE.md §SRP). */
-  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15)
+    * the same deterministic corpus.
+    *
+    * Rung 17 (r15): envelope n ≤ 3,276,800 — same mechanical recipe.
+    * Occupancy at the cap stays 25 by the formula; ScalingCurveSpec
+    * adds the rung-matched 1,024,000-vector point through the real
+    * dispatch (exponent asserted ≈ 1 over the 256k step); the
+    * row-exact DuckDB audit depth is rung 15 (tools/audit_srp_rung.py
+    * at n = 240,000 — DuckDB plans the 16-way OR collision join as a
+    * nested loop, so each deeper rung costs 16× the pairings; rung 17
+    * row-exact would be ~10^12 pairings, past any single-box audit).
+    * Past 3,276,800 the refusal stands — append rung 19 with the same
+    * recipe (SCALE.md §SRP). */
+  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17)
   private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
   private[graft] def srpBitsLadder(n: Long): Int =
     srpRungs.indices.find(i => n <= srpRungCap(i)).map(srpRungs)
@@ -596,12 +606,13 @@ object Similarity {
     * weakest-|dot| argmin needs a full per-rung variant because its
     * candidate set is the ACTIVE planes. The thresholds, gated bits,
     * plane-dot set and argmin variants ALL generate from [[srpRungs]]
-    * (r12 verdict task 4) — currently 5/7/9/11/13/15, covering
-    * n <= 819,200; a bigger corpus hits [[srpBitsLadder]]'s loud
+    * (r12 verdict task 4) — currently 5/7/9/11/13/15/17, covering
+    * n <= 3,276,800; a bigger corpus hits [[srpBitsLadder]]'s loud
     * refusal and the fix is appending one rung to that single list.
     *
-    * Known cost, accepted: the d CTE computes all 120 plane dots at
-    * every rung, though rung-5 corpora use only 40 — inactive-rung
+    * Known cost, accepted: the d CTE computes all 136 plane dots at
+    * every rung (8 tables x 17 max bits), though rung-5 corpora use
+    * only 40 — inactive-rung
     * columns are discarded inside never-taken CASE branches. Inlining
     * the gated dots into the branches would recompute each dot at
     * every argmin reference (no cross-branch CSE guarantee in the

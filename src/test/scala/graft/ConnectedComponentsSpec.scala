@@ -63,12 +63,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     val confPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pairs = (0L until 150L).map(i => (2 * i, 2 * i + 1)) // 150 pairs
     val df = pairs.toDF("src", "dst")
+    // the action-free floor: conf knob ∨ the input's own partition
+    // count (so a huge upstream never funnels through confPart tasks)
+    val floor = math.max(confPart,
+      df.select($"src", $"dst").rdd.getNumPartitions)
     // sym = 300 rows; a target WIDER than the edge list must keep the
-    // conf floor (never downsize below the session's parallelism)
+    // floor (never downsize below the session's parallelism)
     val out = ConnectedComponents.minLabel(df, "src", "dst",
       rowsPerPartition = 1000L)
-    assert(out.rdd.getNumPartitions == confPart,
-      "conf floor must hold when the derived count is smaller")
+    assert(out.rdd.getNumPartitions == floor,
+      "parallelism floor must hold when the derived count is smaller")
     val big = ConnectedComponents.minLabel(df, "src", "dst",
       rowsPerPartition = 4L) // ceil(300/4) = 75 > any test conf -> upsized
     assert(big.rdd.getNumPartitions == 75,

@@ -30,7 +30,8 @@ class OracleSanitySpec extends SparkSpec {
     import graft.queries.Similarity.{srpBitsLadder, srpNbCaseSql, srpRungs}
     val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
       3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11,
-      51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15)
+      51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15,
+      819201L -> 17, 3276800L -> 17)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
@@ -38,12 +39,12 @@ class OracleSanitySpec extends SparkSpec {
     // past the last rung the Scala ladder refuses LOUDLY (the old
     // spelling silently stepped past the hand-kept SQL envelope and
     // failed only at the driver's hash compare)
-    val past = intercept[IllegalArgumentException](srpBitsLadder(819201L))
+    val past = intercept[IllegalArgumentException](srpBitsLadder(3276801L))
     assert(past.getMessage.contains("srpRungs"), past.getMessage)
     // both sides generate from ONE rung list: every SRP consumer's SQL
     // must embed srpNbCaseSql verbatim — a hand-edited CASE that
     // drifts from srpRungs cannot pass this
-    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15))
+    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>
@@ -53,13 +54,14 @@ class OracleSanitySpec extends SparkSpec {
     }
   }
 
-  test("deep-rung SRP pipeline is hash-pinned to its DuckDB-audited result (rungs 9, 11, 13)") {
+  test("deep-rung SRP pipeline is hash-pinned to its DuckDB-audited result (rungs 9, 11, 13, 15)") {
     // r13 verdict task 2: the driver's oracle gate exercises only
     // rung 5 (sf0.01) and rung 7 (sf0.1); deeper rungs were engaged by
     // unit boundaries alone. These constants were produced by the
     // one-off cross-engine audit tools/audit_srp_rung.py (2026-08-15,
     // DuckDB 1.0.0): the FULL q_ann_srp pipeline — generated ladder
-    // CASE, 120 md5-derived plane dots, weakest-bit multi-probe,
+    // CASE, md5-derived plane dots (120 at the r14 audit; 136 since
+    // rung 17), weakest-bit multi-probe,
     // exact-cosine rerank — ran on both engines over the
     // bit-reproducible SyntheticEmbeddings corpus and matched
     // row-exactly at n=4,000 (rung 9) and n=16,000 (rung 11). The
@@ -71,11 +73,19 @@ class OracleSanitySpec extends SparkSpec {
     // DuckDB spill path (the 16-way OR collision join plans as a
     // nested loop there — 3.6B pairings at 60k, OOM without
     // temp_directory; the script sets it).
+    // Rung 15 (n=240,000, r15 — audited 2026-08-16 alongside the rung
+    // 17 ladder append): row-exact too; DuckDB needed 27 min for the
+    // 5.76e10 nested-loop pairings plus memory_limit BELOW the box
+    // (40GB — spill early instead of an Allocation failure) and
+    // preserve_insertion_order=false. Each deeper rung costs 16× that,
+    // so rung 15 is the audit depth by construction; rung 17's
+    // engagement evidence is ScalingCurveSpec's measured 1.024M point.
     import graft.queries.Similarity.srpBitsLadder
     val pinned = Seq(
       (4000L, 9, "7b5db01657182b2f6c7eb9886825d0d6"),
       (16000L, 11, "aae3f7d4b684a10b70012a59a57f858c"),
-      (60000L, 13, "9d7946096e50fb616426a7cefa3784bc"))
+      (60000L, 13, "9d7946096e50fb616426a7cefa3784bc"),
+      (240000L, 15, "4c23751b92cbb91894b4955e76a3d3c2"))
     pinned.foreach { case (n, rung, expected) =>
       assert(srpBitsLadder(n) == rung)
       val dir = java.nio.file.Files.createTempDirectory(s"srp_pin_$n").toString

@@ -298,8 +298,9 @@ class ScalingCurveSpec extends SparkSpec {
   /** The SRP ladder ACROSS the old 51,200 envelope (r13 verdict task
     * 1 — the one component still graded `weak`: a 100× scale-up of
     * the sf0.1 embeddings corpus hit rung 11's loud refusal). Rungs
-    * 13/15 now extend [[graft.queries.Similarity.srpRungs]] to
-    * n ≤ 819,200; this point drives srpProbePairs through the REAL
+    * 13/15 (r14) and 17 (r15) extend
+    * [[graft.queries.Similarity.srpRungs]] to n ≤ 3,276,800; this
+    * point drives srpProbePairs through the REAL
     * dispatch (ladder width from Tables.cachedRowCount over a written
     * parquet corpus, the production entry) at rung-MATCHED sizes —
     * 16,000 (rung 11) and 64,000 (rung 13) both sit at per-table
@@ -354,6 +355,24 @@ class ScalingCurveSpec extends SparkSpec {
     info(f"srp rung-15 growth exponent over the second 4x step = $exponent2%.2f")
     assert(exponent2 < 1.3,
       f"srp rung-15 exponent $exponent2%.2f — rung 15 is not holding occupancy")
+    // rung 17 (r15 — envelope n ≤ 3,276,800): the same occupancy-
+    // matched 4x step once more, 1,024,000 / 2^17 = 7.8 per table.
+    // Measured: 279.4M pairs (272/vec), exponent 1.12 over the 256k
+    // step, 39 s wall on the quiet test box (write 16 + count 23).
+    // Cap 2.5x measured = 700M, below the stuck-at-15 band (~16x c3 ≈
+    // 940M — a non-engaging rung squares the occupancy); row-exact
+    // DuckDB audit depth for the ladder is rung 15 (see
+    // OracleSanitySpec — each deeper rung costs DuckDB's nested-loop
+    // collision join 16x the pairings, so rung 17 is past any
+    // single-box audit; its engagement is THIS measured point).
+    assert(graft.queries.Similarity.srpBitsLadder(1024000L) == 17)
+    val c4 = point(1024000L)
+    assert(c4 <= 700000000L,
+      s"srp @ 1.024M: $c4 pairs exceeds the 700M tripwire — rung 17 did not engage")
+    val exponent3 = math.log(c4.toDouble / c3) / math.log(4.0)
+    info(f"srp rung-17 growth exponent over the third 4x step = $exponent3%.2f")
+    assert(exponent3 < 1.3,
+      f"srp rung-17 exponent $exponent3%.2f — rung 17 is not holding occupancy")
   }
 
   /** The regime PAST [[graft.queries.Similarity.chunkBroadcastBytes]]

@@ -46,8 +46,14 @@ def main():
     con = duckdb.connect()
     # the 16-way OR collision condition plans as a nested-loop join in
     # DuckDB (no hash join over a disjunction) — give deep-rung corpora
-    # a spill path instead of dying on the default in-memory limit
-    con.execute("SET memory_limit='60GB'")
+    # a spill path instead of dying on the default in-memory limit.
+    # Knobs are env-overridable: rung 15 (n=240k) needed a LOWER limit
+    # than the box (spill earlier instead of an Allocation failure) and
+    # insertion-order preservation OFF (lets the pipeline stream
+    # instead of buffering ordered intermediates).
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '40GB')}'")
+    con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
+    con.execute("SET preserve_insertion_order=false")
     os.makedirs(f"{work}/duck_spill", exist_ok=True)
     con.execute(f"SET temp_directory='{work}/duck_spill'")
     con.execute(f"CREATE VIEW embeddings AS SELECT * "
