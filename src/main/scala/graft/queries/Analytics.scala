@@ -408,6 +408,13 @@ object Analytics {
     * left fold in identical array order (µs with event_id tie-break —
     * NOTES: per-element folds in array order are safe); DuckDB's
     * init-less `list_reduce` gets the stage-0 sentinel PREPENDED.
+    * Null-ts rows are dropped EXPLICITLY on both sides (r15 — the r14
+    * window()-family latent-parity class, found here by review):
+    * Spark's sort_array places a null-us struct FIRST while DuckDB's
+    * ORDER BY places it LAST, and a timeless event's array position
+    * changes which stage-1 candidate the fold accepts — the fixtures
+    * carry no null ts, so only the stated filter makes the contract
+    * enforced rather than incidental.
     *
     * 100 TB shape: ONE shuffle on user_id with the sort confined to
     * each user's own array (sort_array after collect_list — never a
@@ -418,6 +425,7 @@ object Analytics {
     "q_funnel_stages",
     (spark, dir) => {
       Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"),
           struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
             when(col("event_type") === "view", 1)
@@ -444,7 +452,7 @@ object Analytics {
                             WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
                             ELSE 0 END)
                     ORDER BY ts, event_id) AS evs
-        FROM events GROUP BY user_id),
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
       st AS (
         SELECT user_id,
                list_reduce(list_prepend(struct_pack(us := CAST(0 AS BIGINT),

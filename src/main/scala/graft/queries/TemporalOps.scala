@@ -354,6 +354,11 @@ object TemporalOps {
     "q_ewma_gaps",
     (spark, dir) => {
       Tables.events(spark, dir)
+        // null-ts rows dropped EXPLICITLY on both sides (r15, the
+        // funnel-stages latent-parity class): a null t sorts FIRST in
+        // Spark's array_sort but LAST under DuckDB's ORDER BY, and a
+        // timeless event has no gap semantics anyway
+        .filter(col("ts").isNotNull)
         .select(col("user_id"),
                 struct(col("ts").cast("long").as("t"),
                        col("event_id").as("e")).as("s"))
@@ -382,7 +387,7 @@ object TemporalOps {
                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
                                   event_id) AS gap,
                epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, event_id
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
       l AS (
         SELECT user_id,
                list_transform(list(gap ORDER BY tsec, event_id),
