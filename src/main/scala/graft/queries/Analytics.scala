@@ -36,7 +36,7 @@ object Analytics {
       SELECT o_custkey, o_orderkey, rn FROM (
         SELECT o_custkey, o_orderkey,
                row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
         FROM orders)
       WHERE rn <= 3
     """))
@@ -61,7 +61,7 @@ object Analytics {
                dense_rank() OVER w AS drnk,
                row_number() OVER w AS rn
         FROM customer
-        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST))
       WHERE rn <= 5
     """))
 
@@ -79,7 +79,7 @@ object Analytics {
     Some(s"""
       SELECT user_id, event_id,
              CAST(sum(${centsSql("value")})
-               OVER (PARTITION BY user_id ORDER BY event_id
+               OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS running_value
       FROM events
@@ -103,7 +103,7 @@ object Analytics {
                    lag(CAST(ts AS TIMESTAMP), 1) OVER w)) AS BIGINT) AS gap_s,
              lead(event_type, 1) OVER w AS next_type
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id NULLS FIRST)
     """))
 
   /** Moving 3-row sum (sliding frame), exact via BIGINT cents. */
@@ -119,7 +119,7 @@ object Analytics {
     Some(s"""
       SELECT user_id, event_id,
              CAST(sum(${centsSql("value")})
-               OVER (PARTITION BY user_id ORDER BY event_id
+               OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                AS BIGINT) AS moving_sum3
       FROM events
@@ -143,7 +143,7 @@ object Analytics {
              first_value(o_orderkey) OVER w AS first_order,
              last_value(o_orderkey)  OVER w AS last_order
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """))
 
@@ -167,7 +167,7 @@ object Analytics {
       SELECT quartile, count(*) AS n_orders,
              min(${centsSql("o_totalprice")}) AS min_price,
              max(${centsSql("o_totalprice")}) AS max_price
-      FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+      FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST) AS quartile,
                    o_totalprice
             FROM orders)
       GROUP BY quartile
@@ -358,7 +358,7 @@ object Analytics {
              ${centsSql("percent_rank() OVER w", "1000000.0")} AS pr,
              ${centsSql("cume_dist() OVER w", "1000000.0")} AS cd
       FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
     """))
 
   /** Top-3 orders per customer via the mergeable bounded-heap
@@ -386,7 +386,7 @@ object Analytics {
       FROM (SELECT o_custkey, o_orderkey,
                    ${centsSql("o_totalprice")} AS cents,
                    row_number() OVER (PARTITION BY o_custkey
-                     ORDER BY ${centsSql("o_totalprice")} DESC, o_orderkey) AS rn
+                     ORDER BY ${centsSql("o_totalprice")} DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
             FROM orders)
       WHERE rn <= 3
     """))
@@ -451,7 +451,7 @@ object Analytics {
                     step := CASE event_type WHEN 'view' THEN 1
                             WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
                             ELSE 0 END)
-                    ORDER BY ts, event_id) AS evs
+                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS evs
         FROM events WHERE ts IS NOT NULL GROUP BY user_id),
       st AS (
         SELECT user_id,
@@ -594,7 +594,7 @@ object Analytics {
         SELECT event_type, value AS med FROM (
           SELECT e.event_type, e.value, st.n,
                  row_number() OVER (PARTITION BY e.event_type
-                                    ORDER BY e.value, e.event_id) AS rn
+                                    ORDER BY e.value NULLS FIRST, e.event_id NULLS FIRST) AS rn
           FROM ev e JOIN st USING (event_type))
         WHERE rn = (n + 1) // 2),
       d AS (
@@ -605,7 +605,7 @@ object Analytics {
         SELECT event_type, dev AS mad FROM (
           SELECT d.event_type, d.dev, d.value, d.event_id, st.n,
                  row_number() OVER (PARTITION BY d.event_type
-                                    ORDER BY d.dev, d.value, d.event_id) AS rn
+                                    ORDER BY d.dev NULLS FIRST, d.value NULLS FIRST, d.event_id NULLS FIRST) AS rn
           FROM d JOIN st USING (event_type))
         WHERE rn = (n + 1) // 2)
       SELECT d.event_type, count(*) AS n, max(d.med) AS med,
@@ -651,12 +651,12 @@ object Analytics {
         FROM orders),
       t AS (
         SELECT o_custkey,
-               CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+               CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day NULLS FIRST
                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_c
         FROM o)
       SELECT o_custkey, max(trail_c) AS peak_30d_cents
       FROM t GROUP BY 1
-      ORDER BY peak_30d_cents DESC, o_custkey
+      ORDER BY peak_30d_cents DESC NULLS LAST, o_custkey NULLS FIRST
       LIMIT 20
     """))
 
@@ -746,7 +746,7 @@ object Analytics {
       JOIN support sa ON sa.l_partkey = part_a
       JOIN support sb ON sb.l_partkey = part_b
       CROSS JOIN n
-      ORDER BY n_both DESC, part_a, part_b
+      ORDER BY n_both DESC NULLS LAST, part_a NULLS FIRST, part_b NULLS FIRST
       LIMIT 20
     """))
 
@@ -787,7 +787,7 @@ object Analytics {
                min(p_partkey) AS min_partkey
         FROM part GROUP BY 1, 2),
       pm AS (
-        SELECT *, min(size) OVER (ORDER BY price_c, size
+        SELECT *, min(size) OVER (ORDER BY price_c NULLS FIRST, size NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
         FROM pts)
       SELECT price_c, size AS p_size, n_parts, min_partkey
@@ -828,7 +828,7 @@ object Analytics {
         FROM part GROUP BY 1, 2, 3),
       pm AS (
         SELECT *, min(size) OVER (PARTITION BY p_brand
-                 ORDER BY price_c, size
+                 ORDER BY price_c NULLS FIRST, size NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
         FROM pts)
       SELECT p_brand, count(*) AS frontier_size,
@@ -948,7 +948,7 @@ object Analytics {
         FROM (SELECT user_id, event_type, count(*) AS n
               FROM events GROUP BY 1, 2)
         GROUP BY 1)
-      ORDER BY gini_ppm DESC, user_id LIMIT 20
+      ORDER BY gini_ppm DESC NULLS LAST, user_id NULLS FIRST LIMIT 20
     """))
 
   def all: Seq[Q] = Seq(

@@ -185,7 +185,7 @@ object Curation {
              CAST((sum_freq // n_tokens) * 1000000
                   + ((sum_freq % n_tokens) * 1000000) // n_tokens AS BIGINT) AS mean_freq_ppm
       FROM d
-      ORDER BY mean_freq_ppm, doc_id
+      ORDER BY mean_freq_ppm NULLS FIRST, doc_id NULLS FIRST
       LIMIT 20
     """))
 
@@ -487,7 +487,7 @@ object Curation {
             FROM toks GROUP BY 1, 2, 3)
       JOIN weights USING (b)
       GROUP BY doc_id, lang
-      ORDER BY weight_ppm DESC, doc_id
+      ORDER BY weight_ppm DESC NULLS LAST, doc_id NULLS FIRST
       LIMIT 20
     """))
 
@@ -555,7 +555,7 @@ object Curation {
               ${h60Sql("line")} AS hk FROM l),
       r AS (SELECT lang, doc_id, line_toks,
               (count(*) OVER (PARTITION BY hk) > 1 AND
-               row_number() OVER (PARTITION BY hk ORDER BY doc_id, line_no) > 1) AS removed
+               row_number() OVER (PARTITION BY hk ORDER BY doc_id NULLS FIRST, line_no NULLS FIRST) > 1) AS removed
             FROM o)
       SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
              CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
@@ -629,7 +629,7 @@ object Curation {
       SELECT doc_id, lang, n_tokens, sum_bits,
              CAST((sum_bits * 1000) // n_tokens AS BIGINT) AS mbpt
       FROM s
-      ORDER BY mbpt DESC, doc_id
+      ORDER BY mbpt DESC NULLS LAST, doc_id NULLS FIRST
       LIMIT 20
     """))
 
@@ -712,7 +712,7 @@ object Curation {
       WITH r AS (
         SELECT source, n_chars, doc_id,
                row_number() OVER (PARTITION BY source
-                 ORDER BY n_chars DESC, doc_id) AS rn
+                 ORDER BY n_chars DESC NULLS LAST, doc_id NULLS FIRST) AS rn
         FROM documents)
       SELECT source, count(*) AS n_docs,
              CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

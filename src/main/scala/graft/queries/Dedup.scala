@@ -1176,7 +1176,7 @@ object Dedup {
              GROUP BY ed.dst)
       SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm
       FROM r3
-      ORDER BY r DESC, id
+      ORDER BY r DESC NULLS LAST, id NULLS FIRST
       LIMIT 20
     """))
 
@@ -1287,7 +1287,7 @@ object Dedup {
       m AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY label)
       SELECT CAST(n_members AS BIGINT) AS n_members,
              CAST(count(*) AS BIGINT) AS n_communities
-      FROM m GROUP BY 1 ORDER BY 1
+      FROM m GROUP BY 1 ORDER BY 1 NULLS FIRST
     """))
 
   /** Edit-distance rerank of near-dup candidates — the character-level
@@ -1557,7 +1557,7 @@ object Dedup {
           SELECT doc_a AS a, doc_b AS b FROM graft_blast_pairs
           UNION ALL
           SELECT doc_b, doc_a FROM graft_blast_pairs),
-        seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed LIMIT 5),
+        seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed NULLS FIRST LIMIT 5),
         walk(doc, depth) AS (
           SELECT seed, 0 FROM seeds
           UNION ALL
@@ -1576,7 +1576,7 @@ object Dedup {
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL
         SELECT doc_b, doc_a FROM pairs),
-      seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed LIMIT 5),
+      seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed NULLS FIRST LIMIT 5),
       walk(doc, depth) AS (
         SELECT seed, 0 FROM seeds
         UNION ALL

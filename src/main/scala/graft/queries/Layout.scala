@@ -223,7 +223,7 @@ object Layout {
         row("o_orderdate",
             "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"),
         row("o_orderpriority", "length(o_orderpriority)"))
-        .mkString("", " UNION ALL", "\n      ORDER BY col_name")
+        .mkString("", " UNION ALL", "\n      ORDER BY col_name NULLS FIRST")
     })
 
   /** Core of [[integrityAudit]], parameterized over the input frames so
@@ -470,7 +470,7 @@ object Layout {
         UNION ALL
         SELECT 'customer_fk_nation', CAST(fk_n AS BIGINT),
                CAST(n AS BIGINT) FROM cu)
-      ORDER BY check_name
+      ORDER BY check_name NULLS FIRST
     """))
 
   def all: Seq[Q] = Seq(zorderLayout, zoneMapPruning, columnProfile,

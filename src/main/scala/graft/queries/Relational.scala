@@ -46,7 +46,7 @@ object Relational {
       -- oracle must state the same filter (latent-parity class, r14)
       WHERE ts IS NOT NULL
       GROUP BY 1, 2, 3
-      ORDER BY source_number DESC, source, window_start
+      ORDER BY source_number DESC NULLS LAST, source NULLS FIRST, window_start NULLS FIRST
     """))
 
   /** A2 realized: exact distinct users per source per window (the
@@ -107,7 +107,7 @@ object Relational {
       FROM lineitem
       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """))
 
   /** Filter + projection — predicate pushdown and column pruning reach
@@ -349,7 +349,7 @@ object Relational {
       SELECT o_orderkey, o_custkey,
              ${centsSql("o_totalprice")} AS total_price
       FROM orders
-      ORDER BY o_totalprice DESC, o_orderkey
+      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
       LIMIT 10
     """))
 
@@ -400,7 +400,7 @@ object Relational {
       FROM orders
       JOIN big ON o_orderkey = l_orderkey
       JOIN customer ON o_custkey = c_custkey
-      ORDER BY price_cents DESC, o_orderkey
+      ORDER BY price_cents DESC NULLS LAST, o_orderkey NULLS FIRST
       LIMIT 10
     """))
 
@@ -697,7 +697,7 @@ object Relational {
         AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
         AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
       GROUP BY 1, 2, 3
-      ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+      ORDER BY revenue_cents DESC NULLS LAST, o_orderdate NULLS FIRST, l_orderkey NULLS FIRST
       LIMIT 10
     """))
 
@@ -923,7 +923,7 @@ object Relational {
         AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
       GROUP BY 1, 2, 3, 4
-      ORDER BY revenue_cents DESC, c_custkey
+      ORDER BY revenue_cents DESC NULLS LAST, c_custkey NULLS FIRST
       LIMIT 20
     """))
 
@@ -1333,7 +1333,7 @@ object Relational {
             AND l3.l_suppkey <> l1.l_suppkey
             AND l3.l_shipdate > l1.l_shipdate)
       GROUP BY s_name
-      ORDER BY numwait DESC, s_name
+      ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
       LIMIT 10
     """))
 
@@ -1615,7 +1615,7 @@ object Relational {
              AND o_orderpriority NOT LIKE '%SPECIFIED%'
             GROUP BY c_custkey)
       GROUP BY c_count
-      ORDER BY custdist DESC, c_count DESC
+      ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST
     """))
 
   def all: Seq[Q] = Seq(

@@ -128,7 +128,7 @@ object Similarity {
                    / (${nrmSql("embedding")} * ${nrmSql("qv")}), 6) AS sim
       FROM embeddings, q
       WHERE vec_id <> 0
-      ORDER BY sim DESC, vec_id
+      ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST
       LIMIT 10
     """))
 
@@ -230,8 +230,8 @@ object Similarity {
                      / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}), 6) AS sim,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY round(${dotSql("d.embedding", "q.embedding")}
-                     / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}), 6) DESC,
-                                  d.vec_id) AS rn
+                     / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}), 6) DESC NULLS LAST,
+                                  d.vec_id NULLS FIRST) AS rn
         FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
         WHERE ${knnQuerySql("q.vec_id")})
       WHERE rn = 1
@@ -262,7 +262,7 @@ object Similarity {
                    / (${nrmSql("a.embedding")} * ${nrmSql("b.embedding")}), 6) AS sim
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      ORDER BY sim DESC, id_a, id_b
+      ORDER BY sim DESC NULLS LAST, id_a NULLS FIRST, id_b NULLS FIRST
       LIMIT 20
     """))
 
@@ -428,7 +428,7 @@ object Similarity {
       FROM bk x JOIN bk y
         ON x.label = y.label AND x.vec_id < y.vec_id
        AND (${(0 until 4).map(t => s"x.b$t = y.b$t").mkString(" OR ")})
-      ORDER BY sim DESC, id_a, id_b
+      ORDER BY sim DESC NULLS LAST, id_a NULLS FIRST, id_b NULLS FIRST
       LIMIT 20
     """))
 
@@ -703,7 +703,7 @@ object Similarity {
       SELECT q_id, c_id AS nn_id, sim FROM (
         SELECT q_id, c_id, sim,
                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY sim DESC, c_id) AS rn
+                                  ORDER BY sim DESC NULLS LAST, c_id NULLS FIRST) AS rn
         FROM cand)
       WHERE rn = 1
     """))
@@ -1278,7 +1278,7 @@ object Similarity {
       stats AS (
         SELECT label, pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1, 2),
       sarr AS (
-        SELECT label, list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+        SELECT label, list(lo ORDER BY pos NULLS FIRST) AS los, list(hi ORDER BY pos NULLS FIRST) AS his
         FROM stats GROUP BY label),
       ve AS (
         SELECT e.label, vec_id,
@@ -1412,7 +1412,7 @@ object Similarity {
       """
     s"""
       ${if (withUu) uuCte else ""}$sd AS (SELECT u AS su, s FROM (
-               SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
+               SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST) - 1 AS s
                FROM uu)
              WHERE s < $pqK),
       uq AS (SELECT vec_id, label, u, sp.s AS sp,
@@ -1595,7 +1595,7 @@ object Similarity {
       short AS (SELECT q_id, c_id FROM (
                   SELECT q_id, c_id,
                          row_number() OVER (PARTITION BY q_id
-                                            ORDER BY adc_ppm DESC, c_id) AS rn
+                                            ORDER BY adc_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
                   FROM adc) WHERE rn <= $pqShortlist),
       rr AS (SELECT q_id, c_id AS nn_id, sim FROM (
                SELECT s.q_id, s.c_id,
@@ -1603,8 +1603,8 @@ object Similarity {
                             / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) AS sim,
                       row_number() OVER (PARTITION BY s.q_id
                          ORDER BY round(${dotSql("c.embedding", "qe.embedding")}
-                           / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC,
-                           s.c_id) AS rn
+                           / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC NULLS LAST,
+                           s.c_id NULLS FIRST) AS rn
                FROM short s
                  JOIN embeddings qe ON s.q_id = qe.vec_id
                  JOIN embeddings c ON s.c_id = c.vec_id)
@@ -1613,8 +1613,8 @@ object Similarity {
                   SELECT qx.vec_id AS q_id, dx.vec_id AS nn_id,
                          row_number() OVER (PARTITION BY qx.vec_id
                             ORDER BY round(${dotSql("dx.embedding", "qx.embedding")}
-                              / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC,
-                            dx.vec_id) AS rn
+                              / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC NULLS LAST,
+                            dx.vec_id NULLS FIRST) AS rn
                   FROM embeddings qx JOIN embeddings dx ON dx.vec_id <> qx.vec_id
                   WHERE ${knnQuerySql("qx.vec_id")})
                 WHERE rn = 1)
@@ -1736,7 +1736,7 @@ object Similarity {
       short AS (SELECT q_id, c_id FROM (
                   SELECT q_id, c_id,
                          row_number() OVER (PARTITION BY q_id
-                                            ORDER BY adc_ppm DESC, c_id) AS rn
+                                            ORDER BY adc_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
                   FROM adc) WHERE rn <= $ivfpqShortlist),
       rr AS (SELECT q_id, c_id AS nn_id, sim FROM (
                SELECT s.q_id, s.c_id,
@@ -1744,8 +1744,8 @@ object Similarity {
                             / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) AS sim,
                       row_number() OVER (PARTITION BY s.q_id
                          ORDER BY round(${dotSql("c.embedding", "qe.embedding")}
-                           / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC,
-                           s.c_id) AS rn
+                           / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC NULLS LAST,
+                           s.c_id NULLS FIRST) AS rn
                FROM short s
                  JOIN embeddings qe ON s.q_id = qe.vec_id
                  JOIN embeddings c ON s.c_id = c.vec_id)
@@ -1795,8 +1795,8 @@ object Similarity {
                   SELECT qx.vec_id AS q_id, dx.vec_id AS nn_id,
                          row_number() OVER (PARTITION BY qx.vec_id
                             ORDER BY round(${dotSql("dx.embedding", "qx.embedding")}
-                              / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC,
-                            dx.vec_id) AS rn
+                              / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC NULLS LAST,
+                            dx.vec_id NULLS FIRST) AS rn
                   FROM embeddings qx JOIN embeddings dx ON dx.vec_id <> qx.vec_id
                   WHERE ${knnQuerySql("qx.vec_id")})
                 WHERE rn = 1)
@@ -1854,7 +1854,7 @@ object Similarity {
         SELECT label, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS n
         FROM ex GROUP BY 1, 2),
       sarr AS (
-        SELECT label, list(sx ORDER BY pos) AS ss, CAST(max(n) AS BIGINT) AS n
+        SELECT label, list(sx ORDER BY pos NULLS FIRST) AS ss, CAST(max(n) AS BIGINT) AS n
         FROM s GROUP BY label)
       SELECT vec_id, e.label,
              CAST(floor(list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -1862,7 +1862,7 @@ object Similarity {
                * (embedding[i]::DOUBLE - ss[i] / (n * 1000000.0))),
                (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS dist2_ppm
       FROM embeddings e JOIN sarr ON e.label = sarr.label
-      ORDER BY dist2_ppm DESC, vec_id
+      ORDER BY dist2_ppm DESC NULLS LAST, vec_id NULLS FIRST
       LIMIT 20
     """))
 
@@ -1921,7 +1921,7 @@ object Similarity {
                CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
         FROM ex GROUP BY 1, 2),
       a AS (
-        SELECT label, list(sa ORDER BY pos) AS ssa, list(sb ORDER BY pos) AS ssb,
+        SELECT label, list(sa ORDER BY pos NULLS FIRST) AS ssa, list(sb ORDER BY pos NULLS FIRST) AS ssb,
                max(na) AS na, max(nb) AS nb
         FROM p GROUP BY label)
       SELECT label, na, nb,
@@ -2206,7 +2206,7 @@ object Similarity {
                    FROM embeddings)),
       sd AS (SELECT su, s FROM (
                SELECT u AS su,
-                      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS s
+                      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST) - 1 AS s
                FROM uu)
              WHERE s < (SELECT k FROM kq)),
       a0 AS (SELECT vec_id,
@@ -2221,7 +2221,7 @@ object Similarity {
       sm AS (SELECT cell0, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS cn
              FROM xv GROUP BY 1, 2),
       ct AS (SELECT cell0 AS cell,
-                    list(sx / (cn * 1000000.0) ORDER BY pos) AS carr
+                    list(sx / (cn * 1000000.0) ORDER BY pos NULLS FIRST) AS carr
              FROM sm GROUP BY cell0),
       cc0 AS (SELECT cell, carr,
                      sqrt(list_reduce(
@@ -2346,7 +2346,7 @@ object Similarity {
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY floor((${dotSql("d.embedding", "q.embedding")}
                      / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}))
-                    * 1000000.0 + 0.5) DESC, d.vec_id) AS rn
+                    * 1000000.0 + 0.5) DESC NULLS LAST, d.vec_id NULLS FIRST) AS rn
         FROM embeddings q JOIN embeddings d ON d.label <> q.label
         WHERE ${knnQuerySql("q.vec_id")})
       WHERE rn <= 3
@@ -2490,7 +2490,7 @@ object Similarity {
       cand AS (
         SELECT q_id, c_id, ce, rel_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY rel_ppm DESC, c_id) AS rn
+                      ORDER BY rel_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM sc)
         WHERE rn <= 8),
       $mmrGreedySqlTail
@@ -2510,7 +2510,7 @@ object Similarity {
       s1 AS (
         SELECT q_id, c_id AS s_id, rel_ppm AS mmr_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY rel_ppm DESC, c_id) AS rn
+                      ORDER BY rel_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM cand)
         WHERE rn = 1),
       m2 AS (
@@ -2522,7 +2522,7 @@ object Similarity {
       s2 AS (
         SELECT q_id, c_id AS s_id, score AS mmr_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY score DESC, c_id) AS rn
+                      ORDER BY score DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM m2)
         WHERE rn = 1),
       sel2 AS (SELECT q_id, s_id FROM s1
@@ -2538,13 +2538,13 @@ object Similarity {
       s3 AS (
         SELECT q_id, c_id AS s_id, score AS mmr_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY score DESC, c_id) AS rn
+                      ORDER BY score DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM m3)
         WHERE rn = 1)
       SELECT q_id, 1 AS rank, s_id, mmr_ppm FROM s1
       UNION ALL SELECT q_id, 2 AS rank, s_id, mmr_ppm FROM s2
       UNION ALL SELECT q_id, 3 AS rank, s_id, mmr_ppm FROM s3
-      ORDER BY q_id, rank"""
+      ORDER BY q_id NULLS FIRST, rank NULLS FIRST"""
 
   /** [[mmrRerank]] with the PRODUCTION candidate source: the
     * multi-probe SRP-LSH index ([[srpProbePairs]]) generates the
@@ -2599,7 +2599,7 @@ object Similarity {
       cand AS (
         SELECT q_id, c_id, ce, rel_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
-                      ORDER BY rel_ppm DESC, c_id) AS rn
+                      ORDER BY rel_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM sc)
         WHERE rn <= 8),
       $mmrGreedySqlTail
@@ -2658,7 +2658,7 @@ object Similarity {
     Some(s"""
       WITH ${graft.queries.TextOps.bm25ScoresCte},
       lr AS (SELECT doc_id,
-                    row_number() OVER (ORDER BY bm25_ppm DESC, doc_id)
+                    row_number() OVER (ORDER BY bm25_ppm DESC NULLS LAST, doc_id NULLS FIRST)
                       AS lex_rank
              FROM bscore),
       qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -2668,14 +2668,14 @@ object Similarity {
                        * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
               FROM embeddings, qv WHERE vec_id <> 0),
       sr AS (SELECT doc_id,
-                    row_number() OVER (ORDER BY cos_ppm DESC, doc_id)
+                    row_number() OVER (ORDER BY cos_ppm DESC NULLS LAST, doc_id NULLS FIRST)
                       AS sem_rank
              FROM sem)
       SELECT lr.doc_id, lr.lex_rank, sr.sem_rank,
              1000000 // (60 + lr.lex_rank) + 1000000 // (60 + sr.sem_rank)
                AS rrf_ppm
       FROM lr JOIN sr ON lr.doc_id = sr.doc_id
-      ORDER BY rrf_ppm DESC, lr.doc_id
+      ORDER BY rrf_ppm DESC NULLS LAST, lr.doc_id NULLS FIRST
       LIMIT 10
     """))
 
@@ -2785,7 +2785,7 @@ object Similarity {
         SELECT q_id, dim, vec_id AS nn_id, sim FROM (
           SELECT q_id, dim, vec_id, sim,
                  row_number() OVER (PARTITION BY q_id, dim
-                                    ORDER BY sim DESC, vec_id) AS rn
+                                    ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST) AS rn
           FROM sims) WHERE rn = 1)
       SELECT t.dim, count(*) AS n_queries,
              CAST(sum(CASE WHEN t.nn_id = f.nn_id THEN 1 ELSE 0 END)
@@ -2794,7 +2794,7 @@ object Similarity {
                   AS BIGINT) AS sum_sim_ppm
       FROM top t JOIN top f ON f.q_id = t.q_id AND f.dim = 64
       WHERE t.dim < 64
-      GROUP BY t.dim ORDER BY t.dim
+      GROUP BY t.dim ORDER BY t.dim NULLS FIRST
       """
     })
 
@@ -2859,7 +2859,7 @@ object Similarity {
         SELECT q_id AS a, c_id AS b FROM (
           SELECT q_id, c_id,
                  row_number() OVER (PARTITION BY q_id
-                                    ORDER BY sim_ppm DESC, c_id) AS rn
+                                    ORDER BY sim_ppm DESC NULLS LAST, c_id NULLS FIRST) AS rn
           FROM cand) WHERE rn <= 4),
       mu AS (
         SELECT n1.a, n1.b FROM nn n1
@@ -2937,7 +2937,7 @@ object Similarity {
              CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
       FROM lcand JOIN deg USING (z)
       GROUP BY 1, 2
-      ORDER BY n_common DESC, ra_ppm DESC, vec_a, vec_b
+      ORDER BY n_common DESC NULLS LAST, ra_ppm DESC NULLS LAST, vec_a NULLS FIRST, vec_b NULLS FIRST
       LIMIT 20
     """))
 

@@ -71,10 +71,10 @@ object TemporalOps {
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WHERE ts IS NOT NULL
-        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST)),
       s AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM x)
       SELECT user_id, min(ts) AS start,
@@ -217,7 +217,7 @@ object TemporalOps {
       WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                         event_type FROM events),
       c AS (SELECT *, lag(event_type) OVER w AS prev_type FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
       f AS (SELECT user_id, event_id, ts, event_type FROM c
             WHERE prev_type IS NULL OR prev_type <> event_type)
       SELECT user_id,
@@ -226,7 +226,7 @@ object TemporalOps {
              lead(ts, 1) OVER w AS valid_to,
              lead(ts, 1) OVER w IS NULL AS is_current
       FROM f
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     """))
 
   /** Gap-filled time series: the reference's windowed count view
@@ -317,7 +317,7 @@ object TemporalOps {
     Some("""
       WITH t AS (
         SELECT lag(event_type) OVER (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+                 ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, event_id NULLS FIRST) AS from_type,
                event_type AS to_type
         FROM events),
       trans AS (
@@ -384,13 +384,13 @@ object TemporalOps {
                epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
                  - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
                    OVER (PARTITION BY user_id
-                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000,
-                                  event_id) AS gap,
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 NULLS FIRST,
+                                  event_id NULLS FIRST) AS gap,
                epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, event_id
         FROM events WHERE ts IS NOT NULL),
       l AS (
         SELECT user_id,
-               list_transform(list(gap ORDER BY tsec, event_id),
+               list_transform(list(gap ORDER BY tsec NULLS FIRST, event_id NULLS FIRST),
                               x -> CAST(x AS DOUBLE)) AS gaps
         FROM g WHERE gap IS NOT NULL
         GROUP BY user_id)

@@ -139,7 +139,7 @@ object TextOps {
       SELECT token, count(*) AS freq
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       GROUP BY token
-      ORDER BY freq DESC, token
+      ORDER BY freq DESC NULLS LAST, token NULLS FIRST
       LIMIT 20
     """))
 
@@ -186,7 +186,7 @@ object TextOps {
       SELECT pair, CAST(sum(freq) AS BIGINT) AS n
       FROM p
       GROUP BY pair
-      ORDER BY n DESC, pair
+      ORDER BY n DESC NULLS LAST, pair NULLS FIRST
       LIMIT 20
     """))
 
@@ -447,7 +447,7 @@ object TextOps {
       FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
       HAVING count(*) >= 3
-      ORDER BY n_shared DESC, doc_a, doc_b
+      ORDER BY n_shared DESC NULLS LAST, doc_a NULLS FIRST, doc_b NULLS FIRST
       LIMIT 25
     """))
 
@@ -580,7 +580,7 @@ object TextOps {
                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents),
       c AS (SELECT lang, n_tokens,
-                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
             FROM d)
       SELECT lang,
@@ -666,7 +666,7 @@ object TextOps {
       SELECT tok, count(*) AS freq, true AS cms_ok
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok
-      ORDER BY freq DESC, tok
+      ORDER BY freq DESC NULLS LAST, tok NULLS FIRST
       LIMIT 10
     """))
 
@@ -710,7 +710,7 @@ object TextOps {
             FROM s JOIN n USING (lang))
       SELECT lang, tok, tf, df, tfidf_ppm
       FROM (SELECT *, row_number() OVER (PARTITION BY lang
-                      ORDER BY tfidf_ppm DESC, tok) AS rn FROM j)
+                      ORDER BY tfidf_ppm DESC NULLS LAST, tok NULLS FIRST) AS rn FROM j)
       WHERE rn <= 5
     """))
 
@@ -753,7 +753,7 @@ object TextOps {
       SELECT lang, CAST(max(cnt) AS BIGINT) AS n_total,
              count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
       FROM (SELECT lang, doc_id,
-              row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rn,
+              row_number() OVER (PARTITION BY lang ORDER BY h DESC NULLS LAST, doc_id NULLS FIRST) AS rn,
               count(*) OVER (PARTITION BY lang) AS cnt
             FROM (SELECT lang, doc_id,
                     ${h60Sql("'strat1_' || CAST(doc_id AS VARCHAR)")} AS h
@@ -800,7 +800,7 @@ object TextOps {
                  + 1) * 1000000
                  // CAST(length(text) AS BIGINT) AS rank
         FROM documents WHERE length(text) > 0)
-      ORDER BY rank, doc_id LIMIT 100
+      ORDER BY rank NULLS FIRST, doc_id NULLS FIRST LIMIT 100
     """))
 
   /** Nucleus vocabulary coverage — the tokenizer-design diagnostic:
@@ -848,7 +848,7 @@ object TextOps {
         GROUP BY 1, 2),
       t AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS total FROM f GROUP BY lang),
       c AS (SELECT lang, freq,
-              COALESCE(sum(freq) OVER (PARTITION BY lang ORDER BY freq DESC, tok
+              COALESCE(sum(freq) OVER (PARTITION BY lang ORDER BY freq DESC NULLS LAST, tok NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
             FROM f)
       SELECT lang, count(*) AS vocab_size,
@@ -920,7 +920,7 @@ object TextOps {
                   * 1000000.0 + 0.5) AS BIGINT) AS lift_ppm
       FROM cb JOIN cu a ON cb.tok_a = a.tok JOIN cu b ON cb.tok_b = b.tok CROSS JOIN n
       WHERE c_xy >= 5
-      ORDER BY lift_ppm DESC, tok_a, tok_b
+      ORDER BY lift_ppm DESC NULLS LAST, tok_a NULLS FIRST, tok_b NULLS FIRST
       LIMIT 20
     """))
 
@@ -1106,7 +1106,7 @@ object TextOps {
     Some(s"""
       WITH $bm25ScoresCte
       SELECT doc_id, lang, bm25_ppm FROM bscore
-      ORDER BY bm25_ppm DESC, doc_id
+      ORDER BY bm25_ppm DESC NULLS LAST, doc_id NULLS FIRST
       LIMIT 10
     """))
 
@@ -1170,7 +1170,7 @@ object TextOps {
              CAST(((fb + 1)::HUGEINT * ta * 1000000)
                   // ((fa + 1)::HUGEINT * tb) AS BIGINT) AS lift_ppm
       FROM c, t
-      ORDER BY lift_ppm DESC, token
+      ORDER BY lift_ppm DESC NULLS LAST, token NULLS FIRST
       LIMIT 20
     """))
 
@@ -1275,7 +1275,7 @@ object TextOps {
              CAST((cnt::HUGEINT * n_keys * 1000000) // total AS BIGINT)
                AS skew_ppm
       FROM pk, st
-      ORDER BY cnt DESC, l_orderkey
+      ORDER BY cnt DESC NULLS LAST, l_orderkey NULLS FIRST
       LIMIT 5
     """))
 
@@ -1351,7 +1351,7 @@ object TextOps {
              FROM (SELECT freq, toks,
                           unnest([ i for i in range(1, len(toks)) ]) AS i FROM v0)
              GROUP BY 1, 2),
-      b1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+      b1 AS (SELECT pa, pb, n FROM p1 ORDER BY n DESC NULLS LAST, pa NULLS FIRST, pb NULLS FIRST LIMIT 1),
       v1 AS (SELECT freq, list_reduce(list_transform(toks, t -> [t]),
                (acc, x) -> CASE WHEN acc[-1] = b1.pa AND x[1] = b1.pb
                            THEN acc[1:-2] || [b1.pa || b1.pb] ELSE acc || x END) AS toks
@@ -1360,7 +1360,7 @@ object TextOps {
              FROM (SELECT freq, toks,
                           unnest([ i for i in range(1, len(toks)) ]) AS i FROM v1)
              GROUP BY 1, 2),
-      b2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
+      b2 AS (SELECT pa, pb, n FROM p2 ORDER BY n DESC NULLS LAST, pa NULLS FIRST, pb NULLS FIRST LIMIT 1),
       v2 AS (SELECT freq, list_reduce(list_transform(toks, t -> [t]),
                (acc, x) -> CASE WHEN acc[-1] = b2.pa AND x[1] = b2.pb
                            THEN acc[1:-2] || [b2.pa || b2.pb] ELSE acc || x END) AS toks
@@ -1369,7 +1369,7 @@ object TextOps {
              FROM (SELECT freq, toks,
                           unnest([ i for i in range(1, len(toks)) ]) AS i FROM v2)
              GROUP BY 1, 2),
-      b3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)"""
+      b3 AS (SELECT pa, pb, n FROM p3 ORDER BY n DESC NULLS LAST, pa NULLS FIRST, pb NULLS FIRST LIMIT 1)"""
 
   val bpeTrain = Q(
     "q_bpe_train",
@@ -1383,7 +1383,7 @@ object TextOps {
         SELECT 1 AS rank, pa, pb, n FROM b1
         UNION ALL SELECT 2, pa, pb, n FROM b2
         UNION ALL SELECT 3, pa, pb, n FROM b3)
-      ORDER BY rank
+      ORDER BY rank NULLS FIRST
     """))
 
   /** BPE tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize
@@ -1510,7 +1510,7 @@ object TextOps {
       SELECT doc_id, n_bigrams, bits,
              (bits * 1000000) // n_bigrams AS mean_bits_ppm
       FROM pd
-      ORDER BY mean_bits_ppm DESC, doc_id
+      ORDER BY mean_bits_ppm DESC NULLS LAST, doc_id NULLS FIRST
       LIMIT 20
     """))
 

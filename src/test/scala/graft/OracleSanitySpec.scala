@@ -100,6 +100,66 @@ class OracleSanitySpec extends SparkSpec {
     }
   }
 
+  test("every oracle ORDER BY key states NULLS FIRST/LAST explicitly (engine defaults differ)") {
+    // the r15 fleet-wide latent class: Spark orders NULLS FIRST on ASC
+    // and NULLS LAST on DESC; DuckDB defaults to the OPPOSITE on both.
+    // The fixtures contain zero nulls, so an implicit-placement oracle
+    // is hash-green today and diverges on the first null-bearing
+    // corpus. All 96 clauses were made explicit in r15 (matching
+    // Spark's defaults); this audit keeps every FUTURE oracle honest.
+    def clauseEnd(s: String, start: Int): Int = {
+      var depth = 0
+      var i = start
+      while (i < s.length) {
+        val ch = s(i)
+        if ("({[".contains(ch)) depth += 1
+        else if (")}]".contains(ch)) {
+          if (depth == 0) return i
+          depth -= 1
+        }
+        if (depth == 0 && ch == '"') return i
+        if (depth == 0 && i > 0 && " \t\n".contains(s(i - 1)) &&
+            Seq("ROWS", "RANGE", "LIMIT").exists(t =>
+              s.startsWith(t + " ", i) || s.startsWith(t + "\n", i)))
+          return i
+        i += 1
+      }
+      s.length
+    }
+    def splitKeys(s: String): Seq[String] = {
+      val keys = scala.collection.mutable.Buffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach { ch =>
+        if ("({[".contains(ch)) depth += 1
+        else if (")}]".contains(ch)) depth -= 1
+        if (ch == ',' && depth == 0) { keys += cur.toString; cur.clear() }
+        else cur += ch
+      }
+      if (cur.nonEmpty) keys += cur.toString
+      keys.toSeq
+    }
+    val bad = scala.collection.mutable.Buffer.empty[String]
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      var from = 0
+      while ({ val i = sql.indexOf("ORDER BY ", from); from = i; i >= 0 }) {
+        val start = from + "ORDER BY ".length
+        val end = clauseEnd(sql, start)
+        splitKeys(sql.substring(start, end)).foreach { k =>
+          val key = k.trim
+          if (key.nonEmpty &&
+              !key.toUpperCase.matches("(?s).*NULLS\\s+(FIRST|LAST)$"))
+            bad += s"$name: ORDER BY key '$key' has implicit null placement"
+        }
+        from = end
+      }
+    }
+    assert(bad.isEmpty,
+      "oracle ORDER BY keys without explicit NULLS FIRST/LAST (Spark: " +
+        "asc=FIRST desc=LAST; DuckDB defaults are the opposite — state " +
+        s"Spark's): ${bad.take(10).mkString("; ")}")
+  }
+
   test("no oracle interpolated a lowercase 'null' token (uninitialized String val)") {
     // intended SQL nulls in this codebase are uppercase (IS NULL,
     // IFNULL); a lowercase bare `null` is Scala's uninitialized
