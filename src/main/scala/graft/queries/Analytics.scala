@@ -210,7 +210,7 @@ object Analytics {
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
              GROUPING(l_returnflag, l_linestatus) AS gid
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -100,7 +100,7 @@ object Relational {
     },
     Some(s"""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
              CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS sum_disc_price,
              count(*) AS count_order
@@ -172,7 +172,7 @@ object Relational {
     },
     Some(s"""
       SELECT p_brand,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
              count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -1466,7 +1466,7 @@ object Relational {
     },
     Some("""
       WITH y AS (
-        SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        SELECT l_partkey, l_suppkey, CAST(trunc(l_quantity) AS BIGINT) AS qty
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'),
