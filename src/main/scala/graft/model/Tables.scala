@@ -102,15 +102,25 @@ object Tables {
     java.util.Base64.getEncoder.encodeToString(acc)
   }
 
+  // per-key compute latch (r15 — the same race the r14 ADVICE named on
+  // the exact-kNN memo): get-then-put lets concurrent cold callers each
+  // run the count job. One monitor Object per distinct table path ever
+  // counted (bytes each, O(tables × dirs)); the value map above stays
+  // the replace-per-path store.
+  private val rowCountLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
     val digest = snapshotDigest(s, d, name)
     val key = new org.apache.hadoop.fs.Path(s"$d/$name.parquet").toString
-    val cur = rowCountCache.get(key)
-    if (cur != null && cur._1 == digest) cur._2
-    else {
-      val n = apply(s, d, name).count()
-      rowCountCache.put(key, (digest, n))
-      n
+    rowCountLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur = rowCountCache.get(key)
+      if (cur != null && cur._1 == digest) cur._2
+      else {
+        val n = apply(s, d, name).count()
+        rowCountCache.put(key, (digest, n))
+        n
+      }
     }
   }
 }
