@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Money, Q, Tables}
 import graft.model.Money.{cents, centsSql}
@@ -405,24 +405,51 @@ object Relational {
     """))
 
   /** JSON extraction from the events.props column (reference P2
-    * from_json surface in scalar form). */
+    * from_json surface in scalar form).
+    *
+    * INTEGER-k CONTRACT, ENFORCED on both engines (r15 review — the
+    * q_length_buckets garbage-input class, verified empirically):
+    * on malformed JSON Spark's get_json_object returns NULL while
+    * DuckDB's json_extract_string ABORTS; on a non-integral k ('2.5')
+    * Spark's ANSI cast throws while DuckDB's CAST ROUNDS to 3. Both
+    * sides now gate the cast behind the same ^-?[0-9]+$ shape check
+    * (plus json_valid on the DuckDB side, where malformed input would
+    * otherwise error before the gate), so a row with malformed props
+    * or a non-integer k is EXCLUDED identically instead of aborting
+    * one engine or silently diverging. The fixtures' props are
+    * well-formed integral k — hashes unchanged; the contract is now
+    * by construction. */
+  /** The gated extraction, exposed for the spec (malformed / float /
+    * missing k must all decode to NULL, never abort). */
+  private[graft] def jsonIntK(props: Column): Column = {
+    val ks = get_json_object(props, "$.k")
+    when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+  }
+
   val jsonExtract = Q(
     "q_json_extract",
     (spark, dir) => {
       Tables.events(spark, dir)
-        .select(col("event_type"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(col("event_type"), jsonIntK(col("props")).as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"),
              count(col("k")).as("n_k"),
              max(col("k")).as("max_k"))
     },
     Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                     AND regexp_matches(json_extract_string(props, '$.k'),
+                                        '^-?[0-9]+$')
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events)
       SELECT event_type,
-             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-      FROM events
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             count(k) AS n_k,
+             max(k) AS max_k
+      FROM e
       GROUP BY event_type
     """))
 

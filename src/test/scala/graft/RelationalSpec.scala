@@ -92,4 +92,27 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(a == b)
   }
+
+  test("json k extraction: malformed / float / missing k decode to NULL, never abort (r15 contract)") {
+    // the cross-engine garbage-input class, verified empirically:
+    // DuckDB json_extract_string ABORTS on malformed JSON where
+    // get_json_object returns NULL, and DuckDB CAST('2.5' AS BIGINT)
+    // ROUNDS where Spark's ANSI cast throws. The shape gate makes all
+    // three cases EXCLUDED identically; this pins the Spark half
+    // (the oracle half carries the same CASE + json_valid gate).
+    import spark.implicits._
+    val rows = Seq(
+      ("""{"k": 42}""", Some(42L)),
+      ("""{"k": "7"}""", Some(7L)),   // quoted integer still extracts
+      ("""{"k": 2.5}""", None),       // non-integral -> excluded
+      ("""{"k": "x"}""", None),       // non-numeric -> excluded
+      ("""not json""", None),         // malformed -> excluded, no abort
+      ("""{"j": 1}""", None),         // k absent -> excluded
+      ("""{"k": -3}""", Some(-3L)))   // negative integer passes the gate
+    val got = rows.map(_._1).toDF("props")
+      .select(Relational.jsonIntK($"props").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == rows.map(_._2),
+      s"gated extraction mismatch: ${got.toSeq} vs ${rows.map(_._2)}")
+  }
 }
