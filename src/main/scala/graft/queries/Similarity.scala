@@ -355,11 +355,16 @@ object Similarity {
     * vectors now step to 16,384 buckets/table instead of aborting the
     * query; ScalingCurveSpec measures the rung-14 engagement by
     * collision density on the same vector family (engaged = density
-    * falls ~4× stepping 12 → 14; stuck = it rises). Past 409,600 the
-    * refusal stands — at label granularity that corpus shape is a
-    * degenerate blocking key (one label = 400k+ near-neighbors)
+    * falls ~4× stepping 12 → 14; stuck = it rises).
+    *
+    * Rung 16 (r15, alongside srpRungs 17 — the ceilings move
+    * together): hot labels to 1,638,400 step to 65,536 buckets/table,
+    * engagement density-measured at a 512,000-vector hot label on the
+    * md5 family (same engaged-vs-stuck separation). Past 1,638,400
+    * the refusal stands — at label granularity that corpus shape is a
+    * degenerate blocking key (one label = 1.6M+ near-neighbors)
     * before it is a scale problem; see SCALE.md. */
-  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14)
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16)
   private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
   private[graft] def embedLshCaseSql: String =
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>

@@ -248,11 +248,24 @@ class ScalingCurveSpec extends SparkSpec {
       f"rung-14 density $d14%.6f not below 0.5x the rung-12 density " +
         f"$d12%.6f — rung 14 did not engage")
     assert(d14 > 0)
+    // rung 16 (r15 — envelope 1,638,400/label): one more occupancy-
+    // separated pair. 409,600 sits at rung 14's cap (occupancy 25,
+    // density ≈ 4·25/n); 512,000 lands on rung 16 at occupancy 7.8 —
+    // engaged, density falls ~4x; stuck at 14 bits it stays ~equal
+    // (occupancy 31). Same md5 family, same 0.5 threshold.
+    val d14cap = densityMd5(409600)
+    val d16 = densityMd5(512000)
+    info(f"embed-lsh density: rung 14 @409600 = $d14cap%.7f, rung 16 @512000 = $d16%.7f")
+    assert(d16 < d14cap * 0.5,
+      f"rung-16 density $d16%.7f not below 0.5x the rung-14-cap density " +
+        f"$d14cap%.7f — rung 16 did not engage")
+    assert(d16 > 0)
     // past the audited envelope the Scala side refuses loudly instead
     // of silently running the last rung ever hotter
     // dim 64 so the bucket array is non-null and the masking lambda
     // (where the ladder CASE lives) actually evaluates per row
-    val over = spark.range(graft.queries.Similarity.embedLshRungCap(3) + 1)
+    val over = spark.range(graft.queries.Similarity
+        .embedLshRungCap(graft.queries.Similarity.embedLshRungs.size - 1) + 1)
       .select(col("id").as("vec_id"), lit(9).as("label"),
         expr("array_repeat(1.0D, 64)").as("embedding"))
     val e = intercept[Exception](
