@@ -111,9 +111,13 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def cachedRowCount(s: SparkSession, d: String, name: String): Long = {
-    val digest = snapshotDigest(s, d, name)
     val key = new org.apache.hadoop.fs.Path(s"$d/$name.parquet").toString
     rowCountLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      // digest INSIDE the latch (r15 review): snapshotted outside, a
+      // count taken under the lock could be cached under a digest that
+      // no longer names the data it was computed from (writer lands
+      // between digest and lock) — a poisoned entry served as a hit
+      val digest = snapshotDigest(s, d, name)
       val cur = rowCountCache.get(key)
       if (cur != null && cur._1 == digest) cur._2
       else {

@@ -739,7 +739,12 @@ object Dedup {
   private[graft] def evalBoundedSemiJoin(spark: SparkSession, big: DataFrame,
       keys: DataFrame, key: String, cap: Int = evalSetCap): DataFrame = {
     import spark.implicits._
-    val probe = keys.limit(cap + 1).as[Long].collect()
+    // a NULL key can never semi-join-match; drop it HERE so both
+    // branches agree (r15 review: the under-cap branch's as[Long]
+    // decode NPE'd on a null row while the over-cap semi-join silently
+    // dropped it — cap-dependent semantics in a shared dispatch)
+    val keysNn = keys.na.drop()
+    val probe = keysNn.limit(cap + 1).as[Long].collect()
     if (probe.length <= cap) {
       val bf = org.apache.spark.util.sketch.BloomFilter
         .create(math.max(probe.length.toLong, 64L), 0.01)
@@ -753,7 +758,7 @@ object Dedup {
         bfB.value.mightContainLong(h) && keySetB.value.contains(h))
       big.filter(hits(col(key)))
     } else {
-      big.join(keys, Seq(key), "left_semi")
+      big.join(keysNn, Seq(key), "left_semi")
     }
   }
 

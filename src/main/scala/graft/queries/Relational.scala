@@ -420,10 +420,14 @@ object Relational {
     * well-formed integral k — hashes unchanged; the contract is now
     * by construction. */
   /** The gated extraction, exposed for the spec (malformed / float /
-    * missing k must all decode to NULL, never abort). */
+    * missing / OVERFLOWING k must all decode to NULL, never abort —
+    * the 18-digit bound keeps every accepted value inside BIGINT on
+    * both engines; a 19-digit integer may or may not fit, and an
+    * unbounded regex let it through to an ABORT on both sides, r15
+    * review). */
   private[graft] def jsonIntK(props: Column): Column = {
     val ks = get_json_object(props, "$.k")
-    when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+    when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long"))
   }
 
   val jsonExtract = Q(
@@ -441,7 +445,7 @@ object Relational {
         SELECT event_type,
                CASE WHEN json_valid(props)
                      AND regexp_matches(json_extract_string(props, '$.k'),
-                                        '^-?[0-9]+$')
+                                        '^-?[0-9]{1,18}$')
                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                END AS k
         FROM events)

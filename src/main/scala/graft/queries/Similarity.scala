@@ -196,9 +196,12 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] def exactKnnTop1Cached(spark: SparkSession, dir: String): DataFrame = {
-    val digest = Tables.snapshotDigest(spark, dir, "embeddings")
     val lock = exactKnnLocks.computeIfAbsent(dir, _ => new Object)
     val rows = lock.synchronized {
+      // digest INSIDE the latch (r15 review, same race as
+      // Tables.cachedRowCount): snapshotted outside, the compute could
+      // be memoized under a digest that predates a concurrent rewrite
+      val digest = Tables.snapshotDigest(spark, dir, "embeddings")
       val cur = exactKnnCache.get(dir)
       if (cur != null && cur._1 == digest) cur._2
       else {

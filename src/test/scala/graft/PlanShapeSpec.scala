@@ -662,7 +662,9 @@ class PlanShapeSpec extends SparkSpec {
     // both return the identical row set.
     import spark.implicits._
     val big = (1L to 100L).map(h => (h % 7, h)).toDF("hk", "doc_id")
-    val keys = Seq(1L, 3L).toDF("hk")
+    // a NULL key must be dropped identically by BOTH branches (it can
+    // never semi-join-match; pre-fix the under-cap decode NPE'd on it)
+    val keys = Seq(Some(1L), Some(3L), None).toDF("hk")
     val bounded = Dedup.evalBoundedSemiJoin(spark, big, keys, "hk")
     val fallback = Dedup.evalBoundedSemiJoin(spark, big, keys, "hk", cap = 0)
     val boundedPlan = bounded.queryExecution.optimizedPlan.toString

@@ -108,7 +108,12 @@ class RelationalSpec extends SparkSpec {
       ("""{"k": "x"}""", None),       // non-numeric -> excluded
       ("""not json""", None),         // malformed -> excluded, no abort
       ("""{"j": 1}""", None),         // k absent -> excluded
-      ("""{"k": -3}""", Some(-3L)))   // negative integer passes the gate
+      ("""{"k": -3}""", Some(-3L)),   // negative integer passes the gate
+      // 19+ digits may overflow BIGINT: an unbounded regex let this
+      // through to an ABORT on BOTH engines (r15 review) — the
+      // 18-digit bound excludes it identically instead
+      ("""{"k": 9223372036854775808}""", None),
+      ("""{"k": 999999999999999999}""", Some(999999999999999999L)))
     val got = rows.map(_._1).toDF("props")
       .select(Relational.jsonIntK($"props").as("k"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
