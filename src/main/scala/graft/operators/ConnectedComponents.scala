@@ -147,26 +147,47 @@ object ConnectedComponents {
     // even that underestimates (review finding on the first spelling,
     // which shuffled everything into confPart partitions first)
     val initPart = math.max(confPart, input.getNumPartitions)
+    val part0 = new HashPartitioner(initPart)
+    // measured-edge-count sizing WITHOUT a dedicated job (r16, verdict
+    // item 3 — the standalone sym0.count() cost a measured +0.3 s per
+    // CC-family query): the accumulator counts symmetrized rows inside
+    // the flatMap the first materialization already pays. Task retries
+    // can re-apply transformation-side accumulator updates — an
+    // OVER-count, which only inflates the partition target: the safe
+    // direction for a per-task-memory bound (never under-sizes).
+    val symCount = spark.sparkContext.longAccumulator("graft.cc.symEdges")
     val sym0: RDD[(Long, Long)] = pin(input
       .flatMap { r =>
         if (r.isNullAt(0) || r.isNullAt(1))
           throw new IllegalArgumentException(
             s"null node id in edge list (columns $src, $dst)")
         val a = r.getLong(0); val b = r.getLong(1)
+        symCount.add(2L)
         Seq((a, b), (b, a))
       }
-      .partitionBy(new HashPartitioner(initPart)))
+      .partitionBy(part0))
 
     try {
+      // init labels(id) = id with ZERO extra shuffles: sym0 carries
+      // `part0`, so the dedup reduceByKey is partition-local, and the
+      // identity relabel preserves the partitioner. The count() below
+      // is the measuring action: it materializes sym0's blocks AND
+      // fills the edge-count accumulator in one pass.
+      val labels0: RDD[(Long, Long)] = pin(sym0
+        .mapValues(_ => 0L)
+        .reduceByKey(part0, (a: Long, _: Long) => a)
+        .mapPartitions(_.map { case (id, _) => (id, id) },
+          preservesPartitioning = true))
+      labels0.count()
       // DERIVE the partition count from the measured edge count rather
       // than trusting spark.sql.shuffle.partitions (r14 ADVICE): every
       // per-task structure here — attachOne's ONE-side LongMap,
       // dedupByKey's seen-set — is sized by rows-per-partition, and the
       // conf knob (default 32) would yield multi-GB per-task maps on a
-      // 100 TB edge list unless someone remembered to raise it. One
-      // count on the already-persisted blocks; the re-partition shuffle
-      // only happens in the oversized regime the conf knob mis-sizes.
-      val nSym = sym0.count()
+      // 100 TB edge list unless someone remembered to raise it. The
+      // re-partition shuffle only happens in the oversized regime the
+      // action-free floor mis-sizes.
+      val nSym = symCount.value.longValue
       val needed = math.max(initPart.toLong,
         (nSym + rowsPerPartition - 1) / rowsPerPartition)
       require(needed <= Int.MaxValue, s"edge list needs $needed partitions")
@@ -179,15 +200,16 @@ object ConnectedComponents {
           release(sym0)
           re
         }
-      // init labels(id) = id with ZERO extra shuffles: sym already has
-      // `part`, so the dedup reduceByKey is partition-local, and the
-      // identity relabel preserves the partitioner
-      var labels: RDD[(Long, Long)] = pin(sym
-        .mapValues(_ => 0L)
-        .reduceByKey(part, (a: Long, _: Long) => a)
-        .mapPartitions(_.map { case (id, _) => (id, id) },
-          preservesPartitioning = true))
-      labels.count() // materialize so the first round starts from blocks
+      var labels: RDD[(Long, Long)] =
+        if (needed.toInt == initPart) labels0
+        else {
+          // one row per NODE — re-keying labels is strictly cheaper
+          // than re-deriving them from the re-partitioned edges
+          val re = pin(labels0.partitionBy(part))
+          re.count()
+          release(labels0)
+          re
+        }
       var labelsStore: RDD[_] = labels // the persisted RDD to release
 
       var changed = 1L

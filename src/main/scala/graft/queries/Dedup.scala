@@ -749,14 +749,27 @@ object Dedup {
       val bf = org.apache.spark.util.sketch.BloomFilter
         .create(math.max(probe.length.toLong, 64L), 0.01)
       probe.foreach(bf.putLong)
-      val bfB = spark.sparkContext.broadcast(bf)
+      // Primary filter: Catalyst's own BloomFilterMightContain over the
+      // serialized bloom as a constant binary — the SAME expression the
+      // runtime-bloom-filter rule injects, so the probe every corpus
+      // row pays is codegen'd inside WholeStageCodegen instead of a
+      // per-row Scala UDF (r16, verdict item 4). The constant ships in
+      // the broadcast task binary, same distribution cost as an
+      // explicit sc.broadcast.
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val bloomHit = ColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(col(key))))
+      // exact-set confirmation only on the ~1% bloom positives (And
+      // short-circuits in both codegen and interpreted eval): results
+      // are exact, the bloom only shapes cost
       val keySetB = spark.sparkContext.broadcast(probe.toSet)
-      // bloom first (cache-friendly, the thing cheap enough to test
-      // EVERY corpus row against), exact set only on the ~1% bloom
-      // positives: results are exact, the bloom only shapes cost
-      val hits = udf((h: Long) =>
-        bfB.value.mightContainLong(h) && keySetB.value.contains(h))
-      big.filter(hits(col(key)))
+      val confirmed = udf((h: Long) => keySetB.value.contains(h))
+      big.filter(bloomHit && confirmed(col(key)))
     } else {
       big.join(keysNn, Seq(key), "left_semi")
     }

@@ -427,7 +427,11 @@ object Relational {
     * review). */
   private[graft] def jsonIntK(props: Column): Column = {
     val ks = get_json_object(props, "$.k")
-    when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long"))
+    // \A/\z, not ^/$: Java's $ also matches before a trailing line
+    // terminator and cast-to-long trims whitespace, so "123\n" would
+    // pass here while DuckDB's RE2 $ (end-of-text) rejects it — a
+    // row-level divergence inside the parity gate itself (r16 review).
+    when(ks.rlike("\\A-?[0-9]{1,18}\\z"), ks.cast("long"))
   }
 
   val jsonExtract = Q(
@@ -442,11 +446,17 @@ object Relational {
     },
     Some("""
       WITH e AS (
+        -- Nested CASEs, not one AND chain: DuckDB's adaptive conjunct
+        -- reordering may evaluate json_extract_string BEFORE
+        -- json_valid in a flat conjunction, aborting on malformed
+        -- props (r16 advice, verified on DuckDB 1.0). Nesting makes
+        -- the evaluation order structural.
         SELECT event_type,
-               CASE WHEN json_valid(props)
-                     AND regexp_matches(json_extract_string(props, '$.k'),
-                                        '^-?[0-9]{1,18}$')
-                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               CASE WHEN json_valid(props) THEN
+                 CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                          '^-?[0-9]{1,18}$')
+                      THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END
                END AS k
         FROM events)
       SELECT event_type,

@@ -670,6 +670,18 @@ class PlanShapeSpec extends SparkSpec {
     val boundedPlan = bounded.queryExecution.optimizedPlan.toString
     assert(!boundedPlan.toLowerCase.contains("join"),
       s"bounded branch must be a map-side filter, not a join:\n$boundedPlan")
+    // r16: the full-corpus probe must be the CODEGEN'D builtin, with
+    // the exact-set Scala UDF short-circuited behind it (And evaluates
+    // left-to-right in both codegen and interpreted paths), so the hot
+    // path every corpus row pays stays inside WholeStageCodegen. Pinned
+    // on the ANALYZED plan: over this test's LocalRelation fixture the
+    // optimizer folds the whole filter away (real callers scan parquet,
+    // where the Filter survives into codegen).
+    val analyzed = bounded.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain"),
+      s"bounded branch primary filter must be BloomFilterMightContain:\n$analyzed")
+    assert(analyzed.indexOf("might_contain") < analyzed.indexOf("UDF"),
+      s"bloom builtin must precede the exact-set UDF in the And:\n$analyzed")
     val fbPlan = fallback.queryExecution.optimizedPlan.toString
     assert(fbPlan.contains("LeftSemi"),
       s"over-cap branch must be the distributed semi-join:\n$fbPlan")

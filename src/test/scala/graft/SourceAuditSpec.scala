@@ -69,9 +69,10 @@ class SourceAuditSpec extends AnyFunSuite {
         "CMS probe: count-min sketch lookup has no builtin; sketch is " +
           "a broadcast array, probe is O(depth)"),
       "queries/Dedup.scala" -> (1,
-        "evalBoundedSemiJoin bloom+exact-set probe: " +
-          "BloomFilter.mightContainLong has no builtin Column form; " +
-          "both sides broadcast, bounded by evalSetCap")))
+        "evalBoundedSemiJoin exact-set CONFIRMATION only (r16): the " +
+          "primary per-row probe is the builtin BloomFilterMightContain " +
+          "(codegen'd); the UDF runs solely on the ~1% bloom positives " +
+          "via And short-circuit, set bounded by evalSetCap")))
   }
 
   test("mapPartitions confined to the audited imperative operators") {
@@ -116,5 +117,40 @@ class SourceAuditSpec extends AnyFunSuite {
           "ACTION that materializes the cache before the later probe " +
           "scan reads it — sequential consumers, never one fan-out " +
           "action")))
+  }
+
+  test("collected-array sorts audited for null sort keys (Spark vs DuckDB place them oppositely)") {
+    // r15 NOTES open thread, r16 verdict task 6: Spark's sort_array
+    // AND array_sort place a NULL scalar element / null leading struct
+    // FIELD first (ascending), while DuckDB's list_sort / list(ORDER
+    // BY) default places it last — invisible on row-sorted compares
+    // EXCEPT where the array is consumed order-sensitively (folds,
+    // array_join, slice). Every site must prove its sort key is
+    // non-null by construction, or handle placement explicitly the way
+    // funnel/ewma do. Doc mentions count too (cheap; keeps the regex
+    // simple and the audit conservative).
+    audit("collected-array sort", """(sort_array|array_sort)\(""", Map(
+      "queries/Analytics.scala" -> (1,
+        "funnel evs: ts IS nullable — null-ts rows dropped by an " +
+          "EXPLICIT isNotNull filter on both engines before the sort " +
+          "(documented at the site, r15)"),
+      "queries/TemporalOps.scala" -> (1,
+        "ewma gaps: same nullable-ts class, same explicit isNotNull " +
+          "drop as funnel (r15)"),
+      "queries/Dedup.scala" -> (1,
+        "winnowing positions: pos comes from posexplode — non-null " +
+          "by construction on both engines"),
+      "queries/Relational.scala" -> (1,
+        "q_array_agg: Spark collect_set DROPS null elements and the " +
+          "oracle's list_distinct drops NULLs identically — no null " +
+          "element reaches either engine's sort (verified r16 on the " +
+          "null-injected corpus)"),
+      "queries/Similarity.scala" -> (8,
+        "sort keys are posexplode indexes, k-means cell ids, or " +
+          "packed longs out of vector kernels with loud non-null " +
+          "contracts (refusal ladders) — none nullable"),
+      "functions/VectorExpressions.scala" -> (1,
+        "scaladoc mention only (describes the pack-decode shape); " +
+          "no executable sort")))
   }
 }
