@@ -21,14 +21,27 @@ object Aggregators {
   case class RevOut(revenue: Long, n_items: Long)
 
   /** (extendedprice, discount) -> exact discounted revenue in 1e-4
-    * units + count. */
-  object DiscountedRevenue extends Aggregator[(Double, Double), RevBuf, RevOut] {
+    * units + count of CONTRIBUTING rows.
+    *
+    * Inputs are Option[Double], not Double (r16, found by the
+    * null-injected parity corpus): a primitive-typed Aggregator input
+    * decodes a NULL column as 0.0 SILENTLY — a null discount billed as
+    * full price, inflating revenue with no error anywhere. The SQL
+    * aggregate convention applies instead: a row where either operand
+    * is NULL contributes to neither the sum nor the count (exactly
+    * `sum(expr)` / `count(expr)` semantics — the oracle counts
+    * count(expr), not count(*)). */
+  object DiscountedRevenue
+      extends Aggregator[(Option[Double], Option[Double]), RevBuf, RevOut] {
     private def rowUnits(price: Double, discount: Double): Long =
       math.floor(price * (1.0 - discount) * 10000.0 + 0.5).toLong
 
     override def zero: RevBuf = RevBuf(0L, 0L)
-    override def reduce(b: RevBuf, in: (Double, Double)): RevBuf =
-      RevBuf(b.sum + rowUnits(in._1, in._2), b.n + 1)
+    override def reduce(b: RevBuf, in: (Option[Double], Option[Double])): RevBuf =
+      in match {
+        case (Some(p), Some(d)) => RevBuf(b.sum + rowUnits(p, d), b.n + 1)
+        case _                  => b
+      }
     override def merge(a: RevBuf, b: RevBuf): RevBuf =
       RevBuf(a.sum + b.sum, a.n + b.n)
     override def finish(b: RevBuf): RevOut = RevOut(b.sum, b.n)
@@ -47,7 +60,15 @@ object Aggregators {
     * k rows per group per partition instead of the whole group.
     * Ordering is (value DESC, tiebreak ASC) — a total order, so
     * `merge` is associative/commutative regardless of the
-    * nondeterministic partition-completion order. */
+    * nondeterministic partition-completion order.
+    *
+    * INPUTS MUST BE NON-NULL: a primitive-typed Aggregator input
+    * decodes a NULL column as 0 SILENTLY (r16, null corpus — a
+    * null-priced order ranked as a zero-cent order). Callers over
+    * nullable columns filter nulls EXPLICITLY and mirror the filter in
+    * their oracle (q_topk_agg); every other caller's values are
+    * non-null by construction (counts, similarity scores, packed
+    * positions). */
   class TopK(k: Int) extends Aggregator[(Long, Long), TopKBuf, TopKOut] {
     require(k > 0, s"TopK requires k > 0, got $k")
     // no negation trick: -Long.MinValue overflows and would rank the

@@ -54,10 +54,18 @@ object Multimodal {
   val decodeBatchSize = 64
 
   /** documents -> media table: payload = raw text bytes standing in
-    * for encoded media; metadata derived deterministically. */
+    * for encoded media; metadata derived deterministically.
+    *
+    * NULL text = a missing blob, dropped HERE (r16, found by the
+    * null-injected parity corpus): every decoder dereferences
+    * `payload` (MediaRecord declares it as the row's content, not an
+    * Option), so a null row is an executor NPE three operators deep —
+    * the contract belongs at the table boundary. All four multimodal
+    * oracles mirror with the same `WHERE text IS NOT NULL`. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
@@ -516,7 +524,7 @@ object Multimodal {
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
                length(text) AS n,
                [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)] AS codes
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       f AS (
         SELECT doc_id, fmt, n,
                COALESCE(list_sum(codes[(0 * n) // 4 + 1 : (1 * n) // 4]), 0)::DOUBLE / greatest((1 * n) // 4 - (0 * n) // 4, 1)
@@ -549,7 +557,7 @@ object Multimodal {
         SELECT doc_id, frame_id,
                ((frame_id + 1) * length(text)) // 8 - (frame_id * length(text)) // 8 AS frame_len
         FROM documents, (SELECT unnest(range(0, 8)) AS frame_id)
-        WHERE frame_id % 2 = 0)
+        WHERE frame_id % 2 = 0 AND text IS NOT NULL)
       GROUP BY frame_id
     """))
 
@@ -576,7 +584,7 @@ object Multimodal {
                CAST(16 + doc_id % 16 AS BIGINT) AS w,
                CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
                CAST(length(text) AS BIGINT) AS n, text
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       r AS (
         SELECT fmt,
                CASE WHEN n = 0 THEN 0 ELSE
@@ -617,7 +625,7 @@ object Multimodal {
                CAST(16 + doc_id % 16 AS BIGINT) AS w,
                CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
                CAST(length(text) AS BIGINT) AS n, text
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       v AS (
         SELECT doc_id, n,
                [CAST(ascii(text[

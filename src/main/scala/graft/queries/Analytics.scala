@@ -269,26 +269,45 @@ object Analytics {
     * deterministic, so each bound check is a stable boolean the driver
     * hash-compares against literal `true` — a sketch regression flips
     * it and fails the gate. AnalyticsSpec asserts the tighter relative
-    * bound on the values themselves. NOTE the lo/hi bounds use exact
-    * `percentile` — acceptable because THIS query is the contract
-    * checker, not the production path: at 100 TB you run the sketch
-    * aggregate alone (the `ap` column's plan) and the bound harness
-    * stays at validation scale. */
+    * bound on the values themselves.
+    *
+    * The check is the sketch's OWN guarantee — a RANK bound, not a
+    * value bracket (r16, null corpus): the retired spelling bracketed
+    * the sketch value between exact interpolated quantiles at
+    * p ± 0.005, a margin that is less than ONE element once a group
+    * falls under ~200 rows (the injected null-status group), so a
+    * perfectly in-contract answer failed the bracket. Here the rank of
+    * the returned value inside its group — cnt(< ap) .. cnt(<= ap) —
+    * must intersect p·n ± (n/accuracy + 1), which is exactly GK's
+    * ε-approximate-rank promise at any group size. The second pass
+    * that measures ranks is validation harness, not the production
+    * path: at 100 TB you run the sketch aggregate alone. */
   val approxPercentiles = Q(
     "q_approx_percentiles",
     (spark, dir) => {
       val ps = Seq(0.25, 0.50, 0.75, 0.95)
-      val eps = 0.005
-      val agg = Tables.orders(spark, dir)
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          expr(s"approx_percentile(o_totalprice, array(${ps.mkString(",")}), 1000)").as("ap"),
-          expr(s"percentile(o_totalprice, array(${ps.map(_ - eps).mkString(",")}))").as("lo"),
-          expr(s"percentile(o_totalprice, array(${ps.map(_ + eps).mkString(",")}))").as("hi"))
-      val oks = ps.indices.map(i =>
-        (col("ap")(i) >= col("lo")(i) && col("ap")(i) <= col("hi")(i))
-          .as(s"p${(ps(i) * 100).toInt}_ok"))
-      agg.select(col("o_orderstatus") +: oks: _*)
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+      val sk = o.groupBy(col("st").as("sk_st"))
+        .agg(expr(s"approx_percentile(v, array(${ps.mkString(",")}), 1000)").as("ap"))
+      // <=> : a NULL status is a legitimate group (the q_hll_merge
+      // join class); null v rows drop — the sketch never saw them
+      val j = o.filter(col("v").isNotNull)
+        .join(broadcast(sk), col("st") <=> col("sk_st"))
+      val rankAggs = ps.indices.flatMap(i => Seq(
+        sum(when(col("v") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$i"),
+        sum(when(col("v") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$i")))
+      val allAggs = count(lit(1)).as("n") +: rankAggs
+      val counts = j.groupBy(col("st"))
+        .agg(allAggs.head, allAggs.tail: _*)
+      val oks = ps.indices.map { i =>
+        val n = col("n").cast("double")
+        val slack = n / 1000.0 + 1.0
+        ((col(s"le$i").cast("double") >= lit(ps(i)) * n - slack) &&
+         (col(s"lt$i").cast("double") <= lit(ps(i)) * n + slack))
+          .as(s"p${(ps(i) * 100).toInt}_ok")
+      }
+      counts.select(col("st").as("o_orderstatus") +: oks: _*)
     },
     Some("""
       SELECT o_orderstatus, true AS p25_ok, true AS p50_ok,
@@ -329,9 +348,14 @@ object Analytics {
         .filter(col("n_orders") > 0)
     },
     Some("""
+      -- status restricted to the pivot's FIXED value list: the wide
+      -- form only has F/O/P columns, so a null (or novel) status never
+      -- entered it — without this mirror the null corpus grew 66 extra
+      -- null-status long rows on the oracle side only (r16)
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              o_orderstatus AS status, count(*) AS n_orders
       FROM orders
+      WHERE o_orderstatus IN ('F', 'O', 'P')
       GROUP BY 1, 2
     """))
 
@@ -373,7 +397,11 @@ object Analytics {
     "q_topk_agg",
     (spark, dir) => {
       val topk = udaf(new graft.functions.Aggregators.TopK(3))
+      // a null-priced order has no rank in a by-price top-k; dropped
+      // EXPLICITLY on both engines (r16 null corpus: TopK's primitive
+      // input decoded NULL as zero cents — see the Aggregator scaladoc)
       Tables.orders(spark, dir)
+        .filter(col("o_totalprice").isNotNull)
         .select(col("o_custkey"), cents(col("o_totalprice")).as("c"), col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(topk(col("c"), col("o_orderkey")).as("top"))
@@ -387,7 +415,7 @@ object Analytics {
                    ${centsSql("o_totalprice")} AS cents,
                    row_number() OVER (PARTITION BY o_custkey
                      ORDER BY ${centsSql("o_totalprice")} DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
-            FROM orders)
+            FROM orders WHERE o_totalprice IS NOT NULL)
       WHERE rn <= 3
     """))
 
@@ -770,7 +798,13 @@ object Analytics {
     "q_pareto_frontier",
     (spark, dir) => {
       import graft.operators.PrefixSum
+      // a part with an unknown price or size has no dominance
+      // semantics — dropped EXPLICITLY on both engines (r16, null
+      // corpus: a null coordinate aborts exclusiveMin's non-null row
+      // encoder, and DuckDB's window ORDER BY would place the null
+      // point oppositely anyway)
       val pts = Tables.part(spark, dir)
+        .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
         .groupBy(cents(col("p_retailprice")).as("price_c"),
                  col("p_size").cast("long").as("size"))
         .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
@@ -785,7 +819,9 @@ object Analytics {
                CAST(p_size AS BIGINT) AS size,
                CAST(count(*) AS BIGINT) AS n_parts,
                min(p_partkey) AS min_partkey
-        FROM part GROUP BY 1, 2),
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        GROUP BY 1, 2),
       pm AS (
         SELECT *, min(size) OVER (ORDER BY price_c NULLS FIRST, size NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
@@ -805,7 +841,13 @@ object Analytics {
   val brandFrontier = Q(
     "q_brand_frontier",
     (spark, dir) => {
+      // same null-coordinate drop as paretoFrontier (r16 null corpus:
+      // Spark windows order nulls FIRST asc, DuckDB LAST — a null
+      // price point silently changed the prefix-min frontier); a null
+      // BRAND is kept: it is a partition key, grouped identically by
+      // both engines
       val pts = Tables.part(spark, dir)
+        .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
         .groupBy(col("p_brand"), cents(col("p_retailprice")).as("price_c"),
                  col("p_size").cast("long").as("size"))
         .agg(count(lit(1)).as("n_parts"))
@@ -825,7 +867,9 @@ object Analytics {
         SELECT p_brand, ${centsSql("p_retailprice")} AS price_c,
                CAST(p_size AS BIGINT) AS size,
                CAST(count(*) AS BIGINT) AS n_parts
-        FROM part GROUP BY 1, 2, 3),
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        GROUP BY 1, 2, 3),
       pm AS (
         SELECT *, min(size) OVER (PARTITION BY p_brand
                  ORDER BY price_c NULLS FIRST, size NULLS FIRST

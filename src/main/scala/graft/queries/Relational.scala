@@ -313,16 +313,26 @@ object Relational {
   val hllMerge = Q(
     "q_hll_merge",
     (spark, dir) => {
-      val daily = Tables.events(spark, dir)
+      // daily-sketch rollup is over TIMESTAMPED events by definition
+      // (a null ts has no day to sketch under); dropped explicitly on
+      // both engines so n_days and the exact side read the same event
+      // set (r16 null corpus: the null-day window group inflated
+      // Spark's n_days while the oracle's count(DISTINCT day) ignored
+      // the null day)
+      val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      val daily = ev
         .groupBy(col("event_type"), window(col("ts"), "1 day").as("day"))
         .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
-      val merged = daily.groupBy(col("event_type"))
+      val merged = daily.groupBy(col("event_type").as("m_type"))
         .agg(count(lit(1)).as("n_days"),
              hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      val exact = Tables.events(spark, dir)
+      val exact = ev
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      exact.join(merged, "event_type")
+      // <=> not ===: a NULL event_type is a legitimate GROUP on both
+      // engines, and plain equality silently dropped its row from the
+      // inner join (r16 null corpus)
+      exact.join(merged, col("event_type") <=> col("m_type"))
         .select(col("event_type"), col("exact_users"), col("n_days"),
           (abs(col("est") - col("exact_users")).cast("double") <=
             greatest(lit(3.0), col("exact_users") * 0.05)).as("merge_ok"))
@@ -332,6 +342,7 @@ object Relational {
              count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_days,
              true AS merge_ok
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY event_type
     """))
 
@@ -607,7 +618,7 @@ object Relational {
     Some(s"""
       SELECT l_returnflag,
              CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)", "10000.0")}) AS BIGINT) AS revenue,
-             count(*) AS n_items
+             count(l_extendedprice * (1.0 - l_discount)) AS n_items
       FROM lineitem
       GROUP BY l_returnflag
     """))

@@ -19,7 +19,12 @@ object TemporalOps {
   val asofPrevOrder = Q(
     "q_asof_prev_order",
     (spark, dir) => {
-      val o = Tables.orders(spark, dir)
+      // a dateless order has no as-of semantics — excluded EXPLICITLY
+      // on both engines (r16 null corpus: our AsOfJoin gives a
+      // null-time row no match by design, while DuckDB's native ASOF
+      // sort-matched the 312 null-date rows — engine-defined, not SQL,
+      // behavior on both sides until the contract is stated)
+      val o = Tables.orders(spark, dir).filter(col("o_orderdate").isNotNull)
       val right = o.groupBy(col("o_custkey").as("custkey"),
                             col("o_orderdate").as("prev_date"))
         .agg(max(col("o_orderkey")).as("prev_orderkey"))
@@ -33,12 +38,13 @@ object TemporalOps {
                 datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
     },
     Some("""
-      WITH d AS (SELECT o_custkey AS custkey, o_orderdate AS prev_date,
-                        max(o_orderkey) AS prev_orderkey
-                 FROM orders GROUP BY 1, 2)
+      WITH o AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL),
+      d AS (SELECT o_custkey AS custkey, o_orderdate AS prev_date,
+                   max(o_orderkey) AS prev_orderkey
+            FROM o GROUP BY 1, 2)
       SELECT o.o_orderkey, o.o_custkey, d.prev_orderkey,
              date_diff('day', d.prev_date, o.o_orderdate) AS gap_days
-      FROM orders o ASOF JOIN d
+      FROM o ASOF JOIN d
         ON o.o_custkey = d.custkey AND o.o_orderdate > d.prev_date
     """))
 
@@ -147,7 +153,10 @@ object TemporalOps {
   val asofNextOrder = Q(
     "q_asof_next_order",
     (spark, dir) => {
-      val o = Tables.orders(spark, dir)
+      // dateless orders excluded explicitly — same contract as
+      // [[asofPrevOrder]] (the tolerance post-filter happened to mask
+      // the divergence here; stated anyway rather than incidental)
+      val o = Tables.orders(spark, dir).filter(col("o_orderdate").isNotNull)
       val right = o.groupBy(col("o_custkey").as("custkey"),
                             col("o_orderdate").as("next_date"))
         .agg(max(col("o_orderkey")).as("next_orderkey"))
@@ -161,15 +170,16 @@ object TemporalOps {
                 datediff(col("next_date"), col("o_orderdate")).as("gap_days"))
     },
     Some("""
-      WITH d AS (SELECT o_custkey AS custkey, o_orderdate AS next_date,
-                        max(o_orderkey) AS next_orderkey
-                 FROM orders GROUP BY 1, 2),
+      WITH o AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL),
+      d AS (SELECT o_custkey AS custkey, o_orderdate AS next_date,
+                   max(o_orderkey) AS next_orderkey
+            FROM o GROUP BY 1, 2),
       -- MATERIALIZED: the tolerance filter must stay OUTSIDE the ASOF
       -- join (pushed in, it binds as a second ASOF inequality -> error)
       a AS MATERIALIZED (
         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
                d.next_orderkey, d.next_date
-        FROM orders o ASOF JOIN d
+        FROM o ASOF JOIN d
           ON o.o_custkey = d.custkey AND o.o_orderdate < d.next_date)
       SELECT o_orderkey, o_custkey, next_orderkey,
              date_diff('day', o_orderdate, next_date) AS gap_days

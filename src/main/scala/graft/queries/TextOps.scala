@@ -358,7 +358,13 @@ object TextOps {
              CAST(len(hs) AS BIGINT) AS n_grams,
              CAST(len(fps) AS BIGINT) AS n_fingerprints,
              CAST(list_min(fps) AS BIGINT) AS fp_min,
-             CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+             -- COALESCE covers the EMPTY-fps doc (<7 words: DuckDB
+             -- list_sum([]) is NULL, Spark's 0-init fold gives 0) but
+             -- must NOT fire on NULL text, where the WinnowFps kernel
+             -- null-propagates — gate it on fps existing (r16 null
+             -- corpus: null-text docs read fp_sum 0 here vs NULL there)
+             CAST(CASE WHEN fps IS NOT NULL
+                       THEN COALESCE(list_sum(fps), 0) END AS BIGINT) AS fp_sum
       FROM f
     """))
 
@@ -558,18 +564,29 @@ object TextOps {
     "q_pack_chunks",
     (spark, dir) => {
       val C = 2048L
+      // null text = ZERO tokens (r16, null corpus: a null n_tokens
+      // aborts the prefix sum's non-null row encoder, and a packing
+      // layout has no token mass for a missing document anyway);
+      // oracle mirrors the COALESCE
       val toks = Tables.documents(spark, dir)
         .select(col("lang"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+            .as("n_tokens"))
       val pfx = graft.operators.PrefixSum.exclusive(
         toks, Seq(col("lang"), col("doc_id")), "n_tokens", "gpfx")
-      val langStart = pfx.groupBy(col("lang"))
+      // <=> not a name-join: a NULL lang is a legitimate group whose
+      // docs still pack; plain equality dropped the whole group from
+      // the inner join (r16 null corpus — the q_hll_merge class)
+      val langStart = pfx.groupBy(col("lang").as("ls_lang"))
         .agg(min(col("gpfx")).as("lang_start"))
-      pfx.join(broadcast(langStart), "lang")
+      pfx.join(broadcast(langStart), col("lang") <=> col("ls_lang"))
         .withColumn("before", col("gpfx") - col("lang_start"))
         .groupBy(col("lang"))
+        // n_tokens > 0 guard: a zero-token doc cannot straddle, and
+        // its (before - 1) would split Spark-truncate vs DuckDB-floor
         .agg(sum(col("n_tokens")).as("total_tokens"),
-             sum(when(expr(s"before div $C") < expr(s"(before + n_tokens - 1) div $C"), 1L)
+             sum(when(col("n_tokens") > 0 &&
+                   expr(s"before div $C") < expr(s"(before + n_tokens - 1) div $C"), 1L)
                .otherwise(0L)).as("n_straddlers"))
         .select(col("lang"), col("total_tokens"),
           expr(s"(total_tokens + ${C - 1}) div $C").as("n_chunks"),
@@ -577,7 +594,7 @@ object TextOps {
     },
     Some("""
       WITH d AS (SELECT lang, doc_id,
-                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tokens
                  FROM documents),
       c AS (SELECT lang, n_tokens,
                    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id NULLS FIRST
@@ -586,7 +603,8 @@ object TextOps {
       SELECT lang,
              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_chunks,
-             CAST(sum(CASE WHEN before // 2048 < (before + n_tokens - 1) // 2048
+             CAST(sum(CASE WHEN n_tokens > 0
+                            AND before // 2048 < (before + n_tokens - 1) // 2048
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       FROM c
       GROUP BY lang
@@ -1061,12 +1079,18 @@ object TextOps {
       log(lit(1.0) + (nd - f + 0.5) / (f + 0.5)) * (t * 2.2) /
         (t + lit(1.2) * (lit(0.25) + lit(0.75) * dl * nd / sl))
     }
+    // a NULL-text doc scores 0, not NULL (r16 null corpus): its term
+    // frequencies are all zero by definition, and zero is what every
+    // scored-but-termless doc already gets — while a NULL score ranked
+    // FIRST under GlobalRank's ascending negated encoding but LAST
+    // under the oracle's DESC NULLS LAST, silently shifting every
+    // lexical rank q_hybrid_rrf fused
     d.crossJoin(broadcast(g))
       .select(col("doc_id"), col("lang"),
-        graft.model.Money.cents(
+        coalesce(graft.model.Money.cents(
           term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
             term(col("tf3"), col("df3")),
-          1000000.0).as("bm25_ppm"))
+          1000000.0), lit(0L)).as("bm25_ppm"))
   }
 
   /** DuckDB CTE chain mirroring [[bm25Scores]]: defines
@@ -1085,7 +1109,7 @@ object TextOps {
                    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
             FROM d),
       bscore AS (SELECT doc_id, lang,
-        CAST(floor((
+        COALESCE(CAST(floor((
           ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
             * (CAST(tf1 AS DOUBLE) * 2.2)
             / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
@@ -1095,7 +1119,7 @@ object TextOps {
         + ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
             * (CAST(tf3 AS DOUBLE) * 2.2)
             / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(sl AS DOUBLE)))
-        ) * 1000000.0 + 0.5) AS BIGINT) AS bm25_ppm
+        ) * 1000000.0 + 0.5) AS BIGINT), 0) AS bm25_ppm
       FROM d CROSS JOIN g)"""
 
   val bm25 = Q(

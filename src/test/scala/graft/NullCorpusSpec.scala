@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The permanent null-bearing corpus in the regular suite (r16,
+  * verdict task 1): the driver fixtures contain ZERO nulls in any
+  * column, so the whole class of null-handling contracts — ORDER
+  * BY + LIMIT survivor sets, array-interior ordering, typed-Aggregator
+  * null decode, null-key joins — was previously enforced by audit
+  * only. The one-time r16 battery against a null-injected sf0.01
+  * corpus (tools/make_null_fixtures.py; NULLPARITY_r16.json) found 14
+  * real divergences, 5 of them executor ABORTS. This spec keeps the
+  * abort class dead: every registered query must EXECUTE on a
+  * null-bearing corpus, plus targeted invariants for the specific
+  * bugs the battery caught (value-level parity stays with the DuckDB
+  * battery — re-run tools/make_null_fixtures.py + Verify + check.py
+  * when touching null semantics).
+  *
+  * Injection mirrors the tool's plan (same columns, same key-hash
+  * rule, Scala spelling): deterministic per (row key, column, salt),
+  * key columns never nulled — the engine documents loud non-null
+  * contracts there (ConnectedComponents.minLabel throws).
+  */
+class NullCorpusSpec extends SparkSpec {
+
+  import NullCorpusSpec._
+
+  test("every registered query executes on the null-bearing corpus (abort class stays dead)") {
+    val dir = nullDir(spark)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" / ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries aborting on the null corpus:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("the corpus actually carries nulls where the plan says (injection not silently dead)") {
+    val dir = nullDir(spark)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    for (c <- Seq("ts", "value", "props", "event_type"))
+      assert(ev.filter(col(c).isNull).limit(1).count() == 1L,
+        s"events.$c: zero nulls — the injection rule or rate broke")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.filter(col("text").isNull).limit(1).count() == 1L,
+      "documents.text: zero nulls")
+    // keys stay non-null: minLabel & friends THROW on null ids
+    assert(docs.filter(col("doc_id").isNull).count() == 0L)
+  }
+
+  test("mediaTable drops null payloads at the boundary (decoder NPE class)") {
+    val dir = nullDir(spark)
+    val m = graft.multimodal.Multimodal.mediaTable(spark, dir)
+    assert(m.filter(col("payload").isNull).count() == 0L)
+    assert(m.count() > 0L)
+  }
+
+  test("DiscountedRevenue skips null operands like sum(expr)/count(expr) (silent 0.0-decode class)") {
+    val dir = nullDir(spark)
+    import graft.model.Money.cents
+    val rev = udaf(graft.functions.Aggregators.DiscountedRevenue)
+    val got = graft.model.Tables.lineitem(spark, dir)
+      .agg(rev(col("l_extendedprice"), col("l_discount")).as("r"))
+      .select(col("r.revenue"), col("r.n_items")).head()
+    val want = graft.model.Tables.lineitem(spark, dir)
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+             10000.0)).as("revenue"),
+           count(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("n_items")).head()
+    assert(got.getLong(0) === want.getLong(0),
+      "UDAF revenue must equal the built-in null-skipping sum")
+    assert(got.getLong(1) === want.getLong(1),
+      "UDAF n_items must equal count(expr), not count(*)")
+    // the null corpus must actually exercise the skip path
+    val nNullRows = graft.model.Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice").isNull || col("l_discount").isNull).count()
+    assert(nNullRows > 0L, "no null operands — the invariant is vacuous")
+  }
+
+  test("null group keys survive the broadcast-back joins (q_pack_chunks / q_hll_merge class)") {
+    val dir = nullDir(spark)
+    val packed = graft.queries.TextOps.packChunks.fn(spark, dir)
+    assert(packed.filter(col("lang").isNull).count() == 1L,
+      "pack_chunks lost the null-lang group (join must be null-safe)")
+    val hll = graft.queries.Relational.hllMerge.fn(spark, dir)
+    assert(hll.filter(col("event_type").isNull).count() == 1L,
+      "hll_merge lost the null-type group (join must be null-safe)")
+  }
+
+  test("asof excludes dateless orders by stated contract, not engine accident") {
+    val dir = nullDir(spark)
+    val out = graft.queries.TemporalOps.asofPrevOrder.fn(spark, dir)
+    // every emitted gap is computed from two non-null dates
+    assert(out.filter(col("gap_days").isNull).count() == 0L)
+    assert(out.count() > 0L)
+  }
+}
+
+object NullCorpusSpec {
+  // table -> (row key expr, column -> permille); mirrors
+  // tools/make_null_fixtures.py PLAN — keep the two in sync
+  private val plan: Map[String, (String, Map[String, Int])] = Map(
+    "customer" -> ("c_custkey", Map("c_acctbal" -> 20, "c_mktsegment" -> 10)),
+    "supplier" -> ("s_suppkey", Map("s_acctbal" -> 20)),
+    "part" -> ("p_partkey", Map("p_retailprice" -> 20, "p_type" -> 10, "p_size" -> 20)),
+    "orders" -> ("o_orderkey", Map("o_totalprice" -> 20, "o_orderdate" -> 20,
+                                   "o_orderstatus" -> 10)),
+    "lineitem" -> ("l_orderkey * 8 + l_linenumber",
+      Map("l_quantity" -> 20, "l_discount" -> 20, "l_shipdate" -> 20,
+          "l_returnflag" -> 10)),
+    "events" -> ("event_id", Map("ts" -> 40, "value" -> 40, "props" -> 40,
+                                 "event_type" -> 40)),
+    "documents" -> ("doc_id", Map("text" -> 30, "lang" -> 40)),
+    "region" -> ("r_regionkey", Map.empty),
+    "nation" -> ("n_nationkey", Map.empty),
+    "embeddings" -> ("vec_id", Map.empty))
+
+  @volatile private var cached: String = _
+
+  /** Null-injected copy of the sf0.001 fixtures, built once per JVM.
+    * Rates are higher than the sf0.01 tool's (sf0.001 is 10x smaller;
+    * each planned column must still get hits). */
+  def nullDir(spark: SparkSession): String = synchronized {
+    if (cached == null) {
+      val out = java.nio.file.Files.createTempDirectory("graft-nullsf").toString
+      for ((table, (rowKey, cols)) <- plan) {
+        val src = spark.read.parquet(s"${TestSpark.sf}/$table.parquet")
+        val injected = cols.foldLeft(src: DataFrame) { case (d, (c, p)) =>
+          d.withColumn(c,
+            when(pmod(xxhash64(concat(expr(rowKey).cast("string"),
+                   lit(s"::$c::graft-null-v1"))), lit(1000)) < p,
+                 lit(null)).otherwise(col(c)))
+        }
+        injected.coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/$table.parquet")
+      }
+      cached = out
+    }
+    cached
+  }
+}
