@@ -349,9 +349,9 @@ object Analytics {
     },
     Some("""
       -- status restricted to the pivot's FIXED value list: the wide
-      -- form only has F/O/P columns, so a null (or novel) status never
-      -- entered it — without this mirror the null corpus grew 66 extra
-      -- null-status long rows on the oracle side only (r16)
+      -- form only has F/O/P columns, so a NULL (or novel) status never
+      -- entered it — without this mirror the NULL corpus grew 66 extra
+      -- NULL-status long rows on the oracle side only (r16)
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              o_orderstatus AS status, count(*) AS n_orders
       FROM orders

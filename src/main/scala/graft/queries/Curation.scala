@@ -285,8 +285,11 @@ object Curation {
       val e = Dedup.withShingles(Tables.documents(spark, dir))
         .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
         .localCheckpoint(true)
-      val dup = Dedup.nonCanonical(
-          Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b")))
+      // digest star edges unioned in (r16 advice): a >jaccardMaxDf-copy
+      // boilerplate doc emits zero jaccard pairs, and the funnel's
+      // dedup stage is exactly where that recall loss would hide
+      val dup = Dedup.nonCanonical(Dedup.withDigestStars(spark, dir,
+          Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b"))))
         .withColumn("dup", lit(true))
       val evalShingles = e.filter(col("doc_id") % 97 === 0).select(col("hk")).distinct()
       val contaminated = Dedup.evalBoundedSemiJoin(spark,
@@ -307,7 +310,8 @@ object Curation {
       ${Dedup.shingleCte},
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${Dedup.jaccardPairsCte("eh")},
-      ${Dedup.ccCte},
+      ${Dedup.dupEdgesCte},
+      ${Dedup.ccCteOver("dpairs")},
       ${Dedup.droppedCte},
       $evBadCte,
       $gopherCte

@@ -178,18 +178,73 @@ object Dedup {
                 WHERE 2 * shared >= na + nb - shared)"""
   }
 
+  /** Exact-duplicate STAR edges ∪ near-dup pairs — the edge set every
+    * GRAPH-family query walks (r16 ADVICE medium): the helper-enforced
+    * df cap means a document duplicated in MORE than [[jaccardMaxDf]]
+    * copies has every one of its shingles capped out of the inverted
+    * index and emits ZERO jaccard pairs — mass-duplicated boilerplate,
+    * dedup's PRIMARY target, silently retained, and the mirrored
+    * oracle kept that recall loss hash-green. The digest pass has no
+    * cap to bind: identical texts group by md5, each member pairs with
+    * the group minimum — O(group) star edges, never O(group²), with
+    * map-side combine on the min and AQE free to broadcast the tiny
+    * digest-min side. NULL text carries no content identity and joins
+    * nothing.
+    *
+    * At both driver fixtures the star edges are a SUBSET of the
+    * jaccard pairs (exact dups share every shingle; no fixture df
+    * exceeds the cap), so the union binds nothing today — it exists
+    * for the corpus shape where the cap does bind, with the oracle
+    * ([[dupEdgesCte]]) carrying the identical union. Scope: the
+    * reachability/centrality family (clusters, apply, graph stats,
+    * triangles, pagerank, LPA communities, blast radius, the curation
+    * funnel's drop set); [[sourceOverlap]] stays on the raw jaccard
+    * pair set — it profiles the near-dup GENERATOR, not the graph. */
+  private[graft] def withDigestStars(spark: SparkSession, dir: String,
+                                     pairs: DataFrame): DataFrame = {
+    val dg = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(md5(col("text").cast("binary")).as("dg"), col("doc_id"))
+    val mins = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("doc_a"))
+    val star = dg.join(mins, "dg")
+      .filter(col("doc_a") =!= col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    // distinct: triangle/pagerank/degree queries COUNT edges, and a
+    // fixture-scale star edge duplicates its jaccard pair
+    pairs.union(star).distinct()
+  }
+
+  /** [[withDigestStars]] over the default [[ngramJaccard]] pair set. */
+  private[graft] def dupGraphEdges(spark: SparkSession, dir: String): DataFrame =
+    withDigestStars(spark, dir,
+      ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** DuckDB fragment mirroring [[withDigestStars]] over `pairs`:
+    * defines `dpairs(doc_a, doc_b)`. */
+  private[queries] val dupEdgesCte = """
+      dstar AS (SELECT dgm AS doc_a, doc_id AS doc_b
+                FROM (SELECT doc_id,
+                             min(doc_id) OVER (PARTITION BY md5(text)) AS dgm
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE dgm <> doc_id),
+      dpairs AS (SELECT doc_a, doc_b FROM pairs
+                 UNION
+                 SELECT doc_a, doc_b FROM dstar)"""
+
   /** Recursive-CTE fragment shared by the cluster and apply oracles
     * (same single-source rule as [[jaccardPairsCte]]): symmetrized
-    * `edges(a, b)` over `pairs`, and `reach(id, lbl)` whose per-id min
+    * `edges(a, b)` over `src`, and `reach(id, lbl)` whose per-id min
     * is the connected-component label. */
-  private[queries] val ccCte = """
-      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+  private[queries] def ccCteOver(src: String): String = s"""
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM $src
                 UNION ALL
-                SELECT doc_b AS a, doc_a AS b FROM pairs),
+                SELECT doc_b AS a, doc_a AS b FROM $src),
       reach(id, lbl) AS (
         SELECT a, a FROM edges
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)"""
+
+  private[queries] val ccCte = ccCteOver("pairs")
 
   /** The non-canonical drop set over near-dup `pairs(doc_a, doc_b)` —
     * every doc whose transitive cluster label differs from its own id
@@ -687,7 +742,7 @@ object Dedup {
   val dedupClusters = Q(
     "q_dedup_clusters",
     (spark, dir) => {
-      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = dupGraphEdges(spark, dir)
       graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("lbl").as("canon_id"))
     },
@@ -696,7 +751,8 @@ object Dedup {
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      $ccCte
+      $dupEdgesCte,
+      ${ccCteOver("dpairs")}
       SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS canon_id
       FROM reach
       GROUP BY id
@@ -997,8 +1053,7 @@ object Dedup {
   val dedupApply = Q(
     "q_dedup_apply",
     (spark, dir) => {
-      val drop = nonCanonical(
-        ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b")))
+      val drop = nonCanonical(dupGraphEdges(spark, dir))
       Tables.documents(spark, dir)
         .join(drop, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -1009,7 +1064,8 @@ object Dedup {
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      $ccCte,
+      $dupEdgesCte,
+      ${ccCteOver("dpairs")},
       $droppedCte
       SELECT lang, count(*) AS n_kept
       FROM documents
@@ -1031,7 +1087,7 @@ object Dedup {
   val dupGraphStats = Q(
     "q_dup_graph_stats",
     (spark, dir) => {
-      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = dupGraphEdges(spark, dir)
       graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .groupBy(col("lbl"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -1044,7 +1100,8 @@ object Dedup {
       $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      $ccCte,
+      $dupEdgesCte,
+      ${ccCteOver("dpairs")},
       cl AS (SELECT id, CAST(min(lbl) AS BIGINT) AS lbl FROM reach GROUP BY id),
       sizes AS (SELECT lbl, count(*) AS cluster_size FROM cl GROUP BY lbl)
       SELECT cluster_size, count(*) AS n_clusters,
@@ -1083,8 +1140,7 @@ object Dedup {
       // eager localCheckpoint so the four consumers read a
       // materialized pair set instead of stampede-recomputing the
       // whole ngramJaccard pipeline (SourceAuditSpec pins the site)
-      val pairs = ngramJaccard.fn(spark, dir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val pairs = dupGraphEdges(spark, dir).localCheckpoint(true)
       val wedges3 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(pairs.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
       val tri = wedges3
@@ -1106,18 +1162,19 @@ object Dedup {
       WITH $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
+      $dupEdgesCte,
       tri AS (
         SELECT count(*) AS n_triangles
-        FROM pairs e1 JOIN pairs e2 ON e2.doc_a = e1.doc_b
-        WHERE EXISTS (SELECT 1 FROM pairs e3
+        FROM dpairs e1 JOIN dpairs e2 ON e2.doc_a = e1.doc_b
+        WHERE EXISTS (SELECT 1 FROM dpairs e3
                       WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
       deg AS (
         SELECT x, count(*) AS d
-        FROM (SELECT doc_a AS x FROM pairs
-              UNION ALL SELECT doc_b AS x FROM pairs)
+        FROM (SELECT doc_a AS x FROM dpairs
+              UNION ALL SELECT doc_b AS x FROM dpairs)
         GROUP BY x),
       w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
-      ec AS (SELECT count(*) AS n_edges FROM pairs)
+      ec AS (SELECT count(*) AS n_edges FROM dpairs)
       SELECT n_edges, n_wedges, n_triangles,
              CASE WHEN n_wedges > 0
                   THEN (n_triangles * 3000000) // n_wedges
@@ -1148,7 +1205,7 @@ object Dedup {
   val dupPagerank = Q(
     "q_dup_pagerank",
     (spark, dir) => {
-      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = dupGraphEdges(spark, dir)
       // EAGER checkpoint, not lazy persist: the one action's DAG reads
       // edges 4 ways (degree pass + 3 iterations) and the scheduler
       // races them against the cache fill — the lazy form recomputed
@@ -1175,9 +1232,10 @@ object Dedup {
       WITH $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      $dupEdgesCte,
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM dpairs
              UNION ALL
-             SELECT doc_b AS src, doc_a AS dst FROM pairs),
+             SELECT doc_b AS src, doc_a AS dst FROM dpairs),
       dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
       r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM dg),
       r1 AS (SELECT ed.dst AS id,
@@ -1270,7 +1328,7 @@ object Dedup {
   val dupCommunities = Q(
     "q_dup_communities",
     (spark, dir) => {
-      val pairs = ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b"))
+      val pairs = dupGraphEdges(spark, dir)
       lpaCommunities(pairs, 3)
         .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
         .groupBy(col("n_members")).agg(count(lit(1)).as("n_communities"))
@@ -1280,9 +1338,10 @@ object Dedup {
       WITH $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
-      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      $dupEdgesCte,
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM dpairs
              UNION ALL
-             SELECT doc_b AS src, doc_a AS dst FROM pairs),
+             SELECT doc_b AS src, doc_a AS dst FROM dpairs),
       l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
       c1 AS (SELECT ed.dst AS dst, l0.label AS label, count(*) AS c
              FROM ed JOIN l0 ON l0.id = ed.src GROUP BY 1, 2),
@@ -1565,9 +1624,7 @@ object Dedup {
   val blastRadius = Q(
     "q_dup_blast_radius",
     (spark, dir) => {
-      val e = withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
-      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
+      dupGraphEdges(spark, dir)
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_blast_pairs")
       spark.sql("""
@@ -1590,10 +1647,11 @@ object Dedup {
       WITH RECURSIVE $shingleCte,
       eh AS (SELECT doc_id, n_sh, ${h60Sql("sh1")} AS hk FROM e),
       ${jaccardPairsCte("eh")},
+      $dupEdgesCte,
       edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
+        SELECT doc_a AS a, doc_b AS b FROM dpairs
         UNION ALL
-        SELECT doc_b, doc_a FROM pairs),
+        SELECT doc_b, doc_a FROM dpairs),
       seeds AS (SELECT DISTINCT a AS seed FROM edges ORDER BY seed NULLS FIRST LIMIT 5),
       walk(doc, depth) AS (
         SELECT seed, 0 FROM seeds

@@ -361,8 +361,8 @@ object TextOps {
              -- COALESCE covers the EMPTY-fps doc (<7 words: DuckDB
              -- list_sum([]) is NULL, Spark's 0-init fold gives 0) but
              -- must NOT fire on NULL text, where the WinnowFps kernel
-             -- null-propagates — gate it on fps existing (r16 null
-             -- corpus: null-text docs read fp_sum 0 here vs NULL there)
+             -- NULL-propagates — gate it on fps existing (r16 NULL
+             -- corpus: NULL-text docs read fp_sum 0 here vs NULL there)
              CAST(CASE WHEN fps IS NOT NULL
                        THEN COALESCE(list_sum(fps), 0) END AS BIGINT) AS fp_sum
       FROM f
