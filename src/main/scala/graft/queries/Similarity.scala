@@ -363,11 +363,16 @@ object Similarity {
     * Rung 16 (r15, alongside srpRungs 17 — the ceilings move
     * together): hot labels to 1,638,400 step to 65,536 buckets/table,
     * engagement density-measured at a 512,000-vector hot label on the
-    * md5 family (same engaged-vs-stuck separation). Past 1,638,400
-    * the refusal stands — at label granularity that corpus shape is a
-    * degenerate blocking key (one label = 1.6M+ near-neighbors)
-    * before it is a scale problem; see SCALE.md. */
-  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16)
+    * md5 family (same engaged-vs-stuck separation).
+    *
+    * Rung 18 (r16, alongside srpRungs 19): hot labels to 6,553,600
+    * step to 262,144 buckets/table; engagement density-measured at a
+    * 2,048,000-vector hot label (occupancy 7.8 vs 31 stuck — same
+    * separation). Past 6,553,600 the refusal stands — at label
+    * granularity that corpus shape is a degenerate blocking key (one
+    * label = 6.5M+ near-neighbors) before it is a scale problem; see
+    * SCALE.md. */
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16, 18)
   private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
   private[graft] def embedLshCaseSql: String =
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>
@@ -384,7 +389,8 @@ object Similarity {
     }
   }
 
-  private[graft] def embedLshCandidates(rawEmbeddings: DataFrame): DataFrame = {
+  private[graft] def embedLshCandidates(rawEmbeddings: DataFrame,
+                                        knownRows: Option[Long] = None): DataFrame = {
     val maxBits = embedLshRungs.max
     val planes = srpPlanes(nTables = 4, nBits = maxBits)
     // one max-width bucket index; each label MASKS it down to its
@@ -402,15 +408,25 @@ object Similarity {
         expr("transform(__bks_max, b -> b & __mask)"))
     val buckets = e.select(col("vec_id"), col("label"), col("vd"),
         col("nrm"), col("bks"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    // derived build partitioning when the caller knows the corpus size
+    // ([[shjBuildParts]]): build rows carry the 64-double vector
+    // (~600 B) — 2^17 rows/partition bounds each build map at ~80 MB.
+    // Callers without a free row count keep the conf partitioning (the
+    // fixture-scale path); dir-based callers thread cachedRowCount.
+    val build = knownRows.fold(buckets) { n =>
+      buckets.repartition(shjBuildParts(rawEmbeddings.sparkSession, n * 4, 1L << 17),
+        col("label"), col("t"), col("bucket"))
+    }
     buckets.alias("x")
-      .join(buckets.alias("y").hint("shuffle_hash"),
+      .join(build.alias("y").hint("shuffle_hash"),
         col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .filter(firstEqualTable(4))
   }
 
-  def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20): DataFrame =
-    embedLshCandidates(rawEmbeddings)
+  def embedNearDupLsh(rawEmbeddings: DataFrame, topK: Int = 20,
+                      knownRows: Option[Long] = None): DataFrame =
+    embedLshCandidates(rawEmbeddings, knownRows)
       .select(col("x.label").as("label"),
         col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
         round(dotp(col("x.vd"), col("y.vd")) / (col("x.nrm") * col("y.nrm")), 6).as("sim"))
@@ -419,7 +435,8 @@ object Similarity {
 
   val nearDupPairsLsh = Q(
     "q_embed_neardup_lsh",
-    (spark, dir) => embedNearDupLsh(Tables.embeddings(spark, dir)),
+    (spark, dir) => embedNearDupLsh(Tables.embeddings(spark, dir),
+      knownRows = Some(Tables.cachedRowCount(spark, dir, "embeddings"))),
     Some(s"""
       WITH lc AS (SELECT label, $embedLshCaseSql AS lbits
                   FROM embeddings GROUP BY label),
@@ -506,9 +523,15 @@ object Similarity {
     * at n = 240,000 — DuckDB plans the 16-way OR collision join as a
     * nested loop, so each deeper rung costs 16× the pairings; rung 17
     * row-exact would be ~10^12 pairings, past any single-box audit).
-    * Past 3,276,800 the refusal stands — append rung 19 with the same
-    * recipe (SCALE.md §SRP). */
-  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17)
+    *
+    * Rung 19 (r16): envelope n ≤ 13,107,200 — the standing recipe once
+    * more. Occupancy at the cap is 13,107,200 / 2^19 = 25 by the
+    * formula; ScalingCurveSpec measures the rung-matched
+    * 4,096,000-vector point (occupancy 7.8) through the real dispatch.
+    * Row-exact audit stays at rung 15 (16× pairings per rung — see
+    * SCALE.md §SRP). Past 13,107,200 the refusal stands — append
+    * rung 21 with the same recipe. */
+  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19)
   private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
   private[graft] def srpBitsLadder(n: Long): Int =
     srpRungs.indices.find(i => n <= srpRungCap(i)).map(srpRungs)
@@ -540,10 +563,29 @@ object Similarity {
     * per session; four queries call this generator per round, and the
     * per-invocation count() it replaces ran BEFORE the checkpoint so
     * it could never reuse the index build — ADVICE r12). */
+  /** Partition count for a shuffled-hash-join BUILD side of ~`rows`
+    * total rows: SHJ build memory is per PARTITION, not per key — the
+    * conf knob (default 32) hands each build task corpus-proportional
+    * rows, the exact per-task contract ConnectedComponents refuses for
+    * its maps (r14 ADVICE; re-found here by the r16 rung-19 ladder
+    * point, whose 32M-row build OOM'd at 8 conf partitions). Floored
+    * at the conf knob so small corpora keep their parallelism; AQE
+    * stays free to coalesce the small-bytes partitions back together
+    * and to skew-split (both supported for SHJ). `rowsPerPartition`
+    * is width-aware at each call site (slim id+bucket rows vs rows
+    * carrying a 64-double vector). */
+  private def shjBuildParts(spark: SparkSession, rows: Long,
+                            rowsPerPartition: Long): Int = {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val needed = (rows + rowsPerPartition - 1) / rowsPerPartition
+    math.max(conf, math.min(needed, 1L << 20).toInt)
+  }
+
   private[graft] def srpProbePairs(spark: SparkSession, dir: String,
                                    queryPred: Option[Column] = None): DataFrame = {
     val nTables = 8
-    val nBits = srpBitsLadder(Tables.cachedRowCount(spark, dir, "embeddings"))
+    val nRows = Tables.cachedRowCount(spark, dir, "embeddings")
+    val nBits = srpBitsLadder(nRows)
     val planes = srpPlanes(nTables, nBits)
     val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
     // buckets AND weakest-bit flipped probes in one compiled kernel
@@ -592,7 +634,12 @@ object Similarity {
         element_at(col("xfps"), tp + 1) =!= element_at(col("ybks"), tp + 1))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    xs.join(ys.hint("shuffle_hash"),
+    // derived build partitioning (see [[shjBuildParts]]): ys is
+    // nRows x nTables slim rows (~100 B each) — 2^20 rows/partition
+    // keeps each build map ~100 MB at ANY corpus size
+    val parts = shjBuildParts(spark, nRows * nTables, 1L << 20)
+    xs.join(ys.repartition(parts, col("yt"), col("bucket"))
+        .hint("shuffle_hash"),
         col("t") === col("yt") && col("pb") === col("bucket") &&
         col("q_id") =!= col("c_id"))
       .filter(earlierTablesMiss)
@@ -1167,7 +1214,12 @@ object Similarity {
     // ordering); no per-cell fan-out until the explode
     val probes = probes0.select(col("vec_id").as("q_id"), col("vd").as("qv"),
       col("nrm").as("qnrm"), explode(col("__cells")).as("cell"))
-    probes.join(inv.hint("shuffle_hash"), "cell")
+    // derived build partitioning ([[shjBuildParts]]): inv is n rows
+    // carrying a 64-double unit vector (~600 B) — 2^17 rows/partition
+    // bounds each build map at ~80 MB at any corpus size
+    val parts = shjBuildParts(e.sparkSession, n, 1L << 17)
+    probes.join(inv.repartition(parts, col("cell")).hint("shuffle_hash"),
+        "cell")
       .filter(col("q_id") =!= col("c_id"))
   }
 

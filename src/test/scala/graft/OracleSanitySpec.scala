@@ -31,7 +31,7 @@ class OracleSanitySpec extends SparkSpec {
     val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
       3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11,
       51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15,
-      819201L -> 17, 3276800L -> 17)
+      819201L -> 17, 3276800L -> 17, 3276801L -> 19, 13107200L -> 19)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
@@ -39,12 +39,12 @@ class OracleSanitySpec extends SparkSpec {
     // past the last rung the Scala ladder refuses LOUDLY (the old
     // spelling silently stepped past the hand-kept SQL envelope and
     // failed only at the driver's hash compare)
-    val past = intercept[IllegalArgumentException](srpBitsLadder(3276801L))
+    val past = intercept[IllegalArgumentException](srpBitsLadder(13107201L))
     assert(past.getMessage.contains("srpRungs"), past.getMessage)
     // both sides generate from ONE rung list: every SRP consumer's SQL
     // must embed srpNbCaseSql verbatim — a hand-edited CASE that
     // drifts from srpRungs cannot pass this
-    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17))
+    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17, 19))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>

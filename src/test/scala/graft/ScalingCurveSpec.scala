@@ -239,7 +239,8 @@ class ScalingCurveSpec extends SparkSpec {
     // it stays ~equal (occupancy 31). Threshold 0.5 sits between.
     def densityMd5(n: Long): Double =
       graft.queries.Similarity.embedLshCandidates(
-        SyntheticEmbeddings.frame(spark, n).withColumn("label", lit(7)))
+        SyntheticEmbeddings.frame(spark, n).withColumn("label", lit(7)),
+        knownRows = Some(n))
         .count().toDouble / (n * (n - 1) / 2)
     val d12 = densityMd5(102400)
     val d14 = densityMd5(128000)
@@ -260,6 +261,19 @@ class ScalingCurveSpec extends SparkSpec {
       f"rung-16 density $d16%.7f not below 0.5x the rung-14-cap density " +
         f"$d14cap%.7f — rung 16 did not engage")
     assert(d16 > 0)
+    // rung 18 (r16 — envelope 6,553,600/label, moved with srpRungs 19):
+    // 1,638,400 sits at rung 16's cap (occupancy 25); 2,048,000 lands
+    // on rung 18 at occupancy 7.8 — engaged, density falls ~4x; stuck
+    // at 16 bits it stays ~equal (occupancy 31). Same md5 family, same
+    // 0.5 threshold. Costly (minutes — a 2M-vector hot label); this
+    // measured point is the rung's engagement evidence.
+    val d16cap = densityMd5(1638400)
+    val d18 = densityMd5(2048000)
+    info(f"embed-lsh density: rung 16 @1638400 = $d16cap%.8f, rung 18 @2048000 = $d18%.8f")
+    assert(d18 < d16cap * 0.5,
+      f"rung-18 density $d18%.8f not below 0.5x the rung-16-cap density " +
+        f"$d16cap%.8f — rung 18 did not engage")
+    assert(d18 > 0)
     // past the audited envelope the Scala side refuses loudly instead
     // of silently running the last rung ever hotter
     // dim 64 so the bucket array is non-null and the masking lambda
@@ -386,6 +400,27 @@ class ScalingCurveSpec extends SparkSpec {
     info(f"srp rung-17 growth exponent over the third 4x step = $exponent3%.2f")
     assert(exponent3 < 1.3,
       f"srp rung-17 exponent $exponent3%.2f — rung 17 is not holding occupancy")
+    // rung 19 (r16 — envelope n ≤ 13,107,200): the occupancy-matched
+    // 4x step a fourth time, 4,096,000 / 2^19 = 7.8 per table.
+    // Measured: 1.328B pairs (324/vec — the same gentle ~1.18x/rung
+    // per-vector drift as 171/198/230/272 before it), exponent 1.12
+    // over the 1.024M step. Cap 1.65x measured = 2.2B, far under the
+    // stuck-at-17 band (~4x per vector ≈ 5.3B — a non-engaging rung
+    // quadruples occupancy). This is the longest point in the suite
+    // (~3 min — 4M vectors written + a 1.3B-pair count); it IS the
+    // rung's engagement evidence, the row-exact audit being
+    // 16x-per-rung past single-box reach. Finding: the first run of
+    // this point OOM'd the SHJ build side at conf partitioning —
+    // shjBuildParts (Similarity) now derives the build partition count
+    // from the measured corpus size.
+    assert(graft.queries.Similarity.srpBitsLadder(4096000L) == 19)
+    val c5 = point(4096000L)
+    assert(c5 <= 2200000000L,
+      s"srp @ 4.096M: $c5 pairs exceeds the 2.2B tripwire — rung 19 did not engage")
+    val exponent4 = math.log(c5.toDouble / c4) / math.log(4.0)
+    info(f"srp rung-19 growth exponent over the fourth 4x step = $exponent4%.2f")
+    assert(exponent4 < 1.3,
+      f"srp rung-19 exponent $exponent4%.2f — rung 19 is not holding occupancy")
   }
 
   /** The regime PAST [[graft.queries.Similarity.chunkBroadcastBytes]]
