@@ -587,6 +587,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_pq" -> (3, "CAPPED ADC query side, rerank queries, exact reference"),
       "q_basket_pairs" -> (1, "1ROW basket count"),
       "q_bm25" -> (1, "1ROW corpus stats"),
+      "q_approx_percentiles" -> (1,
+        "KROW per-status sketch-quantile rows joined back for the " +
+          "rank-contract pass (r16; one row per o_orderstatus group)"),
       "q_broadcast_brand" -> (1, "RATIO filtered part-brand slice (the star broadcast demo)"),
       "q_collocations" -> (1, "1ROW unigram grand totals"),
       "q_corpus_drift" -> (1, "1ROW slice totals"),

@@ -1257,4 +1257,148 @@ class WireSourceSpec extends SparkSpec {
     assert(scanBytes(one) < scanBytes(all),
       s"pruned stats ${scanBytes(one)} should be below full ${scanBytes(all)}")
   }
+
+  test("kill-and-restart across the torn snapshot boundary drives walk-back + self-heal through the LIVE engine") {
+    // r16 verdict task 7. The log-level test above pins WireFileLog in
+    // isolation; this one reproduces the r14 brick shape end-to-end:
+    // run a checkpointed stream to idx 19 (snapshot 10 on disk, deltas
+    // 1..10 pruned by commit-time retention), forge the crash window
+    // between append(20)'s delta and snapshot writes, then restart and
+    // run to idx 30. The restart must (a) replay batch 20 as an ORPHAN
+    // from its delta without re-invoking append, (b) serve every later
+    // admission through the snapshot walk-back, (c) no-op retention
+    // while the boundary snapshot is missing, and (d) self-heal at
+    // boundary 30 — all observable as exactly-once event_ids plus the
+    // log's on-disk shape.
+    import scala.jdk.CollectionConverters._
+    val d = tmp()
+    val dir = Paths.get(d, "event_type=click")
+    Files.createDirectories(dir)
+    def addFile(i: Int): Unit =
+      Files.writeString(dir.resolve(f"part-$i%03d.txt"),
+        f"""{"event_id":$i,"ts":"2021-03-07 10:00:${i % 60}%02d.000000","user_id":1,"value":1.0,"props":"{}"}""" + "\n")
+    (1 to 19).foreach(addFile)
+    val chk = tmp()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d).option("maxFilesPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("event_id")).collect().foreach(r => got.add(r.getLong(0)))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.asScala.map(_.toLong).toSeq.sorted === (1L to 19L),
+      "run 1 must deliver files 1..19 exactly once")
+    val logDir = Paths.get(chk, "sources", "0", "wire-file-log")
+    assert(Files.exists(logDir.resolve(f"${10L}%020d.snapshot")),
+      "boundary 10 must have compacted")
+    assert(!Files.exists(logDir.resolve(f"${5L}%020d.delta")),
+      "commit-time retention must have pruned deltas under snapshot 10")
+    // the crash window, forged on disk: delta 20 committed, snapshot 20
+    // never written. The delta line must match the census's path
+    // rendering exactly — derive it from the retained delta for file 11.
+    addFile(20)
+    val d11 = Files.readAllLines(logDir.resolve(f"${11L}%020d.delta")).get(0)
+    assert(d11.endsWith("part-011.txt"), d11)
+    Files.writeString(logDir.resolve(f"${20L}%020d.delta"),
+      d11.replace("part-011.txt", "part-020.txt") + "\n")
+    (21 to 30).foreach(addFile)
+    run()
+    // exactly-once across the torn boundary: every id once, none twice,
+    // the orphan batch included
+    assert(got.asScala.map(_.toLong).toSeq.sorted === (1L to 30L),
+      "restart must replay the orphan delta once and admit 21..30 once each")
+    // self-heal: boundary 30 wrote a fresh snapshot. Retention no-op'd
+    // through 21..29 (20.snapshot missing) and the FINAL batch's
+    // source.commit defers to the next run's start, so delta 11 still
+    // survives here — the log is healed but not yet re-bounded.
+    assert(Files.exists(logDir.resolve(f"${30L}%020d.snapshot")),
+      "the next boundary append must write a fresh snapshot")
+    assert(Files.exists(logDir.resolve(f"${11L}%020d.delta")),
+      "retention must have no-op'd while the boundary snapshot was missing")
+    // run 3: the first commit past the heal prunes everything the
+    // fresh snapshot covers — the log is re-bounded
+    (31 to 32).foreach(addFile)
+    run()
+    assert(got.asScala.map(_.toLong).toSeq.sorted === (1L to 32L))
+    assert(!Files.exists(logDir.resolve(f"${11L}%020d.delta")) &&
+           !Files.exists(logDir.resolve(f"${20L}%020d.delta")),
+      "post-heal retention must re-bound the log on the next committed run")
+  }
+
+  test("kill-and-restart mid-migration: a dir whose sidecar commit was lost re-migrates, band stays exactly-once") {
+    // r16 verdict task 7, second leg: the migrate-on-first-read path
+    // (legacy root-manifest-only layout -> per-dir sidecars, r13) under
+    // a hostile restart. Run 1 migrates on its first ts-banded plan;
+    // the crash loses ONE dir's sidecar commit (deleted here), and a
+    // new in-band file lands in that dir while down — a file neither
+    // the root manifest nor any sidecar covers (direct-probe fallback).
+    // The restart must admit exactly the new file's rows, re-migrate
+    // the lost sidecar from the still-present root manifest, and
+    // re-emit nothing already committed.
+    import scala.jdk.CollectionConverters._
+    val d = tmp()
+    val written = events.filter(col("event_id") < 300)
+    WireEvents.writeWire(written, d)
+    // legacy shape (the pre-sidecar test's recipe): synthesize the root
+    // manifest from the sidecars, then remove every sidecar
+    val rootLines = Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .flatMap { dir =>
+        val side = dir.resolve("_ts_stats.json")
+        Files.readAllLines(side).asScala.filter(_.nonEmpty).map(
+          _.replaceFirst("\"path\":\"", s""""path":"${dir.getFileName}/"""))
+      }.toSeq.sorted
+    Files.writeString(Paths.get(d, "_wire_ts_stats.json"),
+      rootLines.mkString("", "\n", "\n"))
+    Files.list(Paths.get(d)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("event_type="))
+      .foreach { dir =>
+        Files.deleteIfExists(dir.resolve("_ts_stats.json"))
+        Files.deleteIfExists(dir.resolve("._ts_stats.json.crc"))
+      }
+    val cut = written.selectExpr(
+      s"date_format(percentile_approx(ts, 0.5), '${WireEvents.TsFmt}')")
+      .collect()(0).getString(0)
+    val inBand = written
+      .filter(date_format(col("ts"), WireEvents.TsFmt) >= cut).count()
+    assert(inBand > 0, "the band must keep rows or the test is vacuous")
+    val chk = tmp()
+    var total = 0L
+    def run(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WireEventsSource].getName)
+        .option("path", d).option("tsMin", cut).load()
+        .filter(col("ts") >= cut)
+        .writeStream.option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) => total += df.count(); () }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(total === inBand, "run 1 must deliver exactly the in-band rows")
+    val clickSide = Paths.get(d, "event_type=click", "_ts_stats.json")
+    assert(Files.exists(clickSide),
+      "the first banded plan must have migrated the dir's sidecar")
+    // the hostile window: the sidecar commit is lost, and a new in-band
+    // file (covered by NO stats anywhere) lands while the query is down
+    Files.delete(clickSide)
+    Files.deleteIfExists(Paths.get(d, "event_type=click", "._ts_stats.json.crc"))
+    val maxTs = written.selectExpr(
+      s"date_format(max(ts), '${WireEvents.TsFmt}')").collect()(0).getString(0)
+    Files.writeString(Paths.get(d, "event_type=click", "part-zz-hostile.txt"),
+      s"""{"event_id":999999,"ts":"$maxTs","user_id":1,"value":1.0,"props":"{}"}""" + "\n")
+    run()
+    assert(total === inBand + 1,
+      "restart must admit exactly the new in-band file's row — nothing re-emits")
+    assert(Files.exists(clickSide),
+      "the lost sidecar must re-migrate from the root manifest on the next plan")
+  }
 }
