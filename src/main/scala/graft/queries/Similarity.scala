@@ -413,10 +413,10 @@ object Similarity {
     // (~600 B) — 2^17 rows/partition bounds each build map at ~80 MB.
     // Callers without a free row count keep the conf partitioning (the
     // fixture-scale path); dir-based callers thread cachedRowCount.
-    val build = knownRows.fold(buckets) { n =>
-      buckets.repartition(shjBuildParts(rawEmbeddings.sparkSession, n * 4, 1L << 17),
-        col("label"), col("t"), col("bucket"))
-    }
+    val build = knownRows
+      .flatMap(n => shjBuildParts(rawEmbeddings.sparkSession, n * 4, 1L << 17))
+      .fold(buckets)(p =>
+        buckets.repartition(p, col("label"), col("t"), col("bucket")))
     buckets.alias("x")
       .join(build.alias("y").hint("shuffle_hash"),
         col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
@@ -573,12 +573,19 @@ object Similarity {
     * stays free to coalesce the small-bytes partitions back together
     * and to skew-split (both supported for SHJ). `rowsPerPartition`
     * is width-aware at each call site (slim id+bucket rows vs rows
-    * carrying a 64-double vector). */
+    * carrying a 64-double vector).
+    *
+    * Returns None while the conf knob already covers the build (the
+    * fixture regime): an EXPLICIT user repartition pins its partition
+    * count against AQE coalescing, so applying it unconditionally
+    * costs small corpora their post-shuffle coalesce for nothing —
+    * the derived repartition engages only where the conf knob would
+    * under-partition the build. */
   private def shjBuildParts(spark: SparkSession, rows: Long,
-                            rowsPerPartition: Long): Int = {
+                            rowsPerPartition: Long): Option[Int] = {
     val conf = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val needed = (rows + rowsPerPartition - 1) / rowsPerPartition
-    math.max(conf, math.min(needed, 1L << 20).toInt)
+    if (needed <= conf) None else Some(math.min(needed, 1L << 20).toInt)
   }
 
   private[graft] def srpProbePairs(spark: SparkSession, dir: String,
@@ -637,9 +644,9 @@ object Similarity {
     // derived build partitioning (see [[shjBuildParts]]): ys is
     // nRows x nTables slim rows (~100 B each) — 2^20 rows/partition
     // keeps each build map ~100 MB at ANY corpus size
-    val parts = shjBuildParts(spark, nRows * nTables, 1L << 20)
-    xs.join(ys.repartition(parts, col("yt"), col("bucket"))
-        .hint("shuffle_hash"),
+    val ysP = shjBuildParts(spark, nRows * nTables, 1L << 20)
+      .fold(ys)(p => ys.repartition(p, col("yt"), col("bucket")))
+    xs.join(ysP.hint("shuffle_hash"),
         col("t") === col("yt") && col("pb") === col("bucket") &&
         col("q_id") =!= col("c_id"))
       .filter(earlierTablesMiss)
@@ -1217,9 +1224,9 @@ object Similarity {
     // derived build partitioning ([[shjBuildParts]]): inv is n rows
     // carrying a 64-double unit vector (~600 B) — 2^17 rows/partition
     // bounds each build map at ~80 MB at any corpus size
-    val parts = shjBuildParts(e.sparkSession, n, 1L << 17)
-    probes.join(inv.repartition(parts, col("cell")).hint("shuffle_hash"),
-        "cell")
+    val invP = shjBuildParts(e.sparkSession, n, 1L << 17)
+      .fold(inv)(p => inv.repartition(p, col("cell")))
+    probes.join(invP.hint("shuffle_hash"), "cell")
       .filter(col("q_id") =!= col("c_id"))
   }
 
