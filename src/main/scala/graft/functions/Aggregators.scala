@@ -62,25 +62,31 @@ object Aggregators {
     * `merge` is associative/commutative regardless of the
     * nondeterministic partition-completion order.
     *
-    * INPUTS MUST BE NON-NULL: a primitive-typed Aggregator input
-    * decodes a NULL column as 0 SILENTLY (r16, null corpus — a
-    * null-priced order ranked as a zero-cent order). Callers over
-    * nullable columns filter nulls EXPLICITLY and mirror the filter in
-    * their oracle (q_topk_agg); every other caller's values are
-    * non-null by construction (counts, similarity scores, packed
-    * positions). */
-  class TopK(k: Int) extends Aggregator[(Long, Long), TopKBuf, TopKOut] {
+    * The VALUE input is Option[Long] so a NULL column is skipped
+    * structurally — the SQL aggregate convention, same shape as
+    * [[DiscountedRevenue]] (r16 review: the first fix was a scaladoc
+    * warning plus one call-site filter, which left the silent
+    * NULL-decodes-as-0 rank live for every future caller; there are
+    * ten call sites today). The TIEBREAK stays a primitive Long: every
+    * caller passes a non-null id/key column, and a null tiebreak would
+    * merely decode to 0 — it cannot change WHICH values rank, only how
+    * exact ties order, and exact ties on a key column don't occur. */
+  class TopK(k: Int) extends Aggregator[(Option[Long], Long), TopKBuf, TopKOut] {
     require(k > 0, s"TopK requires k > 0, got $k")
     // no negation trick: -Long.MinValue overflows and would rank the
     // minimum value first
     private val ord: Ordering[(Long, Long)] =
       Ordering.by[(Long, Long), Long](_._1).reverse.orElseBy(_._2)
     override def zero: TopKBuf = TopKBuf(Vector.empty)
-    override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf =
-      // fast path first: the overwhelming majority of rows lose to the
-      // k-th element — one comparison, no allocation, no sort
-      if (b.items.size >= k && ord.lteq(b.items.last, in)) b
-      else TopKBuf((b.items :+ in).sorted(ord).take(k))
+    override def reduce(b: TopKBuf, in0: (Option[Long], Long)): TopKBuf = in0 match {
+      case (None, _) => b // a NULL value has no rank (sum/count(expr) convention)
+      case (Some(v), tb) =>
+        val in = (v, tb)
+        // fast path first: the overwhelming majority of rows lose to the
+        // k-th element — one comparison, no allocation, no sort
+        if (b.items.size >= k && ord.lteq(b.items.last, in)) b
+        else TopKBuf((b.items :+ in).sorted(ord).take(k))
+    }
     override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
       TopKBuf((a.items ++ b.items).sorted(ord).take(k))
     override def finish(b: TopKBuf): TopKOut = TopKOut(b.items)

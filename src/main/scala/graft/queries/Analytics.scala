@@ -298,16 +298,24 @@ object Analytics {
         sum(when(col("v") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$i"),
         sum(when(col("v") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$i")))
       val allAggs = count(lit(1)).as("n") +: rankAggs
-      val counts = j.groupBy(col("st"))
+      val counts = j.groupBy(col("st").as("c_st"))
         .agg(allAggs.head, allAggs.tail: _*)
+      // LEFT join back from sk so a group whose every value is NULL
+      // still emits a row (r16 review — the q_hll_merge group-dropping
+      // class, inside the parity gate itself): with nothing sketched
+      // there is nothing to check, which is vacuously in contract —
+      // exactly the oracle's literal true.
+      val full = sk.join(counts, col("sk_st") <=> col("c_st"), "left")
       val oks = ps.indices.map { i =>
         val n = col("n").cast("double")
         val slack = n / 1000.0 + 1.0
-        ((col(s"le$i").cast("double") >= lit(ps(i)) * n - slack) &&
-         (col(s"lt$i").cast("double") <= lit(ps(i)) * n + slack))
+        when(col("n").isNull, lit(true))
+          .otherwise(
+            (col(s"le$i").cast("double") >= lit(ps(i)) * n - slack) &&
+            (col(s"lt$i").cast("double") <= lit(ps(i)) * n + slack))
           .as(s"p${(ps(i) * 100).toInt}_ok")
       }
-      counts.select(col("st").as("o_orderstatus") +: oks: _*)
+      full.select(col("sk_st").as("o_orderstatus") +: oks: _*)
     },
     Some("""
       SELECT o_orderstatus, true AS p25_ok, true AS p50_ok,
@@ -397,9 +405,10 @@ object Analytics {
     "q_topk_agg",
     (spark, dir) => {
       val topk = udaf(new graft.functions.Aggregators.TopK(3))
-      // a null-priced order has no rank in a by-price top-k; dropped
-      // EXPLICITLY on both engines (r16 null corpus: TopK's primitive
-      // input decoded NULL as zero cents — see the Aggregator scaladoc)
+      // a null-priced order has no rank in a by-price top-k: TopK now
+      // skips NULL values structurally (Option input, r16 review), and
+      // the explicit filter keeps the plan pruning them pre-aggregate
+      // with the oracle's WHERE mirroring the same row set
       Tables.orders(spark, dir)
         .filter(col("o_totalprice").isNotNull)
         .select(col("o_custkey"), cents(col("o_totalprice")).as("c"), col("o_orderkey"))

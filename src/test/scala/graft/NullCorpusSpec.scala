@@ -40,17 +40,42 @@ class NullCorpusSpec extends SparkSpec {
       s"queries aborting on the null corpus:\n  ${failures.mkString("\n  ")}")
   }
 
-  test("the corpus actually carries nulls where the plan says (injection not silently dead)") {
+  test("EVERY planned column actually carries nulls (injection not silently dead, full coverage)") {
+    // full-plan sweep, not a sample (r16 review: a column dropped from
+    // the plan would leave the abort-class test passing vacuously for
+    // exactly that column). Rates in the spec plan are sized so each
+    // planned column gets hits even on sf0.001's tiny tables; the
+    // seeded hash makes the outcome a frozen constant.
     val dir = nullDir(spark)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    for (c <- Seq("ts", "value", "props", "event_type"))
-      assert(ev.filter(col(c).isNull).limit(1).count() == 1L,
-        s"events.$c: zero nulls — the injection rule or rate broke")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    assert(docs.filter(col("text").isNull).limit(1).count() == 1L,
-      "documents.text: zero nulls")
+    val misses = for {
+      (t, (_, cols)) <- plan.toSeq.sortBy(_._1)
+      df = spark.read.parquet(s"$dir/$t.parquet")
+      c <- cols.keys.toSeq.sorted
+      if df.filter(col(c).isNull).limit(1).count() == 0L
+    } yield s"$t.$c"
+    assert(misses.isEmpty,
+      s"planned columns with ZERO nulls — rule or rate broke: $misses")
     // keys stay non-null: minLabel & friends THROW on null ids
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
     assert(docs.filter(col("doc_id").isNull).count() == 0L)
+  }
+
+  test("the Scala injection plan covers the same (table, column) set as tools/make_null_fixtures.py") {
+    // the two plans live in two languages with intentionally different
+    // RATES (this spec's are sized for sf0.001) — but a column present
+    // in one and absent from the other silently un-covers it in one of
+    // the two gates (r16 review). Parse the tool's PLAN literally.
+    val py = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("tools/make_null_fixtures.py"))
+    val tableRe = """"(\w+)":\s*\("[^"]*",\s*\{([^}]*)\}""".r
+    val colRe = """"(\w+)":\s*\d+""".r
+    val pyPlan = tableRe.findAllMatchIn(py).map { m =>
+      m.group(1) -> colRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSet
+    }.toMap
+    val scalaPlan = plan.map { case (t, (_, cols)) => t -> cols.keySet }
+    assert(pyPlan == scalaPlan,
+      s"plan drift — py-only: ${pyPlan.toSet -- scalaPlan.toSet}; " +
+        s"scala-only: ${scalaPlan.toSet -- pyPlan.toSet}")
   }
 
   test("mediaTable drops null payloads at the boundary (decoder NPE class)") {
@@ -102,20 +127,22 @@ class NullCorpusSpec extends SparkSpec {
 }
 
 object NullCorpusSpec {
-  // table -> (row key expr, column -> permille); mirrors
-  // tools/make_null_fixtures.py PLAN — keep the two in sync
+  // table -> (row key expr, column -> permille). Same (table, column)
+  // SET as tools/make_null_fixtures.py (a test pins the equality);
+  // RATES are higher — sf0.001's tables are 10-100x smaller and every
+  // planned column must still get hits (the full-coverage test).
   private val plan: Map[String, (String, Map[String, Int])] = Map(
-    "customer" -> ("c_custkey", Map("c_acctbal" -> 20, "c_mktsegment" -> 10)),
-    "supplier" -> ("s_suppkey", Map("s_acctbal" -> 20)),
-    "part" -> ("p_partkey", Map("p_retailprice" -> 20, "p_type" -> 10, "p_size" -> 20)),
-    "orders" -> ("o_orderkey", Map("o_totalprice" -> 20, "o_orderdate" -> 20,
-                                   "o_orderstatus" -> 10)),
+    "customer" -> ("c_custkey", Map("c_acctbal" -> 60, "c_mktsegment" -> 60)),
+    "supplier" -> ("s_suppkey", Map("s_acctbal" -> 400)),
+    "part" -> ("p_partkey", Map("p_retailprice" -> 60, "p_type" -> 60, "p_size" -> 60)),
+    "orders" -> ("o_orderkey", Map("o_totalprice" -> 30, "o_orderdate" -> 30,
+                                   "o_orderstatus" -> 30)),
     "lineitem" -> ("l_orderkey * 8 + l_linenumber",
       Map("l_quantity" -> 20, "l_discount" -> 20, "l_shipdate" -> 20,
           "l_returnflag" -> 10)),
     "events" -> ("event_id", Map("ts" -> 40, "value" -> 40, "props" -> 40,
                                  "event_type" -> 40)),
-    "documents" -> ("doc_id", Map("text" -> 30, "lang" -> 40)),
+    "documents" -> ("doc_id", Map("text" -> 200, "lang" -> 250)),
     "region" -> ("r_regionkey", Map.empty),
     "nation" -> ("n_nationkey", Map.empty),
     "embeddings" -> ("vec_id", Map.empty))
