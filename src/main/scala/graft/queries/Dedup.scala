@@ -199,7 +199,12 @@ object Dedup {
     * reachability/centrality family (clusters, apply, graph stats,
     * triangles, pagerank, LPA communities, blast radius, the curation
     * funnel's drop set); [[sourceOverlap]] stays on the raw jaccard
-    * pair set — it profiles the near-dup GENERATOR, not the graph. */
+    * pair set — it profiles the near-dup GENERATOR, not the graph.
+    *
+    * The digest stars rescue byte-IDENTICAL families only; the
+    * NEAR-duplicate >cap-copy shape is rescued by
+    * [[cappedBandStars]] (r17), unioned alongside in
+    * [[dupGraphEdges]]. */
   private[graft] def withDigestStars(spark: SparkSession, dir: String,
                                      pairs: DataFrame): DataFrame = {
     val dg = Tables.documents(spark, dir)
@@ -214,22 +219,122 @@ object Dedup {
     pairs.union(star).distinct()
   }
 
-  /** [[withDigestStars]] over the default [[ngramJaccard]] pair set. */
-  private[graft] def dupGraphEdges(spark: SparkSession, dir: String): DataFrame =
-    withDigestStars(spark, dir,
-      ngramJaccard.fn(spark, dir).select(col("doc_a"), col("doc_b")))
+  /** Near-duplicate rescue for >[[jaccardMaxDf]]-copy families (r16
+    * verdict task 1, closing SCALE.md's stated residual): the digest
+    * stars rescue byte-identical mass duplicates, but a MUTATED
+    * boilerplate family in more than 256 copies has every
+    * discriminative shingle df-capped out of the inverted index and
+    * still emitted zero pairs — near-identical, not identical, so the
+    * digest groups were all singletons too. MinHash band keys are
+    * df-INDEPENDENT (a per-doc signature, not a posting list), so
+    * banding sees exactly what the cap blinds.
+    *
+    * Shape: docs owning >=1 capped shingle (`hot` via groupBy(hk)
+    * partial-agg — NOT the df window, which would shuffle every
+    * exploded row a second time) get the shared 16-minhash / 8-band
+    * signature ([[bandRows]], single-sourced with [[minhashLsh]]);
+    * within each (band, key) bucket each doc pairs with the bucket
+    * MINIMUM — O(bucket) star edges, never O(bucket²), the digest-star
+    * principle applied to banding — then every star edge is EXACTLY
+    * verified at the shared j >= 0.5 integer threshold on full shingle
+    * arrays. Connectivity, not pairwise completeness, is the contract:
+    * the graph family consumes these edges through connected
+    * components, and a member missing one bucket's hub link has 7 more
+    * bands to chain through (per-pair band-match prob j²; a j=0.95
+    * family shares ~7.2 of 8 bands with the hub in expectation).
+    *
+    * 100 TB honesty: at real corpus scale most common shingles exceed
+    * df 256, so the owner set approaches the full corpus and this pass
+    * becomes full-corpus MinHash-LSH — one extra scan, one
+    * map-side-combined groupBy(hk), 8 band rows/doc, bucket-min
+    * windows: all linear, no quadratic term anywhere. That is the
+    * honest price of mass near-dup recall; the previous behavior
+    * (silently emitting zero pairs for dedup's PRIMARY target) was
+    * cheaper and wrong. At the driver fixtures (max df 7 at sf0.01,
+    * 25 at sf0.1) the hot set is EMPTY and the rescue is a structural
+    * no-op; BoilerplateRescueSpec pins the no-op, the binding case
+    * (a 300-copy mutated family clusters) and the <=8-edges-per-member
+    * volume bound. */
+  private[graft] def cappedBandStars(s: DataFrame, e: DataFrame): DataFrame = {
+    val hot = e.groupBy(col("hk"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > jaccardMaxDf)
+      .select(col("hk"))
+    // vocabulary-side semi-joins stay unhinted (house rule): AQE
+    // broadcasts `hot` while it fits, shuffles past that
+    val owners = e.join(hot, Seq("hk"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val cand = bandRows(s.join(owners, Seq("doc_id"), "left_semi"))
+      .withColumn("m", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("m") =!= col("doc_id"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(s.select(col("doc_id").as("doc_a"), col("shs").as("sha"),
+                     col("n_sh").as("na")), "doc_a")
+      .join(s.select(col("doc_id").as("doc_b"), col("shs").as("shb"),
+                     col("n_sh").as("nb")), "doc_b")
+      .withColumn("shared", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sha"), col("shb")))
+      .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
+      .select(col("doc_a"), col("doc_b"))
+  }
 
-  /** DuckDB fragment mirroring [[withDigestStars]] over `pairs`:
-    * defines `dpairs(doc_a, doc_b)`. */
-  private[queries] val dupEdgesCte = """
+  /** [[withDigestStars]] over the default [[ngramJaccard]] pair set ∪
+    * the [[cappedBandStars]] rescue — one shingle/explode subtree
+    * feeds both generators. */
+  private[graft] def dupGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val s = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shs"), col("n_sh"))
+    val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+    withDigestStars(spark, dir,
+      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
+        .union(cappedBandStars(s, e)))
+  }
+
+  /** DuckDB fragment mirroring [[withDigestStars]] ∪
+    * [[cappedBandStars]] over `pairs` + `eh`: defines
+    * `dpairs(doc_a, doc_b)`. The nr* chain is the banding of
+    * [[bandRows]] in SQL (same 30-bit field, same affine coefficients,
+    * same packed-long band keys), bucket-min stars, exact verify. */
+  private[queries] val dupEdgesCte = s"""
       dstar AS (SELECT dgm AS doc_a, doc_id AS doc_b
                 FROM (SELECT doc_id,
                              min(doc_id) OVER (PARTITION BY md5(text)) AS dgm
                       FROM documents WHERE text IS NOT NULL)
                 WHERE dgm <> doc_id),
+      nrhot AS (SELECT hk FROM eh GROUP BY hk HAVING count(*) > $jaccardMaxDf),
+      nrown AS (SELECT DISTINCT doc_id FROM eh
+                WHERE hk IN (SELECT hk FROM nrhot)),
+      nrhh AS (SELECT eh.doc_id, eh.hk % $P AS hh
+               FROM eh JOIN nrown USING (doc_id)),
+      nrsig AS (SELECT doc_id, ${(0 until 16).map(mhSql).mkString(", ")}
+                FROM nrhh GROUP BY doc_id),
+      nrband AS (SELECT doc_id,
+                        unnest([${(0 until 8).mkString(", ")}]) AS band,
+                        unnest([${(0 until 8).map(i =>
+                          s"mh${2 * i} * ${1L << 30} + mh${2 * i + 1}")
+                          .mkString(", ")}]) AS key
+                 FROM nrsig),
+      nrstar AS (SELECT DISTINCT bmin AS doc_a, doc_id AS doc_b
+                 FROM (SELECT doc_id,
+                              min(doc_id) OVER (PARTITION BY band, key) AS bmin
+                       FROM nrband)
+                 WHERE bmin <> doc_id),
+      nrshr AS (SELECT v.doc_a, v.doc_b, a.n_sh AS na, b.n_sh AS nb,
+                       count(*) AS shared
+                FROM nrstar v
+                JOIN eh a ON a.doc_id = v.doc_a
+                JOIN eh b ON b.doc_id = v.doc_b AND b.hk = a.hk
+                GROUP BY 1, 2, 3, 4),
+      nrpairs AS (SELECT doc_a, doc_b FROM nrshr
+                  WHERE 2 * shared >= na + nb - shared),
       dpairs AS (SELECT doc_a, doc_b FROM pairs
                  UNION
-                 SELECT doc_a, doc_b FROM dstar)"""
+                 SELECT doc_a, doc_b FROM dstar
+                 UNION
+                 SELECT doc_a, doc_b FROM nrpairs)"""
 
   /** Recursive-CTE fragment shared by the cluster and apply oracles
     * (same single-source rule as [[jaccardPairsCte]]): symmetrized

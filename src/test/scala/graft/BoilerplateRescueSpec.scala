@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Dedup
+
+/** The >256-copy NEAR-duplicate rescue (r16 verdict task 1): a mutated
+  * boilerplate family in more copies than [[Dedup.jaccardMaxDf]] has
+  * every discriminative shingle df-capped out of the inverted index —
+  * zero jaccard pairs — and, being near- rather than byte-identical,
+  * the r16 digest stars are all singletons. `Dedup.cappedBandStars`
+  * routes capped-shingle owners through df-independent MinHash band
+  * signatures with bucket-min STAR edges + exact verification; this
+  * spec pins, on a corpus where the cap actually BINDS:
+  *   - the blind spot is real (jaccard path emits zero family pairs),
+  *   - the rescue clusters the whole family (clusters + apply),
+  *   - candidate volume stays O(members) (star bound: <= 8/member),
+  *   - the base corpus' cluster structure is untouched,
+  *   - the rescue is a structural NO-OP on the driver fixtures (which
+  *     is why CORRECTNESS parity there is unchanged by construction —
+  *     the oracle-side battery where the cap binds is the
+  *     tools/make_boilerplate_fixture.py corpus, run per-round).
+  *
+  * Fixture: sf0.001 documents + a 300-copy family of one 120-token
+  * boilerplate text, copy i mutating position (i mod 120) to a
+  * copy-unique token. Pairwise jaccard ~0.9 (>= the 0.5 threshold);
+  * every shared shingle has df ~292 > 256 (capped); every mutated
+  * shingle has df 1 (kept, but unshared) — so the capped jaccard path
+  * sees the family as 300 pairwise-disjoint singletons. Deterministic:
+  * md5-derived hashing, no RNG anywhere.
+  */
+class BoilerplateRescueSpec extends SparkSpec {
+
+  import BoilerplateRescueSpec._
+
+  private lazy val dir = fixtureDir(spark)
+
+  private def corpus = {
+    val s = Dedup.withShingles(graft.model.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shs"), col("n_sh"))
+    val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+    (s, e)
+  }
+
+  test("the blind spot is real: the capped jaccard path emits ZERO family pairs") {
+    val pairs = Dedup.ngramJaccard.fn(spark, dir)
+      .filter(col("doc_a") >= famStart(spark) || col("doc_b") >= famStart(spark))
+    assert(pairs.count() === 0L,
+      "family pairs leaked through the df-capped index — fixture df too low?")
+  }
+
+  test("every family member owns a capped shingle; no base doc does") {
+    val (s, e) = corpus
+    val hot = e.groupBy(col("hk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.jaccardMaxDf).select(col("hk"))
+    val owners = e.join(hot, Seq("hk"), "left_semi")
+      .select(col("doc_id")).distinct()
+    assert(owners.filter(col("doc_id") >= famStart(spark)).count() === famSize.toLong)
+    assert(owners.filter(col("doc_id") < famStart(spark)).count() === 0L)
+  }
+
+  test("rescue edges cover the family with star-bounded volume and verified similarity") {
+    val (s, e) = corpus
+    val rescue = Dedup.cappedBandStars(s, e).collect()
+    // star bound: each member contributes at most one doc_b edge per band
+    assert(rescue.length <= 8 * famSize,
+      s"rescue emitted ${rescue.length} edges — exceeds the 8/member star bound")
+    val touched = rescue.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(touched.forall(_ >= famStart(spark)),
+      "rescue paired a non-owner base doc")
+    assert(rescue.nonEmpty, "rescue emitted nothing on a binding corpus")
+  }
+
+  test("the 300-copy mutated family clusters to ONE canon id (q_dedup_clusters)") {
+    val start = famStart(spark)
+    val fam = Dedup.dedupClusters.fn(spark, dir)
+      .filter(col("doc_id") >= start).collect()
+    assert(fam.length === famSize, s"expected $famSize family rows, got ${fam.length}")
+    val canons = fam.map(_.getLong(1)).toSet
+    assert(canons === Set(start),
+      s"family split across canon ids $canons — band-star connectivity broke")
+  }
+
+  test("q_dedup_apply keeps exactly ONE family doc") {
+    val kept = Dedup.dedupApply.fn(spark, dir)
+      .filter(col("lang") === famLang).collect()
+    assert(kept.length === 1 && kept.head.getLong(1) === 1L,
+      s"family lang group kept ${kept.map(_.getLong(1)).mkString(",")} docs, want 1")
+  }
+
+  test("base-corpus cluster structure is untouched by the rescue union") {
+    val start = famStart(spark)
+    val withFam = Dedup.dedupClusters.fn(spark, dir)
+      .filter(col("doc_id") < start).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.dedupClusters.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withFam === plain, "rescue perturbed base-corpus clusters")
+  }
+
+  test("the rescue is a structural no-op on the plain driver fixture") {
+    val s = Dedup.withShingles(graft.model.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("shs"), col("n_sh"))
+    val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+    assert(Dedup.cappedBandStars(s, e).count() === 0L,
+      "driver fixture grew a >256-df shingle — parity no-op claim now false; " +
+        "re-run the boilerplate battery and update SCALE.md")
+  }
+}
+
+object BoilerplateRescueSpec {
+  val famSize = 300
+  val famLang = "xx" // its own lang group so dedupApply's keep-count is direct
+  private val nTokens = 120
+
+  /** Copy i of the family: one 120-token boilerplate with position
+    * (i mod 120) replaced by a copy-unique token — byte-distinct
+    * (digest stars stay singleton), pairwise jaccard ~0.9, every
+    * common shingle df ~292. Mirrors
+    * tools/make_boilerplate_fixture.py (the oracle-battery corpus). */
+  private def famText(i: Int): String =
+    (0 until nTokens)
+      .map(j => if (j == i % nTokens) s"mut$i" else s"boiler$j")
+      .mkString(" ")
+
+  @volatile private var cached: (String, Long) = _
+
+  private def build(spark: org.apache.spark.sql.SparkSession): (String, Long) =
+    synchronized {
+      if (cached == null) {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-boilersf").toString
+        val base = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+        val start = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+        import spark.implicits._
+        val fam = (0 until famSize).map { i =>
+          val t = famText(i)
+          (start + i, t, famLang, "boilerplate", t.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        base.select(col("doc_id"), col("text"), col("lang"),
+                    col("source"), col("n_chars"))
+          .union(fam)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/documents.parquet")
+        cached = (out, start)
+      }
+      cached
+    }
+
+  def fixtureDir(spark: org.apache.spark.sql.SparkSession): String =
+    build(spark)._1
+  def famStart(spark: org.apache.spark.sql.SparkSession): Long =
+    build(spark)._2
+}
