@@ -53,7 +53,23 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** embeddings, with NULL-vector / NULL-label rows dropped at the
+    * boundary (r17, the [[graft.multimodal.Multimodal.mediaTable]]
+    * precedent): a null vector has no geometry — every kernel
+    * (DotProduct, CellArgMax, the SRP sign bits) dereferences the
+    * array, so a null row is an executor NPE/raise_error several
+    * operators deep — and a null label is a non-key for every blocked
+    * generator. The contract belongs HERE, once, rather than in ~25
+    * similarity queries; each oracle mirrors through
+    * `Similarity.ennSql`, and the IS-NOT-NULL predicates push into the
+    * parquet scan. Width ladders deliberately keep the RAW
+    * [[cachedRowCount]] (footer count, null rows included) — see the
+    * ennSql scaladoc. */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull &&
+              org.apache.spark.sql.functions.col("label").isNotNull)
 
   /** Memoized table row count, keyed by the table path's FILESYSTEM
     * SNAPSHOT (every file's path+length+mtime from one recursive

@@ -19,6 +19,26 @@ object Similarity {
 
   import graft.functions.VectorFunctions.{dotp, l2norm}
 
+  /** The null-dropping embeddings relation every ORACLE data read goes
+    * through (r16 verdict task 3): a row with a NULL vector or NULL
+    * label carries no geometry / no blocking key, and the engine drops
+    * it at the table boundary ([[Tables.embeddings]]) — so the oracles
+    * must read through the identical relation or a null-injected
+    * corpus diverges on every similarity query. Inlined as a subselect
+    * (not a WITH entry) so it composes into any oracle without
+    * RECURSIVE-chain surgery; DuckDB folds it into the scan.
+    *
+    * Two oracle sites intentionally stay on the RAW `embeddings` view:
+    * the ladder-width counts `nbx` ([[srpNbCaseSql]]) and `kq`
+    * ([[semCellsCtes]]) mirror the Scala side's
+    * [[Tables.cachedRowCount]], which counts parquet rows from footers
+    * (RAW, null rows included) — widths are scaling knobs, and both
+    * engines must just agree exactly; a filtered count would force a
+    * full scan where the engine reads only footers. */
+  private val ennSql =
+    "(SELECT vec_id, embedding, label FROM embeddings" +
+      " WHERE embedding IS NOT NULL AND label IS NOT NULL)"
+
   /** embedding cast to array<double>; norm via the codegen'd
     * [[graft.functions.DotProduct]] (same IEEE fold order as the HOF
     * `aggregate(transform(...))` formulation, ~10x less per-row cost). */
@@ -122,11 +142,11 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("sim"))
     },
     Some(s"""
-      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      WITH q AS (SELECT embedding AS qv FROM $ennSql WHERE vec_id = 0)
       SELECT vec_id, label,
              round(${dotSql("embedding", "qv")}
                    / (${nrmSql("embedding")} * ${nrmSql("qv")}), 6) AS sim
-      FROM embeddings, q
+      FROM $ennSql, q
       WHERE vec_id <> 0
       ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST
       LIMIT 10
@@ -235,7 +255,7 @@ object Similarity {
                                   ORDER BY round(${dotSql("d.embedding", "q.embedding")}
                      / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}), 6) DESC NULLS LAST,
                                   d.vec_id NULLS FIRST) AS rn
-        FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+        FROM $ennSql q JOIN $ennSql d ON d.vec_id <> q.vec_id
         WHERE ${knnQuerySql("q.vec_id")})
       WHERE rn = 1
     """))
@@ -263,7 +283,7 @@ object Similarity {
       SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
              round(${dotSql("a.embedding", "b.embedding")}
                    / (${nrmSql("a.embedding")} * ${nrmSql("b.embedding")}), 6) AS sim
-      FROM embeddings a JOIN embeddings b
+      FROM $ennSql a JOIN $ennSql b
         ON a.label = b.label AND a.vec_id < b.vec_id
       ORDER BY sim DESC NULLS LAST, id_a NULLS FIRST, id_b NULLS FIRST
       LIMIT 20
@@ -368,11 +388,19 @@ object Similarity {
     * Rung 18 (r16, alongside srpRungs 19): hot labels to 6,553,600
     * step to 262,144 buckets/table; engagement density-measured at a
     * 2,048,000-vector hot label (occupancy 7.8 vs 31 stuck — same
-    * separation). Past 6,553,600 the refusal stands — at label
-    * granularity that corpus shape is a degenerate blocking key (one
-    * label = 6.5M+ near-neighbors) before it is a scale problem; see
-    * SCALE.md. */
-  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16, 18)
+    * separation).
+    *
+    * Rung 20 (r17, alongside srpRungs 21): hot labels to 26,214,400
+    * step to 1,048,576 buckets/table; engagement density-measured at
+    * an 8,192,000-vector hot label (ScalingCurveSpec's deep-ladder
+    * point — the 4x-per-rung cost now exceeds the regular suite
+    * budget, so the deepest rung's point runs under
+    * SPARK_GRAFT_DEEP_LADDER=1, once per round, measurement recorded
+    * in the test doc + NOTES). Past 26,214,400 the refusal stands —
+    * at label granularity that corpus shape is a degenerate blocking
+    * key (one label = 26M+ near-neighbors) before it is a scale
+    * problem; see SCALE.md. */
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16, 18, 20)
   private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
   private[graft] def embedLshCaseSql: String =
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>
@@ -439,14 +467,14 @@ object Similarity {
       knownRows = Some(Tables.cachedRowCount(spark, dir, "embeddings"))),
     Some(s"""
       WITH lc AS (SELECT label, $embedLshCaseSql AS lbits
-                  FROM embeddings GROUP BY label),
+                  FROM $ennSql GROUP BY label),
       bk AS (
         SELECT e.vec_id, e.label, e.embedding,
                ${(0 until 4).map(t =>
                  s"((${srpBucketSql("e.embedding", t, embedLshRungs.max)})" +
                  s" & ((CAST(1 AS BIGINT) << lc.lbits) - 1)) AS b$t")
                  .mkString(",\n               ")}
-        FROM embeddings e JOIN lc ON e.label = lc.label)
+        FROM $ennSql e JOIN lc ON e.label = lc.label)
       SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
              round(${dotSql("x.embedding", "y.embedding")}
                    / (${nrmSql("x.embedding")} * ${nrmSql("y.embedding")}), 6) AS sim
@@ -498,8 +526,8 @@ object Similarity {
     * and the oracle's generated CASE ([[srpNbCaseSql]]) read
     * [[srpRungs]] — rung i uses srpRungs(i) bits and covers n <=
     * [[srpRungCap]](i) = 800·4^i. Extending the envelope is ONE edit:
-    * append the next odd width to srpRungs (currently 5/7/9/11/13/15/17,
-    * n <= 3,276,800); the Scala ladder, the oracle thresholds, the plane
+    * append the next odd width to srpRungs (currently 5/7/.../21,
+    * n <= 52,428,800); the Scala ladder, the oracle thresholds, the plane
     * dots and the weakest-bit argmin variants all re-generate from the
     * list. Past the last rung the Scala side refuses LOUDLY — the old
     * spelling kept stepping while the hand-kept SQL envelope stood
@@ -529,9 +557,16 @@ object Similarity {
     * formula; ScalingCurveSpec measures the rung-matched
     * 4,096,000-vector point (occupancy 7.8) through the real dispatch.
     * Row-exact audit stays at rung 15 (16× pairings per rung — see
-    * SCALE.md §SRP). Past 13,107,200 the refusal stands — append
-    * rung 21 with the same recipe. */
-  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19)
+    * SCALE.md §SRP).
+    *
+    * Rung 21 (r17): envelope n ≤ 52,428,800. The occupancy-matched
+    * engagement point (16,384,000 vectors) is ~4x the rung-19 point
+    * that was already the longest test in the suite, so it moves to
+    * ScalingCurveSpec's SPARK_GRAFT_DEEP_LADDER=1 guarded test — run
+    * once per round, measurement recorded there and in NOTES. The
+    * in-suite points stay through rung 19. Past 52,428,800 the
+    * refusal stands — append rung 23 with the same recipe. */
+  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19, 21)
   private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
   private[graft] def srpBitsLadder(n: Long): Int =
     srpRungs.indices.find(i => n <= srpRungCap(i)).map(srpRungs)
@@ -668,8 +703,8 @@ object Similarity {
     * weakest-|dot| argmin needs a full per-rung variant because its
     * candidate set is the ACTIVE planes. The thresholds, gated bits,
     * plane-dot set and argmin variants ALL generate from [[srpRungs]]
-    * (r12 verdict task 4) — currently 5/7/9/11/13/15/17, covering
-    * n <= 3,276,800; a bigger corpus hits [[srpBitsLadder]]'s loud
+    * (r12 verdict task 4) — currently 5/7/.../21, covering
+    * n <= 52,428,800; a bigger corpus hits [[srpBitsLadder]]'s loud
     * refusal and the fix is appending one rung to that single list.
     *
     * Known cost, accepted: the d CTE computes all 136 plane dots at
@@ -719,7 +754,7 @@ object Similarity {
     s"""d AS (
         SELECT vec_id, embedding,
                $dotDefs
-        FROM embeddings),
+        FROM $ennSql),
       nbx AS (SELECT $nbCase AS nbits FROM embeddings),
       b AS (
         SELECT vec_id, embedding,
@@ -1246,7 +1281,15 @@ object Similarity {
     * the honest spelling of "recorded per-SF constant". Unknown dirs
     * fall back to the conservative pre-r8 floor. */
   private val ivfRecallFloorPpm: Map[String, Long] = Map(
-    "sf0.001" -> 450000L, "sf0.01" -> 700000L, "sf0.1" -> 500000L)
+    "sf0.001" -> 450000L, "sf0.01" -> 700000L, "sf0.1" -> 500000L,
+    // derived parity corpora are DIFFERENT fixtures with their own
+    // deterministic constants, so they carry their own basenames +
+    // floors (r17: the embeddings null injection left 481 of 500
+    // vectors and recall moved 760000 -> 645833 ppm — the shared
+    // "sf0.01" key failed honestly). Measured via [[ivfRecallPpm]]:
+    // sf0.01-nulls 645833 (floor ~5% under); sf0.01-boiler copies
+    // embeddings verbatim, so it inherits sf0.01's measured 760000.
+    "sf0.01-nulls" -> 610000L, "sf0.01-boiler" -> 700000L)
   private def recallFloorPpm(dir: String): Long = {
     val base = dir.replaceAll("/+$", "").split('/').last
     ivfRecallFloorPpm.getOrElse(base, 400000L)
@@ -1284,11 +1327,37 @@ object Similarity {
             lit(1000000L) >=
             count(lit(1)) * lit(recallFloorPpm(dir))).as("recall_ok"))
     },
+    annIvfOracle)
+
+  /** Measured IVF top-1 recall in ppm over a fixture dir — THE
+    * re-record tool for [[ivfRecallFloorPpm]]: whenever a fixture's
+    * contents change (a regenerated testdata drop, a new null- or
+    * boilerplate-injected parity corpus), the deterministic recall is
+    * a NEW constant and the floor must be re-measured, not guessed
+    * (r17: the embeddings null injection shifted the 500-vector
+    * sf0.01 fixture to 481 vectors and its recall constant moved).
+    * Same arithmetic as [[annIvf]]'s gate, minus the floor compare. */
+  def ivfRecallPpm(spark: SparkSession, dir: String): Long = {
+    val e = emb(spark, dir).select(col("vec_id"), col("vd"), col("nrm"))
+    val exact = exactKnnTop1Cached(spark, dir)
+      .select(col("q_id"), col("nn_id").as("exact_nn"))
+    val ivf = ivfTop1From(e, Tables.cachedRowCount(spark, dir, "embeddings"))
+      .select(col("q_id"), col("nn_id").as("ivf_nn"))
+    val qs = e.filter(isKnnQuery).select(col("vec_id").as("q_id"))
+    val r = qs.join(exact, Seq("q_id"), "left").join(ivf, Seq("q_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("exact_nn").isNull ||
+                 col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)).as("hits"))
+      .head()
+    r.getLong(1) * 1000000L / r.getLong(0)
+  }
+
+  private def annIvfOracle =
     Some(s"""
       SELECT count(*) AS n_queries, true AS recall_ok
-      FROM embeddings
+      FROM $ennSql
       WHERE ${knnQuerySql("vec_id")}
-    """))
+    """)
 
   // ---- embedding storage / curation over per-dimension statistics ----
 
@@ -1335,13 +1404,13 @@ object Similarity {
              sum(col("v_err")).as("total_err_ppm"),
              max(col("v_err")).as("max_vec_err_ppm"))
     },
-    Some("""
+    Some(s"""
       WITH ex AS (
         SELECT label,
                unnest(range(1, len(embedding) + 1)) AS pos,
                unnest(list_transform(range(1, len(embedding) + 1),
                                      i -> embedding[i]::DOUBLE)) AS x
-        FROM embeddings),
+        FROM $ennSql),
       stats AS (
         SELECT label, pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1, 2),
       sarr AS (
@@ -1356,7 +1425,7 @@ object Similarity {
                                     / (his[i] - los[i]) + 0.5) END)
                    * (his[i] - los[i]) / 255.0)) * 1000000.0 + 0.5) AS BIGINT)),
                  (a, b) -> a + b) AS v_err
-        FROM embeddings e JOIN sarr ON e.label = sarr.label)
+        FROM $ennSql e JOIN sarr ON e.label = sarr.label)
       SELECT label, count(*) AS n_vecs,
              CAST(sum(v_err) AS BIGINT) AS total_err_ppm,
              CAST(max(v_err) AS BIGINT) AS max_vec_err_ppm
@@ -1475,7 +1544,7 @@ object Similarity {
                list_transform(range(1, len(embedding) + 1),
                               i -> embedding[i]::DOUBLE / nr) AS u
         FROM (SELECT vec_id, label, embedding, ${nrmSql("embedding")} AS nr
-              FROM embeddings)),
+              FROM $ennSql)),
       """
     s"""
       ${if (withUu) uuCte else ""}$sd AS (SELECT u AS su, s FROM (
@@ -1673,8 +1742,8 @@ object Similarity {
                            / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC NULLS LAST,
                            s.c_id NULLS FIRST) AS rn
                FROM short s
-                 JOIN embeddings qe ON s.q_id = qe.vec_id
-                 JOIN embeddings c ON s.c_id = c.vec_id)
+                 JOIN $ennSql qe ON s.q_id = qe.vec_id
+                 JOIN $ennSql c ON s.c_id = c.vec_id)
              WHERE rn = 1),
       exact AS (SELECT q_id, nn_id AS exact_nn FROM (
                   SELECT qx.vec_id AS q_id, dx.vec_id AS nn_id,
@@ -1682,7 +1751,7 @@ object Similarity {
                             ORDER BY round(${dotSql("dx.embedding", "qx.embedding")}
                               / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC NULLS LAST,
                             dx.vec_id NULLS FIRST) AS rn
-                  FROM embeddings qx JOIN embeddings dx ON dx.vec_id <> qx.vec_id
+                  FROM $ennSql qx JOIN $ennSql dx ON dx.vec_id <> qx.vec_id
                   WHERE ${knnQuerySql("qx.vec_id")})
                 WHERE rn = 1)
       SELECT rr.q_id, rr.nn_id, rr.sim,
@@ -1814,8 +1883,8 @@ object Similarity {
                            / (${nrmSql("c.embedding")} * ${nrmSql("qe.embedding")}), 6) DESC NULLS LAST,
                            s.c_id NULLS FIRST) AS rn
                FROM short s
-                 JOIN embeddings qe ON s.q_id = qe.vec_id
-                 JOIN embeddings c ON s.c_id = c.vec_id)
+                 JOIN $ennSql qe ON s.q_id = qe.vec_id
+                 JOIN $ennSql c ON s.c_id = c.vec_id)
              WHERE rn = 1)"""
 
   val annIvfPq = Q(
@@ -1864,7 +1933,7 @@ object Similarity {
                             ORDER BY round(${dotSql("dx.embedding", "qx.embedding")}
                               / (${nrmSql("dx.embedding")} * ${nrmSql("qx.embedding")}), 6) DESC NULLS LAST,
                             dx.vec_id NULLS FIRST) AS rn
-                  FROM embeddings qx JOIN embeddings dx ON dx.vec_id <> qx.vec_id
+                  FROM $ennSql qx JOIN $ennSql dx ON dx.vec_id <> qx.vec_id
                   WHERE ${knnQuerySql("qx.vec_id")})
                 WHERE rn = 1)
       SELECT rr.q_id, qc.cell, rr.nn_id, rr.sim,
@@ -1910,13 +1979,13 @@ object Similarity {
         .limit(20)
         .select(col("vec_id"), col("label"), col("dist2_ppm"))
     },
-    Some("""
+    Some(s"""
       WITH ex AS (
         SELECT label,
                unnest(range(1, len(embedding) + 1)) AS pos,
                unnest(list_transform(range(1, len(embedding) + 1),
                  i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))) AS xi
-        FROM embeddings),
+        FROM $ennSql),
       s AS (
         SELECT label, pos, CAST(sum(xi) AS BIGINT) AS sx, count(*) AS n
         FROM ex GROUP BY 1, 2),
@@ -1928,7 +1997,7 @@ object Similarity {
                (embedding[i]::DOUBLE - ss[i] / (n * 1000000.0))
                * (embedding[i]::DOUBLE - ss[i] / (n * 1000000.0))),
                (a, b) -> a + b) * 1000000.0 + 0.5) AS BIGINT) AS dist2_ppm
-      FROM embeddings e JOIN sarr ON e.label = sarr.label
+      FROM $ennSql e JOIN sarr ON e.label = sarr.label
       ORDER BY dist2_ppm DESC NULLS LAST, vec_id NULLS FIRST
       LIMIT 20
     """))
@@ -1973,13 +2042,13 @@ object Similarity {
             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000000.0D + 0.5D) AS BIGINT)"""))
         .select(col("label"), col("na"), col("nb"), col("dist2_ppm"))
     },
-    Some("""
+    Some(s"""
       WITH ex AS (
         SELECT label, vec_id % 2 AS slice,
                unnest(range(1, len(embedding) + 1)) AS pos,
                unnest(list_transform(range(1, len(embedding) + 1),
                  i -> CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))) AS xi
-        FROM embeddings),
+        FROM $ennSql),
       p AS (
         SELECT label, pos,
                CAST(sum(CASE WHEN slice = 0 THEN xi END) AS BIGINT) AS sa,
@@ -2270,7 +2339,7 @@ object Similarity {
                                    i -> embedding[i]::DOUBLE / nr) AS u
              FROM (SELECT vec_id, label, embedding,
                           ${nrmSql("embedding")} AS nr
-                   FROM embeddings)),
+                   FROM $ennSql)),
       sd AS (SELECT su, s FROM (
                SELECT u AS su,
                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) NULLS FIRST) - 1 AS s
@@ -2361,7 +2430,7 @@ object Similarity {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
              CAST(sum(CASE WHEN vec_id IN (SELECT doc_id FROM dropped)
                       THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
-      FROM embeddings
+      FROM $ennSql
       GROUP BY label
     """))
 
@@ -2414,7 +2483,7 @@ object Similarity {
                  ORDER BY floor((${dotSql("d.embedding", "q.embedding")}
                      / (${nrmSql("d.embedding")} * ${nrmSql("q.embedding")}))
                     * 1000000.0 + 0.5) DESC NULLS LAST, d.vec_id NULLS FIRST) AS rn
-        FROM embeddings q JOIN embeddings d ON d.label <> q.label
+        FROM $ennSql q JOIN $ennSql d ON d.label <> q.label
         WHERE ${knnQuerySql("q.vec_id")})
       WHERE rn <= 3
     """))
@@ -2546,14 +2615,14 @@ object Similarity {
     },
     Some(s"""
       WITH q AS (
-        SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        SELECT vec_id AS q_id, embedding AS qe FROM $ennSql
         WHERE ${knnQuerySql("vec_id")}),
       sc AS (
         SELECT q_id, d.vec_id AS c_id, d.embedding AS ce,
                CAST(floor((${dotSql("d.embedding", "qe")}
                      / (${nrmSql("d.embedding")} * ${nrmSql("qe")}))
                     * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm
-        FROM embeddings d JOIN q ON d.vec_id <> q.q_id),
+        FROM $ennSql d JOIN q ON d.vec_id <> q.q_id),
       cand AS (
         SELECT q_id, c_id, ce, rel_ppm FROM (
           SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2728,12 +2797,12 @@ object Similarity {
                     row_number() OVER (ORDER BY bm25_ppm DESC NULLS LAST, doc_id NULLS FIRST)
                       AS lex_rank
              FROM bscore),
-      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv AS (SELECT embedding AS qe FROM $ennSql WHERE vec_id = 0),
       sem AS (SELECT vec_id AS doc_id,
                      CAST(floor((${dotSql("embedding", "qe")}
                        / (${nrmSql("embedding")} * ${nrmSql("qe")}))
                        * 1000000.0 + 0.5) AS BIGINT) AS cos_ppm
-              FROM embeddings, qv WHERE vec_id <> 0),
+              FROM $ennSql, qv WHERE vec_id <> 0),
       sr AS (SELECT doc_id,
                     row_number() OVER (ORDER BY cos_ppm DESC NULLS LAST, doc_id NULLS FIRST)
                       AS sem_rank
@@ -2843,7 +2912,7 @@ object Similarity {
         SELECT q.q_id, n.vec_id, $k AS dim, ${simAt(k)} AS sim
         FROM n, q WHERE n.vec_id <> q.q_id""").mkString(" UNION ALL")
       s"""
-      WITH b AS (SELECT vec_id, $prefixCols FROM embeddings),
+      WITH b AS (SELECT vec_id, $prefixCols FROM $ennSql),
       n AS (SELECT *, $normCols FROM b),
       q AS (SELECT vec_id AS q_id, $qCols FROM n
             WHERE ${knnQuerySql("vec_id")}),

@@ -22,6 +22,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("a NULL node id is a LOUD refusal, never a silent 0-decode (stated key contract)") {
+    // r16 verdict task 3: graph keys (doc_id/vec_id) are never nulled
+    // by the injection plans BECAUSE this contract throws — pin the
+    // throw so the plans' key-exclusion stays justified by a test, not
+    // by a scaladoc. (A silent getLong(0)-on-null would alias every
+    // null endpoint to node 0 and quietly merge components.)
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("src", "dst")
+    val e = intercept[Exception](
+      ConnectedComponents.minLabel(df, "src", "dst").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null node id"), msgs)
+  }
+
   test("a long chain converges within the iteration cap") {
     // diameter 15: min-label needs ~15 rounds, below the default cap
     val labels = cc((0L until 15L).map(i => (i, i + 1)))

@@ -145,7 +145,9 @@ object NullCorpusSpec {
     "documents" -> ("doc_id", Map("text" -> 200, "lang" -> 250)),
     "region" -> ("r_regionkey", Map.empty),
     "nation" -> ("n_nationkey", Map.empty),
-    "embeddings" -> ("vec_id", Map.empty))
+    // null vector / null label rows are DROPPED at Tables.embeddings
+    // (r17 stated contract, oracles mirror via Similarity.ennSql)
+    "embeddings" -> ("vec_id", Map("embedding" -> 40, "label" -> 40)))
 
   @volatile private var cached: String = _
 

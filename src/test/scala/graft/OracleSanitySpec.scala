@@ -31,20 +31,23 @@ class OracleSanitySpec extends SparkSpec {
     val boundary = Seq(1L -> 5, 800L -> 5, 801L -> 7, 3200L -> 7,
       3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11,
       51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15,
-      819201L -> 17, 3276800L -> 17, 3276801L -> 19, 13107200L -> 19)
+      819201L -> 17, 3276800L -> 17, 3276801L -> 19, 13107200L -> 19,
+      13107201L -> 21, 52428800L -> 21)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
     }
     // past the last rung the Scala ladder refuses LOUDLY (the old
     // spelling silently stepped past the hand-kept SQL envelope and
-    // failed only at the driver's hash compare)
-    val past = intercept[IllegalArgumentException](srpBitsLadder(13107201L))
+    // failed only at the driver's hash compare). The probe derives
+    // from the rung list so appending a rung moves it automatically.
+    val past = intercept[IllegalArgumentException](
+      srpBitsLadder(graft.queries.Similarity.srpRungCap(srpRungs.size - 1) + 1))
     assert(past.getMessage.contains("srpRungs"), past.getMessage)
     // both sides generate from ONE rung list: every SRP consumer's SQL
     // must embed srpNbCaseSql verbatim — a hand-edited CASE that
     // drifts from srpRungs cannot pass this
-    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17, 19))
+    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17, 19, 21))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>

@@ -46,15 +46,24 @@ PLAN = {
     "events":   ("event_id", {"ts": 20, "value": 30, "props": 20,
                               "event_type": 20}),
     "documents": ("doc_id", {"text": 10, "lang": 20}),
-    # embeddings: vector kernels carry loud non-null contracts (the
-    # refusal ladders); label is the blocking key. Copied verbatim.
-    "embeddings": ("vec_id", {}),
+    # embeddings (r17, VERDICT r16 task 3): a null vector / null label
+    # row is DROPPED at the table boundary (Tables.embeddings; oracles
+    # mirror via Similarity.ennSql) — the same stated-contract shape as
+    # mediaTable's null-payload drop. vec_id stays non-null (PK; graph
+    # consumers' minLabel throws loudly on null ids — pinned in
+    # ConnectedComponentsSpec).
+    "embeddings": ("vec_id", {"embedding": 20, "label": 20}),
 }
 
 
 def main(src: str, out: str) -> None:
     con = duckdb.connect()
-    con.execute(f"COPY (SELECT 1) TO '{out}/.probe.csv'")  # fail fast if out missing
+    # fail fast if out is missing/unwritable — and clean the probe up
+    # (r16 ADVICE: it used to stay behind in the fixture dir)
+    probe = f"{out}/.probe.csv"
+    con.execute(f"COPY (SELECT 1) TO '{probe}'")
+    import os
+    os.remove(probe)
     total = {}
     for table, (rowkey, cols) in PLAN.items():
         desc = con.execute(
