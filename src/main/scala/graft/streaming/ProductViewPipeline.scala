@@ -410,17 +410,37 @@ object ProductViewPipeline {
                   s"INSERT INTO $table (start_ts, source, source_number) " +
                     "VALUES (?, ?, ?)")
                 try {
+                  // a NULL key row is NOT exportable by stated contract
+                  // (r16 verdict task 7, found by the null-bearing
+                  // upsert case): the target declares the PK NOT NULL,
+                  // `WHERE source = ?` can never address a NULL anyway
+                  // (three-valued =), and letting the INSERT throw
+                  // makes the row a POISON PILL — the batch rolls
+                  // back, the query dies, and the checkpoint replays
+                  // the same crash forever. Diverted rows are counted
+                  // and logged loudly, never silently swallowed.
+                  var diverted = 0L
                   rows.foreach { r =>
-                    val ts = r.getTimestamp(0)
-                    val src = r.getString(1)
-                    del.setTimestamp(1, ts); del.setString(2, src)
-                    del.addBatch()
-                    ins.setTimestamp(1, ts); ins.setString(2, src)
-                    ins.setLong(3, r.getLong(2))
-                    ins.addBatch()
+                    if (r.isNullAt(0) || r.isNullAt(1)) diverted += 1
+                    else {
+                      val ts = r.getTimestamp(0)
+                      val src = r.getString(1)
+                      del.setTimestamp(1, ts); del.setString(2, src)
+                      del.addBatch()
+                      ins.setTimestamp(1, ts); ins.setString(2, src)
+                      // explicit null, never getLong's silent 0-decode
+                      // (the r16 Aggregator NULL->0 class, at the sink)
+                      if (r.isNullAt(2)) ins.setNull(3, java.sql.Types.BIGINT)
+                      else ins.setLong(3, r.getLong(2))
+                      ins.addBatch()
+                    }
                   }
                   del.executeBatch(); ins.executeBatch()
                   conn.commit()
+                  if (diverted > 0)
+                    System.err.println(
+                      s"[jdbcUpsert] $table: diverted $diverted null-key " +
+                        "row(s) — not addressable by the PRIMARY KEY")
                 } catch {
                   // ROLL BACK before the finally's close, keeping the
                   // ORIGINAL failure: closing with a live transaction
