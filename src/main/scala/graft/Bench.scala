@@ -79,6 +79,36 @@ object Bench {
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "null" }
     val loadStart = loadavg()
+    // Calibration canary (r16 verdict task 2): a fixed, pure-JVM,
+    // data-independent CPU-bound workload (~1-2 s quiet) timed BEFORE
+    // and AFTER the battery. The r16 box degraded ~+18% TREE-INVARIANT
+    // mid-round (the unchanged r15 tree re-read 137.1 s vs its own
+    // committed 116.3 at loadavg ~1) and attributing that required
+    // hand-re-running the old tree in a worktree; the canary makes
+    // box-speed drift readable from the artifact alone. Single-threaded
+    // xorshift mix: no allocation, no data, no JIT profile dependence
+    // after the first seconds — its seconds measure the BOX (cpu
+    // frequency/steal/thermal), never the engine tree.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 600000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1L
+      }
+      // data-dependent sink so the loop cannot be dead-code-eliminated
+      if (x == 42L) System.err.println("[bench] calibration sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Reference seconds for the SAME loop, measured on this box while
+    // quiet (r17, loadavg 1.6 falling, five reps 1.468-1.476 — tight).
+    // calib factor = measured / ref; a factor >> 1 says the BOX is
+    // slow this run, so a higher headline is attributable without a
+    // worktree experiment. The constant is box-specific by design — it
+    // normalizes ROUND-OVER-ROUND drift on the one shared box, not
+    // cross-machine comparisons.
+    val calibRef = 1.47
+    val calibBefore = calibrate()
     // the 1-min component alone, shared by per-query and per-rerun
     // sampling (one spelling — a drift between the two would
     // desynchronize load_at_query and rerun_load in the artifact)
@@ -179,7 +209,12 @@ object Bench {
     // comes from this window, not the battery's — pairing it with the
     // battery-start load would mis-attribute exactly the reading the
     // column exists for (r13 review finding)
-    val rerunLoad = scala.collection.mutable.Map.empty[String, String]
+    // one load sample PER RERUN (r16 ADVICE: a single pre-rerun sample
+    // could be minutes stale by the time the converged pair actually
+    // executes — the r13 mis-attribution this column exists to prevent
+    // could recur inside the rerun window); the artifact carries the
+    // full vector, aligned index-for-index with "reruns"
+    val rerunLoad = scala.collection.mutable.Map.empty[String, Vector[String]]
     // r16 (verdict task 2 — the r15 driver headline read +14% purely
     // from box contention): a single post-battery rerun still samples
     // whatever load happens to be present at that instant. Each flagged
@@ -191,9 +226,21 @@ object Bench {
     // keeps its battery median and is named in quiet_unconverged, so a
     // still-loud box can never masquerade as a quiet reading.
     var quietWaitBudgetMs = 120000L
+    // an unreadable/unparseable loadavg counts as LOUD, not quiet
+    // (r16 ADVICE: defaulting to 0.0 silently no-ops the quiet-wait on
+    // any box where /proc/loadavg fails) — the budget drains and the
+    // failure is logged once + recorded in the artifact
+    var loadReadFailed = false
+    def load1OrLoud(): Double =
+      scala.util.Try(load1().toDouble).getOrElse {
+        if (!loadReadFailed) {
+          loadReadFailed = true
+          System.err.println("[bench] loadavg unreadable — treating as loud")
+        }
+        Double.PositiveInfinity
+      }
     def awaitQuiet(): Unit = {
-      while (quietWaitBudgetMs > 0 &&
-             scala.util.Try(load1().toDouble).getOrElse(0.0) > 2.0) {
+      while (quietWaitBudgetMs > 0 && load1OrLoud() > 2.0) {
         Thread.sleep(5000); quietWaitBudgetMs -= 5000
       }
     }
@@ -207,10 +254,18 @@ object Bench {
       .filter { case (name, _) => spreadFlagged(name) }
       .flatMap { case (name, fnq) =>
         awaitQuiet()
-        rerunLoad(name) = load1()
         var runs = Vector.empty[Double]
-        while (runs.size < 4 && !converged(runs)) runs :+= run(name, fnq)
+        var loads = Vector.empty[String]
+        // cap 6 (was 4 — r16 verdict task 4: q_pack_chunks exhausted
+        // 4 reruns unconverged; its stage-barriered prefix-sum
+        // amplifies scheduler noise, and two extra attempts are cheap
+        // next to an unconverged headline)
+        while (runs.size < 6 && !converged(runs)) {
+          loads :+= load1()
+          runs :+= run(name, fnq)
+        }
         rerunRaw(name) = runs
+        rerunLoad(name) = loads
         if (converged(runs)) {
           val Seq(a, b) = runs.takeRight(2)
           Some(name -> (a + b) / 2.0)
@@ -238,7 +293,25 @@ object Bench {
           if (unconv.isEmpty) "" else s""","quiet_unconverged":[${unconv.mkString(",")}]"""
         s""","quiet_value":${f3(substituted)},"quiet_substituted":[${subs.mkString(",")}]$unconvMark"""
       }
-    val line = emitLine(quietMark)
+    // post-battery (and post-rerun) canary leg + the drift factor: a
+    // factor far from 1.0 — or before/after disagreeing — is the
+    // tree-invariant box-drift signal r16 needed a worktree to get.
+    // value_normalized divides the best contention-corrected total
+    // (quiet_value when present, else value) by the factor, giving a
+    // round-over-round comparable number in one field.
+    val calibAfter = calibrate()
+    val calibFactor = ((calibBefore + calibAfter) / 2.0) / calibRef
+    val bestTotal = {
+      val substituted = results.collect {
+        case (k, v) if v >= 0 && !measurementOnly(k) =>
+          reruns.get(k).filter(_ >= 0).getOrElse(v)
+      }.sum
+      if (spreadFlagged.isEmpty) total else substituted
+    }
+    val loadFailMark = if (loadReadFailed) ""","loadavg_unreadable":true""" else ""
+    val calibMark =
+      s""","calib":{"before":${f3(calibBefore)},"after":${f3(calibAfter)},"ref":${f3(calibRef)},"factor":${f3(calibFactor)},"value_normalized":${f3(bestTotal / calibFactor)}}$loadFailMark"""
+    val line = emitLine(quietMark + calibMark)
     println(line)
     // Per-rep raw times in EXECUTION order, for spread/regression calls —
     // NOT part of the driver's one-line contract.
@@ -252,13 +325,13 @@ object Bench {
         "\"" + k + "\":{\"raws\":[" + runs.map(f3).mkString(",") +
           s"""],"spread":${f3(runs.max / runs.min)},"reruns":[""" +
           rerunRaw.getOrElse(k, Nil).map(f3).mkString(",") +
-          s"""],"rerun":${f3(reruns.getOrElse(k, -1.0))},"rerun_load":${rerunLoad.getOrElse(k, "null")}}"""
+          s"""],"rerun":${f3(reruns.getOrElse(k, -1.0))},"rerun_load":${rerunLoad.getOrElse(k, Vector.empty[String]).mkString("[", ",", "]")}}"""
     }
     val flagMark =
       if (flagged.isEmpty) "" else s""","spread_flags":{${flagged.mkString(",")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out.replaceAll("\\.json$", "") + "_detail.json"),
-      s"""{"reps":$reps,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()}$flagMark,"load_at_query":$loadCol,"runs":$detail}""" + "\n")
+      s"""{"reps":$reps,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},"calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},"calib_ref":${f3(calibRef)}$flagMark,"load_at_query":$loadCol,"runs":$detail}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }

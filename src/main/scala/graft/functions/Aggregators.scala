@@ -67,7 +67,13 @@ object Aggregators {
     * [[DiscountedRevenue]] (r16 review: the first fix was a scaladoc
     * warning plus one call-site filter, which left the silent
     * NULL-decodes-as-0 rank live for every future caller; there are
-    * ten call sites today). The TIEBREAK stays a primitive Long: every
+    * ten call sites today). The skip fixes the SCALA side for every
+    * caller; each caller's ORACLE must still mirror it — rank only
+    * non-null values (q_topk_agg r16, q_source_cap r17: a bare
+    * `ORDER BY v DESC NULLS LAST` still hands rn <= k to null rows in
+    * groups smaller than k). Callers whose value is DERIVED non-null
+    * (the similarity sims/ADC scores) mirror vacuously.
+    * The TIEBREAK stays a primitive Long: every
     * caller passes a non-null id/key column, and a null tiebreak would
     * merely decode to 0 — it cannot change WHICH values rank, only how
     * exact ties order, and exact ties on a key column don't occur. */

@@ -286,10 +286,15 @@ object Analytics {
     "q_approx_percentiles",
     (spark, dir) => {
       val ps = Seq(0.25, 0.50, 0.75, 0.95)
+      // ONE spelling of the GK accuracy (r16 ADVICE: it was a magic
+      // 1000 in the SQL string AND a magic 1000.0 in the slack formula
+      // — retuning one without the other silently mis-calibrates the
+      // rank gate; ε = 1/accuracy ties them by definition)
+      val accuracy = 1000
       val o = Tables.orders(spark, dir)
         .select(col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
       val sk = o.groupBy(col("st").as("sk_st"))
-        .agg(expr(s"approx_percentile(v, array(${ps.mkString(",")}), 1000)").as("ap"))
+        .agg(expr(s"approx_percentile(v, array(${ps.mkString(",")}), $accuracy)").as("ap"))
       // <=> : a NULL status is a legitimate group (the q_hll_merge
       // join class); null v rows drop — the sketch never saw them
       val j = o.filter(col("v").isNotNull)
@@ -308,7 +313,7 @@ object Analytics {
       val full = sk.join(counts, col("sk_st") <=> col("c_st"), "left")
       val oks = ps.indices.map { i =>
         val n = col("n").cast("double")
-        val slack = n / 1000.0 + 1.0
+        val slack = n / accuracy.toDouble + 1.0
         when(col("n").isNull, lit(true))
           .otherwise(
             (col(s"le$i").cast("double") >= lit(ps(i)) * n - slack) &&

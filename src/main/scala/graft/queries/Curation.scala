@@ -715,8 +715,15 @@ object Curation {
     Some("""
       WITH r AS (
         SELECT source, n_chars, doc_id,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY n_chars DESC NULLS LAST, doc_id NULLS FIRST) AS rn
+               -- a NULL n_chars row has NO rank (TopK skips NULL values
+               -- structurally — r16 ADVICE: NULLS LAST alone would still
+               -- hand rn <= 5 to NULL rows in small groups); the extra
+               -- (n_chars IS NULL) partition key keeps the window
+               -- single-pass while the CASE voids the NULL partition
+               CASE WHEN n_chars IS NULL THEN NULL ELSE
+                 row_number() OVER (PARTITION BY source, (n_chars IS NULL)
+                   ORDER BY n_chars DESC NULLS LAST, doc_id NULLS FIRST)
+               END AS rn
         FROM documents)
       SELECT source, count(*) AS n_docs,
              CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
