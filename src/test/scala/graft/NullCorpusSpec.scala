@@ -142,7 +142,8 @@ object NullCorpusSpec {
           "l_returnflag" -> 10)),
     "events" -> ("event_id", Map("ts" -> 40, "value" -> 40, "props" -> 40,
                                  "event_type" -> 40)),
-    "documents" -> ("doc_id", Map("text" -> 200, "lang" -> 250)),
+    "documents" -> ("doc_id", Map("text" -> 200, "lang" -> 250,
+                                  "n_chars" -> 100)),
     "region" -> ("r_regionkey", Map.empty),
     "nation" -> ("n_nationkey", Map.empty),
     // null vector / null label rows are DROPPED at Tables.embeddings

@@ -604,11 +604,13 @@ class ScalingCurveSpec extends SparkSpec {
     * DuckDB audit stays at its single-box ceiling, srp rung 15
     * (16x pairings per rung — SCALE.md §SRP).
     *
-    * Measured r17 (this round's run, recorded in NOTES): srp rung 21
-    * @ 16,384,000 vectors and embed-LSH rung 20 @ an 8,192,000-vector
-    * hot label vs the rung-18 cap density @ 6,553,600 — constants in
-    * the assertions below; everything is md5-deterministic, so a
-    * re-run reproduces them exactly. */
+    * Measured r17 (quiet box, ~23 min wall): srp rung 21 @ 16,384,000
+    * vectors = 6,714,911,918 collision pairs (409/vec — the standing
+    * ~1.18x/rung per-vector drift over 324 at rung 19), exponent 1.17
+    * over the in-suite 4.096M point; embed-LSH rung 18 cap density
+    * @6,553,600 = 3.6361e-5 vs rung 20 @8,192,000 = 1.0906e-5
+    * (0.30x — engaged; stuck would hold ~equal). md5-deterministic,
+    * so a re-run reproduces them exactly. */
   test("deep ladder: srp rung 21 + embed-LSH rung 20 engage (SPARK_GRAFT_DEEP_LADDER=1)") {
     assume(sys.env.get("SPARK_GRAFT_DEEP_LADDER").contains("1"),
       "deep-ladder points run once per round (tens of minutes); " +

@@ -45,7 +45,11 @@ PLAN = {
                   "l_returnflag": 10}),
     "events":   ("event_id", {"ts": 20, "value": 30, "props": 20,
                               "event_type": 20}),
-    "documents": ("doc_id", {"text": 10, "lang": 20}),
+    # n_chars (r17, the r16 ADVICE alternative actually taken): a
+    # nullable VALUE column feeding the TopK bounded heap — exercises
+    # the structural null skip and its oracle mirrors (q_source_cap)
+    # instead of leaving them latent
+    "documents": ("doc_id", {"text": 10, "lang": 20, "n_chars": 10}),
     # embeddings (r17, VERDICT r16 task 3): a null vector / null label
     # row is DROPPED at the table boundary (Tables.embeddings; oracles
     # mirror via Similarity.ennSql) — the same stated-contract shape as
