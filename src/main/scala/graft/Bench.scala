@@ -271,13 +271,17 @@ object Bench {
           Some(name -> (a + b) / 2.0)
         } else None
       }.toMap
+    // ONE spelling of the quiet substitution (r17 review: quiet_value
+    // and calib.value_normalized computed it independently — a future
+    // rule edit applied to one copy would desynchronize two fields of
+    // the same artifact, the load1() one-spelling class)
+    val substituted = results.collect {
+      case (k, v) if v >= 0 && !measurementOnly(k) =>
+        reruns.get(k).filter(_ >= 0).getOrElse(v)
+    }.sum
     val quietMark =
       if (spreadFlagged.isEmpty) ""
       else {
-        val substituted = results.collect {
-          case (k, v) if v >= 0 && !measurementOnly(k) =>
-            reruns.get(k).filter(_ >= 0).getOrElse(v)
-        }.sum
         // name ONLY the queries whose rerun actually entered the sum —
         // a flagged measurement-only query is excluded from both
         // value and quiet_value, so listing it would make the artifact
@@ -301,13 +305,7 @@ object Bench {
     // round-over-round comparable number in one field.
     val calibAfter = calibrate()
     val calibFactor = ((calibBefore + calibAfter) / 2.0) / calibRef
-    val bestTotal = {
-      val substituted = results.collect {
-        case (k, v) if v >= 0 && !measurementOnly(k) =>
-          reruns.get(k).filter(_ >= 0).getOrElse(v)
-      }.sum
-      if (spreadFlagged.isEmpty) total else substituted
-    }
+    val bestTotal = if (spreadFlagged.isEmpty) total else substituted
     val loadFailMark = if (loadReadFailed) ""","loadavg_unreadable":true""" else ""
     val calibMark =
       s""","calib":{"before":${f3(calibBefore)},"after":${f3(calibAfter)},"ref":${f3(calibRef)},"factor":${f3(calibFactor)},"value_normalized":${f3(bestTotal / calibFactor)}}$loadFailMark"""

@@ -276,20 +276,24 @@ object Curation {
       val flags = withGopherFlags(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           (col("p_wc") && col("p_wlen") && col("p_stop") && col("p_dup")).as("q_keep"))
-      // ONE eagerly-materialized inverted shingle index serves the
-      // dedup pair generation AND both decontamination sides (three
+      // ONE eagerly-materialized shingle frame serves the dedup pair
+      // generation AND both decontamination sides (several
       // computations otherwise). Eager localCheckpoint, not lazy
-      // persist: three consumers racing a lazy cache is the documented
+      // persist: consumers racing a lazy cache is the documented
       // first-rep stampede (mmr_rerank, dup_pagerank, srpProbePairs,
       // prefix-filter, link-prediction all hit it before this site).
-      val e = Dedup.withShingles(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+      val s = Dedup.withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("shs"), col("n_sh"))
         .localCheckpoint(true)
-      // digest star edges unioned in (r16 advice): a >jaccardMaxDf-copy
-      // boilerplate doc emits zero jaccard pairs, and the funnel's
-      // dedup stage is exactly where that recall loss would hide
-      val dup = Dedup.nonCanonical(Dedup.withDigestStars(spark, dir,
-          Dedup.jaccardPairs(e).select(col("doc_a"), col("doc_b"))))
+      val e = s.select(col("doc_id"), col("n_sh"),
+                       explode(col("shs")).as("hk"))
+      // the SHARED graph edge union (r17 review finding: this site
+      // hand-composed jaccard ∪ digest stars and silently missed the
+      // new cappedBandStars rescue while the oracle's dupEdgesCte
+      // included it — the funnel's dedup stage is exactly where mass
+      // near-dup recall loss would hide). dupGraphEdgesFrom is the one
+      // spelling; it cannot drift from the oracle again.
+      val dup = Dedup.nonCanonical(Dedup.dupGraphEdgesFrom(spark, dir, s, e))
         .withColumn("dup", lit(true))
       val evalShingles = e.filter(col("doc_id") % 97 === 0).select(col("hk")).distinct()
       val contaminated = Dedup.evalBoundedSemiJoin(spark,

@@ -281,16 +281,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** [[withDigestStars]] over the default [[ngramJaccard]] pair set ∪
-    * the [[cappedBandStars]] rescue — one shingle/explode subtree
-    * feeds both generators. */
-  private[graft] def dupGraphEdges(spark: SparkSession, dir: String): DataFrame = {
-    val s = withShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("shs"), col("n_sh"))
-    val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+  /** THE graph-family edge union over caller-supplied shingle frames —
+    * jaccard pairs ∪ [[cappedBandStars]] ∪ digest stars, single-sourced
+    * (r17 review: the curation funnel composed the union BY HAND and
+    * silently missed the new rescue while its oracle included it —
+    * masked only by a fixture whose family failed the quality gates).
+    * `s` = (doc_id, shs, n_sh), `e` = its exploded (doc_id, n_sh, hk);
+    * callers that feed several consumers should pass a CHECKPOINTED
+    * `s` (see [[dupGraphEdges]]). */
+  private[graft] def dupGraphEdgesFrom(spark: SparkSession, dir: String,
+                                       s: DataFrame, e: DataFrame): DataFrame =
     withDigestStars(spark, dir,
       jaccardPairs(e).select(col("doc_a"), col("doc_b"))
         .union(cappedBandStars(s, e)))
+
+  /** [[dupGraphEdgesFrom]] over the default corpus. The shingle frame
+    * is EAGERLY materialized once (r17 review): without it the
+    * documents-scan + shingle subtree re-derives for the jaccard
+    * self-join, the hot-shingle groupBy, the owners semi-join, the
+    * band signatures and both exact-verify sides — the same
+    * multi-consumer shape [[incremental]] and the curation funnel
+    * already checkpoint ("three consumers racing a lazy cache is the
+    * documented first-rep stampede"). */
+  private[graft] def dupGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val s = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shs"), col("n_sh"))
+      .localCheckpoint(true)
+    val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
+    dupGraphEdgesFrom(spark, dir, s, e)
   }
 
   /** DuckDB fragment mirroring [[withDigestStars]] ∪

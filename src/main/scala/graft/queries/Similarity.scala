@@ -1349,6 +1349,10 @@ object Similarity {
         sum(when(col("exact_nn").isNull ||
                  col("ivf_nn") === col("exact_nn"), 1L).otherwise(0L)).as("hits"))
       .head()
+    // readable refusal, not an NPE/div-zero: this tool's whole purpose
+    // is running on brand-new fixtures, which may have no query rows
+    require(r.getLong(0) > 0,
+      s"ivfRecallPpm: $dir has no kNN query vectors (vec_id % 10 == 0)")
     r.getLong(1) * 1000000L / r.getLong(0)
   }
 

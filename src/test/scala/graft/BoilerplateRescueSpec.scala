@@ -87,6 +87,27 @@ class BoilerplateRescueSpec extends SparkSpec {
       s"family lang group kept ${kept.map(_.getLong(1)).mkString(",")} docs, want 1")
   }
 
+  test("the funnel's dedup stage BITES on the family (non-vacuous: gates pass, drop engages)") {
+    // r17 review: the funnel hand-composed its edge union and missed
+    // the rescue, and the stopword-free first fixture masked it — the
+    // family failed p_stop, so q_keep=false hid the engine/oracle dup
+    // divergence. The family now passes the Gopher gates; the funnel
+    // must keep ALL its rows at n_quality and collapse them to the one
+    // canon doc at n_dedup (the canon then falls to decontamination:
+    // the eval slice doc_id % 97 == 0 contains family members, whose
+    // shared shingles contaminate the canon — n_clean 0).
+    val row = graft.queries.Curation.curationFunnel.fn(spark, dir)
+      .filter(col("lang") === famLang).head()
+    val (nRaw, nQuality, nDedup, nClean) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nRaw > 0 && nQuality === nRaw,
+      s"family must PASS the quality gates (raw $nRaw, quality $nQuality) — " +
+        "a gate-failing family makes the dedup stage vacuous again")
+    assert(nDedup === 1L,
+      s"dedup stage must keep exactly the canon doc, kept $nDedup of $nQuality")
+    assert(nClean <= 1L)
+  }
+
   test("base-corpus cluster structure is untouched by the rescue union") {
     val start = famStart(spark)
     val withFam = Dedup.dedupClusters.fn(spark, dir)
@@ -115,11 +136,20 @@ object BoilerplateRescueSpec {
   /** Copy i of the family: one 120-token boilerplate with position
     * (i mod 120) replaced by a copy-unique token — byte-distinct
     * (digest stars stay singleton), pairwise jaccard ~0.9, every
-    * common shingle df ~292. Mirrors
+    * common shingle df ~292. Stopwords at fixed non-adjacent positions
+    * (r17 review: the first fixture had NONE, so every family row
+    * failed the Gopher p_stop gate and q_curation_funnel's dedup stage
+    * passed VACUOUSLY — real boilerplate passes quality gates, that is
+    * what makes it dangerous). Mirrors
     * tools/make_boilerplate_fixture.py (the oracle-battery corpus). */
   private def famText(i: Int): String =
     (0 until nTokens)
-      .map(j => if (j == i % nTokens) s"mut$i" else s"boiler$j")
+      .map { j =>
+        if (j == i % nTokens) s"mut$i"
+        else if (j % 40 == 7) "the"
+        else if (j % 40 == 27) "of"
+        else s"boiler$j"
+      }
       .mkString(" ")
 
   @volatile private var cached: (String, Long) = _

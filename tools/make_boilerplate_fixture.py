@@ -35,9 +35,19 @@ N_TOKENS = 120
 
 
 def fam_text(i: int) -> str:
-    return " ".join(
-        f"mut{i}" if j == i % N_TOKENS else f"boiler{j}"
-        for j in range(N_TOKENS))
+    # stopwords at fixed non-adjacent positions (mirrors
+    # BoilerplateRescueSpec.famText): real boilerplate PASSES quality
+    # gates — a stopword-free family fails Gopher p_stop and lets the
+    # curation funnel's dedup stage pass vacuously (r17 review finding)
+    def tok(j: int) -> str:
+        if j == i % N_TOKENS:
+            return f"mut{i}"
+        if j % 40 == 7:
+            return "the"
+        if j % 40 == 27:
+            return "of"
+        return f"boiler{j}"
+    return " ".join(tok(j) for j in range(N_TOKENS))
 
 
 def main(src: str, out: str) -> None:
