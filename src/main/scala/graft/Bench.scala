@@ -108,6 +108,12 @@ object Bench {
     // normalizes ROUND-OVER-ROUND drift on the one shared box, not
     // cross-machine comparisons.
     val calibRef = 1.47
+    // discarded JIT-warm leg (r17 review): the first-ever execution of
+    // the loop includes OSR/C2 compilation that the warm five-rep
+    // reference excludes — without this, calibBefore reads ~2-5% hot
+    // on a perfectly quiet box and value_normalized under-reports by
+    // the same systematic margin every round
+    calibrate()
     val calibBefore = calibrate()
     // the 1-min component alone, shared by per-query and per-rerun
     // sampling (one spelling — a drift between the two would
@@ -221,7 +227,7 @@ object Bench {
     // query now (a) waits for a quiet 1-min loadavg inside a SHARED
     // bounded budget (the wall-clock cost must stay bounded no matter
     // how many queries flag), then (b) re-runs until two consecutive
-    // reruns agree within 1.25x (cap 4) — the converged pair's median
+    // reruns agree within 1.25x (cap 6 since r17) — the converged pair's median
     // is the contention-corrected substitute. An unconverged query
     // keeps its battery median and is named in quiet_unconverged, so a
     // still-loud box can never masquerade as a quiet reading.

@@ -51,10 +51,8 @@ object Verify {
     // stale-output guard: a query that fails BEFORE its overwrite-write
     // executes (e.g. an AnalysisException at plan time) must not leave
     // a previous run's parquet behind for the checker to green-light
-    def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-      f.delete(): Unit
-    }
+    def deleteRecursively(f: java.io.File): Unit =
+      graft.model.Fs.deleteRecursively(f)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else {

@@ -132,17 +132,19 @@ object PipelineQueries {
     * multi-batch eviction/late-data semantics stay StatefulSpec's
     * surface (SURVEY §5.2).
     *
-    * Determinism: with `maxFilesPerTrigger` UNSET, the file source
-    * under AvailableNow takes every available file in ONE micro-batch
-    * (ReadLimit unbounded), and the batch-1 watermark (epoch) can drop
-    * nothing — the inner join's output is exactly the batch range join
-    * at wire (millisecond) timestamp granularity. (The first cut
-    * pinned the batch count with a `coalesce(1)` single-file write —
-    * same guarantee, but the serial write alone cost ~4 s of the
-    * query's 6.7 s at sf0.1; the parallel write keeps the guarantee
-    * through the ReadLimit instead.) A multi-batch regression cannot
-    * pass silently: files are type/ts range-ordered, so a second batch
-    * would see the earlier batch's watermark and drop rows — the
+    * Determinism: the read EXPLICITLY sets `maxFilesPerTrigger` to
+    * Int.MaxValue, so the file source's per-batch ReadLimit can never
+    * split the wire files — every data row lands in micro-batch 1,
+    * whose epoch watermark can drop nothing, making the inner join's
+    * output exactly the batch range join at wire (millisecond)
+    * timestamp granularity. The option is LOAD-BEARING, not redundant:
+    * leaving it unset was measured to split data across batches here
+    * (and cost ~25% more in state commits); the first cut instead
+    * pinned batching with a `coalesce(1)` single-file write, which the
+    * parallel write replaces at equal guarantee (profiled: the JSON
+    * render dominates the write either way). A multi-batch regression
+    * cannot pass silently: files are type/ts range-ordered, so a later
+    * batch would see the earlier batch's watermark and drop rows — the
     * DuckDB hash compare catches exactly that. Scratch/checkpoint/
     * output dirs are per-fixture deterministic and wiped per run
     * (bench reps pay the full pipeline each rep — this query prices
@@ -154,15 +156,9 @@ object PipelineQueries {
       val base = new java.io.File(
         sys.props("java.io.tmpdir"),
         "graft-ssj-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsolutePath
-      def wipe(p: String): String = {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(p)); p
-      }
       val (wireDir, outDir, ckptDir) =
-        (wipe(s"$base/wire"), wipe(s"$base/out"), wipe(s"$base/ckpt"))
+        (graft.model.Fs.wipe(s"$base/wire"), graft.model.Fs.wipe(s"$base/out"),
+         graft.model.Fs.wipe(s"$base/ckpt"))
       Simulator.productViewJson(Tables.events(spark, dir))
         .write.mode("overwrite").text(wireDir)
       val parsed = ProductViewPipeline.parse(

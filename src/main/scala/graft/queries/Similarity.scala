@@ -1352,7 +1352,8 @@ object Similarity {
     // readable refusal, not an NPE/div-zero: this tool's whole purpose
     // is running on brand-new fixtures, which may have no query rows
     require(r.getLong(0) > 0,
-      s"ivfRecallPpm: $dir has no kNN query vectors (vec_id % 10 == 0)")
+      s"ivfRecallPpm: $dir has no kNN query vectors " +
+        s"(vec_id % 10 == 0 AND vec_id < $knnQueryIdCap)")
     r.getLong(1) * 1000000L / r.getLong(0)
   }
 

@@ -159,6 +159,11 @@ object BoilerplateRescueSpec {
       if (cached == null) {
         val out = java.nio.file.Files
           .createTempDirectory("graft-boilersf").toString
+        // a suite run must not deposit parquet under /tmp forever (the
+        // SyntheticEmbeddings.rm discipline; the fixture is cached for
+        // the JVM's lifetime, so the delete belongs at exit)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.model.Fs.deleteRecursively(new java.io.File(out))))
         val base = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
         val start = base.agg(max(col("doc_id"))).head().getLong(0) + 1
         import spark.implicits._

@@ -158,6 +158,10 @@ object NullCorpusSpec {
   def nullDir(spark: SparkSession): String = synchronized {
     if (cached == null) {
       val out = java.nio.file.Files.createTempDirectory("graft-nullsf").toString
+      // JVM-lifetime cache; delete at exit (SyntheticEmbeddings.rm
+      // discipline — suite runs must not accrete parquet under /tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.model.Fs.deleteRecursively(new java.io.File(out))))
       for ((table, (rowKey, cols)) <- plan) {
         val src = spark.read.parquet(s"${TestSpark.sf}/$table.parquet")
         val injected = cols.foldLeft(src: DataFrame) { case (d, (c, p)) =>
