@@ -20,13 +20,20 @@ import graft.queries.Dedup
   *     the oracle-side battery where the cap binds is the
   *     tools/make_boilerplate_fixture.py corpus, run per-round).
   *
-  * Fixture: sf0.001 documents + a 300-copy family of one 120-token
-  * boilerplate text, copy i mutating position (i mod 120) to a
-  * copy-unique token. Pairwise jaccard ~0.9 (>= the 0.5 threshold);
-  * every shared shingle has df ~292 > 256 (capped); every mutated
-  * shingle has df 1 (kept, but unshared) — so the capped jaccard path
-  * sees the family as 300 pairwise-disjoint singletons. Deterministic:
-  * md5-derived hashing, no RNG anywhere.
+  * Fixture: sf0.001 documents + TWO disjoint 300-copy families, each
+  * one 120-token boilerplate text with copy i mutating position
+  * (i mod 120) to a copy-unique token. Pairwise in-family jaccard
+  * ~0.9 (>= the 0.5 threshold); every shared shingle has df ~292 >
+  * 256 (capped); every mutated shingle has df 1 (kept, but unshared)
+  * — so the capped jaccard path sees each family as 300 pairwise-
+  * disjoint singletons. The SECOND family (disjoint token namespace,
+  * lang 'yy') pins SEPARATION: a band-bucket collision between
+  * members of different families shares zero shingles, so exact
+  * verification must reject it and the two families must emerge as
+  * two clusters — star edges without the verify step would quietly
+  * merge them. Family A mirrors tools/make_boilerplate_fixture.py;
+  * family B is spec-only. Deterministic: md5-derived hashing, no RNG
+  * anywhere.
   */
 class BoilerplateRescueSpec extends SparkSpec {
 
@@ -54,37 +61,52 @@ class BoilerplateRescueSpec extends SparkSpec {
       .filter(col("df") > Dedup.jaccardMaxDf).select(col("hk"))
     val owners = e.join(hot, Seq("hk"), "left_semi")
       .select(col("doc_id")).distinct()
-    assert(owners.filter(col("doc_id") >= famStart(spark)).count() === famSize.toLong)
+    assert(owners.filter(col("doc_id") >= famStart(spark)).count() === 2L * famSize)
     assert(owners.filter(col("doc_id") < famStart(spark)).count() === 0L)
   }
 
-  test("rescue edges cover the family with star-bounded volume and verified similarity") {
+  test("rescue edges cover the families with star-bounded volume; NO cross-family edge survives verification") {
     val (s, e) = corpus
     val rescue = Dedup.cappedBandStars(s, e).collect()
     // star bound: each member contributes at most one doc_b edge per band
-    assert(rescue.length <= 8 * famSize,
+    assert(rescue.length <= 8 * 2 * famSize,
       s"rescue emitted ${rescue.length} edges — exceeds the 8/member star bound")
+    val start = famStart(spark); val bStart = start + famSize
     val touched = rescue.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    assert(touched.forall(_ >= famStart(spark)),
-      "rescue paired a non-owner base doc")
+    assert(touched.forall(_ >= start), "rescue paired a non-owner base doc")
     assert(rescue.nonEmpty, "rescue emitted nothing on a binding corpus")
+    // separation: families share ZERO shingles, so any cross-family
+    // band-bucket collision must die at the exact-verify step — a
+    // surviving cross edge means the verify was dropped or weakened
+    val cross = rescue.filter(r =>
+      (r.getLong(0) < bStart) != (r.getLong(1) < bStart))
+    assert(cross.isEmpty,
+      s"verified CROSS-family edges survived: ${cross.take(3).mkString(",")}")
   }
 
-  test("the 300-copy mutated family clusters to ONE canon id (q_dedup_clusters)") {
-    val start = famStart(spark)
-    val fam = Dedup.dedupClusters.fn(spark, dir)
+  test("each 300-copy family clusters to its OWN canon id (q_dedup_clusters) — connected AND separated") {
+    val start = famStart(spark); val bStart = start + famSize
+    val rows = Dedup.dedupClusters.fn(spark, dir)
       .filter(col("doc_id") >= start).collect()
-    assert(fam.length === famSize, s"expected $famSize family rows, got ${fam.length}")
-    val canons = fam.map(_.getLong(1)).toSet
-    assert(canons === Set(start),
-      s"family split across canon ids $canons — band-star connectivity broke")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 2 * famSize,
+      s"expected ${2 * famSize} family rows, got ${rows.length}")
+    val aCanons = rows.filter(_._1 < bStart).map(_._2).toSet
+    val bCanons = rows.filter(_._1 >= bStart).map(_._2).toSet
+    assert(aCanons === Set(start),
+      s"family A split/merged: canon ids $aCanons")
+    assert(bCanons === Set(bStart),
+      s"family B split/merged: canon ids $bCanons — a cross-family " +
+        "band collision must not survive exact verification")
   }
 
-  test("q_dedup_apply keeps exactly ONE family doc") {
-    val kept = Dedup.dedupApply.fn(spark, dir)
-      .filter(col("lang") === famLang).collect()
-    assert(kept.length === 1 && kept.head.getLong(1) === 1L,
-      s"family lang group kept ${kept.map(_.getLong(1)).mkString(",")} docs, want 1")
+  test("q_dedup_apply keeps exactly ONE doc per family") {
+    Seq(famLang, famBLang).foreach { lang =>
+      val kept = Dedup.dedupApply.fn(spark, dir)
+        .filter(col("lang") === lang).collect()
+      assert(kept.length === 1 && kept.head.getLong(1) === 1L,
+        s"$lang group kept ${kept.map(_.getLong(1)).mkString(",")} docs, want 1")
+    }
   }
 
   test("the funnel's dedup stage BITES on the family (non-vacuous: gates pass, drop engages)") {
@@ -131,24 +153,26 @@ class BoilerplateRescueSpec extends SparkSpec {
 object BoilerplateRescueSpec {
   val famSize = 300
   val famLang = "xx" // its own lang group so dedupApply's keep-count is direct
+  val famBLang = "yy" // second family: separation pin (disjoint tokens)
   private val nTokens = 120
 
-  /** Copy i of the family: one 120-token boilerplate with position
+  /** Copy i of a family: one 120-token boilerplate with position
     * (i mod 120) replaced by a copy-unique token — byte-distinct
     * (digest stars stay singleton), pairwise jaccard ~0.9, every
     * common shingle df ~292. Stopwords at fixed non-adjacent positions
     * (r17 review: the first fixture had NONE, so every family row
     * failed the Gopher p_stop gate and q_curation_funnel's dedup stage
     * passed VACUOUSLY — real boilerplate passes quality gates, that is
-    * what makes it dangerous). Mirrors
-    * tools/make_boilerplate_fixture.py (the oracle-battery corpus). */
-  private def famText(i: Int): String =
+    * what makes it dangerous). `stem`="boiler" mirrors
+    * tools/make_boilerplate_fixture.py (the oracle-battery corpus);
+    * family B ("plate") is spec-only, for the separation pin. */
+  private def famText(stem: String, i: Int): String =
     (0 until nTokens)
       .map { j =>
-        if (j == i % nTokens) s"mut$i"
+        if (j == i % nTokens) s"mut$stem$i"
         else if (j % 40 == 7) "the"
         else if (j % 40 == 27) "of"
-        else s"boiler$j"
+        else s"$stem$j"
       }
       .mkString(" ")
 
@@ -167,10 +191,16 @@ object BoilerplateRescueSpec {
         val base = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
         val start = base.agg(max(col("doc_id"))).head().getLong(0) + 1
         import spark.implicits._
-        val fam = (0 until famSize).map { i =>
-          val t = famText(i)
-          (start + i, t, famLang, "boilerplate", t.length.toLong)
-        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        val fams =
+          (0 until famSize).map { i =>
+            val t = famText("boiler", i)
+            (start + i, t, famLang, "boilerplate", t.length.toLong)
+          } ++ (0 until famSize).map { i =>
+            val t = famText("plate", i)
+            (start + famSize + i, t, famBLang, "boilerplate", t.length.toLong)
+          }
+        val fam = fams
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
         base.select(col("doc_id"), col("text"), col("lang"),
                     col("source"), col("n_chars"))
           .union(fam)
