@@ -89,25 +89,46 @@ object Bench {
     // xorshift mix: no allocation, no data, no JIT profile dependence
     // after the first seconds — its seconds measure the BOX (cpu
     // frequency/steal/thermal), never the engine tree.
-    def calibrate(): Double = {
+    def calibLoop(iters: Long): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L
       var i = 0L
-      while (i < 600000000L) {
+      while (i < iters) {
         x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += i; i += 1L
       }
       // data-dependent sink so the loop cannot be dead-code-eliminated
       if (x == 42L) System.err.println("[bench] calibration sentinel")
       (System.nanoTime() - t0) / 1e9
     }
-    // Reference seconds for the SAME loop, measured on this box while
-    // quiet (r17, loadavg 1.6 falling, five reps 1.468-1.476 — tight).
-    // calib factor = measured / ref; a factor >> 1 says the BOX is
-    // slow this run, so a higher headline is attributable without a
-    // worktree experiment. The constant is box-specific by design — it
-    // normalizes ROUND-OVER-ROUND drift on the one shared box, not
-    // cross-machine comparisons.
-    val calibRef = 1.47
+    def calibrate(): Double = calibLoop(600000000L)
+    // Short probe for PER-SEGMENT normalization (r17 verdict task 1):
+    // the committed r17 driver battery degraded MONOTONICALLY
+    // (calib 1.320 -> 1.738), so ONE averaged factor mis-normalizes
+    // every query — early queries ran on a faster box than late ones.
+    // A quarter-length probe every segSize queries brackets each
+    // segment with its own box-speed reading at ~0.37 s/probe
+    // (~5 s across a 190-query battery). The loop is pure
+    // register-resident CPU work, so its seconds are LINEAR in the
+    // iteration count and the long ref rescales by exactly 1/4.
+    val shortScale = 0.25
+    def calibrateShort(): Double = calibLoop((600000000L * shortScale).toLong)
+    // Reference seconds for the SAME loop, measured on the target box
+    // while quiet (r17, loadavg 1.6 falling, five reps 1.468-1.476 —
+    // tight). calib factor = measured / ref; a factor >> 1 says the
+    // BOX is slow this run, so a higher headline is attributable
+    // without a worktree experiment. The constant normalizes
+    // ROUND-OVER-ROUND drift on ONE box, never cross-machine — so it
+    // is env-overridable (r17 ADVICE): SPARK_GRAFT_CALIB_REF=<secs>
+    // supplies another box's measured ref; any non-numeric value
+    // ("none") disables normalization, and the artifact then carries
+    // the raw before/after probe seconds ONLY — no factor or
+    // value_normalized that would read authoritative while computed
+    // against the wrong box's ref. Unset keeps the builtin ref for
+    // the shared driver/builder box this round runs on.
+    val calibRef: Option[Double] = sys.env.get("SPARK_GRAFT_CALIB_REF") match {
+      case Some(v) => v.toDoubleOption.filter(_ > 0)
+      case None    => Some(1.47)
+    }
     // discarded JIT-warm leg (r17 review): the first-ever execution of
     // the loop includes OSR/C2 compilation that the warm five-rep
     // reference excludes — without this, calibBefore reads ~2-5% hot
@@ -127,15 +148,38 @@ object Bench {
     // contended window is visible in the artifact itself (verdict r12
     // task 7: the bench must be attributable from one read)
     val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // warm-in-tagged queries (r17 verdict task 4): ONE discarded
+    // untimed rep before the timed ones. q_stream_stream_join's
+    // in-battery reps fell monotonically 13.5 -> 11.1 -> 8.5 — the
+    // first in-JVM streaming round trip pays state-store/sink/
+    // checkpoint classloading+JIT that no steady-state execution
+    // repeats, so the median of 3 overstated the engine by ~1.7x vs
+    // its quiet value. The discarded rep's seconds still land in the
+    // detail file (warm_reps) so the warm-up cost stays inspectable.
+    val warmTagged = SparkEntry.queryTags.collect {
+      case (n, t) if t("warm-in") => n
+    }.toSet
+    val warmReps = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-segment calibration probes (r17 verdict task 1): probe before
+    // every segSize-th query and once after the last; segment i is
+    // bracketed by probes i and i+1
+    val segSize = 15
+    val segProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val querySeg = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val raw = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (querySeg.size % segSize == 0) segProbes += calibrateShort()
+        querySeg(name) = segProbes.size - 1
         perQueryLoad(name) = load1()
+        if (warmTagged(name)) warmReps(name) = run(name, fn)
         // keep EXECUTION order (median() sorts its own copy): the detail
         // file must show warmup-vs-steady structure, which sorted raws
         // hid in round 8's drift investigation
         name -> (0 until reps).map(_ => run(name, fn)).filter(_ >= 0)
       }
+    // close the final segment (also the battery-end box reading)
+    segProbes += calibrateShort()
     val results = raw.map { case (name, runs) =>
       name -> (if (runs.isEmpty) -1.0 else median(runs))
     }
@@ -256,10 +300,16 @@ object Bench {
         a >= 0 && b >= 0 && math.max(a, b) / math.max(math.min(a, b), 1e-9) < 1.25
       }
     val rerunRaw = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    // box-speed probe at each flagged query's RERUN window: a
+    // substituted quiet value must be normalized by the factor
+    // measured WHEN it ran, not by the battery segment it was flagged
+    // in (the rerun exists precisely because that segment was loud)
+    val rerunCalib = scala.collection.mutable.Map.empty[String, Double]
     val reruns: Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => spreadFlagged(name) }
       .flatMap { case (name, fnq) =>
         awaitQuiet()
+        rerunCalib(name) = calibrateShort()
         var runs = Vector.empty[Double]
         var loads = Vector.empty[String]
         // cap 6 (was 4 — r16 verdict task 4: q_pack_chunks exhausted
@@ -310,11 +360,37 @@ object Bench {
     // (quiet_value when present, else value) by the factor, giving a
     // round-over-round comparable number in one field.
     val calibAfter = calibrate()
-    val calibFactor = ((calibBefore + calibAfter) / 2.0) / calibRef
     val bestTotal = if (spreadFlagged.isEmpty) total else substituted
     val loadFailMark = if (loadReadFailed) ""","loadavg_unreadable":true""" else ""
-    val calibMark =
-      s""","calib":{"before":${f3(calibBefore)},"after":${f3(calibAfter)},"ref":${f3(calibRef)},"factor":${f3(calibFactor)},"value_normalized":${f3(bestTotal / calibFactor)}}$loadFailMark"""
+    // SEGMENTED normalization (r17 verdict task 1): each query divides
+    // by ITS segment's factor — the mean of the probes bracketing it —
+    // so a box that degrades monotonically DURING the battery (r17
+    // committed run: calib 1.320 -> 1.738) no longer lets one averaged
+    // factor under-correct the late queries and over-correct the early
+    // ones. Rerun-substituted queries divide by the factor probed in
+    // their own rerun window instead.
+    def segFactor(i: Int, ref: Double): Double = {
+      val a = segProbes(math.min(i, segProbes.size - 1))
+      val b = segProbes(math.min(i + 1, segProbes.size - 1))
+      ((a + b) / 2.0) / (ref * shortScale)
+    }
+    val calibMark = calibRef match {
+      case Some(ref) =>
+        val calibFactor = ((calibBefore + calibAfter) / 2.0) / ref
+        val segNormalized = results.collect {
+          case (k, v) if v >= 0 && !measurementOnly(k) =>
+            reruns.get(k).filter(_ >= 0) match {
+              case Some(r) => r / (rerunCalib.getOrElse(k, ref * shortScale) / (ref * shortScale))
+              case None    => v / segFactor(querySeg.getOrElse(k, 0), ref)
+            }
+        }.sum
+        s""","calib":{"before":${f3(calibBefore)},"after":${f3(calibAfter)},"ref":${f3(ref)},"factor":${f3(calibFactor)},"value_normalized":${f3(bestTotal / calibFactor)},"segments":${math.max(segProbes.size - 1, 0)},"segmented_value_normalized":${f3(segNormalized)}}$loadFailMark"""
+      case None =>
+        // no ref configured for this box (SPARK_GRAFT_CALIB_REF=none):
+        // raw probe seconds only — a factor computed against another
+        // box's ref would read authoritative and be silently wrong
+        s""","calib":{"before":${f3(calibBefore)},"after":${f3(calibAfter)},"ref_disabled":true}$loadFailMark"""
+    }
     val line = emitLine(quietMark + calibMark)
     println(line)
     // Per-rep raw times in EXECUTION order, for spread/regression calls —
@@ -335,7 +411,7 @@ object Bench {
       if (flagged.isEmpty) "" else s""","spread_flags":{${flagged.mkString(",")}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out.replaceAll("\\.json$", "") + "_detail.json"),
-      s"""{"reps":$reps,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},"calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},"calib_ref":${f3(calibRef)}$flagMark,"load_at_query":$loadCol,"runs":$detail}""" + "\n")
+      s"""{"reps":$reps,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":${loadavg()},"calib_before":${f3(calibBefore)},"calib_after":${f3(calibAfter)},"calib_ref":${calibRef.map(f3).getOrElse("null")},"calib_seg_size":$segSize,"calib_probes":[${segProbes.map(f3).mkString(",")}],"query_segment":${querySeg.map { case (k, i) => "\"" + k + "\":" + i }.mkString("{", ",", "}")},"warm_reps":${warmReps.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")},"rerun_calib":${rerunCalib.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")}$flagMark,"load_at_query":$loadCol,"runs":$detail}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }

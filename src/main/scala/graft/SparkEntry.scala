@@ -39,4 +39,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** Measurement metadata per query (see [[graft.model.Q]] `tags`) —
+    * consumed by Bench, never by the driver contract. */
+  def queryTags: Map[String, Set[String]] =
+    modules.filter(_.tags.nonEmpty).map(q => q.name -> q.tags).toMap
 }

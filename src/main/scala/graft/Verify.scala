@@ -50,9 +50,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // stale-output guard: a query that fails BEFORE its overwrite-write
     // executes (e.g. an AnalysisException at plan time) must not leave
-    // a previous run's parquet behind for the checker to green-light
-    def deleteRecursively(f: java.io.File): Unit =
-      graft.model.Fs.deleteRecursively(f)
+    // a previous run's parquet behind for the checker to green-light.
+    // The wipe THROWS on failure (r17 ADVICE: a log-only wipe failure —
+    // permissions, open handle — let the guard proceed and risk a stale
+    // green, the exact outcome it exists to prevent); the throw lands
+    // in this query's catch, so the query fails loudly (dir absent →
+    // driver records err via names.json) and the battery continues.
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else {
@@ -61,12 +64,18 @@ object Verify {
         // exactSubstring, heavyHitters) — a leftover block must not
         // occupy this local[4] JVM for the rest of the full battery
         spark.catalog.clearCache()
-        deleteRecursively(new java.io.File(s"$outDir/$name"))
-        try tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          graft.model.Fs.wipeOrThrow(s"$outDir/$name")
+          tzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          deleteRecursively(new java.io.File(s"$outDir/$name"))
+          if (!graft.model.Fs.deleteRecursively(new java.io.File(s"$outDir/$name")))
+            // both the write and the cleanup wipe failed: whatever
+            // survives in the dir is NOT this run's result — shout,
+            // because the checker may green-light it
+            System.err.println(
+              s"[verify] CRITICAL: $name cleanup wipe failed — output dir may hold a STALE previous result")
         }
       }
     }

@@ -149,11 +149,18 @@ object Tables {
   * DuckDB oracle the driver hash-compares against. Column names/aliases
   * MUST match between `fn`'s result and `oracle`'s projection — the
   * driver sorts columns by name before hashing.
+  *
+  * `tags` carry measurement metadata, not semantics — today only
+  * "warm-in" (r17 verdict task 4): the query's first execution in a
+  * fresh JVM pays a one-off setup cost no steady-state run repeats
+  * (streaming state-store + sink machinery for the round-trip
+  * queries), so Bench discards one untimed rep before the timed ones.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    tags: Set[String] = Set.empty)
 
 /** Representation-proof money arithmetic.
   *

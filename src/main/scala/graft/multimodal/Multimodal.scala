@@ -61,16 +61,30 @@ object Multimodal {
     * `payload` (MediaRecord declares it as the row's content, not an
     * Option), so a null row is an executor NPE three operators deep —
     * the contract belongs at the table boundary. All four multimodal
-    * oracles mirror with the same `WHERE text IS NOT NULL`. */
+    * oracles mirror with the same `WHERE text IS NOT NULL`.
+    *
+    * NULL n_chars = missing media METADATA, dropped at the same
+    * boundary (r17 verdict task 3): width/height derive from the
+    * NULLABLE n_chars column — not from the non-null PK doc_id, which
+    * made metadata nullability structurally impossible and left the
+    * metadata-null contract battery-unprovable. A record whose
+    * dimensions are unknown is undecodable in a real pipeline (the
+    * resize/phash index maps dereference width/height), so the drop
+    * is the contract, `MediaRecord.width/height` stay primitive Ints,
+    * and all four oracles mirror with `AND n_chars IS NOT NULL` +
+    * the same n_chars-derived w/h expressions. On the driver
+    * fixtures n_chars is never null, so the plain-corpus results are
+    * unchanged; the null corpus (tools/make_null_fixtures.py injects
+    * documents.n_chars at 10 permille) is where this binds. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
-        (lit(16) + pmod(col("doc_id"), lit(16)).cast("int")).as("width"),
-        (lit(16) + pmod(col("doc_id") * 7, lit(16)).cast("int")).as("height"),
+        (lit(16) + pmod(col("n_chars"), lit(16)).cast("int")).as("width"),
+        (lit(16) + pmod(col("n_chars") * 7, lit(16)).cast("int")).as("height"),
         element_at(array(lit("png"), lit("jpg"), lit("webp")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"))
       .as[MediaRecord]
@@ -524,7 +538,7 @@ object Multimodal {
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
                length(text) AS n,
                [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)] AS codes
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
       f AS (
         SELECT doc_id, fmt, n,
                COALESCE(list_sum(codes[(0 * n) // 4 + 1 : (1 * n) // 4]), 0)::DOUBLE / greatest((1 * n) // 4 - (0 * n) // 4, 1)
@@ -557,7 +571,7 @@ object Multimodal {
         SELECT doc_id, frame_id,
                ((frame_id + 1) * length(text)) // 8 - (frame_id * length(text)) // 8 AS frame_len
         FROM documents, (SELECT unnest(range(0, 8)) AS frame_id)
-        WHERE frame_id % 2 = 0 AND text IS NOT NULL)
+        WHERE frame_id % 2 = 0 AND text IS NOT NULL AND n_chars IS NOT NULL)
       GROUP BY frame_id
     """))
 
@@ -581,10 +595,10 @@ object Multimodal {
       WITH m AS (
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
-               CAST(16 + doc_id % 16 AS BIGINT) AS w,
-               CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
+               CAST(16 + n_chars % 16 AS BIGINT) AS w,
+               CAST(16 + (n_chars * 7) % 16 AS BIGINT) AS h,
                CAST(length(text) AS BIGINT) AS n, text
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
       r AS (
         SELECT fmt,
                CASE WHEN n = 0 THEN 0 ELSE
@@ -622,10 +636,10 @@ object Multimodal {
       -- FormatsSpec's fixture-contract test)
       WITH m AS (
         SELECT doc_id,
-               CAST(16 + doc_id % 16 AS BIGINT) AS w,
-               CAST(16 + (doc_id * 7) % 16 AS BIGINT) AS h,
+               CAST(16 + n_chars % 16 AS BIGINT) AS w,
+               CAST(16 + (n_chars * 7) % 16 AS BIGINT) AS h,
                CAST(length(text) AS BIGINT) AS n, text
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
       v AS (
         SELECT doc_id, n,
                [CAST(ascii(text[

@@ -246,8 +246,10 @@ object Dedup {
     * 100 TB honesty: at real corpus scale most common shingles exceed
     * df 256, so the owner set approaches the full corpus and this pass
     * becomes full-corpus MinHash-LSH — one extra scan, one
-    * map-side-combined groupBy(hk), 8 band rows/doc, bucket-min
-    * windows: all linear, no quadratic term anywhere. That is the
+    * map-side-combined groupBy(hk), 8 band rows/doc, map-side-combined
+    * bucket-min groupBy + hash re-join (r18: was a combine-less
+    * window sort): all linear, no quadratic term and no single-task
+    * hot-bucket sort anywhere. That is the
     * honest price of mass near-dup recall; the previous behavior
     * (silently emitting zero pairs for dedup's PRIMARY target) was
     * cheaper and wrong. At the driver fixtures (max df 7 at sf0.01,
@@ -263,10 +265,23 @@ object Dedup {
     // broadcasts `hot` while it fits, shuffles past that
     val owners = e.join(hot, Seq("hk"), "left_semi")
       .select(col("doc_id")).distinct()
-    val cand = bandRows(s.join(owners, Seq("doc_id"), "left_semi"))
-      .withColumn("m", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key"))))
+    // bucket-min via groupBy+join, NOT Window.partitionBy(band, key)
+    // (r17 verdict task 2): a window min has no map-side combine, so at
+    // the mass-family shape this pass exists for — one boilerplate
+    // family in 10^5+ copies sharing all 8 band keys — the hottest
+    // bucket's every row shuffles raw and SORTS in ONE task. The
+    // groupBy side partial-aggregates each mapper's bucket to a single
+    // (band, key, min) row before the exchange (the hub reduces
+    // map-side to #mappers rows, never #copies), and the re-join is a
+    // plain hash join that AQE's skew splitting can carve, which a
+    // window sort cannot. Same pattern as the digest stars below; the
+    // band rows derive twice (groupBy leg + join leg) from the
+    // caller-checkpointed `s`, which is linear map work — the digest
+    // stars accept the identical trade on `dg`.
+    val rows = bandRows(s.join(owners, Seq("doc_id"), "left_semi"))
+    val mins = rows.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("m"))
+    val cand = rows.join(mins, Seq("band", "key"))
       .filter(col("m") =!= col("doc_id"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()

@@ -146,16 +146,14 @@ object PipelineQueries {
     * cannot pass silently: files are type/ts range-ordered, so a later
     * batch would see the earlier batch's watermark and drop rows — the
     * DuckDB hash compare catches exactly that. Scratch/checkpoint/
-    * output dirs are per-fixture deterministic and wiped per run
+    * output dirs are per-(JVM, fixture) deterministic and wiped per run
     * (bench reps pay the full pipeline each rep — this query prices
     * the streaming round trip, like q_product_view_pipeline prices the
     * JSON one). */
   val streamStreamJoin = Q(
     "q_stream_stream_join",
     (spark, dir) => {
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft-ssj-" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsolutePath
+      val base = graft.model.Fs.scratchDir("ssj", dir)
       val (wireDir, outDir, ckptDir) =
         (graft.model.Fs.wipe(s"$base/wire"), graft.model.Fs.wipe(s"$base/out"),
          graft.model.Fs.wipe(s"$base/ckpt"))
@@ -201,7 +199,12 @@ object PipelineQueries {
        AND p.purchase_ts >= v.view_ts
        AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
       GROUP BY 1
-    """))
+    """),
+    // r17 verdict task 4: reps fall monotonically (13.5 -> 11.1 -> 8.5
+    // at sf0.1) — the first in-JVM streaming round trip pays state
+    // store + sink + checkpoint machinery classloading/JIT that no
+    // steady-state run repeats; one discarded warm rep
+    tags = Set("warm-in", "streaming-roundtrip"))
 
   def all: Seq[Q] = Seq(productViewPipeline, productViewParse, jsonArraySplit,
     streamContentDedup, streamStreamJoin)

@@ -396,11 +396,17 @@ object Similarity {
     * point — the 4x-per-rung cost now exceeds the regular suite
     * budget, so the deepest rung's point runs under
     * SPARK_GRAFT_DEEP_LADDER=1, once per round, measurement recorded
-    * in the test doc + NOTES). Past 26,214,400 the refusal stands —
-    * at label granularity that corpus shape is a degenerate blocking
-    * key (one label = 26M+ near-neighbors) before it is a scale
-    * problem; see SCALE.md. */
-  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16, 18, 20)
+    * in the test doc + NOTES).
+    *
+    * Rung 22 (r18): hot labels to 104,857,600 step to 4,194,304
+    * buckets/table; engagement density-measured at a
+    * 32,768,000-vector hot label against the rung-20 cap point
+    * (26,214,400, occupancy 25) — deep-ladder guarded, once per
+    * round. Past 104,857,600 the refusal stands — at label
+    * granularity that corpus shape is a degenerate blocking key (one
+    * label = 100M+ near-neighbors) before it is a scale problem; see
+    * SCALE.md. */
+  private[graft] val embedLshRungs: Seq[Int] = Seq(8, 10, 12, 14, 16, 18, 20, 22)
   private[graft] def embedLshRungCap(i: Int): Long = 6400L * (1L << (2 * i))
   private[graft] def embedLshCaseSql: String =
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>
@@ -526,8 +532,8 @@ object Similarity {
     * and the oracle's generated CASE ([[srpNbCaseSql]]) read
     * [[srpRungs]] — rung i uses srpRungs(i) bits and covers n <=
     * [[srpRungCap]](i) = 800·4^i. Extending the envelope is ONE edit:
-    * append the next odd width to srpRungs (currently 5/7/.../21,
-    * n <= 52,428,800); the Scala ladder, the oracle thresholds, the plane
+    * append the next odd width to srpRungs (currently 5/7/.../23,
+    * n <= 209,715,200); the Scala ladder, the oracle thresholds, the plane
     * dots and the weakest-bit argmin variants all re-generate from the
     * list. Past the last rung the Scala side refuses LOUDLY — the old
     * spelling kept stepping while the hand-kept SQL envelope stood
@@ -564,9 +570,14 @@ object Similarity {
     * that was already the longest test in the suite, so it moves to
     * ScalingCurveSpec's SPARK_GRAFT_DEEP_LADDER=1 guarded test — run
     * once per round, measurement recorded there and in NOTES. The
-    * in-suite points stay through rung 19. Past 52,428,800 the
-    * refusal stands — append rung 23 with the same recipe. */
-  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19, 21)
+    * in-suite points stay through rung 19.
+    *
+    * Rung 23 (r18): envelope n ≤ 209,715,200 — the standing recipe.
+    * Occupancy at the cap stays 25 by the formula; the deep-ladder
+    * test moves to the rung-23 engagement point (65,536,000 vectors,
+    * occupancy 7.8), once per round. Past 209,715,200 the refusal
+    * stands — append rung 25 with the same recipe. */
+  private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
   private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
   private[graft] def srpBitsLadder(n: Long): Int =
     srpRungs.indices.find(i => n <= srpRungCap(i)).map(srpRungs)

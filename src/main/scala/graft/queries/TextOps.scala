@@ -608,7 +608,12 @@ object TextOps {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
       FROM c
       GROUP BY lang
-    """))
+    """),
+    // r17 verdict task 4: first-in-JVM execution pays PrefixSum's
+    // stage-barrier scheduling warm-up (standalone raws fall
+    // monotonically 2.19 -> 0.67 s, then converge immediately) — a
+    // steady-state number needs one discarded rep
+    tags = Set("warm-in"))
 
   /** Corpus vocabulary statistics per language: vocabulary size, hapax
     * legomena (frequency-1 tokens — the long tail a tokenizer/filter

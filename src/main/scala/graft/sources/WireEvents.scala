@@ -1366,12 +1366,12 @@ object WireEvents {
       .option("maxSplitBytes", maxSplitBytes.toString)
       .load()
 
-  /** Deterministic scratch dir per sf fixture (overwritten each run so
-    * the query's cost is flat across bench reps). */
+  /** Deterministic-per-(JVM, fixture) scratch dir (overwritten each
+    * run so the query's cost is flat across bench reps; pid-unique so
+    * concurrent JVMs never wipe each other's wire dirs — Fs.scratchDir
+    * scaladoc). */
   private def wireDirFor(sfDir: String): String =
-    new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft-wire-" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsolutePath
+    graft.model.Fs.scratchDir("wire", sfDir)
 
   /** End-to-end DSv2 wire query: events -> wire files -> pruned DSv2
     * scan -> per-user purchase rollup. The scan plans only the

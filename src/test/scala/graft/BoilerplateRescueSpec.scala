@@ -61,7 +61,10 @@ class BoilerplateRescueSpec extends SparkSpec {
       .filter(col("df") > Dedup.jaccardMaxDf).select(col("hk"))
     val owners = e.join(hot, Seq("hk"), "left_semi")
       .select(col("doc_id")).distinct()
-    assert(owners.filter(col("doc_id") >= famStart(spark)).count() === 2L * famSize)
+    // A + B + C members, plus the lone doc (whose ONE shared shingle is
+    // capped by family A — single-doc hot owner, r17 verdict task 6)
+    assert(owners.filter(col("doc_id") >= famStart(spark)).count()
+      === 2L * famSize + cSize + 1L)
     assert(owners.filter(col("doc_id") < famStart(spark)).count() === 0L)
   }
 
@@ -69,25 +72,85 @@ class BoilerplateRescueSpec extends SparkSpec {
     val (s, e) = corpus
     val rescue = Dedup.cappedBandStars(s, e).collect()
     // star bound: each member contributes at most one doc_b edge per band
-    assert(rescue.length <= 8 * 2 * famSize,
+    assert(rescue.length <= 8 * (2 * famSize + cSize + 1),
       s"rescue emitted ${rescue.length} edges — exceeds the 8/member star bound")
-    val start = famStart(spark); val bStart = start + famSize
+    val start = famStart(spark)
     val touched = rescue.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(touched.forall(_ >= start), "rescue paired a non-owner base doc")
     assert(rescue.nonEmpty, "rescue emitted nothing on a binding corpus")
     // separation: families share ZERO shingles, so any cross-family
     // band-bucket collision must die at the exact-verify step — a
-    // surviving cross edge means the verify was dropped or weakened
-    val cross = rescue.filter(r =>
-      (r.getLong(0) < bStart) != (r.getLong(1) < bStart))
+    // surviving cross edge means the verify was dropped or weakened.
+    // fam() buckets A / B / C / lone; any mixed edge is a violation
+    // (this also covers B-vs-C, which a single < bStart split missed).
+    def fam(id: Long): Int =
+      if (id < start + famSize) 0
+      else if (id < start + 2 * famSize) 1
+      else if (id < start + 2 * famSize + cSize) 2
+      else 3
+    val cross = rescue.filter(r => fam(r.getLong(0)) != fam(r.getLong(1)))
     assert(cross.isEmpty,
       s"verified CROSS-family edges survived: ${cross.take(3).mkString(",")}")
+  }
+
+  test("fully-capped family C: every shingle capped, band stars still connect BOTH byte-identical variants into one unit") {
+    val (s, e) = corpus
+    val cStart = famStart(spark) + 2 * famSize
+    // precondition (the shape the verdict called out): the ENTIRE
+    // shingle set of every C doc is df-capped — variant-only shingles
+    // at df ~300 included, so na/nb are both full arrays at verify time
+    val hot = e.groupBy(col("hk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.jaccardMaxDf).select(col("hk"))
+    val uncapped = e
+      .filter(col("doc_id") >= cStart && col("doc_id") < cStart + cSize)
+      .join(hot, Seq("hk"), "left_anti")
+    assert(uncapped.count() === 0L,
+      "family C owns an uncapped shingle — the fully-capped precondition broke")
+    // cross-variant connection: variant reps are byte-DISTINCT (digest
+    // stars cannot link them); only a verified band edge can — the
+    // whole family must reach one canon
+    val canons = Dedup.dedupClusters.fn(spark, dir)
+      .filter(col("doc_id") >= cStart && col("doc_id") < cStart + cSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(canons.length === cSize,
+      s"expected $cSize family-C cluster rows, got ${canons.length}")
+    assert(canons.map(_._2).toSet === Set(cStart),
+      s"family C split across canons ${canons.map(_._2).toSet} — " +
+        "the band stars failed to bridge the byte-identical variants")
+  }
+
+  test("single-doc hot owner: enters the owner set, every collision dies at verify, never enters the cluster table") {
+    val (s, e) = corpus
+    val loneId = famStart(spark) + 2 * famSize + cSize
+    val rescue = Dedup.cappedBandStars(s, e)
+    assert(rescue.filter(col("doc_a") === loneId || col("doc_b") === loneId)
+      .count() === 0L,
+      "a verified edge touched the lone owner (its jaccard with " +
+        "everything is ~1/235 — the j >= 0.5 verify must kill it)")
+    // minLabel emits only docs that appear in an edge: the lone owner
+    // must be ABSENT, i.e. it survives dedup as its own implicit
+    // singleton rather than being folded into family A
+    assert(Dedup.dedupClusters.fn(spark, dir)
+      .filter(col("doc_id") === loneId).count() === 0L,
+      "lone owner entered the cluster table — it acquired an edge")
+  }
+
+  test("q_source_overlap stays on the RAW jaccard pair set: the rescue adds no 'boilerplate' source rows") {
+    // pinned contract (Dedup scaladoc): sourceOverlap profiles the
+    // near-dup GENERATOR — the capped families emit zero jaccard pairs,
+    // so no (boilerplate, *) source pair may appear even though the
+    // graph family sees hundreds of rescue edges on this corpus
+    val rows = Dedup.sourceOverlap.fn(spark, dir)
+      .filter(col("src_a") === "boilerplate" || col("src_b") === "boilerplate")
+    assert(rows.count() === 0L,
+      "sourceOverlap saw rescue/digest edges — it must stay on raw jaccard pairs")
   }
 
   test("each 300-copy family clusters to its OWN canon id (q_dedup_clusters) — connected AND separated") {
     val start = famStart(spark); val bStart = start + famSize
     val rows = Dedup.dedupClusters.fn(spark, dir)
-      .filter(col("doc_id") >= start).collect()
+      .filter(col("doc_id") >= start && col("doc_id") < start + 2 * famSize)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length === 2 * famSize,
       s"expected ${2 * famSize} family rows, got ${rows.length}")
@@ -100,8 +163,8 @@ class BoilerplateRescueSpec extends SparkSpec {
         "band collision must not survive exact verification")
   }
 
-  test("q_dedup_apply keeps exactly ONE doc per family") {
-    Seq(famLang, famBLang).foreach { lang =>
+  test("q_dedup_apply keeps exactly ONE doc per family (and the lone owner survives)") {
+    Seq(famLang, famBLang, famCLang, loneLang).foreach { lang =>
       val kept = Dedup.dedupApply.fn(spark, dir)
         .filter(col("lang") === lang).collect()
       assert(kept.length === 1 && kept.head.getLong(1) === 1L,
@@ -154,6 +217,21 @@ object BoilerplateRescueSpec {
   val famSize = 300
   val famLang = "xx" // its own lang group so dedupApply's keep-count is direct
   val famBLang = "yy" // second family: separation pin (disjoint tokens)
+  // Family C (r17 verdict task 6 — "entire shingle set capped"): 600
+  // copies, only TWO byte-distinct variants (one token differs), so
+  // EVERY shingle a C doc owns is capped — shared shingles df ~600,
+  // variant-only shingles df ~300, both > jaccardMaxDf. The digest
+  // stars connect within each 300-identical variant; ONLY the band
+  // stars can connect the variants (their pairwise jaccard ~0.98), and
+  // the exact-verify join fans two FULLY-capped shingle arrays — the
+  // na/nb-both-large shape the r17 verdict called out.
+  val famCLang = "cc"
+  val cSize = 600
+  // Lone hot owner (same verdict task): ONE doc sharing exactly one
+  // 3-token run (= one capped shingle) with family A and nothing else —
+  // it must enter the owner set, and every band collision it might
+  // land in must die at exact verification (j ~ 1/235 << 0.5).
+  val loneLang = "zz"
   private val nTokens = 120
 
   /** Copy i of a family: one 120-token boilerplate with position
@@ -173,6 +251,31 @@ object BoilerplateRescueSpec {
         else if (j % 40 == 7) "the"
         else if (j % 40 == 27) "of"
         else s"$stem$j"
+      }
+      .mkString(" ")
+
+  /** Family C copy: variant `v` (= copy index mod 2) — byte-identical
+    * within a variant, one token apart across variants. Stopword
+    * positions are non-adjacent, so no 3-gram is all-stopwords and no
+    * shingle is shared cross-family. */
+  private def cText(v: Int): String =
+    (0 until nTokens)
+      .map { j =>
+        if (j == 0) s"varc$v"
+        else if (j % 40 == 7) "the"
+        else if (j % 40 == 27) "of"
+        else s"crate$j"
+      }
+      .mkString(" ")
+
+  /** Lone hot owner: unique tokens except ONE 3-token family-A run at
+    * positions 50-52 — exactly one shared (capped) shingle; the grams
+    * overlapping the run's edges mix lone tokens, so they stay df 1. */
+  private def loneText: String =
+    (0 until nTokens)
+      .map { j =>
+        if (j >= 50 && j <= 52) s"boiler$j"
+        else s"lone$j"
       }
       .mkString(" ")
 
@@ -198,6 +301,12 @@ object BoilerplateRescueSpec {
           } ++ (0 until famSize).map { i =>
             val t = famText("plate", i)
             (start + famSize + i, t, famBLang, "boilerplate", t.length.toLong)
+          } ++ (0 until cSize).map { i =>
+            val t = cText(i % 2)
+            (start + 2 * famSize + i, t, famCLang, "boilerplate", t.length.toLong)
+          } ++ Seq {
+            val t = loneText
+            (start + 2 * famSize + cSize, t, loneLang, "lone", t.length.toLong)
           }
         val fam = fams
           .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -78,11 +78,22 @@ class NullCorpusSpec extends SparkSpec {
         s"scala-only: ${scalaPlan.toSet -- pyPlan.toSet}")
   }
 
-  test("mediaTable drops null payloads at the boundary (decoder NPE class)") {
+  test("mediaTable drops null payloads AND null metadata at the boundary (decoder NPE class)") {
     val dir = nullDir(spark)
     val m = graft.multimodal.Multimodal.mediaTable(spark, dir)
     assert(m.filter(col("payload").isNull).count() == 0L)
     assert(m.count() > 0L)
+    // metadata drop (r17 verdict task 3): width/height derive from the
+    // NULLABLE n_chars — a text-present / n_chars-null row must also
+    // drop, and the corpus must actually contain that shape (else the
+    // metadata contract is vacuously green)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val metaOnlyNull = docs
+      .filter(col("text").isNotNull && col("n_chars").isNull)
+    assert(metaOnlyNull.count() > 0L,
+      "no text-present/metadata-null rows — the metadata drop is untested")
+    assert(m.count() ===
+      docs.filter(col("text").isNotNull && col("n_chars").isNotNull).count())
   }
 
   test("DiscountedRevenue skips null operands like sum(expr)/count(expr) (silent 0.0-decode class)") {

@@ -594,31 +594,34 @@ class ScalingCurveSpec extends SparkSpec {
         s"exceeds the $cap tripwire — cell training has degenerated")
   }
 
-  /** DEEP-LADDER engagement points (r17 — srpRungs 21 / embedLshRungs
-    * 20): the 4x-per-rung cost growth has pushed the NEWEST rungs'
-    * occupancy-matched points past the regular suite budget (the
-    * rung-19 in-suite point was already ~3 min; rung 21's is ~4x
-    * that), so from r17 the deepest rung's evidence runs ONCE PER
-    * ROUND under SPARK_GRAFT_DEEP_LADDER=1 — the in-suite points
-    * stand through srp rung 19 / embed-LSH rung 18, and the row-exact
-    * DuckDB audit stays at its single-box ceiling, srp rung 15
-    * (16x pairings per rung — SCALE.md §SRP).
+  /** DEEP-LADDER engagement points (one per round, newest rungs —
+    * r18: srpRungs 23 / embedLshRungs 22): the 4x-per-rung cost
+    * growth has pushed the NEWEST rungs' occupancy-matched points
+    * past the regular suite budget, so the deepest rung's evidence
+    * runs ONCE PER ROUND under SPARK_GRAFT_DEEP_LADDER=1 — the
+    * in-suite points stand through srp rung 19 / embed-LSH rung 18,
+    * and the row-exact DuckDB audit stays at its single-box ceiling,
+    * srp rung 15 (16x pairings per rung — SCALE.md §SRP).
     *
     * Measured r17 (quiet box, ~23 min wall): srp rung 21 @ 16,384,000
     * vectors = 6,714,911,918 collision pairs (409/vec — the standing
     * ~1.18x/rung per-vector drift over 324 at rung 19), exponent 1.17
     * over the in-suite 4.096M point; embed-LSH rung 18 cap density
     * @6,553,600 = 3.6361e-5 vs rung 20 @8,192,000 = 1.0906e-5
-    * (0.30x — engaged; stuck would hold ~equal). md5-deterministic,
-    * so a re-run reproduces them exactly. */
-  test("deep ladder: srp rung 21 + embed-LSH rung 20 engage (SPARK_GRAFT_DEEP_LADDER=1)") {
+    * (0.30x — engaged; stuck would hold ~equal).
+    *
+    * r18 points (rung 23 @65,536,000; rung 20 cap @26,214,400 vs
+    * rung 22 @32,768,000): measured once per round — the round's
+    * numbers are recorded in NOTES.md. md5-deterministic, so a re-run
+    * reproduces them exactly. */
+  test("deep ladder: srp rung 23 + embed-LSH rung 22 engage (SPARK_GRAFT_DEEP_LADDER=1)") {
     assume(sys.env.get("SPARK_GRAFT_DEEP_LADDER").contains("1"),
-      "deep-ladder points run once per round (tens of minutes); " +
+      "deep-ladder points run once per round (an hour-plus); " +
         "set SPARK_GRAFT_DEEP_LADDER=1")
     import org.apache.spark.sql.functions.lit
     import graft.queries.Similarity
-    assert(Similarity.srpBitsLadder(16384000L) == 21,
-      "16.384M vectors must land on rung 21")
+    assert(Similarity.srpBitsLadder(65536000L) == 23,
+      "65.536M vectors must land on rung 23")
     def point(n: Long): Long = {
       val d = java.nio.file.Files.createTempDirectory(s"srp_deep_$n").toString
       try {
@@ -629,33 +632,33 @@ class ScalingCurveSpec extends SparkSpec {
         c
       } finally SyntheticEmbeddings.rm(d)
     }
-    // the rung-19 reference is the in-suite 4.096M point's recorded
-    // deterministic constant (1.328B, r16) — re-measuring it here
-    // would double this test's cost for a number that cannot move
-    val c19 = 1.328e9
-    val c21 = point(16384000L)
-    val exponent = math.log(c21 / c19) / math.log(4.0)
-    info(f"srp rung-21 growth exponent over the 4x step = $exponent%.2f")
+    // the rung-21 reference is r17's recorded deep point — a
+    // deterministic constant of the md5 family that cannot move;
+    // re-measuring it here would add ~20 quiet minutes per run
+    val c21 = 6.714911918e9
+    val c23 = point(65536000L)
+    val exponent = math.log(c23 / c21) / math.log(4.0)
+    info(f"srp rung-23 growth exponent over the 4x step = $exponent%.2f")
     assert(exponent < 1.3,
-      f"srp rung-21 exponent $exponent%.2f — rung 21 is not holding occupancy")
-    // cap ~1.6x expected (~6.3B = 1.328B * 4 * the ~1.18x/rung
-    // per-vector drift); stuck-at-19 band ≈ 4x/vec ≈ 21B
-    assert(c21 <= 10000000000L,
-      s"srp @ 16.384M: $c21 pairs exceeds the 10B tripwire — rung 21 did not engage")
-    // embed-LSH rung 20: density at the rung-18 CAP (occupancy 25)
-    // vs the first rung-20 point (occupancy 7.8) — engaged falls ~4x,
+      f"srp rung-23 exponent $exponent%.2f — rung 23 is not holding occupancy")
+    // cap ~1.6x expected (~31.7B = 6.71B * 4 * the ~1.18x/rung
+    // per-vector drift); stuck-at-21 band ≈ 4x/vec ≈ 107B
+    assert(c23 <= 50000000000L,
+      s"srp @ 65.536M: $c23 pairs exceeds the 50B tripwire — rung 23 did not engage")
+    // embed-LSH rung 22: density at the rung-20 CAP (occupancy 25)
+    // vs the first rung-22 point (occupancy 7.8) — engaged falls ~4x,
     // stuck stays ~equal (the in-suite rung 14/16/18 pattern)
     def densityMd5(n: Long): Double =
       Similarity.embedLshCandidates(
         SyntheticEmbeddings.frame(spark, n).withColumn("label", lit(7)),
         knownRows = Some(n))
         .count().toDouble / (n.toDouble * (n - 1) / 2)
-    val d18cap = densityMd5(6553600L)
-    val d20 = densityMd5(8192000L)
-    info(f"embed-lsh density: rung 18 @6553600 = $d18cap%.9f, rung 20 @8192000 = $d20%.9f")
-    assert(d20 < d18cap * 0.5,
-      f"rung-20 density $d20%.9f not below 0.5x the rung-18-cap density " +
-        f"$d18cap%.9f — rung 20 did not engage")
-    assert(d20 > 0)
+    val d20cap = densityMd5(26214400L)
+    val d22 = densityMd5(32768000L)
+    info(f"embed-lsh density: rung 20 @26214400 = $d20cap%.10f, rung 22 @32768000 = $d22%.10f")
+    assert(d22 < d20cap * 0.5,
+      f"rung-22 density $d22%.10f not below 0.5x the rung-20-cap density " +
+        f"$d20cap%.10f — rung 22 did not engage")
+    assert(d22 > 0)
   }
 }

@@ -48,7 +48,15 @@ PLAN = {
     # n_chars (r17, the r16 ADVICE alternative actually taken): a
     # nullable VALUE column feeding the TopK bounded heap — exercises
     # the structural null skip and its oracle mirrors (q_source_cap)
-    # instead of leaving them latent
+    # instead of leaving them latent.
+    # MEDIA columns (r17 verdict task 3): this table IS the media table
+    # — Multimodal.mediaTable derives payload from `text` and
+    # width/height METADATA from `n_chars` (not from the non-null PK,
+    # which made metadata nulls structurally impossible). Injecting
+    # both therefore battery-proves the media null contracts: null
+    # payload AND null metadata rows drop at the table boundary, all
+    # four multimodal oracles mirroring with
+    # `WHERE text IS NOT NULL AND n_chars IS NOT NULL`.
     "documents": ("doc_id", {"text": 10, "lang": 20, "n_chars": 10}),
     # embeddings (r17, VERDICT r16 task 3): a null vector / null label
     # row is DROPPED at the table boundary (Tables.embeddings; oracles
