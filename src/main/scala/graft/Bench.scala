@@ -214,6 +214,15 @@ object Bench {
     // mark partial runs: a SPARK_GRAFT_BENCH_ONLY subset total must not
     // be mistaken for a full-suite benchmark
     val onlyMark = if (only.isDefined) s""","only":${results.size}""" else ""
+    // the warm-in discard changes those queries' MEASUREMENT DEFINITION
+    // (their r17 medians included the cold first rep), so the headline
+    // must say so in-band (r18 review; the r10 metric_note precedent —
+    // a lower total must never silently read as an engine speedup):
+    // cross-round comparators add the detail file's warm_reps seconds
+    // back, or compare steady-state to steady-state knowingly
+    val warmMark =
+      if (warmReps.isEmpty) ""
+      else s""","warm_discarded":[${warmReps.keys.map("\"" + _ + "\"").mkString(",")}],"warm_note":"first rep discarded for warm-in-tagged queries since r18; their r17 medians included the cold rep — see detail warm_reps""""
     // a crashed query is excluded from the total — flag it so a lower
     // total can never be read as a speedup
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -235,7 +244,7 @@ object Bench {
     // it from the detail file (r10 burned an hour doing exactly that).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     def emitLine(quietMark: String): String = {
-      val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$failMark$quietMark}"""
+      val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$moMark$onlyMark$warmMark$failMark$quietMark}"""
       // Belt and braces: also persist to a file in case the launcher's
       // stdout is wrapped by a build-tool logger the parser trips on.
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

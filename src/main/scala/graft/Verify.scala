@@ -70,12 +70,22 @@ object Verify {
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          if (!graft.model.Fs.deleteRecursively(new java.io.File(s"$outDir/$name")))
+          if (!graft.model.Fs.deleteRecursively(new java.io.File(s"$outDir/$name"))) {
             // both the write and the cleanup wipe failed: whatever
-            // survives in the dir is NOT this run's result — shout,
-            // because the checker may green-light it
+            // survives in the dir is NOT this run's result. A stderr
+            // line alone is not machine-visible (r18 review) — the
+            // dir-presence gate would see a complete-looking dir of
+            // the PREVIOUS run's parquet and the compare could
+            // green-light it. Poison the dir with an unreadable
+            // .parquet member so any parquet read of it fails loudly.
             System.err.println(
               s"[verify] CRITICAL: $name cleanup wipe failed — output dir may hold a STALE previous result")
+            try Files.writeString(
+              Paths.get(s"$outDir/$name/stale_poison.parquet"),
+              "NOT PARQUET — stale-output guard poison (see [verify] CRITICAL above)")
+            catch { case p: Throwable => System.err.println(
+              s"[verify] CRITICAL: $name poison write also failed: ${p.getMessage}") }
+          }
         }
       }
     }

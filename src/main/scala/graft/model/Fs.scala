@@ -55,10 +55,25 @@ object Fs {
     * query's cost flat), but unique ACROSS processes via the pid —
     * r17 ADVICE: two concurrent JVMs on the same fixture (Verify and
     * Bench overlapping) used to share one deterministic path and wipe
-    * each other's wire/checkpoint/output mid-run, corrupting both. */
-  def scratchDir(prefix: String, fixture: String): String =
-    new java.io.File(
+    * each other's wire/checkpoint/output mid-run, corrupting both.
+    *
+    * Every returned path registers a ONE-TIME JVM shutdown wipe (r18
+    * review): pid-unique paths mean no later process ever reuses —
+    * or cleans — this one's dirs, so without the hook each
+    * Verify/Bench/test JVM would permanently accrete sf-scale wire
+    * data under /tmp (the 'suite runs must not accrete parquet'
+    * rule the test fixtures already enforce with the same hook). */
+  def scratchDir(prefix: String, fixture: String): String = {
+    val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft-$prefix-p${ProcessHandle.current().pid()}-" +
         fixture.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsolutePath
+    if (scratchRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        deleteRecursively(new java.io.File(path)); ()
+      }))
+    path
+  }
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

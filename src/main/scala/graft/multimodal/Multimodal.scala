@@ -73,9 +73,13 @@ object Multimodal {
     * is the contract, `MediaRecord.width/height` stay primitive Ints,
     * and all four oracles mirror with `AND n_chars IS NOT NULL` +
     * the same n_chars-derived w/h expressions. On the driver
-    * fixtures n_chars is never null, so the plain-corpus results are
-    * unchanged; the null corpus (tools/make_null_fixtures.py injects
-    * documents.n_chars at 10 permille) is where this binds. */
+    * fixtures n_chars is never null, so the ROW SET is unchanged —
+    * but q_multimodal_resize/q_multimodal_phash VALUES intentionally
+    * moved r17→r18 everywhere (their sample positions read w/h, and
+    * 16+n_chars%16 ≠ 16+doc_id%16 per row; parity holds because the
+    * oracles moved in lockstep — do not read that diff as a bug).
+    * The null corpus (tools/make_null_fixtures.py injects
+    * documents.n_chars at 10 permille) is where the DROP binds. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)

@@ -274,11 +274,16 @@ object Dedup {
     // (band, key, min) row before the exchange (the hub reduces
     // map-side to #mappers rows, never #copies), and the re-join is a
     // plain hash join that AQE's skew splitting can carve, which a
-    // window sort cannot. Same pattern as the digest stars below; the
-    // band rows derive twice (groupBy leg + join leg) from the
-    // caller-checkpointed `s`, which is linear map work — the digest
-    // stars accept the identical trade on `dg`.
+    // window sort cannot. The band rows feed BOTH legs, and deriving
+    // them lazily would run bandRows' minhash signature pass — a full
+    // shuffle-aggregate of the exploded shingle rows, the heaviest
+    // relation here — TWICE (r18 review; the digest-star analogy does
+    // not carry, dg being a cheap md5 projection). localCheckpoint
+    // materializes the 8-rows/doc (doc_id, band, key) frame once:
+    // linear in owners, and at the fixture-scale no-op (owners empty)
+    // the eager job costs one pass over the already-checkpointed `s`.
     val rows = bandRows(s.join(owners, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
     val mins = rows.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("m"))
     val cand = rows.join(mins, Seq("band", "key"))

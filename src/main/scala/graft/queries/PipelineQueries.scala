@@ -154,9 +154,15 @@ object PipelineQueries {
     "q_stream_stream_join",
     (spark, dir) => {
       val base = graft.model.Fs.scratchDir("ssj", dir)
+      // wipeOrThrow, not best-effort (r18 review): a ckpt dir that
+      // survives the wipe makes the restarted streaming query reuse a
+      // stale checkpoint whose epoch watermark post-dates the
+      // rewritten wire files — rows silently dropped, and in Bench
+      // there is no oracle compare to catch the wrong-seconds rep
       val (wireDir, outDir, ckptDir) =
-        (graft.model.Fs.wipe(s"$base/wire"), graft.model.Fs.wipe(s"$base/out"),
-         graft.model.Fs.wipe(s"$base/ckpt"))
+        (graft.model.Fs.wipeOrThrow(s"$base/wire"),
+         graft.model.Fs.wipeOrThrow(s"$base/out"),
+         graft.model.Fs.wipeOrThrow(s"$base/ckpt"))
       Simulator.productViewJson(Tables.events(spark, dir))
         .write.mode("overwrite").text(wireDir)
       val parsed = ProductViewPipeline.parse(

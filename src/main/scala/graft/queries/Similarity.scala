@@ -412,7 +412,13 @@ object Similarity {
     "CASE " + embedLshRungs.init.zipWithIndex.map { case (b, i) =>
       s"WHEN count(*) <= ${embedLshRungCap(i)} THEN $b" }.mkString(" ") +
       s" ELSE ${embedLshRungs.last} END"
-  private def embedLshBitsCol: Column = {
+  // private[graft]: ScalingCurveSpec evaluates THIS column (the exact
+  // production dispatch expression) on a one-row __lc frame to pin the
+  // past-envelope refusal — materializing a cap+1-row corpus just to
+  // trip raise_error grew 4x with every rung append (r18 review: the
+  // rung-22 append had silently made the in-suite test scan 104.9M
+  // rows before the error could fire)
+  private[graft] def embedLshBitsCol: Column = {
     val past: Column = raise_error(concat(
       lit("embedLshCandidates: label count "), col("__lc").cast("string"),
       lit(s" exceeds the audited ladder envelope (<= " +

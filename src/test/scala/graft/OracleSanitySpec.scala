@@ -32,7 +32,8 @@ class OracleSanitySpec extends SparkSpec {
       3201L -> 9, 12800L -> 9, 12801L -> 11, 51200L -> 11,
       51201L -> 13, 204800L -> 13, 204801L -> 15, 819200L -> 15,
       819201L -> 17, 3276800L -> 17, 3276801L -> 19, 13107200L -> 19,
-      13107201L -> 21, 52428800L -> 21)
+      13107201L -> 21, 52428800L -> 21, 52428801L -> 23,
+      209715200L -> 23)
     boundary.foreach { case (n, bits) =>
       assert(srpBitsLadder(n) == bits,
         s"srpBitsLadder($n) = ${srpBitsLadder(n)}, expected $bits")
@@ -47,7 +48,7 @@ class OracleSanitySpec extends SparkSpec {
     // both sides generate from ONE rung list: every SRP consumer's SQL
     // must embed srpNbCaseSql verbatim — a hand-edited CASE that
     // drifts from srpRungs cannot pass this
-    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17, 19, 21))
+    assert(srpRungs == Seq(5, 7, 9, 11, 13, 15, 17, 19, 21, 23))
     val srpConsumers = Seq("q_ann_srp", "q_mmr_rerank_ann",
       "q_knn_graph", "q_knn_link_prediction")
     srpConsumers.foreach { q =>

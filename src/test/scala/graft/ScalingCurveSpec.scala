@@ -275,18 +275,29 @@ class ScalingCurveSpec extends SparkSpec {
         f"$d16cap%.8f — rung 18 did not engage")
     assert(d18 > 0)
     // past the audited envelope the Scala side refuses loudly instead
-    // of silently running the last rung ever hotter
-    // dim 64 so the bucket array is non-null and the masking lambda
-    // (where the ladder CASE lives) actually evaluates per row
-    val over = spark.range(graft.queries.Similarity
-        .embedLshRungCap(graft.queries.Similarity.embedLshRungs.size - 1) + 1)
-      .select(col("id").as("vec_id"), lit(9).as("label"),
-        expr("array_repeat(1.0D, 64)").as("embedding"))
+    // of silently running the last rung ever hotter. Evaluated on the
+    // PRODUCTION dispatch column over a one-row frame carrying the
+    // over-cap label count — NOT by materializing cap+1 real rows
+    // (r18 review: that spelling grew 4x with every rung append and
+    // the rung-22 append had silently made it a 104.9M-row scan;
+    // the per-row evaluation path it exercised is identical, since
+    // embedLshBitsCol only ever reads __lc)
+    val overCap = graft.queries.Similarity
+      .embedLshRungCap(graft.queries.Similarity.embedLshRungs.size - 1) + 1
     val e = intercept[Exception](
-      graft.queries.Similarity.embedLshCandidates(over).count())
+      spark.range(1).select(lit(overCap).as("__lc"))
+        .select(graft.queries.Similarity.embedLshBitsCol.as("bits"))
+        .collect())
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("embedLshRungs"), msgs)
+    // and the rung below the cap still dispatches to the LAST rung —
+    // the refusal boundary is exact, not off by one
+    val atCap = spark.range(1).select(lit(overCap - 1).as("__lc"))
+      .select(graft.queries.Similarity.embedLshBitsCol.as("bits"))
+      .head().getInt(0)
+    assert(atCap === graft.queries.Similarity.embedLshRungs.last,
+      s"at-cap count dispatched to $atCap bits, want the last rung")
   }
 
   /** The IVF tripwire ACROSS the old 4096-cell ceiling (r12 verdict
