@@ -456,7 +456,19 @@ object Similarity {
     val build = knownRows
       .flatMap(n => shjBuildParts(rawEmbeddings.sparkSession, n * 4, 1L << 17))
       .fold(buckets)(p =>
-        buckets.repartition(p, col("label"), col("t"), col("bucket")))
+        // partition by (t, bucket) ONLY — deliberately NOT label (r18,
+        // found by the rung-22 deep leg): with a constant-foldable
+        // label (ONE hot label — the exact shape this ladder exists
+        // for) Catalyst drops label from the join keys, a
+        // (label, t, bucket) repartition then no longer satisfies the
+        // join's required distribution, and EnsureRequirements
+        // re-exchanged BOTH sides to the conf partition count —
+        // 13.1M-row build maps at the 26.2M point, OOM, the bounded-
+        // build contract silently bypassed. A HashPartitioning on a
+        // SUBSET of the join keys satisfies the clustered distribution
+        // in both the many-label and folded cases, so (t, bucket)
+        // keeps the 2^17-row bound everywhere.
+        buckets.repartition(p, col("t"), col("bucket")))
     buckets.alias("x")
       .join(build.alias("y").hint("shuffle_hash"),
         col("x.label") === col("y.label") && col("x.t") === col("y.t") &&
@@ -579,10 +591,16 @@ object Similarity {
     * in-suite points stay through rung 19.
     *
     * Rung 23 (r18): envelope n ≤ 209,715,200 — the standing recipe.
-    * Occupancy at the cap stays 25 by the formula; the deep-ladder
-    * test moves to the rung-23 engagement point (65,536,000 vectors,
-    * occupancy 7.8), once per round. Past 209,715,200 the refusal
-    * stands — append rung 25 with the same recipe. */
+    * Occupancy at the cap stays 25 by the formula. NO rung-23 point
+    * is measurable on the build box (two ENOSPC runs: the 4x
+    * engagement corpus is 33.5 GB; even the first-in-rung point dies
+    * in the 16-rows/vector collision shuffle — single-box ceiling
+    * n ≈ 24M, below the 52.4M rung floor), so rung 23 stands on the
+    * occupancy formula + loud refusal + generated-oracle
+    * single-sourcing, like every rung past the row-exact audit depth;
+    * the deep-ladder test pins rung 21's point EXACTLY instead
+    * (ScalingCurveSpec). Past 209,715,200 the refusal stands —
+    * append rung 25 with the same recipe. */
   private[graft] val srpRungs: Seq[Int] = Seq(5, 7, 9, 11, 13, 15, 17, 19, 21, 23)
   private[graft] def srpRungCap(i: Int): Long = 800L * (1L << (2 * i))
   private[graft] def srpBitsLadder(n: Long): Int =
