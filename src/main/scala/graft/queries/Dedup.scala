@@ -102,11 +102,35 @@ object Dedup {
     * at any SF where it does bind. */
   private[graft] val jaccardMaxDf = 256
 
+  /** Hot posting lists (df > maxDf) of an exploded index — the
+    * COMPLEMENT of [[cappedIndex]]'s keep set as a tiny hk list:
+    * a map-side-combined groupBy (each mapper contributes one partial
+    * count per distinct shingle), never a window sort over every
+    * exploded row. Shared by the anti-join cap spelling below and the
+    * [[cappedBandStars]] owner probe, so df is aggregated ONCE per
+    * pipeline instead of once per consumer (r18 optimization; the
+    * bucket-min groupBy+join precedent of r17 verdict task 2 applied
+    * to the df cap itself). */
+  private[graft] def hotShingles(e: DataFrame, maxDf: Int): DataFrame =
+    e.groupBy(col("hk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("hk"))
+
   /** The df-capped inverted index over exploded rows
     * (doc_id, n_sh, hk): drops shingles whose posting list exceeds
     * `maxDf`. The df window shuffles on hk — the same partitioning the
     * downstream self-join needs, so the exchange is reused, not
-    * repeated. */
+    * repeated. KEPT as the STANDALONE spelling (r18 measured both): a
+    * [[hotShingles]] anti-join needs a second evaluation of the md5
+    * shingle subtree for its aggregate (AQE stage reuse cannot share
+    * the join's exchange with an aggregate's map stage), which costs
+    * more than the window's two per-side sorts whenever `e` is derived
+    * straight from the documents scan — q_dedup_ngram_jaccard measured
+    * 1.10 s (window) vs 1.38 s (anti) vs 1.45 s (anti + checkpointed
+    * shingles) at sf0.1. Pipelines that ALREADY materialize the
+    * shingle frame use the anti-join spelling instead
+    * ([[dupGraphEdgesFrom]]), where the extra pass is checkpoint-cheap
+    * and the window's sorts are pure overhead; BoilerplateRescueSpec
+    * pins the two spellings equal where the cap binds. */
   private[graft] def cappedIndex(e: DataFrame, maxDf: Int): DataFrame =
     e.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("hk"))))
@@ -150,14 +174,23 @@ object Dedup {
               ON a.hk = b.hk AND a.doc_id < b.doc_id
             GROUP BY 1, 2, 3, 4)"""
 
-  private[graft] def jaccardPairs(e: DataFrame,
-                                    maxDf: Int = jaccardMaxDf): DataFrame =
-    sharedCounts(cappedIndex(e, maxDf))
+  /** Threshold + ppm emission over an ALREADY-CAPPED index `kept` —
+    * the one spelling of the j >= 0.5 integer compare and the ppm
+    * rounding, shared by [[jaccardPairs]] and the shared-df graph
+    * path ([[dupGraphEdgesFrom]], which caps via an externally
+    * computed [[hotShingles]] list so df aggregates once per
+    * pipeline). */
+  private[graft] def jaccardPairsFrom(kept: DataFrame): DataFrame =
+    sharedCounts(kept)
       .filter(col("shared") * 2 >= col("na") + col("nb") - col("shared"))
       .withColumn("jaccard",
         graft.model.Money.cents(
           col("shared") / (col("na") + col("nb") - col("shared")), 1000000.0))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  private[graft] def jaccardPairs(e: DataFrame,
+                                    maxDf: Int = jaccardMaxDf): DataFrame =
+    jaccardPairsFrom(cappedIndex(e, maxDf))
 
   /** DuckDB CTE fragment mirroring [[jaccardPairs]] over `fromCte`
     * rows (doc_id, n_sh, hk): defines `pairs(doc_a, doc_b, jaccard)`,
@@ -257,10 +290,11 @@ object Dedup {
     * no-op; BoilerplateRescueSpec pins the no-op, the binding case
     * (a 300-copy mutated family clusters) and the <=8-edges-per-member
     * volume bound. */
-  private[graft] def cappedBandStars(s: DataFrame, e: DataFrame): DataFrame = {
-    val hot = e.groupBy(col("hk"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > jaccardMaxDf)
-      .select(col("hk"))
+  private[graft] def cappedBandStars(s: DataFrame, e: DataFrame,
+                                     hot: DataFrame): DataFrame = {
+    // `hot` is the caller's [[hotShingles]] list (r18: previously
+    // recomputed here with a second full df aggregation over e —
+    // the same number the cap had just aggregated).
     // vocabulary-side semi-joins stay unhinted (house rule): AQE
     // broadcasts `hot` while it fits, shuffles past that
     val owners = e.join(hot, Seq("hk"), "left_semi")
@@ -310,10 +344,29 @@ object Dedup {
     * callers that feed several consumers should pass a CHECKPOINTED
     * `s` (see [[dupGraphEdges]]). */
   private[graft] def dupGraphEdgesFrom(spark: SparkSession, dir: String,
-                                       s: DataFrame, e: DataFrame): DataFrame =
+                                       s: DataFrame, e: DataFrame): DataFrame = {
+    // ONE df aggregation feeds the cap AND the rescue (r18: the window
+    // cap + the rescue's own groupBy each re-aggregated df per graph
+    // query). Eagerly materialized: `kept` (twice — self-join sides)
+    // and the owner probe all read it, and it is boilerplate-sized
+    // (EMPTY at both driver fixtures), never corpus-sized.
+    val hot = hotShingles(e, jaccardMaxDf).localCheckpoint(true)
+    // data-adaptive short-circuit on a MATERIALIZED statistic (the AQE
+    // empty-relation principle, applied one level up): with zero hot
+    // shingles the cap binds nothing (kept == e exactly) and the
+    // rescue is the pinned structural no-op (owners ⊆ {docs with a hot
+    // shingle} = ∅ ⇒ zero band rows ⇒ zero star edges), so the
+    // anti-join and the whole 6-job rescue subtree are skipped —
+    // results bit-identical, BoilerplateRescueSpec pins both regimes.
+    // At 100 TB hot is never empty and both legs always run.
+    val hotEmpty = hot.isEmpty
+    val kept = if (hotEmpty) e
+      else e.join(hot, Seq("hk"), "left_anti")
+        .select(e.columns.toIndexedSeq.map(col): _*)
+    val pairs = jaccardPairsFrom(kept).select(col("doc_a"), col("doc_b"))
     withDigestStars(spark, dir,
-      jaccardPairs(e).select(col("doc_a"), col("doc_b"))
-        .union(cappedBandStars(s, e)))
+      if (hotEmpty) pairs else pairs.union(cappedBandStars(s, e, hot)))
+  }
 
   /** [[dupGraphEdgesFrom]] over the default corpus. The shingle frame
     * is EAGERLY materialized once (r17 review): without it the

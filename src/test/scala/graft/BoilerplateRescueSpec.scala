@@ -70,7 +70,8 @@ class BoilerplateRescueSpec extends SparkSpec {
 
   test("rescue edges cover the families with star-bounded volume; NO cross-family edge survives verification") {
     val (s, e) = corpus
-    val rescue = Dedup.cappedBandStars(s, e).collect()
+    val rescue = Dedup.cappedBandStars(s, e,
+      Dedup.hotShingles(e, Dedup.jaccardMaxDf)).collect()
     // star bound: each member contributes at most one doc_b edge per band
     assert(rescue.length <= 8 * (2 * famSize + cSize + 1),
       s"rescue emitted ${rescue.length} edges — exceeds the 8/member star bound")
@@ -122,7 +123,8 @@ class BoilerplateRescueSpec extends SparkSpec {
   test("single-doc hot owner: enters the owner set, every collision dies at verify, never enters the cluster table") {
     val (s, e) = corpus
     val loneId = famStart(spark) + 2 * famSize + cSize
-    val rescue = Dedup.cappedBandStars(s, e)
+    val rescue = Dedup.cappedBandStars(s, e,
+      Dedup.hotShingles(e, Dedup.jaccardMaxDf))
     assert(rescue.filter(col("doc_a") === loneId || col("doc_b") === loneId)
       .count() === 0L,
       "a verified edge touched the lone owner (its jaccard with " +
@@ -207,9 +209,31 @@ class BoilerplateRescueSpec extends SparkSpec {
     val s = Dedup.withShingles(graft.model.Tables.documents(spark, sf))
       .select(col("doc_id"), col("shs"), col("n_sh"))
     val e = s.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("hk"))
-    assert(Dedup.cappedBandStars(s, e).count() === 0L,
+    assert(Dedup.cappedBandStars(s, e,
+      Dedup.hotShingles(e, Dedup.jaccardMaxDf)).count() === 0L,
       "driver fixture grew a >256-df shingle — parity no-op claim now false; " +
         "re-run the boilerplate battery and update SCALE.md")
+  }
+
+  test("the anti-join cap spelling equals the window spelling WHERE THE CAP BINDS (r18 optimization pin)") {
+    // r18: dupGraphEdgesFrom caps the inverted index by anti-joining
+    // the hotShingles list (df partial-aggregated ONCE, shared with
+    // the rescue's owner probe, no per-side window sort), while
+    // standalone callers keep cappedIndex's window (measured faster
+    // when the shingle subtree is not checkpointed). The keep sets are
+    // equal by construction — df <= cap ⇔ hk ∉ hot — but the
+    // equivalence is only NON-VACUOUS on a corpus where some shingle
+    // exceeds the cap, which no driver fixture provides; pin it here,
+    // on this one, so the two spellings can never silently drift.
+    val (_, e) = corpus
+    val windowKept = Dedup.cappedIndex(e, Dedup.jaccardMaxDf)
+    val antiKept = e
+      .join(Dedup.hotShingles(e, Dedup.jaccardMaxDf), Seq("hk"), "left_anti")
+      .select(e.columns.toIndexedSeq.map(col): _*)
+    assert(antiKept.count() === windowKept.count())
+    assert(antiKept.exceptAll(windowKept).count() === 0L &&
+           windowKept.exceptAll(antiKept).count() === 0L,
+      "anti-join df cap diverged from the window spelling on a binding corpus")
   }
 }
 
